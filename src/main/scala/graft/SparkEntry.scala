@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.queries.CoreQueries
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the training-data
+  * extension set) is a named entry in `queries`; every SQL-expressible one
+  * has a DuckDB oracle in `oracleSql` with IDENTICAL output column names
+  * and value representations (money = exact decimal sums cast to double).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.q03CustomerMart(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check. */
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracles
 }
