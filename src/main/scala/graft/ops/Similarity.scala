@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Vector math is plain higher-order-function algebra (zip_with +
+  * aggregate left-fold in double precision) — codegen'd, deterministic,
+  * and bit-reproducible against the DuckDB oracle's sequential list_sum.
+  *
+  * Scale design: the brute-force path broadcasts the (small) query set and
+  * streams the candidate table — no shuffle on the candidate side until
+  * the final per-query top-k; the LSH path buckets candidates by a
+  * random-hyperplane signature so each query compares against one bucket,
+  * the 100 TB-friendly plan (bucket join instead of full cross product).
+  */
+object Similarity {
+
+  /** Left-fold dot product in double precision (index order, so both
+    * engines sum in the same sequence). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k: every vec_id divisible by `queryStride` is
+    * a query; each query's k nearest candidates (excluding itself) by
+    * cosine, rounded to 6 decimals with doc-id tiebreak so ordering is
+    * well-defined across engines.
+    */
+  def bruteForceTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50): DataFrame = {
+    val q = embeddings.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val c = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("cos_sim"))
+  }
+
+  /** Exact nearest neighbor for EVERY vector (k=1 all-pairs form):
+    * deterministic, one row per vector — the correctness baseline the
+    * LSH/IVF path approximates. */
+  def nearestNeighbor(embeddings: DataFrame): DataFrame = {
+    val a = embeddings.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val b = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val pairs = a.join(b, col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("q_id"), col("c_id").as("nn_id"), col("cos_sim"))
+  }
+
+  /** Deterministic random hyperplanes: nBits x dim gaussian matrix from a
+    * fixed seed. */
+  private[ops] def hyperplanes(nBits: Int, dim: Int, seed: Long = 123L): Seq[Seq[Double]] = {
+    val rnd = new java.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection LSH bucket id (nBits-bit int) for an
+    * embedding column. */
+  def lshBucket(emb: Column, nBits: Int = 12, dim: Int = 64): Column = {
+    val planes = hyperplanes(nBits, dim)
+    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, j) => {
+      val plane = element_at(typedLit(planes.map(_.toArray).toArray), (j + 1).cast("int"))
+      val proj = aggregate(
+        zip_with(emb, plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (s, v) => s + v)
+      acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
+    })
+  }
+
+  /** LSH-bucketed approximate top-k: queries only compare against
+    * candidates in their own bucket. Recall < 1 by construction; the
+    * bucket join replaces the cross product, which is the point at scale.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
+              nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
+    val q = bucketed.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+    val pairs = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("bucket"), col("cos_sim"))
+  }
+
+  /** Per-vector dedup verdict: a vector is a duplicate if some LOWER-id
+    * vector in its LSH bucket exceeds the cosine threshold (keep-first
+    * policy). One row per vector, always — is_dup + best match evidence.
+    */
+  def cosineDedupVerdicts(embeddings: DataFrame, threshold: Double = 0.9,
+                          nBits: Int = 8): DataFrame = {
+    val pairs = cosineNearDupPairs(embeddings, threshold, nBits)
+    val best = pairs.groupBy(col("right_id").as("vec_id"))
+      .agg(max(struct(col("cos_sim"), col("left_id"))).as("m"))
+      .select(col("vec_id"), col("m.left_id").as("dup_of"), col("m.cos_sim").as("dup_cos"))
+    embeddings.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cos >= threshold, left < right),
+    * LSH-prefiltered: only same-bucket pairs are scored exactly. */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
+                         nBits: Int = 8): DataFrame = {
+    val bucketed = embeddings
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nBits).as("bucket"))
+    val l = bucketed.select(col("vec_id").as("left_id"), col("embedding").as("l_emb"), col("bucket"))
+    val r = bucketed.select(col("vec_id").as("right_id"), col("embedding").as("r_emb"), col("bucket"))
+    l.join(r, Seq("bucket")).filter(col("left_id") < col("right_id"))
+      .withColumn("cos_sim", round(cosine(col("l_emb"), col("r_emb")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("left_id"), col("right_id"), col("cos_sim"))
+  }
+}

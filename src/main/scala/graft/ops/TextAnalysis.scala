@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data curation:
+  * token statistics, quality scoring, n-gram-heuristic language ID, and
+  * document fingerprinting. All are pure codegen'd column expressions
+  * (functions._ and higher-order functions, no UDFs), so they run inside
+  * whole-stage codegen and scale embarrassingly parallel — per-document
+  * work, no shuffle at all.
+  *
+  * Column-name conventions match the DuckDB oracles in PipelineQueries;
+  * computed integer lengths are cast to LONG because DuckDB's length/len
+  * return BIGINT and hash parity compares schemas.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space split — documents are single-spaced;
+    * both engines keep empty fields so semantics stay aligned). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language stopword sets for the n-gram language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von"))
+
+  /** Count of tokens that appear in `words`. */
+  def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  /** Token stats: character count, token count, distinct-token count. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"))
+  }
+
+  /** Quality scoring: lexical-diversity ratio, stopword ratio, mean token
+    * length — combined into one [0,1]-ish score. Formula is arbitrary but
+    * deterministic and bit-identical across engines (fixed operation
+    * order, double arithmetic).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_uniq_tokens", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stop", stopwordCount(toks, stopwords("en")))
+      .withColumn("uniq_ratio",
+        col("n_uniq_tokens").cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (length(col("text")).cast("long") - (col("n_tokens") - 1)).cast("double") /
+          col("n_tokens"))
+      .withColumn("quality_score",
+        lit(0.4) * col("uniq_ratio") + lit(0.3) * col("stop_ratio") +
+          lit(0.3) * least(col("avg_token_len") / lit(10.0), lit(1.0)))
+      .select(col("doc_id"), col("n_tokens"), col("n_uniq_tokens"), col("n_stop"),
+        col("uniq_ratio"), col("stop_ratio"), col("avg_token_len"), col("quality_score"))
+  }
+
+  /** Language ID: stopword-hit scoring per language, deterministic argmax
+    * with fixed precedence en > es > de, 'und' when no hits. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .withColumn("s_en", stopwordCount(toks, stopwords("en")))
+      .withColumn("s_es", stopwordCount(toks, stopwords("es")))
+      .withColumn("s_de", stopwordCount(toks, stopwords("de")))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") > 0, "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") > 0, "es")
+          .when(col("s_de") > 0, "de")
+          .otherwise("und"))
+      .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("lang_pred"))
+  }
+
+  /** Content fingerprints: md5 digest + boundary tokens. md5 exists in
+    * both engines, so this IS oracle-checkable; xxhash64 (Spark-only,
+    * much faster) is exposed separately for engine-internal dedup. */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      element_at(toks, 1).as("first_token"),
+      element_at(toks, -1).as("last_token"),
+      size(toks).cast("long").as("n_tokens"))
+  }
+
+  /** Rolling (polynomial) content hash over tokens, computed as a left
+    * fold — engine-internal fingerprint (not oracle-expressible). The
+    * accumulator is kept under 2^40 and the multiplier under 2^20 so the
+    * product stays below 2^63 and ANSI overflow checks never trip.
+    */
+  def rollingHash(text: Column): Column = {
+    val m = lit(1L << 40)
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(1000003L) + pmod(xxhash64(t), lit(1L << 31)), m))
+  }
+}

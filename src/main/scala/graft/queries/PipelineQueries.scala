@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Training-data pipeline query catalog: dedup, similarity search, text
+  * analysis, multimodal plumbing — over the `documents` / `embeddings`
+  * fixture tables. SQL-expressible ops carry DuckDB oracles (same
+  * column names, bit-identical value policy); hash-seeded ops
+  * (minhash/simhash/LSH) are rows-only by nature — DuckDB has no
+  * xxhash64 — and are instead covered by ScalaTest invariants.
+  */
+object PipelineQueries {
+
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(Tables.documents(spark, dir))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY text""".stripMargin
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(spark, dir))
+
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashSignatures(Tables.documents(spark, dir))
+      .select("doc_id", "simhash")
+
+  def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 8)
+
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardConsecutive(Tables.documents(spark, dir), n = 3)
+
+  val dedupNgramJaccardSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, i, 3)
+      |                   for i in range(1, greatest(length(text)-1, 2))]) AS grams
+      |  FROM documents)
+      |SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+      |  CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(l.grams, r.grams))) AS jaccard
+      |FROM g l JOIN g r ON r.doc_id = l.doc_id + 1""".stripMargin
+
+  def textTokenStats(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenStats(Tables.documents(spark, dir))
+
+  val textTokenStatsSql: String =
+    """SELECT doc_id, length(text) AS n_chars_calc,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+      |FROM documents""".stripMargin
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityScore(Tables.documents(spark, dir))
+
+  val textQualitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','is'))) AS n_stop
+      |  FROM documents)
+      |SELECT doc_id, n_tokens, n_uniq_tokens, n_stop,
+      |  CAST(n_uniq_tokens AS DOUBLE) / n_tokens AS uniq_ratio,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |  CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  0.4 * (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) +
+      |  0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+      |  0.3 * least((CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens) / 10.0, 1.0)
+      |    AS quality_score
+      |FROM t""".stripMargin
+
+  def textLangId(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.languageId(Tables.documents(spark, dir))
+
+  val textLangIdSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('el','la','de','que','y','en'))) AS s_es,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('der','die','und','das','ist','von'))) AS s_de
+      |  FROM documents)
+      |SELECT doc_id, s_en, s_es, s_de,
+      |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+      |       WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+      |       WHEN s_de > 0 THEN 'de'
+      |       ELSE 'und' END AS lang_pred
+      |FROM s""".stripMargin
+
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprints(Tables.documents(spark, dir))
+
+  val textFingerprintSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  string_split(text, ' ')[1] AS first_token,
+      |  string_split(text, ' ')[-1] AS last_token,
+      |  len(string_split(text, ' ')) AS n_tokens
+      |FROM documents""".stripMargin
+
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(spark, dir))
+
+  val annCosineTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id % 50 = 0),
+      |p AS (
+      |  SELECT q_id, e.vec_id AS c_id,
+      |    round(
+      |      list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |                for i in range(1, 65)]) /
+      |      (sqrt(list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)
+      |                      for i in range(1, 65)])) *
+      |       sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |                      for i in range(1, 65)]))), 6) AS cos_sim
+      |  FROM embeddings e, q WHERE e.vec_id <> q_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos_sim DESC, c_id) AS rn FROM p)
+      |SELECT q_id, c_id, cos_sim FROM r WHERE rn <= 10""".stripMargin
+
+  def annNearestNeighbor(spark: SparkSession, dir: String): DataFrame =
+    Similarity.nearestNeighbor(Tables.embeddings(spark, dir))
+
+  val annNearestNeighborSql: String =
+    """WITH p AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+      |    round(
+      |      list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |                for i in range(1, 65)]) /
+      |      (sqrt(list_sum([CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)
+      |                      for i in range(1, 65)])) *
+      |       sqrt(list_sum([CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)
+      |                      for i in range(1, 65)]))), 6) AS cos_sim
+      |  FROM embeddings a, embeddings b WHERE a.vec_id <> b.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos_sim DESC, c_id) AS rn FROM p)
+      |SELECT q_id, c_id AS nn_id, cos_sim FROM r WHERE rn = 1""".stripMargin
+
+  def annLshTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(spark, dir))
+
+  def embCosineDedup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineDedupVerdicts(Tables.embeddings(spark, dir), threshold = 0.9)
+
+  def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(spark,
+      Multimodal.asBinaryPayloads(Tables.documents(spark, dir))).toDF()
+
+  val multimodalFeaturesSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST((strlen(text) % 64) + 1 AS INTEGER) AS fake_width,
+      |  CAST(((strlen(text) // 64) % 64) + 1 AS INTEGER) AS fake_height,
+      |  md5(text) AS checksum
+      |FROM documents""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> (dedupExact _),
+    "p02_dedup_minhash_lsh" -> (dedupMinhash _),
+    "p03_dedup_simhash" -> (dedupSimhash _),
+    "p04_dedup_simhash_pairs" -> (dedupSimhashPairs _),
+    "p05_dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "p06_text_token_stats" -> (textTokenStats _),
+    "p07_text_quality" -> (textQuality _),
+    "p08_text_langid" -> (textLangId _),
+    "p09_text_fingerprint" -> (textFingerprint _),
+    "p10_ann_cosine_topk" -> (annCosineTopK _),
+    "p11_ann_nearest_neighbor" -> (annNearestNeighbor _),
+    "p12_ann_lsh_topk" -> (annLshTopK _),
+    "p13_emb_cosine_dedup" -> (embCosineDedup _),
+    "p14_multimodal_features" -> (multimodalFeatures _))
+
+  val oracles: Map[String, String] = Map(
+    "p01_dedup_exact" -> dedupExactSql,
+    "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
+    "p06_text_token_stats" -> textTokenStatsSql,
+    "p07_text_quality" -> textQualitySql,
+    "p08_text_langid" -> textLangIdSql,
+    "p09_text_fingerprint" -> textFingerprintSql,
+    "p10_ann_cosine_topk" -> annCosineTopKSql,
+    "p11_ann_nearest_neighbor" -> annNearestNeighborSql,
+    "p14_multimodal_features" -> multimodalFeaturesSql)
+}

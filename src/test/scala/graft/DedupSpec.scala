@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator invariants on planted fixtures. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "spark merges sorted partitions into wide batches of columnar row groups " * 3
+  private val nearDup = base.replace("columnar", "vectorized")
+  private val unrelated = "completely different words about cooking pasta with tomato sauce and basil leaves herbs"
+
+  private def docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, unrelated))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val got = Dedup.exact(docs).collect()
+      .map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("n_copies"))).toSet
+    assert(got === Set((0L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated pairs") {
+    val pairs = Dedup.minhashLsh(docs, threshold = 0.5).collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    assert(pairs.contains((0L, 1L)))   // identical
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated excluded
+  }
+
+  test("minhash signature estimate tracks exact jaccard for identical docs") {
+    val est = Dedup.minhashLsh(docs, threshold = 0.5)
+      .filter(col("left_id") === 0 && col("right_id") === 1)
+      .select("est_jaccard").as[Double].head()
+    assert(est === 1.0)
+  }
+
+  test("simhash of identical texts is identical; near-dups within small hamming") {
+    val sigs = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(sigs(0L) === sigs(1L))
+    val hammingNear = java.lang.Long.bitCount(sigs(0L) ^ sigs(2L))
+    val hammingFar = java.lang.Long.bitCount(sigs(0L) ^ sigs(3L))
+    assert(hammingNear < hammingFar)
+  }
+
+  test("simhash pairs: identical docs at hamming 0 via chunk banding") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => ((r.getAs[Long]("left_id"), r.getAs[Long]("right_id")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(pairs((0L, 1L)) === 0)
+  }
+
+  test("ngram jaccard: identical consecutive docs score 1.0") {
+    val j = Dedup.ngramJaccardConsecutive(docs).filter(col("left_id") === 0)
+      .select("jaccard").as[Double].head()
+    assert(j === 1.0)
+  }
+
+  test("shingles produces distinct word n-grams") {
+    val s = docs.filter(col("doc_id") === 3)
+      .select(Dedup.shingles(col("text"), 2).as("s"))
+      .as[Seq[String]].head()
+    assert(s.contains("cooking pasta") && s.distinct.size === s.size)
+  }
+}

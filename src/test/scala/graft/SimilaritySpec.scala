@@ -1,0 +1,61 @@
+package graft
+
+import graft.ops.Similarity
+import org.apache.spark.sql.functions._
+
+/** Vector similarity invariants: exact math, LSH bucketing behavior. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),     // identical to 0
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),     // close to 0
+    (3L, Array(0.0f, 0.0f, 0.0f, 1.0f)))     // orthogonal to 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identical=1, orthogonal=0") {
+    val c = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("l"), col("b.vec_id").as("r"),
+        round(Similarity.cosine(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+      .collect().map(r => ((r.getAs[Long]("l"), r.getAs[Long]("r")), r.getAs[Double]("cos"))).toMap
+    assert(c((0L, 1L)) === 1.0)
+    assert(c((0L, 3L)) === 0.0)
+    assert(c((0L, 2L)) > 0.99)
+  }
+
+  test("nearestNeighbor: identical vector pair are mutual nearest neighbors") {
+    val nn = Similarity.nearestNeighbor(vecs).collect()
+      .map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("nn_id")).toMap
+    assert(nn(0L) === 1L && nn(1L) === 0L)
+  }
+
+  test("bruteForceTopK on testdata: k rows per query, descending scores") {
+    val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sfDir), k = 5)
+    val counts = topk.groupBy("q_id").count().select("count").as[Long].collect()
+    assert(counts.nonEmpty && counts.forall(_ === 5L))
+    val perQuery = topk.collect().groupBy(_.getAs[Long]("q_id"))
+    perQuery.values.foreach { rows =>
+      val scores = rows.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(scores === scores.sorted(Ordering[Double].reverse))
+    }
+  }
+
+  test("lsh bucket is deterministic and identical vectors share a bucket") {
+    val b = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), nBits = 8, dim = 4).as("bucket"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val b2 = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), nBits = 8, dim = 4).as("bucket"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b === b2)
+    assert(b(0L) === b(1L))
+  }
+
+  test("cosineDedupVerdicts: identical lower-id vector marks the higher id a dup") {
+    val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99, nBits = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
+    assert(v(0L)._1 === false)
+    assert(v(1L) === ((true, Some(0L: java.lang.Long))))
+    assert(v(3L)._1 === false)
+  }
+}

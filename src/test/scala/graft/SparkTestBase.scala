@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for the whole forked test JVM. */
+object SparkTestBase {
+  lazy val session: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestBase.session
+  val sfDir = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "el gato de la casa y el perro"),
+    (3L, "xyz qrs tuv")).toDF("doc_id", "text")
+
+  test("tokenStats counts chars, tokens, distinct tokens") {
+    val r = TextAnalysis.tokenStats(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_chars_calc"), x.getAs[Long]("n_tokens"), x.getAs[Long]("n_uniq_tokens"))).toMap
+    assert(r(1L) === ((22L, 6L, 5L))) // "the" twice
+    assert(r(3L) === ((11L, 3L, 3L)))
+  }
+
+  test("languageId picks the language with most stopword hits") {
+    val r = TextAnalysis.languageId(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("lang_pred")).toMap
+    assert(r(1L) === "en")
+    assert(r(2L) === "es")
+    assert(r(3L) === "und")
+  }
+
+  test("qualityScore is in a sane range and rewards diversity") {
+    val r = TextAnalysis.qualityScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("quality_score")).toMap
+    assert(r.values.forall(s => s >= 0.0 && s <= 1.0))
+    assert(r(3L) > 0.0)
+  }
+
+  test("fingerprints: md5 + boundary tokens") {
+    val r = TextAnalysis.fingerprints(docs).filter(col("doc_id") === 1).collect().head
+    assert(r.getAs[String]("first_token") === "the")
+    assert(r.getAs[String]("last_token") === "mat")
+    assert(r.getAs[String]("fp_md5").length === 32)
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val h = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("h")).toMap
+    assert(h(1L) === h(3L))
+    assert(h(1L) !== h(2L))
+  }
+}
