@@ -1,0 +1,63 @@
+package graft.io
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import java.sql.Timestamp
+
+/** File-ingest audit ledger — the reference's MySQL staging-table protocol
+  * (product_staging_table; main.py:151-177, 318-334) as a typed Dataset
+  * over a parquet directory. Status lifecycle: "A" (active/in-flight) ->
+  * "I" (inactive/done); files still "A" at startup mean the last run
+  * failed (main.py:40-47).
+  *
+  * The streaming path (EventsStream.runAvailableNow + checkpointing)
+  * subsumes this mechanism with exactly-once file tracking; the ledger is
+  * kept for operational parity and auditability.
+  */
+object Ledger {
+
+  final val Active = "A"
+  final val Done = "I"
+
+  case class FileAudit(file_name: String, file_location: String,
+                       created_date: Timestamp, status: String)
+
+  def read(spark: SparkSession, path: String): Dataset[FileAudit] = {
+    import spark.implicits._
+    if (new java.io.File(path).exists()) spark.read.parquet(path).as[FileAudit]
+    else spark.emptyDataset[FileAudit]
+  }
+
+  /** Files whose previous run never completed (lingering "A" rows that
+    * still exist in the incoming set) — the recovery check. */
+  def failedInFlight(spark: SparkSession, path: String,
+                     incoming: Seq[String]): Seq[String] = {
+    import spark.implicits._
+    val names = incoming.map(f => new java.io.File(f).getName).toSet
+    read(spark, path).filter(_.status == Active).collect()
+      .map(_.file_name).filter(names.contains).toSeq
+  }
+
+  /** Append "A" rows for files entering processing (main.py:162-174). */
+  def recordActive(spark: SparkSession, path: String, files: Seq[String],
+                   now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
+    import spark.implicits._
+    files.map(f => FileAudit(new java.io.File(f).getName, f, now, Active))
+      .toDS().write.mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Rewrite the ledger flipping the given files to "I" (main.py:323-334).
+    * Parquet has no in-place UPDATE; the ledger is tiny (one row per file),
+    * so read-modify-overwrite is the honest equivalent. */
+  def markDone(spark: SparkSession, path: String, files: Seq[String]): Unit = {
+    import spark.implicits._
+    val names = files.map(f => new java.io.File(f).getName).toSet
+    val updated = read(spark, path).collect().map { a =>
+      if (names.contains(a.file_name) && a.status == Active) a.copy(status = Done) else a
+    }.toSeq
+    val tmp = path + "_tmp"
+    updated.toDS().write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new java.io.File(path)
+    org.apache.commons.io.FileUtils.deleteDirectory(target)
+    new java.io.File(tmp).renameTo(target)
+  }
+}

