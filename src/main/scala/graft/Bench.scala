@@ -12,6 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm the session (codegen, parquet footer reads) so the first timed
+    // query doesn't absorb one-time init cost
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native MinHash signature over a token array: shingles of `shingleN`
+  * consecutive tokens are hashed (xxhash64, seed 42 — same family Spark's
+  * xxhash64 uses) and folded through k affine permutations in one tight
+  * primitive loop per row.
+  *
+  * Why an expression and not higher-order functions: Spark's HOF
+  * combinators (transform/aggregate/zip_with) evaluate their lambdas
+  * interpreted, per element, with boxing — the equivalent HOF pipeline
+  * measured ~13 s for 5k docs at sf0.1 where this loop is ~100 ms. Same
+  * per-row semantics, CodegenFallback at the ROW level only (the inner
+  * loop is compiled Scala, which is what matters).
+  */
+case class MinHashSig(child: Expression, shingleN: Int, a: Array[Long],
+                      b: Array[Long], modulus: Long)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+  private val baseMod = 1L << 31
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val k = a.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val nShingles = math.max(n - shingleN + 1, 1)
+    var i = 0
+    while (i < nShingles) {
+      // shingle = tokens[i .. i+shingleN-1] joined by " " (truncated at end)
+      val parts = new Array[UTF8String](math.min(shingleN, n - i))
+      var j = 0
+      while (j < parts.length) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val s = UTF8String.concatWs(space, parts: _*)
+      val h0 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h = ((h0 % baseMod) + baseMod) % baseMod // pmod into [0, 2^31)
+      j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % modulus // operands < 2^31 -> no overflow
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a token array: per-bit majority vote of token
+  * xxhash64 values, one pass, primitive arrays. Same rationale as
+  * MinHashSig. */
+case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val s = toks.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) sig |= (1L << bit); bit += 1 }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Fraction of positions where two equal-length long arrays agree — the
+  * MinHash signature estimate of Jaccard similarity. Tight loop; the
+  * zip_with/filter HOF form is interpreted per element. */
+case class SigAgreement(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) eq += 1; i += 1 }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+}
+
+/** Exact Jaccard similarity of two string arrays treated as sets
+  * (hash-set intersection; inputs are pre-distinct shingle arrays). */
+case class ArrayJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val sx = new java.util.HashSet[UTF8String](x.numElements() * 2)
+    var i = 0
+    while (i < x.numElements()) { sx.add(x.getUTF8String(i)); i += 1 }
+    var inter = 0
+    val sy = new java.util.HashSet[UTF8String](y.numElements() * 2)
+    i = 0
+    while (i < y.numElements()) {
+      val s = y.getUTF8String(i)
+      if (sy.add(s) && sx.contains(s)) inter += 1
+      i += 1
+    }
+    val union = sx.size + sy.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayJaccard =
+    copy(left = l, right = r)
+}
+
+object TextFunctions {
+  /** MinHash signature column over a token-array column. */
+  def minhash_sig(tokens: Column, shingleN: Int, a: Array[Long], b: Array[Long],
+                  modulus: Long): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(tokens), shingleN, a, b, modulus))
+
+  /** SimHash column over a token-array column. */
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+
+  /** Fraction of agreeing positions between two minhash signatures. */
+  def sig_agreement(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact set-Jaccard of two string arrays. */
+  def array_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(ArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}

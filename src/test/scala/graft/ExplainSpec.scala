@@ -1,0 +1,62 @@
+package graft
+
+import graft.queries.CoreQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions: the properties that make these plans scale —
+  * filter/column pushdown into the parquet scan, broadcast joins for
+  * dimensions, top-k without a global sort, whole-stage codegen coverage.
+  * A plan regression here is a 100x cost at cluster scale long before any
+  * test data notices.
+  */
+class ExplainSpec extends SparkSpec {
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // force AQE to finalize
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("q07: predicate and projection are pushed into the parquet scan") {
+    val df = CoreQueries.q07FilterProject(spark, sfDir)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: ["))
+    assert(scan.contains("GreaterThanOrEqual(l_quantity,30.0)"))
+    // pruned read schema: only the 4 projected columns reach the scan
+    assert(scan.contains("ReadSchema") && !scan.contains("l_extendedprice"))
+  }
+
+  test("q02 star join: all three dimension joins are broadcast, fact side never shuffles") {
+    val plan = planString(CoreQueries.q02StarJoin(spark, sfDir))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3)
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q03 customer mart: broadcast join + partial aggregation before the shuffle") {
+    val plan = planString(CoreQueries.q03CustomerMart(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    // two HashAggregates (partial + final) around one exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("q09 top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val plan = planString(CoreQueries.q09TopK(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("q08 aggregation runs inside whole-stage codegen") {
+    val plan = planString(CoreQueries.q08GroupByAgg(spark, sfDir))
+    // codegen stages render as "*(n) Operator" in executedPlan.toString
+    assert(plan.contains("*(") || plan.contains("WholeStageCodegen"))
+  }
+
+  test("q10/q11 compile to broadcast semi/anti joins") {
+    val semi = planString(CoreQueries.q10SemiJoin(spark, sfDir))
+    val anti = planString(CoreQueries.q11AntiJoin(spark, sfDir))
+    assert(semi.contains("LeftSemi"))
+    assert(anti.contains("LeftAnti"))
+  }
+}
