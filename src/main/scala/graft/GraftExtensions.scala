@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{ArrayJaccard, MinHashSig, SigAgreement, SimHash64, VecDot}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SparkSessionExtensions registration: exposes the engine's native
+  * expressions to SQL, so `spark.sql("SELECT vec_dot(a, b) ...")` works
+  * alongside the Column API. Install with either
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("sig_agreement"),
+      info("sig_agreement", "sig_agreement(a, b) - fraction of agreeing minhash positions"),
+      (args: Seq[Expression]) => SigAgreement(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("array_jaccard"),
+      info("array_jaccard", "array_jaccard(a, b) - exact set Jaccard of two string arrays"),
+      (args: Seq[Expression]) => ArrayJaccard(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(tokens, n) - default 64-perm minhash signature"),
+      (args: Seq[Expression]) => {
+        val n = args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(2)
+        val rnd = new java.util.Random(42L)
+        def draw() = math.abs(rnd.nextLong()) % ((1L << 31) - 1)
+        val a = Array.fill(64)(draw() + 1)
+        val b = Array.fill(64)(draw())
+        MinHashSig(args.head, n, a, b, (1L << 61) - 1)
+      }))
+  }
+}

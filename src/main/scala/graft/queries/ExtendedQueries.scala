@@ -1,0 +1,179 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational surface beyond the reference's own operator set
+  * (SURVEY.md §2.5-2.8 "absent" rows): rollup, full window-function
+  * family with explicit frames, set operations, date functions. Each is a
+  * built-in Spark operator the reference's users get for free by
+  * switching; oracles pin the exact semantics.
+  */
+object ExtendedQueries {
+
+  /** q15 — ROLLUP aggregation with grouping-set totals; null grouping
+    * keys are replaced with sentinels so hash compare is unambiguous. */
+  def q15Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+
+  val q15Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin
+
+  /** q16 — window-function family: lead/lag/row_number/dense_rank plus an
+    * explicit running-sum frame, per customer ordered by (date, key). */
+  def q16WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).cast("long").as("rn"),
+      dense_rank().over(w).cast("long").as("drk"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(frame)
+        .cast("double").as("running_spend"))
+  }
+
+  val q16Sql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  row_number() OVER w AS rn,
+      |  dense_rank() OVER w AS drk,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_spend
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""".stripMargin
+
+  /** q17 — set operations: nations with suppliers INTERSECT nations with
+    * customers, and EXCEPT in the other direction (distinct set
+    * semantics on both engines). */
+  def q17SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val supplierNations = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    val customerNations = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val both = supplierNations.intersect(customerNations)
+      .withColumn("relation", lit("both"))
+    val customerOnly = customerNations.except(supplierNations)
+      .withColumn("relation", lit("customer_only"))
+    both.unionByName(customerOnly)
+  }
+
+  val q17Sql: String =
+    """SELECT nationkey, 'both' AS relation FROM (
+      |  SELECT s_nationkey AS nationkey FROM supplier
+      |  INTERSECT
+      |  SELECT c_nationkey AS nationkey FROM customer)
+      |UNION ALL
+      |SELECT nationkey, 'customer_only' AS relation FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  EXCEPT
+      |  SELECT s_nationkey AS nationkey FROM supplier)""".stripMargin
+
+  /** q18 — date functions: year/month/day extraction and date arithmetic
+    * on the timestamp-typed order date (string-keyed outputs for
+    * engine-agnostic hashing). */
+  def q18DateFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("order_year"),
+      month(col("o_orderdate")).cast("long").as("order_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("order_day"),
+      quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+      substring(date_add(col("o_orderdate").cast("date"), 30).cast("string"), 1, 10)
+        .as("due_date"))
+
+  val q18Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(month(o_orderdate) AS BIGINT) AS order_month,
+      |  CAST(day(o_orderdate) AS BIGINT) AS order_day,
+      |  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+      |  substring(CAST((CAST(o_orderdate AS DATE) + INTERVAL 30 DAY) AS VARCHAR), 1, 10)
+      |    AS due_date
+      |FROM orders""".stripMargin
+
+  /** q19 — ntile + percent_rank + cume_dist: rank-based statistics,
+    * deterministic under the (acctbal desc, custkey) tiebreak. */
+  def q19RankStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir).select(
+      col("c_custkey"), col("c_mktsegment"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"))
+  }
+
+  val q19Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  ntile(4) OVER w AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY c_acctbal DESC, c_custkey ASC)""".stripMargin
+
+  /** q20 — multi-way join with aggregation pushed below the final join:
+    * revenue per region (the classic pre-aggregate-then-join shape that
+    * keeps the big shuffle on collapsed rows, not fact rows). */
+  def q20RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val perSupplier = li.groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)"))))
+        .as("rev_dec"))
+    perSupplier
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+        count(lit(1)).as("n_suppliers"))
+  }
+
+  val q20Sql: String =
+    """WITH per_supplier AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+      |  FROM lineitem GROUP BY l_suppkey)
+      |SELECT r_name,
+      |  CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_suppliers
+      |FROM per_supplier
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_rollup" -> (q15Rollup _),
+    "q16_window_family" -> (q16WindowFamily _),
+    "q17_set_ops" -> (q17SetOps _),
+    "q18_date_functions" -> (q18DateFunctions _),
+    "q19_rank_stats" -> (q19RankStats _),
+    "q20_region_revenue" -> (q20RegionRevenue _))
+
+  val oracles: Map[String, String] = Map(
+    "q15_rollup" -> q15Sql,
+    "q16_window_family" -> q16Sql,
+    "q17_set_ops" -> q17Sql,
+    "q18_date_functions" -> q18Sql,
+    "q19_rank_stats" -> q19Sql,
+    "q20_region_revenue" -> q20Sql)
+}

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Training-data pipeline query catalog: dedup, similarity search, text
   * analysis, multimodal plumbing — over the `documents` / `embeddings`
@@ -155,6 +156,40 @@ object PipelineQueries {
   def embCosineDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDedupVerdicts(Tables.embeddings(spark, dir), threshold = 0.9)
 
+  /** Stateful sessionization (flatMapGroupsWithState) in batch form:
+    * gap-based user sessions over the events table. Oracle replays the
+    * same semantics as a lag/cumulative-sum window pipeline — the classic
+    * SQL sessionization — proving the stateful operator agrees with the
+    * relational formulation. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.EventsStream.Event]
+    graft.streaming.EventsStream.sessionize(spark, ev, gapMinutes = 30).toDF()
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e)
+      |SELECT user_id,
+      |  epoch_us(min(ts)) AS session_start_us,
+      |  epoch_us(max(ts)) AS session_end_us,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid""".stripMargin
+
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(spark,
       Multimodal.asBinaryPayloads(Tables.documents(spark, dir))).toDF()
@@ -180,7 +215,8 @@ object PipelineQueries {
     "p11_ann_nearest_neighbor" -> (annNearestNeighbor _),
     "p12_ann_lsh_topk" -> (annLshTopK _),
     "p13_emb_cosine_dedup" -> (embCosineDedup _),
-    "p14_multimodal_features" -> (multimodalFeatures _))
+    "p14_multimodal_features" -> (multimodalFeatures _),
+    "p15_sessionize" -> (eventsSessionize _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,
@@ -191,5 +227,6 @@ object PipelineQueries {
     "p09_text_fingerprint" -> textFingerprintSql,
     "p10_ann_cosine_topk" -> annCosineTopKSql,
     "p11_ann_nearest_neighbor" -> annNearestNeighborSql,
-    "p14_multimodal_features" -> multimodalFeaturesSql)
+    "p14_multimodal_features" -> multimodalFeaturesSql,
+    "p15_sessionize" -> eventsSessionizeSql)
 }

@@ -65,7 +65,9 @@ object EventsStream {
     def close(userId: Long, evs: Seq[Event]): Seq[UserSession] = {
       if (evs.isEmpty) Nil
       else {
-        val sorted = evs.sortBy(_.ts.getTime)
+        // full sub-millisecond precision: session boundaries must match an
+        // engine that orders by the exact timestamp
+        val sorted = evs.sortBy(e => (e.ts.getTime, e.ts.getNanos))
         val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
         var current = scala.collection.mutable.ArrayBuffer(sorted.head)
         sorted.tail.foreach { e =>
@@ -76,7 +78,10 @@ object EventsStream {
         }
         sessions += current.toSeq
         sessions.map { s =>
-          UserSession(userId, s.head.ts, s.last.ts, s.size.toLong, s.map(_.value).sum)
+          // exact decimal accumulation: double-sum order would perturb low
+          // bits and break cross-engine value parity
+          val total = s.map(e => BigDecimal.valueOf(e.value).setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+          UserSession(userId, s.head.ts, s.last.ts, s.size.toLong, total.toDouble)
         }.toSeq
       }
     }
