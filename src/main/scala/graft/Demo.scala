@@ -18,6 +18,7 @@ object Demo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -49,6 +50,26 @@ object Demo {
     val pruned = spark.read.parquet(s"$workDir/sales_mart")
       .filter(col("sales_month") === "1995-01").count()
     println("DEMO pruned_rows=" + pruned)
+
+    // 3. bucketed co-located join (pay the shuffle once at write time)
+    spark.sql("DROP TABLE IF EXISTS demo_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS demo_lineitem_bkt")
+    io.Bucketing.writeBucketed(Tables.orders(spark, sfDir), "demo_orders_bkt", "o_orderkey", 8)
+    io.Bucketing.writeBucketed(
+      Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "demo_lineitem_bkt", "o_orderkey", 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val cocolocated = io.Bucketing.cocolocatedJoin(
+      spark, "demo_orders_bkt", "demo_lineitem_bkt", "o_orderkey")
+    cocolocated.collect()
+    val exchangeFree = !cocolocated.queryExecution.executedPlan.toString.contains("Exchange")
+    println("DEMO bucketed_join_exchange_free=" + exchangeFree)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+    // 4. salted join equals the plain join
+    val salted = ops.Salting.saltedJoin(Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), "o_custkey", "c_custkey", 4, "o_orderkey").count()
+    println("DEMO salted_join_rows=" + salted)
     spark.stop()
   }
 }

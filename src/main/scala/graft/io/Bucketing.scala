@@ -1,0 +1,31 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table support: pre-shuffle once at write time so repeated
+  * equi-joins and aggregations on the bucket key run with NO exchange.
+  * This is the canonical 100 TB pattern for a fact table joined on the
+  * same key by many downstream queries — pay one shuffle at ingest,
+  * amortize it over every join after.
+  *
+  * Spark bucketing requires the table catalog (`saveAsTable`); bucket
+  * info lives in catalog metadata, not parquet files.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed, sorted table on `key`. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two tables bucketed on the same key with the same bucket count:
+    * planner sees compatible output partitioning and elides both
+    * exchanges (asserted in BucketingSpec). */
+  def cocolocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                      key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -107,6 +107,46 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("bucket"), col("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate search: a deterministic coarse
+    * quantizer — every `centroidStride`-th vector is a centroid — assigns
+    * each vector to its nearest centroid cell; queries probe only the
+    * `nProbe` nearest cells. Unlike sign-LSH this adapts to the data
+    * distribution. At scale the assignment is one broadcast of centroids
+    * + a narrow pass; the search joins query cells to candidate cells —
+    * pair volume is n * (nProbe / nCells) of brute force.
+    */
+  def ivfTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
+              centroidStride: Int = 25, nProbe: Int = 4): DataFrame = {
+    val centroids = embeddings.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
+        vec_norm(col("embedding")).as("cent_norm"))
+    val base = embeddings.select(col("vec_id"), col("embedding"),
+      vec_norm(col("embedding")).as("nrm"))
+    // rank every (vector, centroid) pair; cell = argmax cosine
+    val scored = base.crossJoin(broadcast(centroids))
+      .withColumn("cent_cos",
+        vec_dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_norm")))
+    val assign = scored.groupBy(col("vec_id"))
+      .agg(max(struct(col("cent_cos"), col("cent_id"))).as("m"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"), col("nrm"))
+    // queries probe their nProbe nearest cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = scored.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .withColumn("rp", row_number().over(w)).filter(col("rp") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_norm"), col("cent_id").as("cell"))
+    val pairs = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("nrm")), 6))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cell"), col("cos_sim"))
+  }
+
   /** Per-vector dedup verdict: a vector is a duplicate if some LOWER-id
     * vector in its LSH bucket exceeds the cosine threshold (keep-first
     * policy). One row per vector, always — is_dup + best match evidence.

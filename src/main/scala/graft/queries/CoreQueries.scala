@@ -218,17 +218,18 @@ object CoreQueries {
     """SELECT c_custkey, c_name, c_mktsegment FROM customer c
       |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""".stripMargin
 
-  /** q11 — left-anti join (NOT EXISTS): customers with no orders. */
+  /** q11 — left-anti join (NOT EXISTS): orders with no line items
+    * (non-empty on the fixtures, unlike customers-without-orders). */
   def q11AntiJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
-    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
   }
 
   val q11Sql: String =
-    """SELECT c_custkey, c_name, c_acctbal FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)""".stripMargin
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)""".stripMargin
 
   /** q12 — conditional expressions: when/otherwise + decimal round
     * (reference sales mart incentive, SURVEY.md §2.6 W2). */

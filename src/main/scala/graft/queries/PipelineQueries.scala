@@ -153,6 +153,9 @@ object PipelineQueries {
   def annLshTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(spark, dir))
 
+  def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(spark, dir))
+
   def embCosineDedup(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineDedupVerdicts(Tables.embeddings(spark, dir), threshold = 0.9)
 
@@ -216,7 +219,8 @@ object PipelineQueries {
     "p12_ann_lsh_topk" -> (annLshTopK _),
     "p13_emb_cosine_dedup" -> (embCosineDedup _),
     "p14_multimodal_features" -> (multimodalFeatures _),
-    "p15_sessionize" -> (eventsSessionize _))
+    "p15_sessionize" -> (eventsSessionize _),
+    "p16_ann_ivf_topk" -> (annIvfTopK _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,

@@ -98,6 +98,16 @@ object EventsStream {
     }
   }
 
+  /** Streaming deduplication on event_id with watermark-bounded state:
+    * duplicates arriving within the watermark horizon are dropped, state
+    * for ids older than the watermark is evicted (without the watermark
+    * the dedup map grows unboundedly — the difference between a demo and
+    * something that survives a month of uptime). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run the hourly aggregate over a static directory via AvailableNow —
     * the exactly-once batch-ingest entry (ledger subsumption). */
   def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,

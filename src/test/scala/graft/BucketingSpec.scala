@@ -1,0 +1,53 @@
+package graft
+
+import graft.io.Bucketing
+import graft.ops.Salting
+import org.apache.spark.sql.functions._
+
+/** Co-located bucketed joins (no exchange) and skew salting equivalence. */
+class BucketingSpec extends SparkSpec {
+
+  test("bucketed tables join with no shuffle exchange") {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    Bucketing.writeBucketed(o, "orders_bkt", "o_orderkey", 8)
+    Bucketing.writeBucketed(li, "lineitem_bkt", "o_orderkey", 8)
+    // at fixture scale the planner would broadcast instead and skip the
+    // bucket layout entirely; force the shuffle-join path the layout is
+    // designed for (at 100 TB neither side broadcasts)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.cocolocatedJoin(spark, "orders_bkt", "lineitem_bkt", "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"expected exchange-free plan, got:\n$plan")
+      // correctness: same count as the plain join
+      val plain = o.join(li, Seq("o_orderkey")).count()
+      assert(joined.count() === plain)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join returns exactly the plain join result") {
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    val salted = Salting.saltedJoin(o, c, "o_custkey", "c_custkey",
+      salts = 4, disambigCol = "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+    val plain = o.join(c, o("o_custkey") === c("c_custkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted two-phase sum equals direct groupBy sum") {
+    val o = Tables.orders(spark, sfDir)
+    val salted = Salting.saltedSum(o, "o_custkey", "o_totalprice",
+      salts = 8, disambigCol = "o_orderkey")
+    val direct = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+  }
+}

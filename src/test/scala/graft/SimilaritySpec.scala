@@ -50,6 +50,18 @@ class SimilaritySpec extends SparkSpec {
     assert(b(0L) === b(1L))
   }
 
+  test("ivfTopK finds high-recall neighbors vs brute force on testdata") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val ivf = Similarity.ivfTopK(emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    // same queries, k rows each; recall over brute-force truth
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall > 0.3, s"ivf recall $recall too low") // random embeddings: cells are weakly informative
+    assert(ivf.map(_._1) === brute.map(_._1))
+  }
+
   test("cosineDedupVerdicts: identical lower-id vector marks the higher id a dup") {
     val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99, nBits = 4)
       .collect().map(r => r.getAs[Long]("vec_id") ->

@@ -60,6 +60,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamTotal === expected)
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(1, ts("2024-01-01 10:00:05"), 1, "click", 1.0), // duplicate id
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+    val q = EventsStream.dedupEvents(mem.toDF())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val events = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
