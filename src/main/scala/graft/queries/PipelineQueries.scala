@@ -22,13 +22,14 @@ object PipelineQueries {
       |  count(*) AS n_copies
       |FROM documents GROUP BY text""".stripMargin
 
-  /** 16 bands x 8 rows (k=128): collision threshold (1/16)^(1/8) ~= 0.71.
-    * The loose 4-row default collides ~30% of ALL pairs on this small
-    * shared vocabulary (1.7M candidates at sf0.1); 8-row bands keep the
+  /** 16 bands x 8 rows (k=128): collision threshold (1/16)^(1/8) ~= 0.71,
+    * over word TRIGRAM shingles. The loose defaults (bigrams, 4-row
+    * bands) collide ~30% of ALL pairs on this small shared vocabulary
+    * (1.7M candidates at sf0.1); trigrams + 8-row bands keep the
     * candidate set proportional to true near-dups. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir),
-      bands = 16, rowsPerBand = 8, threshold = 0.7)
+      bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashSignatures(Tables.documents(spark, dir))

@@ -51,6 +51,10 @@ object Profile {
     time("full minhashLsh")(Dedup.minhashLsh(docs).count())
     time("minhashLsh 16x8")(Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
       threshold = 0.7).count())
+    time("minhashLsh 16x8 tri")(Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
+      shingleN = 3, threshold = 0.7).count())
+    time("minhashLsh 16x8 tri 2nd")(Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
+      shingleN = 3, threshold = 0.7).count())
     locally {
       val k = 128
       val sig = docs.select(col("doc_id"), col("text"),
