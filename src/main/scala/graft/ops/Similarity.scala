@@ -43,11 +43,13 @@ object Similarity {
     val pairs = c.join(broadcast(q), col("q_id") =!= col("c_id"))
       .withColumn("cos_sim",
         round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), col("cos_sim"))
+    // bounded top-k aggregation, not a window: partial k-buffers merge
+    // map-side, so the shuffle carries k rows per (query, task) instead
+    // of sorting every candidate row per query
+    pairs.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("cos_sim"), col("c_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("t.id").as("c_id"), col("t.score").as("cos_sim"))
   }
 
   /** Exact nearest neighbor for EVERY vector (k=1 all-pairs form):
@@ -101,10 +103,12 @@ object Similarity {
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("cos_sim",
         round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("q_id"), col("c_id"), col("bucket"), col("cos_sim"))
+    // a query probes exactly its own bucket, so bucket is constant per
+    // q_id and can ride along as a grouping key
+    pairs.groupBy(col("q_id"), col("bucket"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("cos_sim"), col("c_id")).as("tk"))
+      .select(col("q_id"), col("bucket"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("t.id").as("c_id"), col("bucket"), col("t.score").as("cos_sim"))
   }
 
   /** IVF (inverted-file) approximate search: a deterministic coarse

@@ -161,13 +161,30 @@ object ExtendedQueries {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** q21 — exact distinct aggregates (COUNT(DISTINCT ...)): expand +
+    * two-phase aggregation under the hood; the §2.5-absent family. */
+  def q21DistinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_rows"))
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_suppkey) AS n_suppliers,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
     "q17_set_ops" -> (q17SetOps _),
     "q18_date_functions" -> (q18DateFunctions _),
     "q19_rank_stats" -> (q19RankStats _),
-    "q20_region_revenue" -> (q20RegionRevenue _))
+    "q20_region_revenue" -> (q20RegionRevenue _),
+    "q21_distinct_agg" -> (q21DistinctAgg _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -175,5 +192,6 @@ object ExtendedQueries {
     "q17_set_ops" -> q17Sql,
     "q18_date_functions" -> q18Sql,
     "q19_rank_stats" -> q19Sql,
-    "q20_region_revenue" -> q20Sql)
+    "q20_region_revenue" -> q20Sql,
+    "q21_distinct_agg" -> q21Sql)
 }
