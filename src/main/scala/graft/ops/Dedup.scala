@@ -21,11 +21,12 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup groups: one row per distinct text with the surviving
-    * (minimum) doc_id and the duplicate count. */
+    * (minimum) doc_id and the duplicate count. Groups on the md5 digest,
+    * not the text itself — the shuffle carries 32 bytes per row instead
+    * of the whole document. */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-      .select(md5(col("text")).as("text_hash"), col("keeper_id"), col("n_copies"))
 
   /** Distinct word n-gram shingles of `text`. */
   def shingles(text: Column, n: Int): Column = {

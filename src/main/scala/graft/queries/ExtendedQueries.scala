@@ -177,6 +177,25 @@ object ExtendedQueries {
       |  COUNT(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** q22 — correlated scalar subquery: orders priced above their
+    * customer's average (Catalyst decorrelates into a join against the
+    * aggregated subquery — no per-row subquery execution). */
+  def q22CorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val avgPerCust = o.groupBy(col("o_custkey").as("k"))
+      .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_price"))
+    o.join(avgPerCust, col("o_custkey") === col("k"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  }
+
+  val q22Sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -184,7 +203,8 @@ object ExtendedQueries {
     "q18_date_functions" -> (q18DateFunctions _),
     "q19_rank_stats" -> (q19RankStats _),
     "q20_region_revenue" -> (q20RegionRevenue _),
-    "q21_distinct_agg" -> (q21DistinctAgg _))
+    "q21_distinct_agg" -> (q21DistinctAgg _),
+    "q22_correlated_subquery" -> (q22CorrelatedSubquery _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -193,5 +213,6 @@ object ExtendedQueries {
     "q18_date_functions" -> q18Sql,
     "q19_rank_stats" -> q19Sql,
     "q20_region_revenue" -> q20Sql,
-    "q21_distinct_agg" -> q21Sql)
+    "q21_distinct_agg" -> q21Sql,
+    "q22_correlated_subquery" -> q22Sql)
 }

@@ -20,7 +20,7 @@ object PipelineQueries {
   val dedupExactSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id,
       |  count(*) AS n_copies
-      |FROM documents GROUP BY text""".stripMargin
+      |FROM documents GROUP BY md5(text)""".stripMargin
 
   /** 16 bands x 8 rows (k=128): collision threshold (1/16)^(1/8) ~= 0.71,
     * over word TRIGRAM shingles. The loose defaults (bigrams, 4-row

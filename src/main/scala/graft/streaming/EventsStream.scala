@@ -108,6 +108,27 @@ object EventsStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each "click" joined to the same user's
+    * "view" events within the following `windowMinutes`. Both sides carry
+    * watermarks so the join state for expired intervals is evicted —
+    * the state-bounding contract that makes a stream-stream join runnable
+    * indefinitely. */
+  def clickToViewJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "30 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "30 minutes")
+    clicks.join(views,
+      col("user_id") === col("v_user_id") &&
+      col("view_ts") >= col("click_ts") &&
+      col("view_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        col("click_ts"), col("view_ts"))
+  }
+
   /** Run the hourly aggregate over a static directory via AvailableNow —
     * the exactly-once batch-ingest entry (ledger subsumption). */
   def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,

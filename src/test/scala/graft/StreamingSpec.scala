@@ -77,6 +77,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs clicks with following views") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "view", 2.0),  // within 10 min -> joins
+      Event(3, ts("2024-01-01 10:20:00"), 1, "view", 3.0),  // outside window
+      Event(4, ts("2024-01-01 10:02:00"), 2, "view", 4.0))  // other user
+    val q = EventsStream.clickToViewJoin(mem.toDF(), windowMinutes = 10)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("ssjoin_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test").collect()
+        .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("view_id"))).toSet
+      assert(got === Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("sessionize splits on gap and aggregates per session") {
     val events = Seq(
       Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
