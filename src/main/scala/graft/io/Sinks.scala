@@ -31,4 +31,17 @@ object Sinks {
   def appendJdbc(df: DataFrame, url: String, table: String,
                  props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
+
+  /** JDBC table scan (reference database_read.py:6-10). `partitionOn`
+    * splits the read into `numPartitions` parallel range queries — the
+    * difference between one executor pulling the whole table and a
+    * distributed scan. */
+  def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String, table: String,
+               props: java.util.Properties,
+               partitionOn: Option[(String, Long, Long, Int)] = None): DataFrame =
+    partitionOn match {
+      case Some((column, lower, upper, numPartitions)) =>
+        spark.read.jdbc(url, table, column, lower, upper, numPartitions, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
 }

@@ -56,6 +56,29 @@ object Multimodal {
   def asBinaryPayloads(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  /** Typed output row of the transform stage. */
+  case class MediaTransform(doc_id: Long, n_bytes: Long, n_resized_bytes: Long,
+                            n_frames_sampled: Long, resized_checksum: String)
+
+  /** Partition-streamed media transforms: resize + frame-sample each
+    * payload through the (stub) codec. Same iterator-to-iterator batch
+    * shape as extractFeatures; byte counts are verifiable arithmetic,
+    * the checksum pins the actual transformed bytes. */
+  def transformMedia(spark: SparkSession, payloads: DataFrame, resizeFactor: Int = 4,
+                     frameSize: Int = 32, frameStride: Int = 2): Dataset[MediaTransform] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val resized = FakeCodec.resize(bytes, resizeFactor)
+          val frames = FakeCodec.sampleFrames(bytes, frameSize, frameStride)
+          MediaTransform(id, bytes.length.toLong, resized.length.toLong,
+            frames.size.toLong, FakeCodec.md5Hex(resized))
+        }
+      }
+  }
+
   /** Partition-streamed decode: binary payloads -> typed features.
     * Iterator-to-iterator (no per-partition materialization), one codec
     * context per partition — the mapInPandas batch shape in Scala. */

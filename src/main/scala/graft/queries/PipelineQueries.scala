@@ -205,6 +205,23 @@ object PipelineQueries {
       |  md5(text) AS checksum
       |FROM documents""".stripMargin
 
+  /** Resize + frame-sample through the codec path. The oracle checks the
+    * byte arithmetic (documents are ASCII, so chars == bytes): resize
+    * keeps every 4th byte -> ceil(n/4); frames of 32 bytes (last partial
+    * counts) strided by 2 -> ceil(ceil(n/32)/2). The resized checksum is
+    * engine-side evidence the transform ran on real bytes. */
+  def multimodalTransform(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.transformMedia(spark,
+      Multimodal.asBinaryPayloads(Tables.documents(spark, dir))).toDF()
+      .drop("resized_checksum") // not SQL-reproducible cheaply; dropped from compare
+
+  val multimodalTransformSql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_resized_bytes,
+      |  CAST(((strlen(text) + 31) // 32 + 1) // 2 AS BIGINT) AS n_frames_sampled
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
@@ -221,7 +238,8 @@ object PipelineQueries {
     "p13_emb_cosine_dedup" -> (embCosineDedup _),
     "p14_multimodal_features" -> (multimodalFeatures _),
     "p15_sessionize" -> (eventsSessionize _),
-    "p16_ann_ivf_topk" -> (annIvfTopK _))
+    "p16_ann_ivf_topk" -> (annIvfTopK _),
+    "p17_multimodal_transform" -> (multimodalTransform _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,
@@ -233,5 +251,6 @@ object PipelineQueries {
     "p10_ann_cosine_topk" -> annCosineTopKSql,
     "p11_ann_nearest_neighbor" -> annNearestNeighborSql,
     "p14_multimodal_features" -> multimodalFeaturesSql,
-    "p15_sessionize" -> eventsSessionizeSql)
+    "p15_sessionize" -> eventsSessionizeSql,
+    "p17_multimodal_transform" -> multimodalTransformSql)
 }
