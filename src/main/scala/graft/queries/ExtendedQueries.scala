@@ -185,7 +185,9 @@ object ExtendedQueries {
     val avgPerCust = o.groupBy(col("o_custkey").as("k"))
       .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") /
         count(lit(1))).as("avg_price"))
-    o.join(avgPerCust, col("o_custkey") === col("k"))
+    // the aggregated side is one row per customer — broadcast it so the
+    // orders side never shuffles
+    o.join(broadcast(avgPerCust), col("o_custkey") === col("k"))
       .filter(col("o_totalprice") > col("avg_price"))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
   }
@@ -196,6 +198,24 @@ object ExtendedQueries {
       |  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
       |  FROM orders i WHERE i.o_custkey = o.o_custkey)""".stripMargin
 
+  /** q23 — CUBE: all grouping-set combinations (rollup's sibling,
+    * completing the §2.5-absent grouping-sets family). */
+  def q23Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_price"))
+
+  val q23Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -204,7 +224,8 @@ object ExtendedQueries {
     "q19_rank_stats" -> (q19RankStats _),
     "q20_region_revenue" -> (q20RegionRevenue _),
     "q21_distinct_agg" -> (q21DistinctAgg _),
-    "q22_correlated_subquery" -> (q22CorrelatedSubquery _))
+    "q22_correlated_subquery" -> (q22CorrelatedSubquery _),
+    "q23_cube" -> (q23Cube _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -214,5 +235,6 @@ object ExtendedQueries {
     "q19_rank_stats" -> q19Sql,
     "q20_region_revenue" -> q20Sql,
     "q21_distinct_agg" -> q21Sql,
-    "q22_correlated_subquery" -> q22Sql)
+    "q22_correlated_subquery" -> q22Sql,
+    "q23_cube" -> q23Sql)
 }
