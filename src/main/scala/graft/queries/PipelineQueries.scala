@@ -222,6 +222,37 @@ object PipelineQueries {
       |  CAST(((strlen(text) + 31) // 32 + 1) // 2 AS BIGINT) AS n_frames_sampled
       |FROM documents""".stripMargin
 
+  /** As-of join: each click enriched with the same user's nearest prior
+    * view. Oracle is DuckDB's native ASOF LEFT JOIN — our composed
+    * range-join + argmax must agree with a purpose-built implementation. */
+  def eventsAsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("view_ts"))
+    graft.ops.AsOfJoin.nearestPrior(clicks, views, leftId = "click_id",
+      key = "user_id", leftTs = "click_ts", rightTs = "view_ts", payload = Seq("view_id"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        col("view_id"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
+  val eventsAsOfJoinSql: String =
+    """WITH clicks AS (
+      |  SELECT event_id AS click_id, user_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |views AS (
+      |  SELECT event_id AS view_id, user_id AS v_user_id, ts AS view_ts
+      |  FROM events WHERE event_type = 'view')
+      |SELECT click_id, user_id,
+      |  epoch_us(click_ts) AS click_us,
+      |  view_id,
+      |  epoch_us(view_ts) AS view_us
+      |FROM clicks ASOF LEFT JOIN views
+      |  ON clicks.user_id = views.v_user_id AND clicks.click_ts >= views.view_ts""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
@@ -239,7 +270,8 @@ object PipelineQueries {
     "p14_multimodal_features" -> (multimodalFeatures _),
     "p15_sessionize" -> (eventsSessionize _),
     "p16_ann_ivf_topk" -> (annIvfTopK _),
-    "p17_multimodal_transform" -> (multimodalTransform _))
+    "p17_multimodal_transform" -> (multimodalTransform _),
+    "p18_asof_join" -> (eventsAsOfJoin _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,
@@ -252,5 +284,6 @@ object PipelineQueries {
     "p11_ann_nearest_neighbor" -> annNearestNeighborSql,
     "p14_multimodal_features" -> multimodalFeaturesSql,
     "p15_sessionize" -> eventsSessionizeSql,
-    "p17_multimodal_transform" -> multimodalTransformSql)
+    "p17_multimodal_transform" -> multimodalTransformSql,
+    "p18_asof_join" -> eventsAsOfJoinSql)
 }

@@ -1,0 +1,103 @@
+package graft
+
+import graft.functions.TopKAggregator
+import graft.ingest.SalesIngest
+import graft.marts.Marts
+import graft.ops.Salting
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over generated data (SURVEY.md §5):
+  * algebraic equalities that must hold for ALL inputs, not just
+  * fixtures. The scalatest/scalacheck bridge is not on the offline
+  * classpath, so properties run over explicitly seeded samples.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Evaluate `body` over `n` deterministic samples of `gen`. */
+  private def forAllSeeded[A](gen: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      val v = gen.apply(Gen.Parameters.default, Seed(i.toLong))
+        .getOrElse(fail(s"gen failed for seed $i"))
+      withClue(s"seed=$i: ")(body(v))
+    }
+
+  private val salesGen: Gen[List[(Int, String, Double)]] = Gen.listOfN(60,
+    for {
+      cust <- Gen.choose(1, 5)
+      month <- Gen.choose(1, 3)
+      day <- Gen.choose(1, 28)
+      amt <- Gen.choose(-99999L, 99999L).map(_ / 100.0) // 2-decimal amounts
+    } yield (cust, f"2024-$month%02d-$day%02d", amt))
+
+  test("property: window+distinct ≡ groupBy for the customer mart") {
+    forAllSeeded(salesGen) { rows =>
+      locally {
+        val df = rows.toDF("cust", "d", "amt")
+        val windowed = df
+          .withColumn("m", Marts.monthKey(col("d")))
+          .withColumn("total", sum(col("amt").cast("decimal(18,2)"))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("cust"), col("m")))
+            .cast("double"))
+          .select("cust", "m", "total").distinct()
+        val grouped = df.withColumn("m", Marts.monthKey(col("d")))
+          .groupBy("cust", "m").agg(Marts.moneySum(col("amt")).as("total"))
+        assert(windowed.exceptAll(grouped).isEmpty && grouped.exceptAll(windowed).isEmpty)
+      }
+    }
+  }
+
+  test("property: salted sum ≡ direct sum") {
+    forAllSeeded(salesGen) { rows =>
+      locally {
+        val df = rows.zipWithIndex.map { case ((c, d, a), i) => (c, d, a, i.toLong) }
+          .toDF("cust", "d", "amt", "rid")
+        val salted = Salting.saltedSum(df, "cust", "amt", salts = 3, disambigCol = "rid")
+        val direct = df.groupBy(col("cust"))
+          .agg(sum(col("amt").cast("decimal(18,2)")).cast("double").as("total"))
+        assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
+      }
+    }
+  }
+
+  test("property: top_k agrees with sort-take on any scored set") {
+    val scoredGen = Gen.listOfN(40, for {
+      g <- Gen.choose(1L, 3L)
+      score <- Gen.choose(0, 1000).map(_ / 1000.0)
+      id <- Gen.choose(1L, 500L)
+    } yield (g, score, id))
+    forAllSeeded(scoredGen) { rows =>
+      locally {
+        val distinctRows = rows.distinct
+        val df = distinctRows.toDF("g", "score", "id")
+        val got = df.groupBy(col("g"))
+          .agg(TopKAggregator.top_k(5)(col("score"), col("id")).as("tk"))
+          .collect().map(r => r.getAs[Long]("g") ->
+            r.getSeq[org.apache.spark.sql.Row](1).map(t => (t.getDouble(0), t.getLong(1)))).toMap
+        val want = distinctRows.groupBy(_._1).map { case (g, rs) =>
+          g -> rs.map(r => (r._2, r._3)).distinct
+            .sortBy { case (s, i) => (-s, i) }.take(5)
+        }
+        want.foreach { case (g, exp) => assert(got(g) === exp, s"group $g") }
+      }
+    }
+  }
+
+  test("property: normalize always emits the canonical 9-column schema") {
+    val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
+    forAllSeeded(extraColsGen) { extras =>
+      val base = Seq((1, 121, "tea", "2024-01-01", 1, 10.0, 2, 20.0))
+        .toDF(SalesIngest.mandatoryColumns: _*)
+      val df = extras.zipWithIndex.foldLeft(base) { case (d, (c, i)) =>
+        d.withColumn(c, lit(s"v$i"))
+      }
+      val out = SalesIngest.normalize(df)
+      assert(out.columns.toSeq === SalesIngest.canonicalColumns)
+      val add = out.select("additional_column").as[String].head()
+      if (extras.isEmpty) assert(add === null)
+      else assert(add === extras.zipWithIndex.map { case (_, i) => s"v$i" }.mkString(", "))
+    }
+  }
+}
