@@ -70,6 +70,29 @@ object Demo {
     val salted = ops.Salting.saltedJoin(Tables.orders(spark, sfDir),
       Tables.customer(spark, sfDir), "o_custkey", "c_custkey", 4, "o_orderkey").count()
     println("DEMO salted_join_rows=" + salted)
+
+    // 5. the CSV intake path end-to-end: triage, quarantine, normalize
+    val csvLanding = s"$workDir/csv_landing"
+    new java.io.File(csvLanding).mkdirs()
+    def writeCsv(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(csvLanding, name),
+        lines.mkString("\n").getBytes)
+    writeCsv("sales_good.csv", Seq(
+      "customer_id,store_id,product_name,sales_date,sales_person_id,price,quantity,total_cost",
+      "1,121,quaker oats,2024-01-01,1,212.0,2,424.0"))
+    writeCsv("sales_drift.csv", Seq(
+      "customer_id,store_id,product_name,sales_date,sales_person_id,price,quantity,total_cost,payment_mode",
+      "2,122,sugar,2024-01-02,4,50.0,1,50.0,UPI"))
+    writeCsv("sales_bad.csv", Seq(
+      "customer_id,product_name,sales_date,sales_person_id,price,quantity,total_cost",
+      "3,tea,2024-01-03,2,10.0,1,10.0"))
+    val (accepted, rejected) = ingest.SalesIngest.triage(io.LandingZone.listCsv(csvLanding))
+    io.LandingZone.quarantine(rejected.keys.toSeq, s"$workDir/csv_errors")
+    val sales = ingest.SalesIngest.readSales(spark, accepted)
+    println("DEMO csv_accepted=" + accepted.size + " csv_rejected=" + rejected.size +
+      " csv_rows=" + sales.count())
+    io.LandingZone.archive(accepted, s"$workDir/csv_archive")
+    println("DEMO csv_landing_empty=" + io.LandingZone.listCsv(csvLanding).isEmpty)
     spark.stop()
   }
 }

@@ -216,6 +216,42 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
+  /** q24 — sketch aggregates: HyperLogLog++ distinct counts and quantile
+    * approximation. Rows-only (sketch algorithms are engine-specific);
+    * exact companions are q21. At 100 TB these are the aggregates you
+    * actually run: bounded memory per group regardless of cardinality. */
+  def q24Sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+
+  /** q25 — the SQL surface end-to-end: the same star query expressed as
+    * SQL text over registered views, exercising the parser/analyzer path
+    * the reference touched only via expr() strings. */
+  def q25SqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders")
+    Tables.customer(spark, dir).createOrReplaceTempView("v_customer")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+        |FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
+  val q25Sql: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS segment_revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus <> 'F'
+      |GROUP BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -225,7 +261,9 @@ object ExtendedQueries {
     "q20_region_revenue" -> (q20RegionRevenue _),
     "q21_distinct_agg" -> (q21DistinctAgg _),
     "q22_correlated_subquery" -> (q22CorrelatedSubquery _),
-    "q23_cube" -> (q23Cube _))
+    "q23_cube" -> (q23Cube _),
+    "q24_sketches" -> (q24Sketches _),
+    "q25_sql_surface" -> (q25SqlSurface _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -236,5 +274,6 @@ object ExtendedQueries {
     "q20_region_revenue" -> q20Sql,
     "q21_distinct_agg" -> q21Sql,
     "q22_correlated_subquery" -> q22Sql,
-    "q23_cube" -> q23Sql)
+    "q23_cube" -> q23Sql,
+    "q25_sql_surface" -> q25Sql)
 }
