@@ -252,6 +252,40 @@ object ExtendedQueries {
       |WHERE o_orderstatus <> 'F'
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** q26 — pivot: long-to-wide reshape with explicit pivot values (so the
+    * plan is one pass, no value-discovery job, and column names are
+    * deterministic for the oracle). */
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"))
+      .withColumnRenamed("O", "qty_open")
+      .withColumnRenamed("F", "qty_filled")
+
+  val q26Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'O') AS DOUBLE)
+      |    AS qty_open,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_linestatus = 'F') AS DOUBLE)
+      |    AS qty_filled
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  /** q27 — generator/LATERAL family: explode a computed array with
+    * position (the row-to-rows direction pivot's reshape doesn't cover). */
+  def q27Explode(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("token"))
+
+  val q27Sql: String =
+    """SELECT doc_id,
+      |  CAST(t.i - 1 AS BIGINT) AS pos,
+      |  string_split(text, ' ')[t.i] AS token
+      |FROM documents,
+      |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -263,7 +297,9 @@ object ExtendedQueries {
     "q22_correlated_subquery" -> (q22CorrelatedSubquery _),
     "q23_cube" -> (q23Cube _),
     "q24_sketches" -> (q24Sketches _),
-    "q25_sql_surface" -> (q25SqlSurface _))
+    "q25_sql_surface" -> (q25SqlSurface _),
+    "q26_pivot" -> (q26Pivot _),
+    "q27_explode" -> (q27Explode _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -275,5 +311,7 @@ object ExtendedQueries {
     "q21_distinct_agg" -> q21Sql,
     "q22_correlated_subquery" -> q22Sql,
     "q23_cube" -> q23Sql,
-    "q25_sql_surface" -> q25Sql)
+    "q25_sql_surface" -> q25Sql,
+    "q26_pivot" -> q26Sql,
+    "q27_explode" -> q27Sql)
 }
