@@ -41,9 +41,40 @@ class TopKAggregator(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
 }
 
+/** String-keyed variant of [[TopKAggregator]] (score desc, id asc). */
+case class ScoredStr(score: Double, id: String)
+
+class TopKStrAggregator(k: Int)
+  extends Aggregator[ScoredStr, Seq[ScoredStr], Seq[ScoredStr]] {
+
+  private def worseThan(a: ScoredStr, b: ScoredStr): Boolean =
+    a.score < b.score || (a.score == b.score && a.id > b.id)
+
+  private def insert(buf: Seq[ScoredStr], v: ScoredStr): Seq[ScoredStr] =
+    if (buf.size < k) (buf :+ v).sortWith(worseThan)
+    else if (worseThan(buf.head, v)) (buf.tail :+ v).sortWith(worseThan)
+    else buf
+
+  override def zero: Seq[ScoredStr] = Seq.empty
+  override def reduce(buf: Seq[ScoredStr], v: ScoredStr): Seq[ScoredStr] = insert(buf, v)
+  override def merge(a: Seq[ScoredStr], b: Seq[ScoredStr]): Seq[ScoredStr] =
+    b.foldLeft(a)(insert)
+  override def finish(buf: Seq[ScoredStr]): Seq[ScoredStr] =
+    buf.sortBy(s => (-s.score, s.id))
+  override def bufferEncoder: Encoder[Seq[ScoredStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[ScoredStr]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+}
+
 object TopKAggregator {
   /** Column form: `top_k(score, id)` usable in groupBy().agg(...). */
   def top_k(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAggregator(k), Encoders.product[ScoredId])
+      .apply(score, id)
+
+  /** String-id column form. */
+  def top_k_str(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKStrAggregator(k), Encoders.product[ScoredStr])
       .apply(score, id)
 }

@@ -145,6 +145,46 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("hamming"))
   }
 
+  /** Transitive dedup groups: connected components over a near-dup pair
+    * list via iterative min-label propagation. A pair list alone
+    * under-deduplicates — if A~B and B~C but A!~C, pairwise keep-first
+    * retains both A and C; components collapse the whole cluster to one
+    * keeper. Label propagation is the scalable formulation (alternating
+    * join + min-aggregate, lineage cut per iteration); iterations are
+    * bounded by the component diameter, which for dedup clusters is tiny.
+    *
+    * @param pairs (left_id, right_id) near-dup edges
+    * @param docs one row per doc_id (defines the node set)
+    * @return (doc_id, group_id, is_keeper) — group_id = min id reachable
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
+      .unionByName(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
+        .groupBy(col("a").as("doc_id"))
+        .agg(min(col("group_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+        .localCheckpoint() // cut lineage: iteration depth must not stack plans
+      val changed = next.join(labels.withColumnRenamed("group_id", "old"), Seq("doc_id"))
+        .filter(col("group_id") =!= col("old")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_keeper", col("doc_id") === col("group_id"))
+  }
+
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */

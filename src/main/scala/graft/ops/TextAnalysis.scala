@@ -93,6 +93,33 @@ object TextAnalysis {
       size(toks).cast("long").as("n_tokens"))
   }
 
+  /** TF-IDF: term frequencies per document, inverse document frequency
+    * over the corpus, top-k highest-scoring terms per document.
+    *
+    * Shape at scale: explode -> (doc, term) partial counts (map-side
+    * combine) -> term-level df join (term table is vocabulary-sized,
+    * broadcastable) -> bounded top-k aggregation per doc. Scores are
+    * rounded to 6 decimals with a term tiebreak so ranking is
+    * deterministic and engine-comparable (ln() may differ in the last
+    * ulp across libm implementations).
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val nDocs = docs.count()
+    val termFreq = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = termFreq.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    termFreq.join(broadcast(docFreq), Seq("term"))
+      .withColumn("score",
+        round(col("tf") * (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKAggregator.top_k_str(k)(col("score"), col("term")).as("tk"))
+      .select(col("doc_id"), explode(col("tk")).as("t"))
+      .select(col("doc_id"), col("t.id").as("term"), col("t.score").as("score"))
+  }
+
   /** Rolling (polynomial) content hash over tokens, computed as a left
     * fold — engine-internal fingerprint (not oracle-expressible). The
     * accumulator is kept under 2^40 and the multiplier under 2^20 so the

@@ -253,6 +253,41 @@ object PipelineQueries {
       |FROM clicks ASOF LEFT JOIN views
       |  ON clicks.user_id = views.v_user_id AND clicks.click_ts >= views.view_ts""".stripMargin
 
+  /** Transitive dedup groups over the minhash near-dup pairs: connected
+    * components collapse whole similarity clusters to one keeper (a pair
+    * list alone under-deduplicates chains A~B~C). Rows-only: iterative
+    * label propagation is not single-statement SQL; invariants in
+    * DedupSpec cover transitivity. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
+      shingleN = 3, threshold = 0.7)
+    Dedup.dedupGroups(docs, pairs)
+  }
+
+  /** TF-IDF top-5 terms per document. Oracle replays the same formula
+    * with ROW_NUMBER over (score desc, term) — the bounded top-k
+    * aggregator must agree with the SQL window formulation. */
+  def textTfIdf(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(Tables.documents(spark, dir), k = 5)
+
+  val textTfIdfSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, t.token AS term, COUNT(*) AS tf
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(token)
+      |  GROUP BY doc_id, t.token),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term,
+      |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |           ORDER BY score DESC, term ASC) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, score FROM ranked WHERE rn <= 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
@@ -271,7 +306,9 @@ object PipelineQueries {
     "p15_sessionize" -> (eventsSessionize _),
     "p16_ann_ivf_topk" -> (annIvfTopK _),
     "p17_multimodal_transform" -> (multimodalTransform _),
-    "p18_asof_join" -> (eventsAsOfJoin _))
+    "p18_asof_join" -> (eventsAsOfJoin _),
+    "p19_dedup_groups" -> (dedupGroups _),
+    "p20_text_tfidf" -> (textTfIdf _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,
@@ -285,5 +322,6 @@ object PipelineQueries {
     "p14_multimodal_features" -> multimodalFeaturesSql,
     "p15_sessionize" -> eventsSessionizeSql,
     "p17_multimodal_transform" -> multimodalTransformSql,
-    "p18_asof_join" -> eventsAsOfJoinSql)
+    "p18_asof_join" -> eventsAsOfJoinSql,
+    "p20_text_tfidf" -> textTfIdfSql)
 }

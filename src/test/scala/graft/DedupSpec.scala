@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     assert(j === 1.0)
   }
 
+  test("dedupGroups collapses transitive chains to one keeper") {
+    import org.apache.spark.sql.functions.col
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    // chain 0-1, 1-2 (no 0-2 edge) plus isolated pair 3-4... and 3 alone
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("left_id", "right_id")
+    val groups = Dedup.dedupGroups(nodes, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[Boolean]("is_keeper"))).toMap
+    assert(groups(0L) === ((0L, true)))
+    assert(groups(1L) === ((0L, false)))
+    assert(groups(2L) === ((0L, false))) // transitive: reached via 1
+    assert(groups(3L) === ((3L, true)))
+    assert(groups(4L) === ((4L, true)))
+  }
+
   test("shingles produces distinct word n-grams") {
     val s = docs.filter(col("doc_id") === 3)
       .select(Dedup.shingles(col("text"), 2).as("s"))
