@@ -157,11 +157,57 @@ object Dedup {
     * @param docs one row per doc_id (defines the node set)
     * @return (doc_id, group_id, is_keeper) — group_id = min id reachable
     */
-  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  /** Hybrid strategy: near-dup edge sets are tiny relative to the corpus
+    * (they ARE the duplicates), so below `maxDriverEdges` the components
+    * are solved with driver-side union-find and broadcast back — one
+    * collect of the edge list, no iteration jobs. Above the threshold the
+    * distributed label-propagation loop takes over.
+    */
+  def dedupGroups(docs: DataFrame, pairs: DataFrame, maxIter: Int = 10,
+                  maxDriverEdges: Long = 1L << 20): DataFrame = {
+    val edgeRows = pairs.select(col("left_id"), col("right_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result =
+      if (edgeRows.count() <= maxDriverEdges) dedupGroupsDriver(docs, edgeRows)
+      else dedupGroupsDistributed(docs, edgeRows, maxIter)
+    edgeRows.unpersist()
+    result
+  }
+
+  private def dedupGroupsDriver(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+    }
+    val labels = parent.keys.map(k => (k, find(k))).toSeq
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val labelDf = labels.toDF("doc_id", "group_id")
+    docs.select(col("doc_id"))
+      .join(broadcast(labelDf), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("is_keeper", col("doc_id") === col("group_id"))
+  }
+
+  private def dedupGroupsDistributed(docs: DataFrame, pairs: DataFrame,
+                                     maxIter: Int): DataFrame = {
     val edges = pairs.select(col("left_id").as("a"), col("right_id").as("b"))
       .unionByName(pairs.select(col("right_id").as("a"), col("left_id").as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col("doc_id"), col("doc_id").as("group_id"))
+    // iterate ONLY over the edge-induced subgraph: isolated docs (the
+    // overwhelming majority in a deduplicated corpus) keep their own
+    // label by construction and join back at the end
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
       .localCheckpoint()
     var converged = false
     var iter = 0
@@ -182,7 +228,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.withColumn("is_keeper", col("doc_id") === col("group_id"))
+    docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .withColumn("is_keeper", col("doc_id") === col("group_id"))
   }
 
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify

@@ -73,6 +73,21 @@ class DedupSpec extends SparkSpec {
     assert(groups(4L) === ((4L, true)))
   }
 
+  test("dedupGroups distributed path agrees with driver union-find") {
+    import org.apache.spark.sql.functions.col
+    val nodes = (0L to 9L).toDF("doc_id")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (6L, 8L))
+      .toDF("left_id", "right_id")
+    val viaDriver = Dedup.dedupGroups(nodes, pairs)
+    val viaCluster = Dedup.dedupGroups(nodes, pairs, maxDriverEdges = 0)
+    assert(viaDriver.exceptAll(viaCluster).isEmpty &&
+      viaCluster.exceptAll(viaDriver).isEmpty)
+    val g = viaCluster.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(g(_) == 0L)) // 4-chain
+    assert(Seq(5L, 6L, 8L, 9L).forall(g(_) == 5L)) // merged via 6-8
+    assert(g(4L) === 4L && g(7L) === 7L)
+  }
+
   test("shingles produces distinct word n-grams") {
     val s = docs.filter(col("doc_id") === 3)
       .select(Dedup.shingles(col("text"), 2).as("s"))
