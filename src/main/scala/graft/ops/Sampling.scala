@@ -1,0 +1,31 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed dataset splitting and sampling for
+  * training pipelines.
+  *
+  * The split key is a hash of CONTENT (not row position or RNG state), so
+  * assignment is stable across reruns, repartitions, and engines — the
+  * property that keeps a train/test split honest when the corpus is
+  * rebuilt. Buckets come from the first 4 hex chars of md5 (16 bits,
+  * uniform), available identically in any engine with md5.
+  */
+object Sampling {
+
+  /** Uniform [0, 100) bucket from content md5. */
+  def hashBucket(key: Column): Column =
+    (conv(substring(md5(key), 1, 4), 16, 10).cast("int") % 100).cast("int")
+
+  /** Adds `bucket` and `split` (train/test) columns keyed on `key`. */
+  def trainTestSplit(df: DataFrame, key: Column, trainPct: Int = 80): DataFrame =
+    df.withColumn("bucket", hashBucket(key))
+      .withColumn("split", when(col("bucket") < trainPct, "train").otherwise("test"))
+
+  /** Deterministic content-keyed sample: keep rows whose bucket falls
+    * under `pct`. Unlike df.sample(), re-running or repartitioning never
+    * changes membership. */
+  def deterministicSample(df: DataFrame, key: Column, pct: Int): DataFrame =
+    df.filter(hashBucket(key) < pct)
+}

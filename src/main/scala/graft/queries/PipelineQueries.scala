@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -288,6 +288,26 @@ object PipelineQueries {
       |  FROM scored)
       |SELECT doc_id, term, score FROM ranked WHERE rn <= 5""".stripMargin
 
+  /** Content-keyed train/test split: stable across reruns/repartitions,
+    * reproducible in any engine with md5. */
+  def trainTestSplit(spark: SparkSession, dir: String): DataFrame =
+    Sampling.trainTestSplit(Tables.documents(spark, dir), col("text"))
+      .select(col("doc_id"), col("bucket"), col("split"))
+
+  val trainTestSplitSql: String =
+    """SELECT doc_id,
+      |  CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 AS INTEGER)
+      |    AS bucket,
+      |  CASE WHEN CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 < 80
+      |       THEN 'train' ELSE 'test' END AS split
+      |FROM documents""".stripMargin
+
+  /** Int8 quantization quality over the embeddings (rows-only: double
+    * rounding-mode edge cases differ across engines; invariants in
+    * QuantizeSpec bound the error analytically instead). */
+  def quantizeReport(spark: SparkSession, dir: String): DataFrame =
+    Quantize.qualityReport(Tables.embeddings(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
@@ -308,7 +328,9 @@ object PipelineQueries {
     "p17_multimodal_transform" -> (multimodalTransform _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
-    "p20_text_tfidf" -> (textTfIdf _))
+    "p20_text_tfidf" -> (textTfIdf _),
+    "p21_train_test_split" -> (trainTestSplit _),
+    "p22_quantize_embeddings" -> (quantizeReport _))
 
   val oracles: Map[String, String] = Map(
     "p01_dedup_exact" -> dedupExactSql,
@@ -323,5 +345,6 @@ object PipelineQueries {
     "p15_sessionize" -> eventsSessionizeSql,
     "p17_multimodal_transform" -> multimodalTransformSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
-    "p20_text_tfidf" -> textTfIdfSql)
+    "p20_text_tfidf" -> textTfIdfSql,
+    "p21_train_test_split" -> trainTestSplitSql)
 }

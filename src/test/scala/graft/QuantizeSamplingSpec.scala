@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.{Quantize, Sampling}
+import org.apache.spark.sql.functions._
+
+class QuantizeSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quantization reconstruction error is bounded by scale/2 per element") {
+    val report = Quantize.qualityReport(Tables.embeddings(spark, sfDir))
+    val rows = report.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val maxErr = r.getAs[Double]("max_abs_err")
+      assert(maxErr <= scale / 2 + 1e-12,
+        s"vec ${r.getAs[Long]("vec_id")}: max_abs_err $maxErr > scale/2 ${scale / 2}")
+    }
+  }
+
+  test("quantize/dequantize round-trips exact int8-representable values") {
+    val df = Seq((1L, Array(1.27f, -1.27f, 0.0f, 0.635f))).toDF("vec_id", "embedding")
+    val out = df.withColumn("scale", Quantize.scaleOf(col("embedding")))
+      .withColumn("codes", Quantize.quantize(col("embedding"), col("scale")))
+      .select(col("codes")).as[Seq[Byte]].head()
+    assert(out === Seq[Byte](127, -127, 0, 64)) // 0.635/0.01 = 63.5 -> 64 (half up)
+  }
+
+  test("train/test split is deterministic and ~80/20") {
+    val docs = Tables.documents(spark, sfDir)
+    val s1 = Sampling.trainTestSplit(docs, col("text")).select("doc_id", "split")
+    val s2 = Sampling.trainTestSplit(docs, col("text")).select("doc_id", "split")
+    assert(s1.exceptAll(s2).isEmpty) // stable across runs
+    val frac = s1.filter(col("split") === "train").count().toDouble / s1.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("deterministic sample is a subset invariant under repartition") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = Sampling.deterministicSample(docs, col("text"), 30).select("doc_id")
+    val b = Sampling.deterministicSample(docs.repartition(7), col("text"), 30).select("doc_id")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+}
