@@ -1,0 +1,55 @@
+package graft
+
+import graft.io.Sinks
+import org.apache.spark.sql.functions._
+import java.util.Properties
+
+/** JDBC sink/scan integration against embedded Derby (ships with Spark) —
+  * the reference's MySQL mart append (K3) and dimension scan (S3)
+  * exercised against a real JDBC engine. */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftdb;create=true"
+  private def props = {
+    val p = new Properties()
+    p.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    p
+  }
+
+  test("appendJdbc writes mart rows; readJdbc scans them back") {
+    val mart = Seq(
+      (1, "Customer#1", "2024-01", 410.25),
+      (2, "Customer#2", "2024-01", 99.99),
+      (1, "Customer#1", "2024-02", 12.00))
+      .toDF("customer_id", "full_name", "sales_month", "total_sales")
+    Sinks.appendJdbc(mart, url, "customers_data_mart", props)
+    // append again — mode is Append, so rows accumulate (reference K3)
+    Sinks.appendJdbc(mart.limit(1), url, "customers_data_mart", props)
+    val back = Sinks.readJdbc(spark, url, "customers_data_mart", props)
+    assert(back.count() === 4)
+    assert(back.filter(col("customer_id") === 1).count() === 3)
+    val total = back.agg(sum(col("total_sales").cast("decimal(18,2)")).cast("double"))
+      .as[Double].head()
+    assert(total === 410.25 + 99.99 + 12.00 + 410.25)
+  }
+
+  test("partitioned readJdbc splits the scan into parallel range queries") {
+    val rows = (1 to 100).map(i => (i, s"name_$i", i * 2.0))
+      .toDF("id", "name", "val")
+    Sinks.appendJdbc(rows, url, "part_scan", props)
+    val scanned = Sinks.readJdbc(spark, url, "part_scan", props,
+      partitionOn = Some(("id", 1L, 100L, 4)))
+    assert(scanned.rdd.getNumPartitions === 4)
+    assert(scanned.count() === 100)
+    assert(scanned.agg(sum("id")).as[Long].head() === 5050L)
+  }
+
+  test("write failures propagate instead of being swallowed") {
+    val bad = Seq((1, "x")).toDF("a", "b")
+    // table exists with an incompatible schema -> the JDBC write must throw
+    intercept[Exception] {
+      Sinks.appendJdbc(bad, url, "customers_data_mart", props)
+    }
+  }
+}
