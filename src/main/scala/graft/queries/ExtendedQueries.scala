@@ -286,6 +286,63 @@ object ExtendedQueries {
       |FROM documents,
       |  unnest(range(1, len(string_split(text, ' ')) + 1)) AS t(i)""".stripMargin
 
+  /** q28 — null semantics: NULLIF-manufactured nulls flow through
+    * null-safe equality, COALESCE, and null-aware aggregation. The
+    * fixtures carry no nulls, so correctness of null propagation must be
+    * pinned explicitly. */
+  def q28NullSemantics(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .withColumn("prio_or_null",
+        when(col("o_orderpriority") === "4-NOT SPECIFIED", lit(null))
+          .otherwise(col("o_orderpriority")))
+    o.groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("prio_or_null")).as("n_nonnull"), // COUNT skips nulls
+        sum(col("prio_or_null").isNull.cast("long")).cast("long").as("n_null"),
+        count(when(col("prio_or_null") <=> lit(null), 1)).as("n_nullsafe_eq_null"),
+        countDistinct(coalesce(col("prio_or_null"), lit("UNSPECIFIED"))).as("n_prio_kinds"))
+  }
+
+  val q28Sql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus,
+      |    NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS prio_or_null
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  COUNT(*) AS n_rows,
+      |  COUNT(prio_or_null) AS n_nonnull,
+      |  CAST(SUM(CAST(prio_or_null IS NULL AS BIGINT)) AS BIGINT) AS n_null,
+      |  COUNT(CASE WHEN prio_or_null IS NOT DISTINCT FROM NULL THEN 1 END)
+      |    AS n_nullsafe_eq_null,
+      |  COUNT(DISTINCT COALESCE(prio_or_null, 'UNSPECIFIED')) AS n_prio_kinds
+      |FROM o GROUP BY o_orderstatus""".stripMargin
+
+  /** q29 — string/regex function family: extraction, padding, trimming,
+    * replacement, position — identical semantics for ASCII inputs across
+    * Java regex (Spark) and RE2 (DuckDB) on these simple patterns. */
+  def q29StringFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_digits"),
+      regexp_replace(col("c_name"), "0+", "0").as("name_squeezed"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+      rpad(col("c_mktsegment"), 12, ".").as("segment_padded"),
+      trim(lit("  pad  ")).as("trimmed"),
+      instr(col("c_name"), "#").cast("long").as("hash_pos"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("segment_lowered_vowels"))
+
+  val q29Sql: String =
+    """SELECT c_custkey,
+      |  regexp_extract(c_name, '([0-9]+)', 1) AS name_digits,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS name_squeezed,
+      |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+      |  rpad(c_mktsegment, 12, '.') AS segment_padded,
+      |  trim('  pad  ') AS trimmed,
+      |  CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+      |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_lowered_vowels
+      |FROM customer""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -299,7 +356,9 @@ object ExtendedQueries {
     "q24_sketches" -> (q24Sketches _),
     "q25_sql_surface" -> (q25SqlSurface _),
     "q26_pivot" -> (q26Pivot _),
-    "q27_explode" -> (q27Explode _))
+    "q27_explode" -> (q27Explode _),
+    "q28_null_semantics" -> (q28NullSemantics _),
+    "q29_string_functions" -> (q29StringFunctions _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -313,5 +372,7 @@ object ExtendedQueries {
     "q23_cube" -> q23Sql,
     "q25_sql_surface" -> q25Sql,
     "q26_pivot" -> q26Sql,
-    "q27_explode" -> q27Sql)
+    "q27_explode" -> q27Sql,
+    "q28_null_semantics" -> q28Sql,
+    "q29_string_functions" -> q29Sql)
 }
