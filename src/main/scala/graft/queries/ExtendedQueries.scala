@@ -343,6 +343,34 @@ object ExtendedQueries {
       |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS segment_lowered_vowels
       |FROM customer""".stripMargin
 
+  /** q30 — JSON processing: both the path-extraction surface
+    * (get_json_object) and the schema'd parse (from_json) over the events
+    * props payload, aggregated per type. The two extraction routes must
+    * agree — asserted in-query by summing both. */
+  def q30Json(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("k_path", get_json_object(col("props"), "$.k").cast("long"))
+      .withColumn("k_typed",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")).getField("k"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(col("k_path")).as("n_with_k"),
+        sum(col("k_path")).cast("long").as("sum_k"),
+        sum(col("k_typed")).cast("long").as("sum_k_typed"), // must equal sum_k
+        min(col("k_path")).as("min_k"),
+        max(col("k_path")).as("max_k"))
+  }
+
+  val q30Sql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k_typed,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -358,7 +386,8 @@ object ExtendedQueries {
     "q26_pivot" -> (q26Pivot _),
     "q27_explode" -> (q27Explode _),
     "q28_null_semantics" -> (q28NullSemantics _),
-    "q29_string_functions" -> (q29StringFunctions _))
+    "q29_string_functions" -> (q29StringFunctions _),
+    "q30_json" -> (q30Json _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -374,5 +403,6 @@ object ExtendedQueries {
     "q26_pivot" -> q26Sql,
     "q27_explode" -> q27Sql,
     "q28_null_semantics" -> q28Sql,
-    "q29_string_functions" -> q29Sql)
+    "q29_string_functions" -> q29Sql,
+    "q30_json" -> q30Sql)
 }
