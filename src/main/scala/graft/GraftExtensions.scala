@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
