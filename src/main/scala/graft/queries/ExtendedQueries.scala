@@ -371,6 +371,31 @@ object ExtendedQueries {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** q31 — array function family over the embedding vectors: size, sort,
+    * min/max, element-wise fold, membership. Float values are widened to
+    * double and rounded to 6 decimals on both engines. */
+  def q31ArrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    val embDoubles = transform(col("embedding"), x => x.cast("double"))
+    Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(aggregate(embDoubles, lit(0.0), (a, v) => a + v), 6).as("component_sum"),
+      round(array_max(col("embedding")).cast("double"), 6).as("max_component"),
+      round(array_min(col("embedding")).cast("double"), 6).as("min_component"),
+      round(element_at(array_sort(col("embedding")), 1).cast("double"), 6).as("sorted_first"),
+      array_contains(embDoubles, 0.0).as("has_zero"))
+  }
+
+  val q31Sql: String =
+    """SELECT vec_id,
+      |  len(embedding) AS dim,
+      |  round(list_sum([CAST(x AS DOUBLE) for x in embedding]), 6) AS component_sum,
+      |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_component,
+      |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_component,
+      |  round(CAST(list_sort(embedding)[1] AS DOUBLE), 6) AS sorted_first,
+      |  list_contains([CAST(x AS DOUBLE) for x in embedding], 0.0) AS has_zero
+      |FROM embeddings""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_rollup" -> (q15Rollup _),
     "q16_window_family" -> (q16WindowFamily _),
@@ -387,7 +412,8 @@ object ExtendedQueries {
     "q27_explode" -> (q27Explode _),
     "q28_null_semantics" -> (q28NullSemantics _),
     "q29_string_functions" -> (q29StringFunctions _),
-    "q30_json" -> (q30Json _))
+    "q30_json" -> (q30Json _),
+    "q31_array_functions" -> (q31ArrayFunctions _))
 
   val oracles: Map[String, String] = Map(
     "q15_rollup" -> q15Sql,
@@ -404,5 +430,6 @@ object ExtendedQueries {
     "q27_explode" -> q27Sql,
     "q28_null_semantics" -> q28Sql,
     "q29_string_functions" -> q29Sql,
-    "q30_json" -> q30Sql)
+    "q30_json" -> q30Sql,
+    "q31_array_functions" -> q31Sql)
 }
