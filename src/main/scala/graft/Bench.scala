@@ -17,7 +17,11 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // materialize the FULL output rows (toRdd), not count(): a count
+      // lets Catalyst prune every projection-only expression, which would
+      // time the parquet row count instead of the operator under test
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case _: Throwable => -1L }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // operators that persist intermediates (LSH signatures) must not
       // bleed cache memory into the next query's measurement

@@ -38,7 +38,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tokens, n) - default 64-perm minhash signature"),
       (args: Seq[Expression]) => {
-        val n = args.lift(1).collect { case Literal(v: Int, _) => v }.getOrElse(2)
+        // builders run before constant folding: demand a bare int literal
+        // rather than silently falling back on a default shingle size
+        val n = args.lift(1) match {
+          case None => 2
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"minhash_sig: shingle size must be an integer literal, got $other")
+        }
         val rnd = new java.util.Random(42L)
         def draw() = math.abs(rnd.nextLong()) % ((1L << 31) - 1)
         val a = Array.fill(64)(draw() + 1)

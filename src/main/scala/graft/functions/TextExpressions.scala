@@ -93,6 +93,31 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     copy(child = newChild)
 }
 
+/** Distinct character n-grams of a string, as array<string> — tight loop
+  * replacement for `transform(sequence(...), i -> substr(text, i, n))`,
+  * whose lambda evaluates interpreted per position. */
+case class CharNgrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val len = s.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (len < n) { seen.add(s) }
+    else {
+      var i = 0
+      while (i <= len - n) { seen.add(s.substringSQL(i + 1, n)); i += 1 }
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+    copy(child = newChild)
+}
+
 /** Fraction of positions where two equal-length long arrays agree — the
   * MinHash signature estimate of Jaccard similarity. Tight loop; the
   * zip_with/filter HOF form is interpreted per element. */
@@ -163,4 +188,8 @@ object TextFunctions {
   /** Exact set-Jaccard of two string arrays. */
   def array_jaccard(a: Column, b: Column): Column =
     ColumnBridge.column(ArrayJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Distinct character n-grams of a string column. */
+  def char_ngrams(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
 }

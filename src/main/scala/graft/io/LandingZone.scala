@@ -33,10 +33,11 @@ object LandingZone {
   def clean(dir: String): Unit = {
     val p = Paths.get(dir)
     if (Files.exists(p)) {
-      Files.list(p).forEach { f: Path =>
+      val s = Files.list(p)
+      try s.forEach { f: Path =>
         if (Files.isDirectory(f)) org.apache.commons.io.FileUtils.deleteDirectory(f.toFile)
         else Files.delete(f)
-      }
+      } finally s.close()
     }
   }
 

@@ -54,10 +54,16 @@ object Ledger {
     val updated = read(spark, path).collect().map { a =>
       if (names.contains(a.file_name) && a.status == Active) a.copy(status = Done) else a
     }.toSeq
-    val tmp = path + "_tmp"
-    updated.toDS().write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new java.io.File(path)
-    org.apache.commons.io.FileUtils.deleteDirectory(target)
-    new java.io.File(tmp).renameTo(target)
+    // crash-safe swap: write the new ledger, move the old one ASIDE (so a
+    // failure between steps leaves a recoverable copy, never a deleted
+    // ledger), promote, then drop the old copy. Files.move throws on
+    // failure instead of returning an ignorable boolean.
+    val tmp = java.nio.file.Paths.get(path + "_tmp")
+    val old = java.nio.file.Paths.get(path + "_old")
+    updated.toDS().write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    java.nio.file.Files.move(java.nio.file.Paths.get(path), old)
+    java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path))
+    org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }
 }

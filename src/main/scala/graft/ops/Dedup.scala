@@ -217,9 +217,19 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
         .groupBy(col("a").as("doc_id"))
         .agg(min(col("group_id")).as("nmin"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val propagated = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("group_id"), coalesce(col("nmin"), col("group_id"))).as("group_id"))
+      // pointer jumping: remap each label through the label of its label,
+      // so convergence is O(log diameter), not O(diameter) — maxIter=10
+      // then covers components of diameter ~2^10, far beyond any real
+      // dedup cluster
+      val asMapping = propagated
+        .select(col("doc_id").as("m_id"), col("group_id").as("m_group"))
+      val next = propagated
+        .join(asMapping, propagated("group_id") === asMapping("m_id"), "left")
+        .select(col("doc_id"),
+          least(col("group_id"), coalesce(col("m_group"), col("group_id"))).as("group_id"))
         .localCheckpoint() // cut lineage: iteration depth must not stack plans
       val changed = next.join(labels.withColumnRenamed("group_id", "old"), Seq("doc_id"))
         .filter(col("group_id") =!= col("old")).limit(1).count()
@@ -227,6 +237,10 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupGroups: label propagation did not converge in $maxIter iterations " +
+          "(component diameter > 2^maxIter?) — result would under-deduplicate")
     edges.unpersist()
     docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
@@ -237,14 +251,12 @@ object Dedup {
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */
   def ngramJaccardConsecutive(docs: DataFrame, n: Int = 3): DataFrame = {
-    val gramsCol = array_distinct(transform(
-      sequence(lit(1), greatest(length(col("text")) - lit(n - 1), lit(1))),
-      i => col("text").substr(i, lit(n))))
-    val g = docs.select(col("doc_id"), gramsCol.as("grams"))
+    val g = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.char_ngrams(col("text"), n).as("grams"))
     val l = g.as("l"); val r = g.as("r")
     l.join(r, col("r.doc_id") === col("l.doc_id") + 1)
       .select(col("l.doc_id").as("left_id"), col("r.doc_id").as("right_id"),
-        (size(array_intersect(col("l.grams"), col("r.grams"))).cast("double") /
-          size(array_distinct(concat(col("l.grams"), col("r.grams"))))).as("jaccard"))
+        graft.functions.TextFunctions.array_jaccard(col("l.grams"), col("r.grams"))
+          .as("jaccard"))
   }
 }

@@ -15,9 +15,12 @@ object Quantize {
   def scaleOf(emb: Column): Column =
     array_max(transform(emb, x => abs(x.cast("double")))) / lit(127.0)
 
-  /** int8 codes (stored as array<tinyint>). */
+  /** int8 codes (stored as array<tinyint>). A zero vector has scale 0;
+    * its codes are all zero rather than NULLs from division by zero. */
   def quantize(emb: Column, scale: Column): Column =
-    transform(emb, x => round(x.cast("double") / scale).cast("tinyint"))
+    transform(emb, x =>
+      when(scale === 0.0, lit(0))
+        .otherwise(round(x.cast("double") / scale)).cast("tinyint"))
 
   /** Reconstructed doubles from codes + scale. */
   def dequantize(codes: Column, scale: Column): Column =

@@ -62,16 +62,22 @@ object EventsStream {
     import spark.implicits._
     val gapMs = gapMinutes * 60L * 1000L
 
+    // full microsecond precision for BOTH ordering and the gap test:
+    // getTime alone truncates to millis, which would disagree with an
+    // engine comparing exact timestamps when a gap straddles the
+    // threshold within a millisecond
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    val gapUs = gapMs * 1000L
+
     def close(userId: Long, evs: Seq[Event]): Seq[UserSession] = {
       if (evs.isEmpty) Nil
       else {
-        // full sub-millisecond precision: session boundaries must match an
-        // engine that orders by the exact timestamp
-        val sorted = evs.sortBy(e => (e.ts.getTime, e.ts.getNanos))
+        val sorted = evs.sortBy(e => micros(e.ts))
         val sessions = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
         var current = scala.collection.mutable.ArrayBuffer(sorted.head)
         sorted.tail.foreach { e =>
-          if (e.ts.getTime - current.last.ts.getTime > gapMs) {
+          if (micros(e.ts) - micros(current.last.ts) > gapUs) {
             sessions += current.toSeq
             current = scala.collection.mutable.ArrayBuffer(e)
           } else current += e

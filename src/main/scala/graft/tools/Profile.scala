@@ -21,6 +21,8 @@ object Profile {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROFILE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s  rows=$n")
+      // operators persist signature frames; isolate each measurement
+      spark.catalog.clearCache()
     }
 
     time("warmup")(docs.count())

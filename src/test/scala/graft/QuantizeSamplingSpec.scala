@@ -26,6 +26,14 @@ class QuantizeSamplingSpec extends SparkSpec {
     assert(out === Seq[Byte](127, -127, 0, 64)) // 0.635/0.01 = 63.5 -> 64 (half up)
   }
 
+  test("zero vectors quantize to zero codes with zero error, not NULLs") {
+    val df = Seq((1L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Quantize.qualityReport(df).collect().head
+    assert(r.getAs[Double]("scale") === 0.0)
+    assert(r.getAs[Double]("mse") === 0.0)
+    assert(r.getAs[Double]("max_abs_err") === 0.0)
+  }
+
   test("train/test split is deterministic and ~80/20") {
     val docs = Tables.documents(spark, sfDir)
     val s1 = Sampling.trainTestSplit(docs, col("text")).select("doc_id", "split")
