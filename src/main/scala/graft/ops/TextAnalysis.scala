@@ -30,14 +30,23 @@ object TextAnalysis {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
-  /** Token stats: character count, token count, distinct-token count. */
+  /** BPE-style pre-tokenizer pattern: alphanumeric runs or single
+    * non-space symbols — the shape GPT-family tokenizers split on before
+    * merges. ASCII classes behave identically under Java regex and RE2. */
+  val bpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Token stats: character count, whitespace-token count, distinct-token
+    * count, and BPE-ish regex token count (the pre-merge unit count a
+    * byte-pair tokenizer would start from). */
   def tokenStats(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     docs.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars_calc"),
       size(toks).cast("long").as("n_tokens"),
-      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"))
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+        .cast("long").as("n_bpe_tokens"))
   }
 
   /** Quality scoring: lexical-diversity ratio, stopword ratio, mean token

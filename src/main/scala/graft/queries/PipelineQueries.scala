@@ -58,7 +58,8 @@ object PipelineQueries {
   val textTokenStatsSql: String =
     """SELECT doc_id, length(text) AS n_chars_calc,
       |  len(string_split(text, ' ')) AS n_tokens,
-      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]', 0)) AS n_bpe_tokens
       |FROM documents""".stripMargin
 
   def textQuality(spark: SparkSession, dir: String): DataFrame =
