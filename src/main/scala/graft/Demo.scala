@@ -86,6 +86,13 @@ object Demo {
     writeCsv("sales_bad.csv", Seq(
       "customer_id,product_name,sales_date,sales_person_id,price,quantity,total_cost",
       "3,tea,2024-01-03,2,10.0,1,10.0"))
+    // 4b. bloom-filter pre-filtered semi-join: exact result, smaller shuffle
+    val hot = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 150000)
+    val bloomRows = ops.BloomJoin.bloomSemiJoin(
+      Tables.lineitem(spark, sfDir), hot, "l_orderkey", "o_orderkey",
+      expectedItems = 2000).count()
+    println("DEMO bloom_semi_join_rows=" + bloomRows)
+
     val (accepted, rejected) = ingest.SalesIngest.triage(io.LandingZone.listCsv(csvLanding))
     io.LandingZone.quarantine(rejected.keys.toSeq, s"$workDir/csv_errors")
     val sales = ingest.SalesIngest.readSales(spark, accepted)

@@ -42,6 +42,22 @@ class BucketingSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("bloom semi-join equals exact semi-join (no false negatives)") {
+    val li = Tables.lineitem(spark, sfDir)
+    val highValue = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 150000)
+    val bloomed = graft.ops.BloomJoin.bloomSemiJoin(
+      li, highValue, "l_orderkey", "o_orderkey", expectedItems = 2000)
+      .select("l_orderkey", "l_linenumber")
+    val exact = li.join(highValue, li("l_orderkey") === highValue("o_orderkey"), "left_semi")
+      .select("l_orderkey", "l_linenumber")
+    assert(bloomed.exceptAll(exact).isEmpty && exact.exceptAll(bloomed).isEmpty)
+    // and the pre-filter actually discards most non-members
+    val filter = graft.ops.BloomJoin.buildFilter(highValue, "o_orderkey", 2000)
+    val kept = li.filter(graft.ops.BloomJoin.mightContain(filter, col("l_orderkey"))).count()
+    val total = li.count()
+    assert(kept < total, s"bloom filter kept all $total rows")
+  }
+
   test("salted two-phase sum equals direct groupBy sum") {
     val o = Tables.orders(spark, sfDir)
     val salted = Salting.saltedSum(o, "o_custkey", "o_totalprice",
