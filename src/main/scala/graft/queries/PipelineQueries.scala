@@ -303,11 +303,33 @@ object PipelineQueries {
       |       THEN 'train' ELSE 'test' END AS split
       |FROM documents""".stripMargin
 
-  /** Int8 quantization quality over the embeddings (rows-only: double
-    * rounding-mode edge cases differ across engines; invariants in
-    * QuantizeSpec bound the error analytically instead). */
+  /** Int8 quantization quality over the embeddings. Oracle-checkable:
+    * both engines round doubles half away from zero, divisions and the
+    * error fold are identical op-order double arithmetic. */
   def quantizeReport(spark: SparkSession, dir: String): DataFrame =
     Quantize.qualityReport(Tables.embeddings(spark, dir))
+
+  val quantizeReportSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, embedding,
+      |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) / 127.0 AS scale
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT vec_id, scale,
+      |    [CAST(CASE WHEN scale = 0.0 THEN 0
+      |               ELSE round(CAST(x AS DOUBLE) / scale) END AS DOUBLE) * scale
+      |     for x in embedding] AS recon,
+      |    [CAST(x AS DOUBLE) for x in embedding] AS orig
+      |  FROM q),
+      |e AS (
+      |  SELECT vec_id, scale,
+      |    [(orig[i] - recon[i]) * (orig[i] - recon[i])
+      |     for i in range(1, len(orig) + 1)] AS err
+      |  FROM r)
+      |SELECT vec_id, scale,
+      |  list_sum(err) / len(err) AS mse,
+      |  sqrt(list_max(err)) AS max_abs_err
+      |FROM e""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> (dedupExact _),
@@ -347,5 +369,6 @@ object PipelineQueries {
     "p17_multimodal_transform" -> multimodalTransformSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
-    "p21_train_test_split" -> trainTestSplitSql)
+    "p21_train_test_split" -> trainTestSplitSql,
+    "p22_quantize_embeddings" -> quantizeReportSql)
 }
