@@ -13,6 +13,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
+  /** Drop a managed table AND its leftover warehouse directory. A fresh
+    * metastore with a stale warehouse dir (prior JVM wrote the files, this
+    * one never registered the table) makes plain DROP TABLE a no-op while
+    * saveAsTable still fails with LOCATION_ALREADY_EXISTS. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
   /** Write `df` as a bucketed, sorted table on `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =

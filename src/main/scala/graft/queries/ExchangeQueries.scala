@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import graft.io.Bucketing
+import graft.ops.Salting
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exchange-optimized join family as driver-verified catalog entries.
+  *
+  * Each of these physical strategies (salting, bloom runtime filter,
+  * bucketed co-location, two-phase salted aggregation) is semantically
+  * invisible: the result equals the plain join / plain groupBy exactly,
+  * so the DuckDB oracle is ordinary SQL with no knowledge of salt
+  * columns, bloom sketches, or bucket layouts. What the strategies change
+  * is the *shuffle* story at 100 TB — skew fan-out, probe-side volume,
+  * exchange elision — which the plans assert in BucketingSpec/ExplainSpec.
+  */
+object ExchangeQueries {
+
+  /** q32 — skew-salted inner join orders⋈customer. The hot-key fan-out
+    * (salts=8) splits any pathological customer across 8 shuffle
+    * partitions; output is the plain equi-join. */
+  def q32SaltedJoin(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedJoin(
+        Tables.orders(spark, dir), Tables.customer(spark, dir),
+        bigKey = "o_custkey", smallKey = "c_custkey",
+        salts = 8, disambigCol = "o_orderkey")
+      .select(col("o_orderkey"), col("o_custkey"), col("c_name"),
+        col("c_mktsegment"))
+
+  val q32Sql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_mktsegment
+      |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** q33 — bloom-prefiltered semi-join: lineitem rows whose order is
+    * high-value. The bloom filter drops non-members before the semi-join
+    * shuffle; false positives are removed by the exact join, so the
+    * result equals a plain IN-subquery. */
+  def q33BloomSemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val highValue = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 150000)
+    // size the sketch from the build side (cheap filtered count); at
+    // cluster scale this is a metadata-light pre-pass, never the fact scan
+    val expected = math.max(1000L, highValue.count())
+    graft.ops.BloomJoin
+      .bloomSemiJoin(li, highValue, "l_orderkey", "o_orderkey", expected)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
+  }
+
+  val q33Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000)""".stripMargin
+
+  /** q34 — co-located bucketed join + aggregation: both sides written
+    * bucketed on the join key, so the join and the per-order aggregate
+    * run with no exchange (the pay-shuffle-once pattern; exchange-free
+    * plan asserted in BucketingSpec). Broadcast is disabled inside the
+    * query because at fixture scale the planner would broadcast and skip
+    * the bucket layout this entry exists to exercise. */
+  def q34BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    Bucketing.dropTable(spark, "graft_q34_orders_bkt")
+    Bucketing.dropTable(spark, "graft_q34_lineitem_bkt")
+    Bucketing.writeBucketed(o, "graft_q34_orders_bkt", "o_orderkey", 8)
+    Bucketing.writeBucketed(li, "graft_q34_lineitem_bkt", "o_orderkey", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Bucketing
+        .cocolocatedJoin(spark, "graft_q34_orders_bkt", "graft_q34_lineitem_bkt",
+          "o_orderkey")
+        .groupBy(col("o_orderkey"), col("o_totalprice"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val q34Sql: String =
+    """SELECT o_orderkey, o_totalprice, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderkey, o_totalprice""".stripMargin
+
+  /** q35 — two-phase salted aggregation: partial sum per (key, salt),
+    * final per key. Exact-decimal money arithmetic keeps the two-phase
+    * result bit-identical to the direct groupBy. */
+  def q35SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Salting.saltedSum(Tables.orders(spark, dir), "o_custkey", "o_totalprice",
+        salts = 8, disambigCol = "o_orderkey")
+      .select(col("o_custkey"), col("total"))
+
+  val q35Sql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_salted_join" -> (q32SaltedJoin _),
+    "q33_bloom_semi_join" -> (q33BloomSemiJoin _),
+    "q34_bucketed_join" -> (q34BucketedJoin _),
+    "q35_salted_agg" -> (q35SaltedAgg _))
+
+  val oracles: Map[String, String] = Map(
+    "q32_salted_join" -> q32Sql,
+    "q33_bloom_semi_join" -> q33Sql,
+    "q34_bucketed_join" -> q34Sql,
+    "q35_salted_agg" -> q35Sql)
+}
