@@ -247,6 +247,20 @@ object Dedup {
       .withColumn("is_keeper", col("doc_id") === col("group_id"))
   }
 
+  /** Exact WORD-shingle Jaccard for consecutive doc-id pairs — the same
+    * similarity the MinHash signature estimates, computed exactly over a
+    * linear pair sample. This is the ground-truth side of the LSH
+    * candidate-recall check: every consecutive pair at/above threshold
+    * should also surface from the banded candidate join. */
+  def shingleJaccardConsecutive(docs: DataFrame, n: Int = 3): DataFrame = {
+    val g = docs.select(col("doc_id"), shingles(col("text"), n).as("grams"))
+    val l = g.as("l"); val r = g.as("r")
+    l.join(r, col("r.doc_id") === col("l.doc_id") + 1)
+      .select(col("l.doc_id").as("left_id"), col("r.doc_id").as("right_id"),
+        graft.functions.TextFunctions.array_jaccard(col("l.grams"), col("r.grams"))
+          .as("jaccard"))
+  }
+
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */

@@ -71,7 +71,7 @@ object Similarity {
 
   /** Deterministic random hyperplanes: nBits x dim gaussian matrix from a
     * fixed seed. */
-  private[ops] def hyperplanes(nBits: Int, dim: Int, seed: Long = 123L): Seq[Seq[Double]] = {
+  private[graft] def hyperplanes(nBits: Int, dim: Int, seed: Long = 123L): Seq[Seq[Double]] = {
     val rnd = new java.util.Random(seed)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -86,42 +86,94 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** LSH-bucketed approximate top-k: queries only compare against
-    * candidates in their own bucket. Recall < 1 by construction; the
-    * bucket join replaces the cross product, which is the point at scale.
+  /** Per-table bit sizing: bitsPerTable grows with log2(n) so expected
+    * bucket occupancy stays ~`targetOccupancy` as the corpus grows —
+    * candidate volume per query is then O(tables * occupancy), constant
+    * in n, instead of the n/2^bits a FIXED bucket count degrades to.
+    * n comes from a parquet-footer count (metadata-only scan).
     */
-  def lshTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
-              nBits: Int = 8): DataFrame = {
-    val bucketed = embeddings.withColumn("bucket", lshBucket(col("embedding"), nBits))
-      .withColumn("nrm", vec_norm(col("embedding")))
-    val q = bucketed.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_norm"), col("bucket"))
-    val c = bucketed.select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-      col("nrm").as("c_norm"), col("bucket"))
-    val pairs = c.join(broadcast(q), Seq("bucket"))
-      .filter(col("q_id") =!= col("c_id"))
-      .withColumn("cos_sim",
-        round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
-    // a query probes exactly its own bucket, so bucket is constant per
-    // q_id and can ride along as a grouping key
-    pairs.groupBy(col("q_id"), col("bucket"))
-      .agg(graft.functions.TopKAggregator.top_k(k)(col("cos_sim"), col("c_id")).as("tk"))
-      .select(col("q_id"), col("bucket"), explode(col("tk")).as("t"))
-      .select(col("q_id"), col("t.id").as("c_id"), col("bucket"), col("t.score").as("cos_sim"))
+  def adaptiveBitsPerTable(n: Long, targetOccupancy: Int = 64): Int = {
+    val needed = math.ceil(math.log(math.max(2.0, n.toDouble / targetOccupancy)) / math.log(2.0)).toInt
+    math.max(1, math.min(24, needed))
   }
 
-  /** IVF (inverted-file) approximate search: a deterministic coarse
-    * quantizer — every `centroidStride`-th vector is a centroid — assigns
-    * each vector to its nearest centroid cell; queries probe only the
-    * `nProbe` nearest cells. Unlike sign-LSH this adapts to the data
-    * distribution. At scale the assignment is one broadcast of centroids
-    * + a narrow pass; the search joins query cells to candidate cells —
-    * pair volume is n * (nProbe / nCells) of brute force.
+  /** Resolve the `bitsPerTable = 0` auto sentinel via a corpus count. */
+  private def resolveBits(embeddings: DataFrame, bitsPerTable: Int): Int =
+    if (bitsPerTable > 0) bitsPerTable else adaptiveBitsPerTable(embeddings.count())
+
+  /** Multi-table sign-LSH bucket ids: `tables` independent b-bit codes
+    * from consecutive slices of the seeded hyperplane sequence (table t
+    * uses planes [t*b, (t+1)*b)). A pair is a candidate if it collides in
+    * ANY table — recall 1-(1-p^b)^L for collision prob p per plane, the
+    * standard LSH amplification. A SINGLE table (the round-1 design) has
+    * recall p^b, which decays fast with b: at 8 bits and cos 0.9 only
+    * ~29% of true near-dups collide. Banding fixes recall while keeping
+    * candidate volume ~ n * tables * occupancy, linear in n. */
+  def lshBucketsMulti(emb: Column, tables: Int, bitsPerTable: Int,
+                      dim: Int = 64): Column = {
+    val planes = hyperplanes(tables * bitsPerTable, dim)
+    array((0 until tables).map { t =>
+      (0 until bitsPerTable).map { j =>
+        when(vec_dot(emb, typedLit(planes(t * bitsPerTable + j).toArray)) > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates are vectors colliding
+    * with the query in any of `tables` hash tables; survivors are scored
+    * exactly and top-k'd. `bitsPerTable = 0` (default) sizes the bucket
+    * space from the corpus count.
+    *
+    * Scale shape: one narrow pass emits (vec_id, table, bucket) — ints
+    * only, no embeddings through the explode; the candidate join is on
+    * (table, bucket) against the broadcast query side; candidate ids are
+    * deduped, then ONE embedding-fetch join scores survivors. No stage
+    * touches the n² pair space.
+    */
+  def lshTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
+              tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+    val b = resolveBits(embeddings, bitsPerTable)
+    val posed = embeddings.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, b)))
+      .toDF("vec_id", "t", "bucket")
+    val qb = posed.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .select(col("vec_id").as("q_id"), col("t"), col("bucket"))
+    val cand = posed.join(broadcast(qb), Seq("t", "bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("c_id")).distinct()
+    val qe = embeddings.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        vec_norm(col("embedding")).as("q_norm"))
+    val ce = embeddings.select(col("vec_id").as("c_id"),
+      col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_norm"))
+    val scored = ce.join(broadcast(cand.join(qe, Seq("q_id"))), Seq("c_id"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
+    scored.groupBy(col("q_id"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(col("cos_sim"), col("c_id")).as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("t"))
+      .select(col("q_id"), col("t.id").as("c_id"), col("t.score").as("cos_sim"))
+  }
+
+  /** IVF (inverted-file) approximate search: a coarse quantizer of
+    * `nCentroids` deterministically hash-sampled vectors assigns each
+    * vector to its nearest centroid cell; queries probe only the `nProbe`
+    * nearest cells. Unlike sign-LSH this adapts to the data distribution.
+    *
+    * Centroid count is FIXED (caller-chosen; ~sqrt(n) in production), not
+    * proportional to corpus size — assignment is then O(n * nCentroids)
+    * work under a bounded broadcast, and search pair volume is
+    * n * (nProbe / nCentroids) of brute force. Selection is a
+    * TakeOrderedAndProject over a Knuth multiplicative scramble of the id
+    * (plain arithmetic, so the DuckDB oracle can replay it) — no full
+    * shuffle, no collect, deterministic across runs and partitionings.
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
-              centroidStride: Int = 25, nProbe: Int = 4): DataFrame = {
-    val centroids = embeddings.filter(pmod(col("vec_id"), lit(centroidStride)) === 0)
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val centroids = embeddings
+      .orderBy(scramble.asc, col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         vec_norm(col("embedding")).as("cent_norm"))
     val base = embeddings.select(col("vec_id"), col("embedding"),
@@ -156,8 +208,8 @@ object Similarity {
     * policy). One row per vector, always — is_dup + best match evidence.
     */
   def cosineDedupVerdicts(embeddings: DataFrame, threshold: Double = 0.9,
-                          nBits: Int = 8): DataFrame = {
-    val pairs = cosineNearDupPairs(embeddings, threshold, nBits)
+                          tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+    val pairs = cosineNearDupPairs(embeddings, threshold, tables, bitsPerTable)
     val best = pairs.groupBy(col("right_id").as("vec_id"))
       .agg(max(struct(col("cos_sim"), col("left_id"))).as("m"))
       .select(col("vec_id"), col("m.left_id").as("dup_of"), col("m.cos_sim").as("dup_cos"))
@@ -167,17 +219,25 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos >= threshold, left < right),
-    * LSH-prefiltered: only same-bucket pairs are scored exactly. */
+    * multi-table LSH-prefiltered: candidates collide in ANY of `tables`
+    * hash tables (same amplification story as lshTopK), deduped, then
+    * scored exactly — only survivors carry embedding payloads. */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double = 0.9,
-                         nBits: Int = 8): DataFrame = {
-    val bucketed = embeddings
-      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), nBits).as("bucket"),
-        vec_norm(col("embedding")).as("nrm"))
-    val l = bucketed.select(col("vec_id").as("left_id"), col("embedding").as("l_emb"),
-      col("bucket"), col("nrm").as("l_norm"))
-    val r = bucketed.select(col("vec_id").as("right_id"), col("embedding").as("r_emb"),
-      col("bucket"), col("nrm").as("r_norm"))
-    l.join(r, Seq("bucket")).filter(col("left_id") < col("right_id"))
+                         tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+    val b = resolveBits(embeddings, bitsPerTable)
+    val posed = embeddings.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, b)))
+      .toDF("vec_id", "t", "bucket")
+    val l = posed.select(col("vec_id").as("left_id"), col("t"), col("bucket"))
+    val r = posed.select(col("vec_id").as("right_id"), col("t"), col("bucket"))
+    val cand = l.join(r, Seq("t", "bucket"))
+      .filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id")).distinct()
+    val le = embeddings.select(col("vec_id").as("left_id"),
+      col("embedding").as("l_emb"), vec_norm(col("embedding")).as("l_norm"))
+    val re = embeddings.select(col("vec_id").as("right_id"),
+      col("embedding").as("r_emb"), vec_norm(col("embedding")).as("r_norm"))
+    cand.join(le, Seq("left_id")).join(re, Seq("right_id"))
       .withColumn("cos_sim",
         round(vec_dot(col("l_emb"), col("r_emb")) / (col("l_norm") * col("r_norm")), 6))
       .filter(col("cos_sim") >= threshold)

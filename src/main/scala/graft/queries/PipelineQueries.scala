@@ -158,8 +158,12 @@ object PipelineQueries {
   def annIvfTopK(spark: SparkSession, dir: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(spark, dir))
 
+  /** Threshold 0.45 sits just under the fixture's max neighbor cosine
+    * (~0.51, random vectors), so the verdict set is non-trivial — a 0.9
+    * threshold on this corpus finds nothing and the oracle would only
+    * check the all-false path. */
   def embCosineDedup(spark: SparkSession, dir: String): DataFrame =
-    Similarity.cosineDedupVerdicts(Tables.embeddings(spark, dir), threshold = 0.9)
+    Similarity.cosineDedupVerdicts(Tables.embeddings(spark, dir), threshold = 0.45)
 
   /** Stateful sessionization (flatMapGroupsWithState) in batch form:
     * gap-based user sessions over the events table. Oracle replays the

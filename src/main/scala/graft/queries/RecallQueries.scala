@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quality-measurement catalog: recall of the approximate ANN/dedup paths
+  * against their exact baselines, plus oracles for operators whose seeded
+  * geometry (random hyperplanes, arithmetic id scrambles) is itself
+  * expressible as plain SQL — turning the round-1 `no_oracle` blind spots
+  * into driver-verified rows.
+  *
+  * The DuckDB side replays the LSH bucket / IVF quantizer exactly: the
+  * hyperplanes are deterministic seeded constants embedded as DOUBLE[]
+  * literals, dots use the same left-to-right fold as the native VecDot
+  * expression, and the IVF centroid sample is a Knuth multiplicative
+  * scramble — pure arithmetic both engines compute identically.
+  */
+object RecallQueries {
+
+  private def planeList(p: Seq[Double]): String =
+    p.mkString("([", ", ", "]::DOUBLE[])")
+
+  /** DuckDB expressions replaying Similarity.lshBucketsMulti: one b-bit
+    * bucket id per hash table, table t built from planes [t*b, (t+1)*b). */
+  private def tableBucketSqls(embCol: String, tables: Int, b: Int): Seq[String] = {
+    val planes = Similarity.hyperplanes(tables * b, 64)
+    (0 until tables).map { t =>
+      (0 until b).map { j =>
+        val p = planes(t * b + j)
+        s"(CASE WHEN list_sum([CAST($embCol[i] AS DOUBLE) * ${planeList(p)}[i] " +
+          s"for i in range(1, 65)]) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    }
+  }
+
+  /** `bk` CTE body: vec_id, embedding, b0..b{tables-1} bucket columns. */
+  private def bucketCols(embCol: String, tables: Int, b: Int): String =
+    tableBucketSqls(embCol, tables, b).zipWithIndex
+      .map { case (e, t) => s"$e AS b$t" }.mkString(",\n  ")
+
+  /** Any-table collision predicate between aliases `l` and `r`. */
+  private def collideSql(l: String, r: String, tables: Int): String =
+    (0 until tables).map(t => s"$l.b$t = $r.b$t").mkString("(", " OR ", ")")
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
+
+  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+
+  private def cosSql(a: String, b: String): String =
+    s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
+
+  /** Brute-force top-10 (stride-50 queries) as reusable CTEs — the same
+    * semantics as the p10 oracle. */
+  private val bruteCtes: String =
+    s"""bq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |bp AS (SELECT q_id, e.vec_id AS c_id, ${cosSql("q_emb", "e.embedding")} AS cos_sim
+       |  FROM embeddings e, bq WHERE e.vec_id <> q_id),
+       |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM bp),
+       |brute AS (SELECT q_id, c_id FROM br WHERE rn <= 10)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p23 — transitive dedup groups over a SQL-replicable edge set
+  // ---------------------------------------------------------------------
+
+  /** Connected-component dedup groups over exact consecutive-pair char
+    * trigram Jaccard edges (the p05-verified primitive). Unlike the
+    * MinHash edge set (seeded xxhash64, not SQL-expressible), these edges
+    * replay in DuckDB, so the components operator itself — the union-find
+    * / label-propagation machinery behind p19 — gets a full hash oracle
+    * via a recursive CTE. Chains A~B~C collapse transitively. */
+  def dedupGroupsChain(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val edges = Dedup.ngramJaccardConsecutive(docs, n = 3)
+      .filter(col("jaccard") >= 0.7)
+    Dedup.dedupGroups(docs, edges)
+  }
+
+  val dedupGroupsChainSql: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(text, i, 3)
+      |                   for i in range(1, greatest(length(text)-1, 2))]) AS grams
+      |  FROM documents),
+      |e AS (
+      |  SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM g l JOIN g r ON r.doc_id = l.doc_id + 1
+      |  WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
+      |        len(list_distinct(list_concat(l.grams, r.grams))) >= 0.7),
+      |es AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |reach(id, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)
+      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p24 — recall@10 of the LSH-bucketed ANN vs the exact baseline
+  // ---------------------------------------------------------------------
+
+  /** Per-query recall@10 of lshTopK against bruteForceTopK. The entry
+    * uses the library's adaptive sizing; the oracle replays the geometry
+    * that sizing resolves to at the sf0.01 verification corpus (8 tables,
+    * 3 bits/table for n=500) — at bench scales the entry stays adaptive
+    * and the oracle is simply not consulted. */
+  def annLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb).select(col("q_id"), col("c_id"))
+    val approx = Similarity.lshTopK(emb)
+      .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
+  val annLshRecallSql: String =
+    s"""WITH $bruteCtes,
+       |bk AS (SELECT vec_id, embedding,
+       |  ${bucketCols("embedding", 8, 3)}
+       |  FROM embeddings),
+       |lq AS (SELECT * FROM bk WHERE vec_id % 50 = 0),
+       |lp AS (SELECT lq.vec_id AS q_id, c.vec_id AS c_id,
+       |    ${cosSql("lq.embedding", "c.embedding")} AS cos_sim
+       |  FROM bk c JOIN lq ON ${collideSql("c", "lq", 8)} AND c.vec_id <> lq.vec_id),
+       |lr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM lp),
+       |lsh AS (SELECT q_id, c_id FROM lr WHERE rn <= 10)
+       |SELECT b.q_id, COUNT(*) AS n_exact, COUNT(l.c_id) AS n_hit,
+       |  round(CAST(COUNT(l.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM brute b LEFT JOIN lsh l ON l.q_id = b.q_id AND l.c_id = b.c_id
+       |GROUP BY b.q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p25 — recall@10 of the IVF ANN vs the exact baseline
+  // ---------------------------------------------------------------------
+
+  /** Per-query recall@10 of ivfTopK (16 hash-sampled centroids, 4 probes)
+    * against bruteForceTopK. The oracle replays the whole IVF pipeline —
+    * centroid sample, cell assignment, probe ranking, in-cell top-k — in
+    * SQL, so this checks the quantizer's semantics, not just the number. */
+  def annIvfRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val exact = Similarity.bruteForceTopK(emb).select(col("q_id"), col("c_id"))
+    val approx = Similarity.ivfTopK(emb)
+      .select(col("q_id"), col("c_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("q_id", "c_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
+  val annIvfRecallSql: String =
+    s"""WITH $bruteCtes,
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+       |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${dotSql("e.embedding", "c.cent_emb")} /
+       |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cent_cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id DESC) AS rn FROM sc) WHERE rn = 1),
+       |pr AS (SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cent_cos DESC, cent_id ASC) AS rn
+       |    FROM sc WHERE vec_id % 50 = 0) WHERE rn <= 4),
+       |ip AS (SELECT pr.q_id, a.vec_id AS c_id,
+       |    ${cosSql("pr.q_emb", "a.embedding")} AS cos_sim
+       |  FROM asg a JOIN pr ON a.cell = pr.cell AND a.vec_id <> pr.q_id),
+       |ir AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM ip),
+       |ivf AS (SELECT q_id, c_id FROM ir WHERE rn <= 10)
+       |SELECT b.q_id, COUNT(*) AS n_exact, COUNT(l.c_id) AS n_hit,
+       |  round(CAST(COUNT(l.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM brute b LEFT JOIN ivf l ON l.q_id = b.q_id AND l.c_id = b.c_id
+       |GROUP BY b.q_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p26 — candidate recall of the MinHash-LSH banding (rows-only)
+  // ---------------------------------------------------------------------
+
+  /** Global candidate recall of the banded MinHash-LSH join against the
+    * EXACT all-pairs word-shingle Jaccard truth, both restricted to a
+    * bounded doc-id prefix (1000 docs — near-dups land at random id
+    * gaps, so a prefix is an unbiased sample and caps the exact side at
+    * ~500k pairs forever; the estimator is fixture-bounded, the operator
+    * under test is not). Rows-only: the signature uses seeded xxhash64
+    * DuckDB cannot replay, but the quality number is driver-visible. */
+  def minhashCandidateRecall(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
+    val g = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+    val truth = g.select(col("doc_id").as("left_id"), col("grams").as("lg"))
+      .join(g.select(col("doc_id").as("right_id"), col("grams").as("rg")),
+        col("left_id") < col("right_id"))
+      .withColumn("jaccard",
+        graft.functions.TextFunctions.array_jaccard(col("lg"), col("rg")))
+      .filter(col("jaccard") >= 0.7)
+      .select(col("left_id"), col("right_id"))
+    val found = Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
+        shingleN = 3, threshold = 0.7)
+      .select(col("left_id"), col("right_id"), lit(1).as("hit"))
+    truth.join(found, Seq("left_id", "right_id"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        round(col("n_found").cast("double") /
+          greatest(col("n_true"), lit(1L)), 6).as("recall"))
+  }
+
+  // ---------------------------------------------------------------------
+  // p13 oracle — LSH-prefiltered embedding dedup, fully replayed in SQL
+  // ---------------------------------------------------------------------
+
+  /** Oracle for PipelineQueries' p13_emb_cosine_dedup: same multi-table
+    * bucket geometry the adaptive sizing resolves to at the sf0.01
+    * verification corpus (8 tables x 3 bits), same keep-first policy
+    * (best lower-id match by cos desc, then highest left_id — Spark's
+    * max(struct) tiebreak). */
+  val embCosineDedupSql: String =
+    s"""WITH bk AS (SELECT vec_id, embedding,
+       |  ${bucketCols("embedding", 8, 3)}
+       |  FROM embeddings),
+       |p AS (SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+       |    ${cosSql("l.embedding", "r.embedding")} AS cos_sim
+       |  FROM bk l JOIN bk r ON ${collideSql("l", "r", 8)} AND l.vec_id < r.vec_id),
+       |f AS (SELECT * FROM p WHERE cos_sim >= 0.45),
+       |b AS (SELECT right_id, left_id, cos_sim,
+       |    row_number() OVER (PARTITION BY right_id
+       |      ORDER BY cos_sim DESC, left_id DESC) AS rn FROM f)
+       |SELECT e.vec_id, (b.left_id IS NOT NULL) AS is_dup,
+       |  b.left_id AS dup_of, b.cos_sim AS dup_cos
+       |FROM embeddings e LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+       |  ON b.right_id = e.vec_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_dedup_groups_chain" -> (dedupGroupsChain _),
+    "p24_ann_lsh_recall" -> (annLshRecall _),
+    "p25_ann_ivf_recall" -> (annIvfRecall _),
+    "p26_minhash_candidate_recall" -> (minhashCandidateRecall _))
+
+  val oracles: Map[String, String] = Map(
+    "p23_dedup_groups_chain" -> dedupGroupsChainSql,
+    "p24_ann_lsh_recall" -> annLshRecallSql,
+    "p25_ann_ivf_recall" -> annIvfRecallSql,
+    "p13_emb_cosine_dedup" -> embCosineDedupSql)
+}

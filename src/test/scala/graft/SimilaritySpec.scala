@@ -62,8 +62,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1) === brute.map(_._1))
   }
 
+  test("multi-table lshTopK holds a recall floor vs brute force on testdata") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val lsh = Similarity.lshTopK(emb, k = 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    // 8 tables amplify per-plane collision prob; a single fixed-width
+    // table measured ~0.02 here — the floor guards against regressing to
+    // that shape
+    assert(recall > 0.4, s"multi-table lsh recall $recall too low")
+  }
+
+  test("adaptiveBitsPerTable scales with corpus size, bounded") {
+    assert(Similarity.adaptiveBitsPerTable(10) === 1)
+    assert(Similarity.adaptiveBitsPerTable(500) === 3)
+    assert(Similarity.adaptiveBitsPerTable(5000) === 7)
+    assert(Similarity.adaptiveBitsPerTable(1L << 40) === 24) // capped
+  }
+
   test("cosineDedupVerdicts: identical lower-id vector marks the higher id a dup") {
-    val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99, nBits = 4)
+    val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99,
+        tables = 2, bitsPerTable = 2)
       .collect().map(r => r.getAs[Long]("vec_id") ->
         (r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))).toMap
     assert(v(0L)._1 === false)
