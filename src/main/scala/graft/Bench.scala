@@ -15,23 +15,36 @@ object Bench {
     // warm the session (codegen, parquet footer reads) so the first timed
     // query doesn't absorb one-time init cost
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // deterministic name order: per-query timings stay comparable across
+    // rounds (hash-map order shuffled with every catalog addition, moving
+    // the first-heavy-query JIT cost onto a different victim each round)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize the FULL output rows (toRdd), not count(): a count
       // lets Catalyst prune every projection-only expression, which would
       // time the parquet row count instead of the operator under test
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        // a broken query must fail LOUDLY in the artifact, not bench as a
+        // fast pass with its time-to-failure recorded like a success
+        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // operators that persist intermediates (LSH signatures) must not
       // bleed cache memory into the next query's measurement
       spark.catalog.clearCache()
       name -> elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

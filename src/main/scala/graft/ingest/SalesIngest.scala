@@ -63,16 +63,25 @@ object SalesIngest {
     withExtra.select(canonicalColumns.map(col): _*)
   }
 
+  /** First line of a file through the Hadoop FileSystem API — works for
+    * local paths and any scheme URI (file://, hdfs://, s3a://) alike, the
+    * reference's aws_read.py:7-22 read path subsumed. */
+  private def firstLine(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .nextOption().getOrElse("")
+    finally in.close()
+  }
+
   /** Header-only validation triage: (accepted paths, rejected path -> missing).
     * Reads one line per file driver-side — no Spark job per file
     * (the reference runs a full spark.read per header, main.py:113).
     */
   def triage(paths: Seq[String]): (Seq[String], Map[String, Seq[String]]) = {
     val checked = paths.map { p =>
-      val src = scala.io.Source.fromFile(p)
-      val header = try src.getLines().nextOption().getOrElse("").split(",").toSeq
-      finally src.close()
-      p -> missingColumns(header)
+      p -> missingColumns(firstLine(p).split(",").toSeq)
     }
     val (ok, bad) = checked.partition(_._2.isEmpty)
     (ok.map(_._1), bad.toMap)
@@ -85,8 +94,7 @@ object SalesIngest {
   def readSales(spark: SparkSession, accepted: Seq[String]): DataFrame = {
     require(accepted.nonEmpty, "no accepted sales files")
     val byHeader: Map[Seq[String], Seq[String]] = accepted.groupBy { p =>
-      val src = scala.io.Source.fromFile(p)
-      try src.getLines().next().split(",").map(_.trim).toSeq finally src.close()
+      firstLine(p).split(",").map(_.trim).toSeq
     }
     byHeader.map { case (header, paths) =>
       val schema = StructType(header.map { c =>

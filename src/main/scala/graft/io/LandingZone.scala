@@ -1,56 +1,75 @@
 package graft.io
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Landing-zone file orchestration — the reference's quarantine / archive
   * / cleanup side-effects (move_files.py:26-62, main.py:127-139, 293-312,
-  * local_file_delete.py) as pure local/posix-path utilities. On a real
-  * deployment these paths are object-store URIs handled by the storage
-  * layer (rename under s3a committers); the semantics kept here are the
-  * ones queries observe: rejected files leave the landing zone, processed
-  * files move to an archive, the zone ends each run empty.
+  * local_file_delete.py, aws_read.py:7-22) over the Hadoop FileSystem
+  * API, so every path is scheme-agnostic: `/local/dir`, `file:///...`,
+  * `hdfs://...`, or `s3a://bucket/prefix` all resolve through the same
+  * code path. On an object store the "move" is the storage connector's
+  * copy+delete rename; the semantics queries observe are identical:
+  * rejected files leave the landing zone, processed files move to an
+  * archive, the zone ends each run empty.
+  *
+  * The Configuration is deliberately plain: credentials/endpoints come
+  * from the standard Hadoop config chain (core-site.xml, env), never from
+  * code.
   */
 object LandingZone {
 
-  private def moveInto(file: String, destDir: String): String = {
-    val src = Paths.get(file)
-    Files.createDirectories(Paths.get(destDir))
-    val dest = Paths.get(destDir).resolve(src.getFileName)
-    Files.move(src, dest, StandardCopyOption.REPLACE_EXISTING)
+  private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
+
+  private def moveInto(file: String, destDir: String, conf: Configuration): String = {
+    val src = new Path(file)
+    val dir = new Path(destDir)
+    val srcFs = fs(src, conf)
+    val dstFs = fs(dir, conf)
+    dstFs.mkdirs(dir)
+    val dest = new Path(dir, src.getName)
+    if (srcFs.getUri == dstFs.getUri) {
+      if (dstFs.exists(dest) && !dstFs.delete(dest, false))
+        throw new java.io.IOException(s"cannot replace $dest")
+      if (!srcFs.rename(src, dest))
+        throw new java.io.IOException(s"rename $src -> $dest failed")
+    } else {
+      // cross-filesystem move (e.g. s3a -> local quarantine): copy+delete,
+      // the same thing an object-store rename is underneath
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dest,
+        /*deleteSource=*/ true, /*overwrite=*/ true, conf)
+    }
     dest.toString
   }
 
   /** Move rejected files to the error directory (main.py:127-133). */
-  def quarantine(files: Seq[String], errorDir: String): Seq[String] =
-    files.map(moveInto(_, errorDir))
+  def quarantine(files: Seq[String], errorDir: String,
+                 conf: Configuration = new Configuration()): Seq[String] =
+    files.map(moveInto(_, errorDir, conf))
 
-  /** Move processed files to the archive prefix (main.py:293-295). */
-  def archive(files: Seq[String], archiveDir: String): Seq[String] =
-    files.map(moveInto(_, archiveDir))
+  /** Move processed files to the archive prefix (main.py:293-295,
+    * upload_to_s3.py:10-24 semantics for object-store archive targets). */
+  def archive(files: Seq[String], archiveDir: String,
+              conf: Configuration = new Configuration()): Seq[String] =
+    files.map(moveInto(_, archiveDir, conf))
 
   /** Delete everything inside a directory, keeping the directory
     * (local_file_delete.py:5-19). */
-  def clean(dir: String): Unit = {
-    val p = Paths.get(dir)
-    if (Files.exists(p)) {
-      val s = Files.list(p)
-      try s.forEach { f: Path =>
-        if (Files.isDirectory(f)) org.apache.commons.io.FileUtils.deleteDirectory(f.toFile)
-        else Files.delete(f)
-      } finally s.close()
-    }
+  def clean(dir: String, conf: Configuration = new Configuration()): Unit = {
+    val p = new Path(dir)
+    val f = fs(p, conf)
+    if (f.exists(p))
+      f.listStatus(p).foreach(st => f.delete(st.getPath, true))
   }
 
-  /** List csv files in a landing dir (main.py:33, 88-92 triage input). */
-  def listCsv(dir: String): Seq[String] = {
-    val p = Paths.get(dir)
-    if (!Files.exists(p)) Seq.empty
-    else {
-      val s = Files.list(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(f => f.toString.endsWith(".csv")).map(_.toString).toSeq
-      } finally s.close()
-    }
+  /** List csv files under a landing prefix (main.py:33, 88-92 triage
+    * input; aws_read.py:7-22 object-listing semantics). */
+  def listCsv(dir: String, conf: Configuration = new Configuration()): Seq[String] = {
+    val p = new Path(dir)
+    val f = fs(p, conf)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".csv"))
+      .map(_.getPath.toString)
   }
 }

@@ -24,7 +24,13 @@ object Ledger {
   def read(spark: SparkSession, path: String): Dataset[FileAudit] = {
     import spark.implicits._
     if (new java.io.File(path).exists()) spark.read.parquet(path).as[FileAudit]
-    else spark.emptyDataset[FileAudit]
+    else if (new java.io.File(path + "_old").exists()) {
+      // a crash inside markDone's swap (after the old ledger moved aside,
+      // before the new one was promoted) leaves only `_old`; silently
+      // returning an empty ledger here would defeat the recovery check
+      // the ledger exists for, so fall back to the preserved copy
+      spark.read.parquet(path + "_old").as[FileAudit]
+    } else spark.emptyDataset[FileAudit]
   }
 
   /** Files whose previous run never completed (lingering "A" rows that

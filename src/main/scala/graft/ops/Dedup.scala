@@ -97,7 +97,7 @@ object Dedup {
     // verify in two native passes: cheap signature-agreement prefilter
     // (0.1 slack ~ 2.5 sigma of the k=64..128 minhash estimator), then
     // exact set-Jaccard only on survivors
-    candidates.join(ls, "left_id").join(rs, "right_id")
+    val pairs = candidates.join(ls, "left_id").join(rs, "right_id")
       .withColumn("est_jaccard",
         graft.functions.TextFunctions.sig_agreement(col("lsig"), col("rsig")))
       .filter(col("est_jaccard") >= threshold - 0.1)
@@ -105,6 +105,13 @@ object Dedup {
         graft.functions.TextFunctions.array_jaccard(col("lgrams"), col("rgrams")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("est_jaccard"), col("jaccard"))
+    // the verified pair set is tiny (it IS the duplicates): materialize it
+    // eagerly so the signature cache can be released here instead of
+    // leaking into the caller (library callers don't clearCache between
+    // invocations the way Verify/Bench do)
+    val out = pairs.localCheckpoint(true)
+    sig.unpersist(false)
+    out
   }
 
   /** 64-bit SimHash over word unigrams: per-bit vote of token hashes.
@@ -211,7 +218,8 @@ object Dedup {
       .localCheckpoint()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
+    try {
+      while (!converged && iter < maxIter) {
       // each node adopts min(own label, neighbors' labels)
       val neighborMin = edges
         .join(labels.withColumnRenamed("doc_id", "b"), Seq("b"))
@@ -236,29 +244,38 @@ object Dedup {
       converged = changed == 0
       labels = next
       iter += 1
-    }
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupGroups: label propagation did not converge in $maxIter iterations " +
-          "(component diameter > 2^maxIter?) — result would under-deduplicate")
-    edges.unpersist()
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedupGroups: label propagation did not converge in $maxIter iterations " +
+            "(component diameter > 2^maxIter?) — result would under-deduplicate")
+    } finally edges.unpersist() // incl. the non-convergence throw path
     docs.select(col("doc_id")).join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("group_id"), col("doc_id")).as("group_id"))
       .withColumn("is_keeper", col("doc_id") === col("group_id"))
   }
 
-  /** Exact WORD-shingle Jaccard for consecutive doc-id pairs — the same
-    * similarity the MinHash signature estimates, computed exactly over a
-    * linear pair sample. This is the ground-truth side of the LSH
-    * candidate-recall check: every consecutive pair at/above threshold
-    * should also surface from the banded candidate join. */
-  def shingleJaccardConsecutive(docs: DataFrame, n: Int = 3): DataFrame = {
-    val g = docs.select(col("doc_id"), shingles(col("text"), n).as("grams"))
-    val l = g.as("l"); val r = g.as("r")
-    l.join(r, col("r.doc_id") === col("l.doc_id") + 1)
-      .select(col("l.doc_id").as("left_id"), col("r.doc_id").as("right_id"),
-        graft.functions.TextFunctions.array_jaccard(col("l.grams"), col("r.grams"))
-          .as("jaccard"))
+  /** Prefix-blocked exact near-dup pairs: a cheap equality blocking key
+    * (the first `blockLen` characters) groups candidate documents, then
+    * exact char n-gram Jaccard verifies only within blocks. Classic
+    * blocking dedup: the only shuffle is on the 40-byte key, pair work is
+    * quadratic in BLOCK size (tiny), never corpus size. Complements
+    * MinHash-LSH: blocking catches shared-prefix near-dups with exact
+    * scores and zero probabilistic machinery, and is fully replayable in
+    * plain SQL (the oracle for the connected-components operator rides on
+    * this edge set). */
+  def blockedNgramJaccardPairs(docs: DataFrame, blockLen: Int = 40, n: Int = 3,
+                               threshold: Double = 0.7): DataFrame = {
+    val keyed = docs.select(substring(col("text"), 1, blockLen).as("blk"),
+      col("doc_id"), col("text"))
+    val l = keyed.select(col("blk"), col("doc_id").as("left_id"), col("text").as("lt"))
+    val r = keyed.select(col("blk"), col("doc_id").as("right_id"), col("text").as("rt"))
+    l.join(r, Seq("blk")).filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        graft.functions.TextFunctions.array_jaccard(
+          graft.functions.TextFunctions.char_ngrams(col("lt"), n),
+          graft.functions.TextFunctions.char_ngrams(col("rt"), n)).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify

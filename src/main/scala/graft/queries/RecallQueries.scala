@@ -67,28 +67,29 @@ object RecallQueries {
   // p23 — transitive dedup groups over a SQL-replicable edge set
   // ---------------------------------------------------------------------
 
-  /** Connected-component dedup groups over exact consecutive-pair char
-    * trigram Jaccard edges (the p05-verified primitive). Unlike the
-    * MinHash edge set (seeded xxhash64, not SQL-expressible), these edges
-    * replay in DuckDB, so the components operator itself — the union-find
-    * / label-propagation machinery behind p19 — gets a full hash oracle
-    * via a recursive CTE. Chains A~B~C collapse transitively. */
+  /** Connected-component dedup groups over prefix-blocked exact char
+    * trigram Jaccard edges. Unlike the MinHash edge set (seeded xxhash64,
+    * not SQL-expressible), these edges replay in DuckDB, so the
+    * components operator itself — the union-find / label-propagation
+    * machinery behind p19 — gets a full hash oracle via a recursive CTE,
+    * over a NON-TRIVIAL edge set: the fixture's near-dup families share
+    * long prefixes, and multi-mutation families form real transitive
+    * chains A~B~C. */
   def dedupGroupsChain(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val edges = Dedup.ngramJaccardConsecutive(docs, n = 3)
-      .filter(col("jaccard") >= 0.7)
-    Dedup.dedupGroups(docs, edges)
+    Dedup.dedupGroups(docs, Dedup.blockedNgramJaccardPairs(docs))
   }
 
   val dedupGroupsChainSql: String =
     """WITH RECURSIVE g AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, text,
       |    list_distinct([substring(text, i, 3)
       |                   for i in range(1, greatest(length(text)-1, 2))]) AS grams
       |  FROM documents),
       |e AS (
       |  SELECT l.doc_id AS a, r.doc_id AS b
-      |  FROM g l JOIN g r ON r.doc_id = l.doc_id + 1
+      |  FROM g l JOIN g r ON substring(l.text, 1, 40) = substring(r.text, 1, 40)
+      |    AND l.doc_id < r.doc_id
       |  WHERE CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE) /
       |        len(list_distinct(list_concat(l.grams, r.grams))) >= 0.7),
       |es AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),

@@ -61,4 +61,23 @@ class ExtensionsSpec extends SparkSpec {
     LandingZone.clean(landing)
     assert(new java.io.File(landing).list().isEmpty)
   }
+
+  test("landing zone and triage accept scheme URIs (file://)") {
+    val dir = Files.createTempDirectory("lzuri")
+    val landing = dir.resolve("landing")
+    new java.io.File(landing.toString).mkdirs()
+    Files.write(landing.resolve("ok.csv"),
+      ("customer_id,store_id,product_name,sales_date,sales_person_id,price,quantity,total_cost\n" +
+        "7,5,widget,2024-01-01,6,4.0,3,12.0").getBytes)
+    Files.write(landing.resolve("bad.csv"), "foo,bar\n1,2".getBytes)
+    val landingUri = "file://" + landing
+    val listed = LandingZone.listCsv(landingUri)
+    assert(listed.size === 2 && listed.forall(_.startsWith("file:")))
+    val (ok, bad) = graft.ingest.SalesIngest.triage(listed)
+    assert(ok.map(new java.io.File(_).getName) === Seq("ok.csv"))
+    assert(bad.keys.map(new java.io.File(_).getName).toSet === Set("bad.csv"))
+    val archived = LandingZone.archive(ok, "file://" + dir.resolve("archive"))
+    assert(archived.size === 1 &&
+      new java.io.File(dir.resolve("archive").resolve("ok.csv").toString).exists())
+  }
 }

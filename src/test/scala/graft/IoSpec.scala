@@ -39,4 +39,27 @@ class IoSpec extends SparkSpec {
     Ledger.markDone(spark, path, Seq("/d/a.csv"))
     assert(Ledger.failedInFlight(spark, path, Seq("/d/a.csv", "/d/b.csv")) === Seq("b.csv"))
   }
+
+  test("ledger read falls back to the _old copy after a mid-swap crash") {
+    val path = Files.createTempDirectory("ledger3").toString + "/audit"
+    Ledger.recordActive(spark, path, Seq("/d/a.csv"))
+    // simulate a crash between markDone's two moves: ledger moved aside,
+    // replacement never promoted
+    java.nio.file.Files.move(java.nio.file.Paths.get(path),
+      java.nio.file.Paths.get(path + "_old"))
+    assert(Ledger.read(spark, path).collect().map(_.file_name).toSeq === Seq("a.csv"))
+    assert(Ledger.failedInFlight(spark, path, Seq("/d/a.csv")) === Seq("a.csv"))
+  }
+
+  test("credential util round-trips; wrong passphrase fails loudly") {
+    val salt = "pillar-of-salt".getBytes("UTF-8")
+    val ct = graft.io.Credentials.encrypt("jdbc-secret-pw", "passphrase", salt)
+    assert(ct !== "jdbc-secret-pw")
+    assert(graft.io.Credentials.decrypt(ct, "passphrase", salt) === "jdbc-secret-pw")
+    // random IV: two encryptions of the same plaintext differ
+    assert(ct !== graft.io.Credentials.encrypt("jdbc-secret-pw", "passphrase", salt))
+    intercept[Exception] {
+      graft.io.Credentials.decrypt(ct, "wrong", salt)
+    }
+  }
 }
