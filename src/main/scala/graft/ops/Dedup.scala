@@ -282,12 +282,17 @@ object Dedup {
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */
   def ngramJaccardConsecutive(docs: DataFrame, n: Int = 3): DataFrame = {
-    val g = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.char_ngrams(col("text"), n).as("grams"))
-    val l = g.as("l"); val r = g.as("r")
-    l.join(r, col("r.doc_id") === col("l.doc_id") + 1)
-      .select(col("l.doc_id").as("left_id"), col("r.doc_id").as("right_id"),
-        graft.functions.TextFunctions.array_jaccard(col("l.grams"), col("r.grams"))
+    // join raw text, build gram arrays AFTER the join: the shuffle then
+    // carries the ~300-byte text instead of a ~10x larger string array
+    // (grams are recomputed once per side per pair — a native per-row
+    // loop, far cheaper than shuffling its output)
+    val l = docs.select(col("doc_id").as("left_id"), col("text").as("lt"))
+    val r = docs.select(col("doc_id").as("right_id"), col("text").as("rt"))
+    l.join(r, col("right_id") === col("left_id") + 1)
+      .select(col("left_id"), col("right_id"),
+        graft.functions.TextFunctions.array_jaccard(
+          graft.functions.TextFunctions.char_ngrams(col("lt"), n),
+          graft.functions.TextFunctions.char_ngrams(col("rt"), n))
           .as("jaccard"))
   }
 }

@@ -113,11 +113,15 @@ object TextAnalysis {
     * ulp across libm implementations).
     */
   def tfIdfTopTerms(docs: DataFrame, k: Int = 5): DataFrame = {
-    val nDocs = docs.count()
+    val nDocs = docs.count() // parquet footer count, metadata-only
+    // termFreq feeds BOTH the doc-frequency aggregate and the scoring
+    // join; materialize it once (lineage cut) or the tokenize+explode+
+    // groupBy pipeline — the expensive part — executes twice
     val termFreq = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val docFreq = termFreq.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     termFreq.join(broadcast(docFreq), Seq("term"))

@@ -1,0 +1,27 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time a single catalog query in isolation (dev utility):
+  * runMain graft.tools.ProfileQuery <sfDir> <name> [reps] */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val fn = graft.SparkEntry.queries(name)
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).queryExecution.toRdd.count()
+      println(f"PROFILE $name rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$n")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
