@@ -335,7 +335,27 @@ object PipelineQueries {
       |  sqrt(list_max(err)) AS max_abs_err
       |FROM e""".stripMargin
 
+  /** Stream-stream interval join (clicks to following views) run in batch
+    * mode over the same events table — watermarks are no-ops in batch, so
+    * this pins the JOIN semantics the streaming path executes
+    * incrementally (StreamingSpec covers the stateful/watermarked run;
+    * this row makes the semantics driver-verified against plain SQL). */
+  def eventsIntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.clickToViewJoin(Tables.events(spark, dir))
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+
+  val eventsIntervalJoinSql: String =
+    """SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+      |  epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+      |FROM events c JOIN events v
+      |  ON c.event_type = 'click' AND v.event_type = 'view'
+      |  AND v.user_id = c.user_id
+      |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_interval_join" -> (eventsIntervalJoin _),
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
     "p03_dedup_simhash" -> (dedupSimhash _),
@@ -360,6 +380,7 @@ object PipelineQueries {
     "p22_quantize_embeddings" -> (quantizeReport _))
 
   val oracles: Map[String, String] = Map(
+    "p27_interval_join" -> eventsIntervalJoinSql,
     "p01_dedup_exact" -> dedupExactSql,
     "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "p06_text_token_stats" -> textTokenStatsSql,

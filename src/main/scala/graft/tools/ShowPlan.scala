@@ -1,0 +1,15 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object ShowPlan {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.queries(args(1))(spark, args(0))
+    df.collect()
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}

@@ -59,4 +59,36 @@ class ExplainSpec extends SparkSpec {
     assert(semi.contains("LeftSemi"))
     assert(anti.contains("LeftAnti"))
   }
+
+  test("q33 bloom semi-join: probe-side filter runs BEFORE the join") {
+    val plan = planString(graft.queries.ExchangeQueries.q33BloomSemiJoin(spark, sfDir))
+    // the bloom membership UDF must appear as a Filter on the PROBE branch
+    // under the semi-join (printed between the join line and the build
+    // side's exchange), not be deferred past the join — that ordering is
+    // the whole point of the runtime filter
+    val iJoin = plan.indexOf("LeftSemi")
+    val iUdf = plan.indexOf("UDF(")
+    val iBuild = plan.indexOf("BroadcastExchange")
+    assert(iJoin >= 0 && iUdf > iJoin && (iBuild < 0 || iUdf < iBuild),
+      s"expected probe-side bloom filter below the semi-join, got:\n$plan")
+  }
+
+  test("p12 multi-table LSH: no cartesian product, candidate join is on bucket keys") {
+    val plan = planString(graft.ops.Similarity.lshTopK(Tables.embeddings(spark, sfDir)))
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH path must never cross-product:\n$plan")
+  }
+
+  test("p16 IVF: centroid side is a bounded broadcast (TakeOrderedAndProject + broadcast)") {
+    val df = graft.ops.Similarity.ivfTopK(Tables.embeddings(spark, sfDir))
+    val plan = planString(df)
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid sample must be a bounded top-k, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("p27 interval join stays an equi-join on user with range conditions, not a cross join") {
+    val plan = planString(graft.queries.PipelineQueries.eventsIntervalJoin(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
