@@ -19,22 +19,29 @@ object Bench {
     // deterministic name order: per-query timings stay comparable across
     // rounds (hash-map order shuffled with every catalog addition, moving
     // the first-heavy-query JIT cost onto a different victim each round)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
       // materialize the FULL output rows (toRdd), not count(): a count
       // lets Catalyst prune every projection-only expression, which would
       // time the parquet row count instead of the operator under test
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        // a broken query must fail LOUDLY in the artifact, not bench as a
-        // fast pass with its time-to-failure recorded like a success
-        errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-      }
+      val ok =
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          // a broken query must fail LOUDLY in the artifact, not bench as
+          // a fast pass with its time-to-failure recorded like a success
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+          false
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      // operators that persist intermediates (LSH signatures) must not
-      // bleed cache memory into the next query's measurement
+      // operators that persist intermediates (LSH signatures) or cut
+      // lineage (localCheckpoint) must not bleed block-manager memory
+      // into the next query's measurement; clearCache covers the former,
+      // the explicit RDD sweep the latter
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
-      name -> elapsed
+      // failed queries are reported in `errors` only — a time-to-failure
+      // must not pass for a fast success in timings or the total
+      if (ok) Some(name -> elapsed) else None
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

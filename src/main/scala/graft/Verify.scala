@@ -26,7 +26,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      spark.catalog.clearCache() // release per-query persisted frames
+      // release per-query persisted frames AND localCheckpoint blocks
+      // (clearCache only sweeps the CacheManager, not RDD-level storage)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

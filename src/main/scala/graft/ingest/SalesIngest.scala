@@ -68,7 +68,10 @@ object SalesIngest {
     * reference's aws_read.py:7-22 read path subsumed. */
   private def firstLine(p: String): String = {
     val path = new org.apache.hadoop.fs.Path(p)
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // the ACTIVE session's Hadoop conf, so spark.hadoop.* settings (s3a
+    // credentials, endpoints) apply to the header probe exactly as they
+    // do to spark.read on the same URI
+    val fs = path.getFileSystem(graft.io.LandingZone.sessionHadoopConf())
     val in = fs.open(path)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .nextOption().getOrElse("")

@@ -19,6 +19,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object LandingZone {
 
+  /** Default Hadoop configuration: the active Spark session's (so
+    * spark.hadoop.* settings — s3a credentials, endpoints — govern these
+    * file operations exactly as they govern spark.read), falling back to
+    * the standard config chain when no session is running. */
+  private[graft] def sessionHadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
   private def fs(p: Path, conf: Configuration): FileSystem = p.getFileSystem(conf)
 
   private def moveInto(file: String, destDir: String, conf: Configuration): String = {
@@ -44,18 +53,18 @@ object LandingZone {
 
   /** Move rejected files to the error directory (main.py:127-133). */
   def quarantine(files: Seq[String], errorDir: String,
-                 conf: Configuration = new Configuration()): Seq[String] =
+                 conf: Configuration = sessionHadoopConf()): Seq[String] =
     files.map(moveInto(_, errorDir, conf))
 
   /** Move processed files to the archive prefix (main.py:293-295,
     * upload_to_s3.py:10-24 semantics for object-store archive targets). */
   def archive(files: Seq[String], archiveDir: String,
-              conf: Configuration = new Configuration()): Seq[String] =
+              conf: Configuration = sessionHadoopConf()): Seq[String] =
     files.map(moveInto(_, archiveDir, conf))
 
   /** Delete everything inside a directory, keeping the directory
     * (local_file_delete.py:5-19). */
-  def clean(dir: String, conf: Configuration = new Configuration()): Unit = {
+  def clean(dir: String, conf: Configuration = sessionHadoopConf()): Unit = {
     val p = new Path(dir)
     val f = fs(p, conf)
     if (f.exists(p))
@@ -64,7 +73,7 @@ object LandingZone {
 
   /** List csv files under a landing prefix (main.py:33, 88-92 triage
     * input; aws_read.py:7-22 object-listing semantics). */
-  def listCsv(dir: String, conf: Configuration = new Configuration()): Seq[String] = {
+  def listCsv(dir: String, conf: Configuration = sessionHadoopConf()): Seq[String] = {
     val p = new Path(dir)
     val f = fs(p, conf)
     if (!f.exists(p)) Seq.empty

@@ -21,16 +21,26 @@ object Ledger {
   case class FileAudit(file_name: String, file_location: String,
                        created_date: Timestamp, status: String)
 
+  /** Consolidate a mid-swap crash state: if the ledger is missing but the
+    * moved-aside `_old` copy exists (a crash inside markDone's swap, after
+    * the old ledger moved aside and before the new one was promoted),
+    * promote `_old` back. Every entry point runs this first, so the
+    * recovery state never lingers: read() sees the preserved rows,
+    * recordActive appends to them instead of shadowing them, and a
+    * subsequent markDone swaps against a real ledger instead of deleting
+    * the only durable copy. */
+  private def restoreIfNeeded(path: String): Unit = {
+    val main = new java.io.File(path)
+    val old = new java.io.File(path + "_old")
+    if (!main.exists() && old.exists())
+      java.nio.file.Files.move(old.toPath, main.toPath)
+  }
+
   def read(spark: SparkSession, path: String): Dataset[FileAudit] = {
     import spark.implicits._
+    restoreIfNeeded(path)
     if (new java.io.File(path).exists()) spark.read.parquet(path).as[FileAudit]
-    else if (new java.io.File(path + "_old").exists()) {
-      // a crash inside markDone's swap (after the old ledger moved aside,
-      // before the new one was promoted) leaves only `_old`; silently
-      // returning an empty ledger here would defeat the recovery check
-      // the ledger exists for, so fall back to the preserved copy
-      spark.read.parquet(path + "_old").as[FileAudit]
-    } else spark.emptyDataset[FileAudit]
+    else spark.emptyDataset[FileAudit]
   }
 
   /** Files whose previous run never completed (lingering "A" rows that
@@ -47,6 +57,7 @@ object Ledger {
   def recordActive(spark: SparkSession, path: String, files: Seq[String],
                    now: Timestamp = new Timestamp(System.currentTimeMillis())): Unit = {
     import spark.implicits._
+    restoreIfNeeded(path)
     files.map(f => FileAudit(new java.io.File(f).getName, f, now, Active))
       .toDS().write.mode(SaveMode.Append).parquet(path)
   }
@@ -56,6 +67,7 @@ object Ledger {
     * so read-modify-overwrite is the honest equivalent. */
   def markDone(spark: SparkSession, path: String, files: Seq[String]): Unit = {
     import spark.implicits._
+    restoreIfNeeded(path) // read() below would also restore; be explicit
     val names = files.map(f => new java.io.File(f).getName).toSet
     val updated = read(spark, path).collect().map { a =>
       if (names.contains(a.file_name) && a.status == Active) a.copy(status = Done) else a
@@ -68,7 +80,8 @@ object Ledger {
     val old = java.nio.file.Paths.get(path + "_old")
     updated.toDS().write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
-    java.nio.file.Files.move(java.nio.file.Paths.get(path), old)
+    if (new java.io.File(path).exists())
+      java.nio.file.Files.move(java.nio.file.Paths.get(path), old)
     java.nio.file.Files.move(tmp, java.nio.file.Paths.get(path))
     org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }

@@ -41,9 +41,12 @@ object ExchangeQueries {
     val li = Tables.lineitem(spark, dir)
     val highValue = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 150000)
-    // size the sketch from the build side (cheap filtered count); at
-    // cluster scale this is a metadata-light pre-pass, never the fact scan
-    val expected = math.max(1000L, highValue.count())
+    // size the sketch from the UNFILTERED orders count — a parquet
+    // footer-only job, no data pages read. An upper bound only costs
+    // bloom bits (~1.2 bytes/key at 1% fpp); a filtered count would be a
+    // real scan, and the build side already scans once for the sketch
+    // and once for the exact semi-join
+    val expected = math.max(1000L, Tables.orders(spark, dir).count())
     graft.ops.BloomJoin
       .bloomSemiJoin(li, highValue, "l_orderkey", "o_orderkey", expected)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
