@@ -20,6 +20,44 @@ object TextAnalysis {
     * both engines keep empty fields so semantics stay aligned). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Token-window document chunking with overlap — the standard LLM
+    * training-data preprocessing step. Chunk k covers tokens
+    * [k*stride, k*stride + chunkTokens) with stride = chunkTokens -
+    * overlapTokens; the final chunks may be shorter. Pure per-row column
+    * work (sequence + slice + explode): narrow, no shuffle, and exactly
+    * replayable in SQL. */
+  def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
+                     overlapTokens: Int = 16): DataFrame = {
+    require(overlapTokens < chunkTokens, "overlap must be below chunk size")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    docs.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), floor((n - 1) / stride).cast("int")),
+          k => struct(
+            k.cast("long").as("chunk_id"),
+            concat_ws(" ", slice(toks, k * stride + 1, lit(chunkTokens))).as("chunk_text"),
+            least(lit(chunkTokens), n - k * stride).cast("long").as("n_chunk_tokens"))))
+          .as("c"))
+      .select(col("doc_id"), col("c.chunk_id"), col("c.chunk_text"),
+        col("c.n_chunk_tokens"))
+  }
+
+  /** PII scrubbing: redact email addresses and US-style phone numbers,
+    * reporting match counts per document. Patterns are kept to the regex
+    * subset Java and RE2 interpret identically, so the oracle replays
+    * them verbatim. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def piiScrub(docs: DataFrame, textCol: Column): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace(textCol, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]")).as("scrubbed_md5"))
+
   /** Per-language stopword sets for the n-gram language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "is"),

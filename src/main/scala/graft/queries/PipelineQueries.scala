@@ -354,8 +354,56 @@ object PipelineQueries {
       |  AND v.user_id = c.user_id
       |  AND v.ts >= c.ts AND v.ts <= c.ts + INTERVAL 10 MINUTE""".stripMargin
 
+  /** Token-window chunking (64-token chunks, 16 overlap) — chunk
+    * boundaries, text, and counts all SQL-replayable. */
+  def docChunking(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(Tables.documents(spark, dir))
+
+  val docChunkingSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents)
+      |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
+      |  array_to_string(toks[(k*48+1):(k*48+64)], ' ') AS chunk_text,
+      |  CAST(least(64, n - k*48) AS BIGINT) AS n_chunk_tokens
+      |FROM t, unnest(range(0, (n-1)//48 + 1)) AS u(k)""".stripMargin
+
+  /** PII scrub over text augmented IN-QUERY with deterministic synthetic
+    * contact strings derived from doc_id (the fixture corpus contains no
+    * natural emails/phones, and a scrub that never matches would verify
+    * nothing — both engines build the same augmented text from the same
+    * input columns, so the redaction itself is what's being checked). */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"),
+      lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    TextAnalysis.piiScrub(Tables.documents(spark, dir), aug)
+  }
+
+  val piiScrubSql: String =
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    text || ' Contact user' || CAST(doc_id AS VARCHAR) ||
+      |    '@example.com or 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(aug,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p27_interval_join" -> (eventsIntervalJoin _),
+    "p28_doc_chunking" -> (docChunking _),
+    "p29_pii_scrub" -> (piiScrub _),
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
     "p03_dedup_simhash" -> (dedupSimhash _),
@@ -381,6 +429,8 @@ object PipelineQueries {
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
+    "p28_doc_chunking" -> docChunkingSql,
+    "p29_pii_scrub" -> piiScrubSql,
     "p01_dedup_exact" -> dedupExactSql,
     "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "p06_text_token_stats" -> textTokenStatsSql,

@@ -41,6 +41,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[String]("fp_md5").length === 32)
   }
 
+  test("chunkDocuments: strided windows cover every token, overlap preserved") {
+    val doc = (1 to 150).map(i => s"t$i").mkString(" ")
+    val chunks = TextAnalysis.chunkDocuments(
+        Seq((1L, doc)).toDF("doc_id", "text"), chunkTokens = 64, overlapTokens = 16)
+      .orderBy("chunk_id").collect()
+    // stride 48 over 150 tokens -> chunk starts 0, 48, 96, 144 -> 4 chunks
+    assert(chunks.length === 4)
+    val texts = chunks.map(_.getAs[String]("chunk_text"))
+    assert(texts(0).startsWith("t1 ") && texts(0).endsWith(" t64"))
+    assert(texts(1).startsWith("t49 ")) // 16-token overlap with chunk 0
+    assert(texts(3) === (145 to 150).map(i => s"t$i").mkString(" "))
+    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).sum === 64 + 64 + 54 + 6)
+  }
+
+  test("piiScrub redacts emails and phones and counts them") {
+    val df = Seq((1L, "mail me at a.b@x.io or call 555-123-4567 twice 555-000-1111"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.piiScrub(df, col("text")).collect().head
+    assert(r.getAs[Long]("n_emails") === 1L)
+    assert(r.getAs[Long]("n_phones") === 2L)
+    // scrub of an already-clean text is the identity digest
+    val clean = Seq((1L, "no pii here")).toDF("doc_id", "text")
+    val h = TextAnalysis.piiScrub(clean, col("text")).collect().head
+    import org.apache.spark.sql.functions.md5
+    val want = clean.select(md5(col("text"))).collect().head.getString(0)
+    assert(h.getAs[String]("scrubbed_md5") === want)
+  }
+
   test("rollingHash is deterministic and order-sensitive") {
     val h = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c"))
       .toDF("doc_id", "text")
