@@ -28,4 +28,19 @@ object Sampling {
     * changes membership. */
   def deterministicSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
+
+  /** Deterministic STRATIFIED sample: per-stratum keep-percentages (e.g.
+    * downsample the dominant language, keep all of the rare ones) with
+    * content-keyed membership. The fraction map rides along as a literal
+    * — no shuffle, no RNG, and the same row set on every engine/rerun;
+    * `df.stat.sampleBy`'s seeded Bernoulli draw gives none of that.
+    * Strata absent from the map keep `defaultPct`. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       pctByStratum: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val pct = pctByStratum.foldLeft(lit(defaultPct)) { case (acc, (s, p)) =>
+      when(stratum === s, lit(p)).otherwise(acc)
+    }
+    df.filter(hashBucket(key) < pct)
+  }
 }

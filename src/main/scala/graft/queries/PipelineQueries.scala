@@ -400,10 +400,68 @@ object PipelineQueries {
       |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
       |FROM a""".stripMargin
 
+  /** L2-normalize embeddings to unit vectors plus the norm itself. The
+    * norm column is referenced twice (output + every lambda element) so
+    * Catalyst keeps it a once-per-row projection, not per-element. */
+  def embNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.vec_norm(col("embedding")).as("nrm"))
+      .select(col("vec_id"),
+        round(col("nrm"), 6).as("l2_norm"),
+        transform(col("embedding"), x =>
+          when(col("nrm") === 0.0, 0.0)
+            .otherwise(round(x.cast("double") / col("nrm"), 6))).as("unit_vec"))
+
+  val embNormalizeSql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding]))
+      |      AS nrm
+      |  FROM embeddings)
+      |SELECT vec_id, round(nrm, 6) AS l2_norm,
+      |  [CASE WHEN nrm = 0.0 THEN 0.0
+      |        ELSE round(CAST(x AS DOUBLE)/nrm, 6) END
+      |   for x in embedding] AS unit_vec
+      |FROM n""".stripMargin
+
+  /** Deterministic stratified sample keyed on content: downsample the
+    * dominant predicted language to 40%, keep the rest whole. Membership
+    * is the md5 bucket — stable across reruns, partitionings, engines. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Sampling.stratifiedSample(
+        TextAnalysis.languageId(Tables.documents(spark, dir)),
+        stratum = col("lang_pred"), key = col("text"),
+        pctByStratum = Map("en" -> 40))
+      .select(col("doc_id"), col("lang_pred"))
+
+  val stratifiedSampleSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('el','la','de','que','y','en'))) AS s_es,
+      |    len(list_filter(string_split(text,' '),
+      |        x -> x IN ('der','die','und','das','ist','von'))) AS s_de
+      |  FROM documents),
+      |l AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en > 0 THEN 'en'
+      |         WHEN s_es >= s_de AND s_es > 0 THEN 'es'
+      |         WHEN s_de > 0 THEN 'de'
+      |         ELSE 'und' END AS lang_pred
+      |  FROM s)
+      |SELECT doc_id, lang_pred FROM l
+      |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 <
+      |      CASE WHEN lang_pred = 'en' THEN 40 ELSE 100 END""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p27_interval_join" -> (eventsIntervalJoin _),
     "p28_doc_chunking" -> (docChunking _),
     "p29_pii_scrub" -> (piiScrub _),
+    "p30_emb_normalize" -> (embNormalize _),
+    "p31_stratified_sample" -> (stratifiedSample _),
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
     "p03_dedup_simhash" -> (dedupSimhash _),
@@ -431,6 +489,8 @@ object PipelineQueries {
     "p27_interval_join" -> eventsIntervalJoinSql,
     "p28_doc_chunking" -> docChunkingSql,
     "p29_pii_scrub" -> piiScrubSql,
+    "p30_emb_normalize" -> embNormalizeSql,
+    "p31_stratified_sample" -> stratifiedSampleSql,
     "p01_dedup_exact" -> dedupExactSql,
     "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "p06_text_token_stats" -> textTokenStatsSql,

@@ -49,4 +49,23 @@ class QuantizeSamplingSpec extends SparkSpec {
     val b = Sampling.deterministicSample(docs.repartition(7), col("text"), 30).select("doc_id")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("stratified sample honors per-stratum fractions deterministically") {
+    import spark.implicits._
+    val df = (0 until 400).map(i => (i.toLong, if (i % 2 == 0) "en" else "es", s"doc $i"))
+      .toDF("id", "lang", "text")
+    val kept = Sampling.stratifiedSample(df, col("lang"), col("text"),
+      Map("en" -> 0), defaultPct = 100)
+    // en fully dropped, es fully kept
+    assert(kept.filter(col("lang") === "en").count() === 0L)
+    assert(kept.filter(col("lang") === "es").count() === 200L)
+    val half = Sampling.stratifiedSample(df, col("lang"), col("text"),
+      Map("en" -> 50), defaultPct = 100)
+    val enFrac = half.filter(col("lang") === "en").count().toDouble / 200.0
+    assert(enFrac > 0.35 && enFrac < 0.65, s"en fraction $enFrac")
+    // rerun identical
+    val again = Sampling.stratifiedSample(df, col("lang"), col("text"),
+      Map("en" -> 50), defaultPct = 100).select("id")
+    assert(half.select("id").exceptAll(again).isEmpty)
+  }
 }
