@@ -28,13 +28,21 @@ object TextAnalysis {
     * replayable in SQL. */
   def chunkDocuments(docs: DataFrame, chunkTokens: Int = 64,
                      overlapTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0, "chunk size must be positive")
+    require(overlapTokens >= 0, "negative overlap would silently skip tokens")
     require(overlapTokens < chunkTokens, "overlap must be below chunk size")
     val stride = chunkTokens - overlapTokens
     val toks = tokens(col("text"))
     val n = size(toks)
+    // last chunk index: 0 when the doc fits one chunk, else just enough
+    // strides to reach the end — a naive ceil(n/stride) count emits a
+    // final chunk fully contained in the previous one whenever the tail
+    // is shorter than the overlap (pure duplicate training data)
+    val lastIdx = greatest(lit(0L),
+      ceil((n - lit(chunkTokens)).cast("double") / stride)).cast("int")
     docs.select(col("doc_id"),
         explode(transform(
-          sequence(lit(0), floor((n - 1) / stride).cast("int")),
+          sequence(lit(0), lastIdx),
           k => struct(
             k.cast("long").as("chunk_id"),
             concat_ws(" ", slice(toks, k * stride + 1, lit(chunkTokens))).as("chunk_text"),
@@ -52,11 +60,19 @@ object TextAnalysis {
   val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   def piiScrub(docs: DataFrame, textCol: Column): DataFrame =
-    docs.select(col("doc_id"),
-      regexp_count(textCol, lit(EmailRe)).cast("long").as("n_emails"),
-      regexp_count(textCol, lit(PhoneRe)).cast("long").as("n_phones"),
-      md5(regexp_replace(regexp_replace(textCol, EmailRe, "[EMAIL]"),
-        PhoneRe, "[PHONE]")).as("scrubbed_md5"))
+    // stage the text and the email-redacted form as multi-use projections
+    // (each referenced twice, so Catalyst keeps them once-per-row instead
+    // of re-evaluating the expression per output column); phones are
+    // counted AFTER email redaction so the counts describe the redactions
+    // actually performed — a phone-shaped string inside an email local
+    // part is replaced by the email pass, not the phone pass
+    docs.select(col("doc_id"), textCol.as("t"))
+      .select(col("doc_id"), col("t"),
+        regexp_replace(col("t"), EmailRe, "[EMAIL]").as("t1"))
+      .select(col("doc_id"),
+        regexp_count(col("t"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("t1"), lit(PhoneRe)).cast("long").as("n_phones"),
+        md5(regexp_replace(col("t1"), PhoneRe, "[PHONE]")).as("scrubbed_md5"))
 
   /** Per-language stopword sets for the n-gram language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(

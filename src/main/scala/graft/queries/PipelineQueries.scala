@@ -367,7 +367,7 @@ object PipelineQueries {
       |SELECT doc_id, CAST(k AS BIGINT) AS chunk_id,
       |  array_to_string(toks[(k*48+1):(k*48+64)], ' ') AS chunk_text,
       |  CAST(least(64, n - k*48) AS BIGINT) AS n_chunk_tokens
-      |FROM t, unnest(range(0, (n-1)//48 + 1)) AS u(k)""".stripMargin
+      |FROM t, unnest(range(0, greatest(CAST(ceil((n - 64)/48.0) AS BIGINT), 0) + 1)) AS u(k)""".stripMargin
 
   /** PII scrub over text augmented IN-QUERY with deterministic synthetic
     * contact strings derived from doc_id (the fixture corpus contains no
@@ -391,14 +391,17 @@ object PipelineQueries {
       |    '@example.com or 555-' ||
       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
-      |  FROM documents)
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, aug,
+      |    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |      '[EMAIL]', 'g') AS t1
+      |  FROM a)
       |SELECT doc_id,
       |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-      |  CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
-      |  md5(regexp_replace(regexp_replace(aug,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
-      |FROM a""".stripMargin
+      |  CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g')) AS scrubbed_md5
+      |FROM r""".stripMargin
 
   /** L2-normalize embeddings to unit vectors plus the norm itself. The
     * norm column is referenced twice (output + every lambda element) so

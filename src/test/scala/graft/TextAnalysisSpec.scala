@@ -46,13 +46,18 @@ class TextAnalysisSpec extends SparkSpec {
     val chunks = TextAnalysis.chunkDocuments(
         Seq((1L, doc)).toDF("doc_id", "text"), chunkTokens = 64, overlapTokens = 16)
       .orderBy("chunk_id").collect()
-    // stride 48 over 150 tokens -> chunk starts 0, 48, 96, 144 -> 4 chunks
-    assert(chunks.length === 4)
+    // stride 48 over 150 tokens -> starts 0, 48, 96; a start at 144 would
+    // be fully contained in the 96-chunk (pure duplicate), so no 4th chunk
+    assert(chunks.length === 3)
     val texts = chunks.map(_.getAs[String]("chunk_text"))
     assert(texts(0).startsWith("t1 ") && texts(0).endsWith(" t64"))
     assert(texts(1).startsWith("t49 ")) // 16-token overlap with chunk 0
-    assert(texts(3) === (145 to 150).map(i => s"t$i").mkString(" "))
-    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).sum === 64 + 64 + 54 + 6)
+    assert(texts(2) === (97 to 150).map(i => s"t$i").mkString(" "))
+    assert(chunks.map(_.getAs[Long]("n_chunk_tokens")).sum === 64 + 64 + 54)
+    // a doc that exactly fits one chunk emits exactly one chunk
+    val exact = (1 to 64).map(i => s"t$i").mkString(" ")
+    assert(TextAnalysis.chunkDocuments(
+      Seq((1L, exact)).toDF("doc_id", "text"), 64, 16).count() === 1L)
   }
 
   test("piiScrub redacts emails and phones and counts them") {
