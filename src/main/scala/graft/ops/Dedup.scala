@@ -64,12 +64,14 @@ object Dedup {
   def minhashLsh(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 2, threshold: Double = 0.5): DataFrame = {
     val k = bands * rowsPerBand
-    // persisted: the two banding self-join branches and both verify-join
-    // branches all derive from this frame; without persist every branch
-    // recomputes every signature
+    // NOT persisted: three plan branches (banding, left/right verify)
+    // derive from this frame, so signatures compute up to 3x — but one
+    // signature pass is ~0.25 s per 5k docs, while persist + the eager
+    // checkpoint needed to release it without leaking into library
+    // callers measured MORE than the recompute. Lazy + stateless wins on
+    // both time and resource hygiene here.
     val sig = docs.select(col("doc_id"), col("text"),
       minhashSignature(col("text"), k, shingleN).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (doc_id, band_id, band_hash): one murmur hash per signature slice
     val banded = sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
@@ -105,13 +107,7 @@ object Dedup {
         graft.functions.TextFunctions.array_jaccard(col("lgrams"), col("rgrams")))
       .filter(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("est_jaccard"), col("jaccard"))
-    // the verified pair set is tiny (it IS the duplicates): materialize it
-    // eagerly so the signature cache can be released here instead of
-    // leaking into the caller (library callers don't clearCache between
-    // invocations the way Verify/Bench do)
-    val out = pairs.localCheckpoint(true)
-    sig.unpersist(false)
-    out
+    pairs
   }
 
   /** 64-bit SimHash over word unigrams: per-bit vote of token hashes.
