@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayJaccard, MinHashSig, SigAgreement, SimHash64, VecDot}
+import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, VecDot}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -34,6 +34,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_jaccard"),
       info("array_jaccard", "array_jaccard(a, b) - exact set Jaccard of two string arrays"),
       (args: Seq[Expression]) => ArrayJaccard(args(0), args(1))))
+
+    ext.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams", "char_ngrams(text, n) - distinct character n-grams of a string"),
+      (args: Seq[Expression]) => {
+        val n = args.lift(1) match {
+          case None => 3
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"char_ngrams: n must be an integer literal, got $other")
+        }
+        CharNgrams(args.head, n)
+      }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig", "minhash_sig(tokens, n) - default 64-perm minhash signature"),

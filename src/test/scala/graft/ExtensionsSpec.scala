@@ -38,6 +38,8 @@ class ExtensionsSpec extends SparkSpec {
       assert(agree === 0.5)
       assert(s2.sql("SELECT minhash_sig(array('a','b','c'), 2) AS s")
         .collect()(0).getSeq[Long](0).length === 64)
+      assert(s2.sql("SELECT char_ngrams('abcd', 3) AS g")
+        .collect()(0).getSeq[String](0) === Seq("abc", "bcd"))
     } finally {
       // do NOT stop s2 (it shares the SparkContext); restore the default
       SparkSession.setDefaultSession(spark)
