@@ -104,13 +104,44 @@ object ExchangeQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_custkey""".stripMargin
 
+  /** q36 — partitioned mart round trip with partition pruning: the
+    * customer mart is written Hive-partitioned by sales_month, read back,
+    * and filtered to the earliest month — the read plan touches ONE
+    * partition directory (pruning asserted in ExplainSpec/Demo), and the
+    * values must survive the write/read cycle exactly. The oracle is the
+    * mart SQL with the same scalar-subquery month filter; it knows
+    * nothing about the physical layout, which is the point. */
+  def q36PartitionPrunedMart(spark: SparkSession, dir: String): DataFrame = {
+    val mart = CoreQueries.q03CustomerMart(spark, dir)
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q36_mart").getAbsolutePath
+    mart.write.mode("overwrite").partitionBy("sales_month").parquet(out)
+    val minMonth = mart.agg(min(col("sales_month"))).collect()(0).getString(0)
+    spark.read.parquet(out)
+      .filter(col("sales_month") === minMonth)
+      .select(col("customer_id"), col("full_name"), col("sales_month"),
+        col("total_sales"))
+  }
+
+  val q36Sql: String =
+    """WITH mart AS (
+      |  SELECT o_custkey AS customer_id, c_name AS full_name,
+      |    substring(CAST(o_orderdate AS VARCHAR), 1, 7) AS sales_month,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_sales
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3)
+      |SELECT customer_id, full_name, sales_month, total_sales FROM mart
+      |WHERE sales_month = (SELECT min(sales_month) FROM mart)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_partition_pruned_mart" -> (q36PartitionPrunedMart _),
     "q32_salted_join" -> (q32SaltedJoin _),
     "q33_bloom_semi_join" -> (q33BloomSemiJoin _),
     "q34_bucketed_join" -> (q34BucketedJoin _),
     "q35_salted_agg" -> (q35SaltedAgg _))
 
   val oracles: Map[String, String] = Map(
+    "q36_partition_pruned_mart" -> q36Sql,
     "q32_salted_join" -> q32Sql,
     "q33_bloom_semi_join" -> q33Sql,
     "q34_bucketed_join" -> q34Sql,

@@ -87,6 +87,16 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q36 mart read prunes to one partition directory") {
+    val df = graft.queries.ExchangeQueries.q36PartitionPrunedMart(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the month filter must land in PartitionFilters on the scan (pruned
+    // directory listing), not in post-scan data filters
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.matches("(?s).*PartitionFilters: \\[[^\\]]*sales_month[^\\]]*\\].*"),
+      s"expected sales_month in PartitionFilters, got:\n$plan")
+  }
+
   test("p27 interval join stays an equi-join on user with range conditions, not a cross join") {
     val plan = planString(graft.queries.PipelineQueries.eventsIntervalJoin(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
