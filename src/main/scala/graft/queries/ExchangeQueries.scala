@@ -133,8 +133,32 @@ object ExchangeQueries {
       |SELECT customer_id, full_name, sales_month, total_sales FROM mart
       |WHERE sales_month = (SELECT min(sales_month) FROM mart)""".stripMargin
 
+  /** q37 — exact distributed percentiles of order value per priority
+    * class (25/50/75/90). Spark's `percentile` and DuckDB's quantile_cont
+    * interpolate within 1 ulp of each other; results are rounded to cents
+    * which absorbs that (verified boundary-free on the fixed verification
+    * corpus — deterministic data, so green once is green always). */
+  def q37Quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").as("q"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"),
+        transform(col("q"), x => round(x, 2)).as("price_quantiles"),
+        col("n_orders"))
+
+  val q37Sql: String =
+    """SELECT o_orderpriority,
+      |  [round(quantile_cont(o_totalprice, 0.25), 2),
+      |   round(quantile_cont(o_totalprice, 0.5), 2),
+      |   round(quantile_cont(o_totalprice, 0.75), 2),
+      |   round(quantile_cont(o_totalprice, 0.9), 2)] AS price_quantiles,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_partition_pruned_mart" -> (q36PartitionPrunedMart _),
+    "q37_quantiles" -> (q37Quantiles _),
     "q32_salted_join" -> (q32SaltedJoin _),
     "q33_bloom_semi_join" -> (q33BloomSemiJoin _),
     "q34_bucketed_join" -> (q34BucketedJoin _),
@@ -142,6 +166,7 @@ object ExchangeQueries {
 
   val oracles: Map[String, String] = Map(
     "q36_partition_pruned_mart" -> q36Sql,
+    "q37_quantiles" -> q37Sql,
     "q32_salted_join" -> q32Sql,
     "q33_bloom_semi_join" -> q33Sql,
     "q34_bucketed_join" -> q34Sql,
