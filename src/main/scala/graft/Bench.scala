@@ -12,9 +12,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm the session (codegen, parquet footer reads) so the first timed
-    // query doesn't absorb one-time init cost
+    // warm the session so first-use compilation cost (codegen, JIT of the
+    // native expression paths, parquet reader init) doesn't land on
+    // whichever timed query happens to run an operator family first —
+    // measured 2-3x inflation on the first query touching minhash/vector
+    // expressions. A 200-row slice exercises the same generated code.
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    val wd = spark.read.parquet(s"$sfDir/documents.parquet").limit(200)
+    graft.ops.Dedup.minhashLsh(wd).queryExecution.toRdd.count()
+    graft.ops.Dedup.simhashPairs(wd).queryExecution.toRdd.count()
+    val we = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
+    graft.ops.Similarity.bruteForceTopK(we, k = 2).queryExecution.toRdd.count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    spark.catalog.clearCache()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // deterministic name order: per-query timings stay comparable across
     // rounds (hash-map order shuffled with every catalog addition, moving
