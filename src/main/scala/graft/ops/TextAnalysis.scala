@@ -52,6 +52,58 @@ object TextAnalysis {
         col("c.n_chunk_tokens"))
   }
 
+  /** Corpus-unigram log-probability score — the cheap stand-in for
+    * LM-perplexity quality filtering: documents whose tokens are
+    * improbable under the corpus unigram distribution score low. Two
+    * aggregation passes (corpus vocab, then per-doc) plus one broadcast
+    * join of the vocab; per-token log-probs are rounded to 6 decimals
+    * BEFORE the exact-decimal sum, so partial-aggregation order and libm
+    * last-ulp differences cannot perturb the result (same policy as the
+    * money sums). The vocabulary total uses an empty-frame window — the
+    * vocab frame is small by construction (distinct terms, not tokens).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val probs = counts.withColumn("p",
+      col("cnt").cast("double") /
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"))
+    tok.join(broadcast(probs.select(col("term"), col("p"))), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(round(log(col("p")), 6).cast("decimal(18,6)")).as("lp"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        round(col("lp").cast("double") / col("n_tokens"), 6).as("avg_logprob"),
+        col("n_tokens"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * 8-gram with a holdout/benchmark subset. The benchmark gram set is
+    * distinct + broadcast (benchmarks are small by definition); the
+    * training side streams through one explode + broadcast join — no
+    * shuffle proportional to the corpus gram volume. */
+  def decontamination(docs: DataFrame, benchmarkMod: Int = 10,
+                      n: Int = 8): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
+    val benchGrams = docs.filter(isBench)
+      .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
+    val train = docs.filter(!isBench)
+    val contaminated = train
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated")) // grams pre-distinct per doc
+    train.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), n)).cast("long").as("n_grams"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination_ratio"))
+  }
+
   /** PII scrubbing: redact email addresses and US-style phone numbers,
     * reporting match counts per document. Patterns are kept to the regex
     * subset Java and RE2 interpret identically, so the oracle replays

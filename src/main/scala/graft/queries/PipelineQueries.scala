@@ -459,12 +459,55 @@ object PipelineQueries {
       |WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100 <
       |      CASE WHEN lang_pred = 'en' THEN 40 ELSE 100 END""".stripMargin
 
+  def textUnigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProb(Tables.documents(spark, dir))
+
+  val textUnigramLogProbSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(term)),
+      |c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      |p AS (SELECT term, CAST(cnt AS DOUBLE) / total AS p FROM c, tot),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(CAST(round(ln(p), 6) AS DECIMAL(18,6))) AS lp,
+      |    COUNT(*) AS n
+      |  FROM tok JOIN p USING (term) GROUP BY doc_id)
+      |SELECT doc_id, round(CAST(lp AS DOUBLE) / n, 6) AS avg_logprob,
+      |  CAST(n AS BIGINT) AS n_tokens
+      |FROM s""".stripMargin
+
+  def textDecontamination(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontamination(Tables.documents(spark, dir))
+
+  val textDecontaminationSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 10 = 0 AS is_bench,
+      |    list_distinct([array_to_string(toks[i:i+7], ' ')
+      |      for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |bg AS (SELECT DISTINCT u.gram FROM g, unnest(grams) AS u(gram)
+      |       WHERE is_bench),
+      |tr AS (SELECT doc_id, grams FROM g WHERE NOT is_bench),
+      |hit AS (
+      |  SELECT doc_id, COUNT(*) AS n_contaminated
+      |  FROM tr, unnest(grams) AS u(gram) JOIN bg USING (gram)
+      |  GROUP BY doc_id)
+      |SELECT tr.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / len(grams), 6)
+      |    AS contamination_ratio
+      |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p27_interval_join" -> (eventsIntervalJoin _),
     "p28_doc_chunking" -> (docChunking _),
     "p29_pii_scrub" -> (piiScrub _),
     "p30_emb_normalize" -> (embNormalize _),
     "p31_stratified_sample" -> (stratifiedSample _),
+    "p32_unigram_logprob" -> (textUnigramLogProb _),
+    "p33_decontamination" -> (textDecontamination _),
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
     "p03_dedup_simhash" -> (dedupSimhash _),
@@ -494,6 +537,8 @@ object PipelineQueries {
     "p29_pii_scrub" -> piiScrubSql,
     "p30_emb_normalize" -> embNormalizeSql,
     "p31_stratified_sample" -> stratifiedSampleSql,
+    "p32_unigram_logprob" -> textUnigramLogProbSql,
+    "p33_decontamination" -> textDecontaminationSql,
     "p01_dedup_exact" -> dedupExactSql,
     "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "p06_text_token_stats" -> textTokenStatsSql,
