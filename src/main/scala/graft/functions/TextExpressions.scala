@@ -134,6 +134,39 @@ case class CharNgrams(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct word n-gram shingles of a token array: shingle i joins
+  * tokens [i, i+n) with single spaces (clipped at the end), first-
+  * occurrence order, exactly the transform+slice+concat_ws+array_distinct
+  * HOF composition it replaces — but as one tight loop instead of
+  * per-index interpreted lambda plumbing. */
+case class WordShingles(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = math.max(m - n + 1, 1)
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](math.min(n, m - i))
+      var j = 0
+      while (j < parts.length) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** Fraction of positions where two equal-length long arrays agree — the
   * MinHash signature estimate of Jaccard similarity. Tight loop; the
   * zip_with/filter HOF form is interpreted per element. */
@@ -208,4 +241,8 @@ object TextFunctions {
   /** Distinct character n-grams of a string column. */
   def char_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  /** Distinct word n-gram shingles of a token-array column. */
+  def word_shingles(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
 }

@@ -28,12 +28,11 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word n-gram shingles of `text`. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val cnt = greatest(size(toks) - lit(n - 1), lit(1))
-    array_distinct(transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  /** Distinct word n-gram shingles of `text` — native expression; the
+    * transform+slice+concat_ws HOF composition it replaces interprets a
+    * lambda per shingle index (see WordShingles). */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.TextFunctions.word_shingles(TextAnalysis.tokens(text), n)
 
   // MinHash parameters: k = bands * rows hash functions h_i(x) = (a_i*x + b_i) mod P
   // over 31-bit base hashes; constants from a fixed seed for determinism.
