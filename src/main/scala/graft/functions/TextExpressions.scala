@@ -190,6 +190,37 @@ case class SigAgreement(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Jaccard similarity of two SORTED long arrays treated as sets — a
+  * two-pointer merge intersection, no per-element allocation at all.
+  * Used where set elements are 64-bit hashes of the real items (e.g.
+  * shingle hashes): far cheaper than string-set intersection at the cost
+  * of a ~2^-64 per-pair collision probability. Inputs MUST be sorted and
+  * distinct (array_sort over a distinct array). */
+case class SortedLongJaccard(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val m = x.numElements(); val n = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < m && j < n) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { inter += 1; i += 1; j += 1 }
+    }
+    val union = m + n - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedLongJaccard =
+    copy(left = l, right = r)
+}
+
 /** Exact Jaccard similarity of two string arrays treated as sets
   * (hash-set intersection; inputs are pre-distinct shingle arrays). */
 case class ArrayJaccard(left: Expression, right: Expression)
@@ -233,6 +264,10 @@ object TextFunctions {
   /** Fraction of agreeing positions between two minhash signatures. */
   def sig_agreement(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgreement(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Set-Jaccard of two sorted long arrays (merge intersection). */
+  def sorted_long_jaccard(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedLongJaccard(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Exact set-Jaccard of two string arrays. */
   def array_jaccard(a: Column, b: Column): Column =

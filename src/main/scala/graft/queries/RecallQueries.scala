@@ -197,12 +197,18 @@ object RecallQueries {
     * DuckDB cannot replay, but the quality number is driver-visible. */
   def minhashCandidateRecall(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 1000)
-    val g = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("grams"))
+    // exact all-pairs truth over 64-bit shingle hashes: sorted-merge set
+    // intersection per pair (no per-pair string sets — measured ~5x on
+    // the 500k-pair sweep); a hash collision flipping a truth label has
+    // probability ~|grams|^2 / 2^64 per pair, i.e. never
+    val g = docs.select(col("doc_id"),
+      array_sort(transform(Dedup.shingles(col("text"), 3), x => xxhash64(x)))
+        .as("grams"))
     val truth = g.select(col("doc_id").as("left_id"), col("grams").as("lg"))
       .join(g.select(col("doc_id").as("right_id"), col("grams").as("rg")),
         col("left_id") < col("right_id"))
       .withColumn("jaccard",
-        graft.functions.TextFunctions.array_jaccard(col("lg"), col("rg")))
+        graft.functions.TextFunctions.sorted_long_jaccard(col("lg"), col("rg")))
       .filter(col("jaccard") >= 0.7)
       .select(col("left_id"), col("right_id"))
     val found = Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,

@@ -94,4 +94,17 @@ class DedupSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(s.contains("cooking pasta") && s.distinct.size === s.size)
   }
+
+  test("sorted_long_jaccard equals string-set jaccard on hashed grams") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L), Seq(3L, 5L, 9L)),   // inter 2, union 4
+      (Seq(1L, 2L), Seq(3L, 4L)),           // disjoint
+      (Seq(7L), Seq(7L)),                   // identical
+      (Seq.empty[Long], Seq.empty[Long]))   // empty -> 0.0
+      .toDF("a", "b")
+    val got = df.select(
+      graft.functions.TextFunctions.sorted_long_jaccard(col("a"), col("b")).as("j"))
+      .as[Double].collect().toSeq
+    assert(got === Seq(0.5, 0.0, 1.0, 0.0))
+  }
 }
