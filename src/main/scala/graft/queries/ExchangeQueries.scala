@@ -137,22 +137,27 @@ object ExchangeQueries {
     * class (25/50/75/90). Spark's `percentile` and DuckDB's quantile_cont
     * interpolate within 1 ulp of each other; results are rounded to cents
     * which absorbs that (verified boundary-free on the fixed verification
-    * corpus — deterministic data, so green once is green always). */
+    * corpus — deterministic data, so green once is green always).
+    * One scalar column per quantile level: the driver's oracle compare
+    * sorts rows by every output column and cannot sort array columns. */
   def q37Quantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
       .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.9))").as("q"),
         count(lit(1)).as("n_orders"))
       .select(col("o_orderpriority"),
-        transform(col("q"), x => round(x, 2)).as("price_quantiles"),
+        round(element_at(col("q"), 1), 2).as("price_p25"),
+        round(element_at(col("q"), 2), 2).as("price_p50"),
+        round(element_at(col("q"), 3), 2).as("price_p75"),
+        round(element_at(col("q"), 4), 2).as("price_p90"),
         col("n_orders"))
 
   val q37Sql: String =
     """SELECT o_orderpriority,
-      |  [round(quantile_cont(o_totalprice, 0.25), 2),
-      |   round(quantile_cont(o_totalprice, 0.5), 2),
-      |   round(quantile_cont(o_totalprice, 0.75), 2),
-      |   round(quantile_cont(o_totalprice, 0.9), 2)] AS price_quantiles,
+      |  round(quantile_cont(o_totalprice, 0.25), 2) AS price_p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS price_p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 2) AS price_p75,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS price_p90,
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority""".stripMargin
 

@@ -405,7 +405,13 @@ object PipelineQueries {
 
   /** L2-normalize embeddings to unit vectors plus the norm itself. The
     * norm column is referenced twice (output + every lambda element) so
-    * Catalyst keeps it a once-per-row projection, not per-element. */
+    * Catalyst keeps it a once-per-row projection, not per-element.
+    *
+    * The catalog row reports scalar fingerprints of the unit vector
+    * (its norm, component sum, min, max) instead of the vector itself:
+    * the driver's oracle compare sorts rows by every output column and
+    * cannot sort array-typed columns. Both engines fold the rounded
+    * components left-to-right in double, so the sums are bit-identical. */
   def embNormalize(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
@@ -414,19 +420,32 @@ object PipelineQueries {
         round(col("nrm"), 6).as("l2_norm"),
         transform(col("embedding"), x =>
           when(col("nrm") === 0.0, 0.0)
-            .otherwise(round(x.cast("double") / col("nrm"), 6))).as("unit_vec"))
+            .otherwise(round(x.cast("double") / col("nrm"), 6))).as("u"))
+      .select(col("vec_id"), col("l2_norm"),
+        round(aggregate(col("u"), lit(0.0), (a, x) => a + x), 6).as("unit_sum"),
+        round(array_min(col("u")), 6).as("unit_min"),
+        round(array_max(col("u")), 6).as("unit_max"),
+        round(sqrt(aggregate(col("u"), lit(0.0), (a, x) => a + x * x)), 6)
+          .as("unit_norm"))
 
   val embNormalizeSql: String =
     """WITH n AS (
       |  SELECT vec_id, embedding,
       |    sqrt(list_sum([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding]))
       |      AS nrm
-      |  FROM embeddings)
-      |SELECT vec_id, round(nrm, 6) AS l2_norm,
-      |  [CASE WHEN nrm = 0.0 THEN 0.0
-      |        ELSE round(CAST(x AS DOUBLE)/nrm, 6) END
-      |   for x in embedding] AS unit_vec
-      |FROM n""".stripMargin
+      |  FROM embeddings),
+      |u AS (
+      |  SELECT vec_id, round(nrm, 6) AS l2_norm,
+      |    [CASE WHEN nrm = 0.0 THEN 0.0
+      |          ELSE round(CAST(x AS DOUBLE)/nrm, 6) END
+      |     for x in embedding] AS uv
+      |  FROM n)
+      |SELECT vec_id, l2_norm,
+      |  round(list_sum(uv), 6) AS unit_sum,
+      |  round(list_min(uv), 6) AS unit_min,
+      |  round(list_max(uv), 6) AS unit_max,
+      |  round(sqrt(list_sum([x*x for x in uv])), 6) AS unit_norm
+      |FROM u""".stripMargin
 
   /** Deterministic stratified sample keyed on content: downsample the
     * dominant predicted language to 40%, keep the rest whole. Membership

@@ -18,6 +18,15 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    # The driver does NOT normalize list/ndarray cells before its
+    # sort_values — an array-typed output column crashes its compare
+    # (TypeError: unhashable type). Fail loudly here so no catalog query
+    # ever ships one (cost: p30/q37 silently broken in rounds 2-3).
+    for c in df.columns:
+        if df[c].map(lambda v: isinstance(v, (list, tuple)) or
+                     type(v).__name__ == "ndarray").any():
+            raise TypeError(f"array-typed output column '{c}' — the "
+                            "driver compare cannot sort this; emit scalars")
     # normalize values for stable compare
     def norm(v):
         if isinstance(v, float):
