@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses its JSON out of the last 2000 chars of stdout;
+// sbt's trailing "[success] Total time ..." line would otherwise sit
+// between that JSON line and the end of the stream.
+Global / showSuccess := false
+// Forked run writes straight to stdout (no "[info] " logger prefix), so
+// the bench JSON is a bare parseable line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,10 +58,30 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"sf":"$sfDir"}""")
+    // Full-precision, full-name detail line first — for humans and for
+    // anyone reading the whole log.
+    val qsFull = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    println(s"""BENCH_DETAIL {"queries":$qsFull,"errors":$errFull}""")
+    // The driver keeps only the LAST 2000 characters of stdout and parses
+    // the JSON out of that tail — rounds 1-3 produced a ~2300-char line
+    // that arrived truncated and never parsed. The final line must stay
+    // under the window: 3-decimal timings, and if the full-name form
+    // still doesn't fit, per-query keys fall back to their unique
+    // qNN/pNN prefix (the detail line above always carries full names).
+    def compactLine(short: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + f"$v%.3f"
+      }.mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) =>
+        jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+    }
+    val line = { val full = compactLine(short = false)
+      if (full.length <= 1850) full else compactLine(short = true) }
+    println(line)
     spark.stop()
   }
 }
