@@ -15,6 +15,7 @@ run / fork := true
 // sbt's trailing "[success] Total time ..." line would otherwise sit
 // between that JSON line and the end of the stream.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Forked run writes straight to stdout (no "[info] " logger prefix), so
 // the bench JSON is a bare parseable line.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

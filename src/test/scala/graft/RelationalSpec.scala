@@ -1,0 +1,73 @@
+package graft
+
+import graft.queries.RelationalQueries
+import org.apache.spark.sql.functions._
+
+/** Semantics of the q38-q41 relational family: outer-join preservation,
+  * multiway top-k plan shape, bounded window frames, keyed event dedup. */
+class RelationalSpec extends SparkSpec {
+
+  test("q38 full outer preserves every customer and every order group") {
+    val out = RelationalQueries.q38FullOuter(spark, sfDir).cache()
+    val nCust = Tables.customer(spark, sfDir).count()
+    val nOrderCust = Tables.orders(spark, sfDir).select("o_custkey").distinct().count()
+    // full outer row count = customers + order-groups without a customer
+    assert(out.count() >= math.max(nCust, nOrderCust))
+    // a customer-side row with no orders must carry zeroed aggregates
+    val noOrders = out.filter(col("no_orders"))
+    assert(noOrders.filter(col("n_orders") =!= 0 || col("spend") =!= 0.0).isEmpty)
+    // spend agrees with an independently computed per-customer sum
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+        .as("direct_spend"))
+    val joined = out.join(direct, "custkey")
+    assert(joined.filter(col("spend") =!= col("direct_spend")).isEmpty)
+    out.unpersist()
+  }
+
+  test("q39 multiway top-k is ordered, bounded, and broadcast-planned") {
+    val q = RelationalQueries.q39MultiwayTopK(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.length <= 10 && rows.nonEmpty)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast dim join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k, not sort:\n$plan")
+  }
+
+  test("q40 bounded frames: sliding spend covers at most 4 rows, range 31 days") {
+    val out = RelationalQueries.q40SlidingWindow(spark, sfDir).cache()
+    // the sliding sum can never be below the row's own price and never
+    // above 4x the partition max price
+    val base = Tables.orders(spark, sfDir).select(
+      col("o_orderkey"), col("o_totalprice"))
+    val j = out.join(base, "o_orderkey")
+    assert(j.filter(col("spend_last4") < col("o_totalprice") - 0.01).isEmpty)
+    // range frame: recompute one customer's 30-day counts by self-join
+    val one = out.orderBy(col("o_custkey"), col("epoch_day")).limit(1)
+      .select(col("o_custkey")).collect()(0).getLong(0)
+    val mine = out.filter(col("o_custkey") === one)
+      .select(col("o_orderkey"), col("epoch_day"), col("n_orders_30d"))
+    val days = out.filter(col("o_custkey") === one)
+      .select(col("epoch_day").as("d2")).collect().map(_.getLong(0))
+    mine.collect().foreach { r =>
+      val d = r.getAs[Long]("epoch_day")
+      val expected = days.count(d2 => d2 >= d - 30 && d2 <= d)
+      assert(r.getAs[Long]("n_orders_30d") === expected,
+        s"range frame mismatch at epoch_day=$d")
+    }
+    out.unpersist()
+  }
+
+  test("q41 dedup conserves events and keeps the earliest per key") {
+    val out = RelationalQueries.q41EventDedup(spark, sfDir).cache()
+    val total = Tables.events(spark, sfDir).count()
+    val kept = out.count()
+    val dropped = out.agg(sum(col("n_dropped"))).collect()(0).getLong(0)
+    assert(kept + dropped === total, "every event is either kept or dropped")
+    assert(out.filter(col("n_dropped") < 0).isEmpty)
+    out.unpersist()
+  }
+}
