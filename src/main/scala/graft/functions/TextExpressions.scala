@@ -167,6 +167,41 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** ALL word n-grams of a token array, in order, WITH multiplicity —
+  * unlike WordShingles, which dedups into set semantics for Jaccard.
+  * Repetition-quality scoring (Gopher-style duplicate-n-gram fractions)
+  * needs the multiset: how often the most common n-gram repeats is
+  * exactly the signal the set form destroys. A document shorter than n
+  * tokens yields its whole text as the single n-gram, mirroring
+  * WordShingles' clipping rule. */
+case class WordNgrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val m = toks.numElements()
+    val cnt = math.max(m - n + 1, 1)
+    val out = new Array[Any](cnt)
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](math.min(n, m - i))
+      var j = 0
+      while (j < parts.length) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** Fraction of positions where two equal-length long arrays agree — the
   * MinHash signature estimate of Jaccard similarity. Tight loop; the
   * zip_with/filter HOF form is interpreted per element. */
@@ -280,4 +315,8 @@ object TextFunctions {
   /** Distinct word n-gram shingles of a token-array column. */
   def word_shingles(tokens: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(tokens), n))
+
+  /** All word n-grams of a token-array column, with multiplicity. */
+  def word_ngrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(tokens), n))
 }

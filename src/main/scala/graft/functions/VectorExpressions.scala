@@ -82,10 +82,70 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Component sum of a float/double array — a left-to-right double fold,
+  * codegen'd, so it stays bit-identical to DuckDB's sequential list_sum
+  * over the same values (the parity rule every vector oracle relies on).
+  * Used where only the scalar total is needed (centroid fingerprints):
+  * the HOF `aggregate` form would run interpreted per element. */
+case class VecSum(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vec_sum expects array<float>/array<double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0.0
+    var i = 0
+    elemType match {
+      case FloatType => while (i < n) { acc += x.getFloat(i).toDouble; i += 1 }
+      case _ => while (i < n) { acc += x.getDouble(i); i += 1 }
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = elemType match {
+      case FloatType => (arr: String, i: String) => s"(double) $arr.getFloat($i)"
+      case _ => (arr: String, i: String) => s"$arr.getDouble($i)"
+    }
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $acc += ${get(a, i)}; }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecSum =
+    copy(child = newChild)
+}
+
 /** Column-level vector functions built on the native expression. */
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def vec_sum(a: Column): Column =
+    ColumnBridge.column(VecSum(ColumnBridge.expression(a)))
 
   def vec_norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(vec_dot(a, a))

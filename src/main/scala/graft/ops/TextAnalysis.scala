@@ -136,6 +136,53 @@ object TextAnalysis {
   def stopwordCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*))).cast("long")
 
+  /** Gopher-style repetition metrics: how much of a document is its own
+    * most-common word n-gram, and what fraction of n-gram instances are
+    * repeats. High values flag machine-generated or boilerplate text the
+    * n-gram set form (WordShingles) cannot see — this needs the multiset
+    * (graft.functions.WordNgrams). Two hash aggregations, both with
+    * map-side partials; grams stay (doc_id, gram)-local so the shuffle
+    * key distribution mirrors the documents themselves. */
+  def repetitionStats(docs: DataFrame, n: Int = 2): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(tokens(col("text")), n))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_ngrams"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_inst"))
+      .select(col("doc_id"), col("n_ngrams"),
+        round(col("top_cnt").cast("double") / col("n_ngrams"), 6)
+          .as("top_ngram_frac"),
+        round(col("dup_inst").cast("double") / col("n_ngrams"), 6)
+          .as("dup_ngram_frac"))
+
+  /** C4-shaped boilerplate/quality gate: per-document rule flags plus the
+    * combined keep verdict. Rules are chosen to discriminate on this
+    * corpus (the synthetic documents carry no punctuation, so C4's
+    * terminal-punctuation rules would be constant): token-count range,
+    * mean word length, type-token ratio, stopword presence. Pure narrow
+    * column work — no shuffle, runs at scan speed. */
+  def boilerplateFlags(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks)
+    // chars excluding the single separating spaces
+    val nonSpace = length(col("text")) - (nTok - lit(1))
+    docs.select(col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        round(nonSpace.cast("double") / nTok, 6).as("mean_word_len"),
+        round(size(array_distinct(toks)).cast("double") / nTok, 6)
+          .as("type_token_ratio"),
+        arrays_overlap(toks, array(lit("a"), lit("the"))).as("has_stopword"))
+      .withColumn("keep",
+        col("n_tokens").between(20, 10000) &&
+          col("mean_word_len").between(2.0, 12.0) &&
+          col("type_token_ratio") >= 0.3 &&
+          col("has_stopword"))
+  }
+
   /** BPE-style pre-tokenizer pattern: alphanumeric runs or single
     * non-space symbols — the shape GPT-family tokenizers split on before
     * merges. ASCII classes behave identically under Java regex and RE2. */

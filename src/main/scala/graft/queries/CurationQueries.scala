@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Clustering, Packing, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-curation catalog: repetition quality metrics, boilerplate
+  * gating, sequence packing, and embedding-space clustering — the
+  * training-data steps downstream of dedup/quality filtering. Every
+  * entry is oracle-checked; the packing oracle replays the sequential
+  * next-fit state machine as a recursive CTE, and the k-means oracle
+  * replays the Knuth-scramble centroid sample + argmax assignment the
+  * same way the IVF oracle (RecallQueries p25) does.
+  */
+object CurationQueries {
+
+  // p34 — Gopher-style repetition metrics (word-bigram multiset)
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionStats(Tables.documents(spark, dir), n = 2)
+
+  val repetitionSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+      |  FROM t),
+      |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
+      |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+      |  round(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_ngram_frac,
+      |  round(CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+      |    / SUM(cnt), 6) AS dup_ngram_frac
+      |FROM c GROUP BY doc_id""".stripMargin
+
+  // p35 — sequence packing (greedy next-fit per (source, id-shard))
+  def seqPacking(spark: SparkSession, dir: String): DataFrame =
+    Packing.packSequences(Tables.documents(spark, dir),
+      capacity = 512, shards = 8)
+
+  val seqPackingSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, source, doc_id % 8 AS bucket,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |o AS (SELECT d.*, row_number() OVER (PARTITION BY source, bucket
+      |    ORDER BY doc_id) AS rn FROM d),
+      |p AS (
+      |  SELECT source, bucket, rn, doc_id, n_tokens,
+      |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset,
+      |    n_tokens AS fill
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.source, o.bucket, o.rn, o.doc_id, o.n_tokens,
+      |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.seq_id
+      |         ELSE p.seq_id + 1 END,
+      |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill
+      |         ELSE CAST(0 AS BIGINT) END,
+      |    CASE WHEN p.fill + o.n_tokens <= 512 THEN p.fill + o.n_tokens
+      |         ELSE o.n_tokens END
+      |  FROM o JOIN p ON o.source = p.source AND o.bucket = p.bucket
+      |    AND o.rn = p.rn + 1)
+      |SELECT doc_id, source, bucket, seq_id, tok_offset, n_tokens
+      |FROM p""".stripMargin
+
+  // p36 — boilerplate/quality gate with per-rule flags
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.boilerplateFlags(Tables.documents(spark, dir))
+
+  val boilerplateSql: String =
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      |  FROM documents),
+      |f AS (SELECT doc_id,
+      |    CAST(len(w) AS BIGINT) AS n_tokens,
+      |    round(CAST(len(text) - (len(w) - 1) AS DOUBLE) / len(w), 6)
+      |      AS mean_word_len,
+      |    round(CAST(len(list_distinct(w)) AS DOUBLE) / len(w), 6)
+      |      AS type_token_ratio,
+      |    len(list_intersect(w, ['a', 'the'])) > 0 AS has_stopword
+      |  FROM t)
+      |SELECT f.*,
+      |  (n_tokens BETWEEN 20 AND 10000)
+      |    AND (mean_word_len BETWEEN 2.0 AND 12.0)
+      |    AND type_token_ratio >= 0.3 AND has_stopword AS keep
+      |FROM f""".stripMargin
+
+  // p37 — one k-means step over embeddings (k = 8 scrambled-sample seeds)
+  def kmeansStep(spark: SparkSession, dir: String): DataFrame =
+    Clustering.kmeansStep(Tables.embeddings(spark, dir), k = 8)
+
+  val kmeansStepSql: String = {
+    import RecallQueries.{cosSql => _, dotSql, normSql}
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${dotSql("e.embedding", "c.cent_emb")} /
+       |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cent_id AS cell, cos FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cent_id DESC) AS rn FROM sc) WHERE rn = 1),
+       |w AS (SELECT cell, cos,
+       |    list_sum([CAST(x AS DOUBLE) for x in embedding]) AS comp_sum
+       |  FROM asg)
+       |SELECT cell, COUNT(*) AS n_members,
+       |  round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_cos,
+       |  round(CAST(SUM(CAST(round(comp_sum, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |    / COUNT(*), 6) AS new_centroid_comp_sum
+       |FROM w GROUP BY cell""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p34_repetition_quality" -> (repetition _),
+    "p35_seq_packing" -> (seqPacking _),
+    "p36_boilerplate_filter" -> (boilerplate _),
+    "p37_kmeans_step" -> (kmeansStep _))
+
+  val oracles: Map[String, String] = Map(
+    "p34_repetition_quality" -> repetitionSql,
+    "p35_seq_packing" -> seqPackingSql,
+    "p36_boilerplate_filter" -> boilerplateSql,
+    "p37_kmeans_step" -> kmeansStepSql)
+}

@@ -44,12 +44,12 @@ object RecallQueries {
   private def collideSql(l: String, r: String, tables: Int): String =
     (0 until tables).map(t => s"$l.b$t = $r.b$t").mkString("(", " OR ", ")")
 
-  private def dotSql(a: String, b: String): String =
+  private[queries] def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, 65)])"
 
-  private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
+  private[queries] def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
-  private def cosSql(a: String, b: String): String =
+  private[queries] def cosSql(a: String, b: String): String =
     s"round(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}), 6)"
 
   /** Brute-force top-10 (stride-50 queries) as reusable CTEs — the same

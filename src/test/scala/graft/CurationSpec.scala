@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.{Clustering, Packing, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Semantics of the curation family: repetition metrics, boilerplate
+  * gate, sequence packing, k-means step. */
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("repetition stats: bigram counts conserve and flag repeated text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "spam spam spam spam spam spam")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // a doc with n tokens has n-1 bigrams
+    assert(out(1L).getAs[Long]("n_ngrams") === 5L)
+    assert(out(2L).getAs[Long]("n_ngrams") === 5L)
+    // pure repetition: every bigram is "spam spam"
+    assert(out(2L).getAs[Double]("top_ngram_frac") === 1.0)
+    assert(out(2L).getAs[Double]("dup_ngram_frac") === 1.0)
+    // no repeated bigram in doc 1
+    assert(out(1L).getAs[Double]("dup_ngram_frac") === 0.0)
+  }
+
+  test("boilerplate gate: keep implies every individual rule") {
+    val out = TextAnalysis.boilerplateFlags(Tables.documents(spark, sfDir))
+    val bad = out.filter(col("keep") &&
+      (!col("has_stopword") || col("type_token_ratio") < 0.3 ||
+        !col("n_tokens").between(20, 10000)))
+    assert(bad.isEmpty)
+    // the gate must actually discriminate on this corpus
+    val kinds = out.select(col("keep")).distinct().count()
+    assert(kinds === 2, "expected both kept and dropped documents")
+  }
+
+  test("packing: every doc placed once, bins respect capacity") {
+    val docs = Tables.documents(spark, sfDir)
+    val out = Packing.packSequences(docs, capacity = 512, shards = 8).cache()
+    assert(out.count() === docs.count(), "placement is a bijection")
+    assert(out.select("doc_id").distinct().count() === docs.count())
+    // within a bin, docs tile contiguously: sum of lengths = max(end)
+    val bins = out.groupBy(col("source"), col("bucket"), col("seq_id"))
+      .agg(sum(col("n_tokens")).as("toks"),
+        max(col("tok_offset") + col("n_tokens")).as("hi"),
+        min(col("tok_offset")).as("lo"),
+        count(lit(1)).as("n_docs"))
+    assert(bins.filter(col("lo") =!= 0 || col("hi") =!= col("toks")).isEmpty,
+      "bins must tile from offset 0 with no gaps or overlaps")
+    // multi-doc bins never exceed capacity (single oversized docs may)
+    assert(bins.filter(col("n_docs") > 1 && col("toks") > 512).isEmpty)
+    out.unpersist()
+  }
+
+  test("kmeans step: partition of the corpus into at most k cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Clustering.kmeansStep(emb, k = 8).cache()
+    assert(out.count() <= 8)
+    val members = out.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(members === emb.count(), "every vector lands in exactly one cell")
+    assert(out.filter(col("mean_cos") > 1.000001 || col("mean_cos") < -1.000001).isEmpty)
+    out.unpersist()
+  }
+}
