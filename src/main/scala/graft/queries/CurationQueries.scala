@@ -108,15 +108,84 @@ object CurationQueries {
        |FROM w GROUP BY cell""".stripMargin
   }
 
+  // p38 — domain mixture sampling: per-source keep rates (the "30% web,
+  // 60% code" knob of a training mix), content-keyed so membership is
+  // stable across reruns/engines. Reported as a per-source mixture audit;
+  // the sample itself is Sampling.stratifiedSample over `source`.
+  private val mixRates = Map("src0" -> 10, "src1" -> 25, "src2" -> 50)
+
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Sampling
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val kept = Sampling
+      .stratifiedSample(docs, col("source"), col("text"), mixRates)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("kept_frac"))
+  }
+
+  val domainMixSql: String = {
+    val rateCase = mixRates.toSeq.sortBy(_._1)
+      .map { case (s, p) => s"WHEN '$s' THEN $p" }
+      .mkString("CASE source ", " ", " ELSE 100 END")
+    s"""WITH k AS (
+       |  SELECT source, COUNT(*) AS n_kept FROM documents
+       |  WHERE CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 100
+       |    < $rateCase
+       |  GROUP BY source),
+       |t AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT t.source, t.n_docs, coalesce(k.n_kept, 0) AS n_kept,
+       |  round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / t.n_docs, 6)
+       |    AS kept_frac
+       |FROM t LEFT JOIN k ON k.source = t.source""".stripMargin
+  }
+
+  // q42 — GROUPING SETS with grouping() provenance flags: the arbitrary-
+  // set sibling of rollup (q15) and cube (q23). Expand emits one copy of
+  // each row per set; partial aggregation contains it before the shuffle.
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("v_orders_gs")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+        .stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderpriority, o_orderstatus,
+      |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+      |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
+      .stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_repetition_quality" -> (repetition _),
     "p35_seq_packing" -> (seqPacking _),
     "p36_boilerplate_filter" -> (boilerplate _),
-    "p37_kmeans_step" -> (kmeansStep _))
+    "p37_kmeans_step" -> (kmeansStep _),
+    "p38_domain_mix" -> (domainMix _),
+    "q42_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
     "p34_repetition_quality" -> repetitionSql,
     "p35_seq_packing" -> seqPackingSql,
     "p36_boilerplate_filter" -> boilerplateSql,
-    "p37_kmeans_step" -> kmeansStepSql)
+    "p37_kmeans_step" -> kmeansStepSql,
+    "p38_domain_mix" -> domainMixSql,
+    "q42_grouping_sets" -> groupingSetsSql)
 }

@@ -54,6 +54,35 @@ class CurationSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("domain mix: downsampled sources keep fewer, others keep all") {
+    val out = graft.queries.CurationQueries.domainMix(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // unlisted sources keep everything
+    out.filterNot(kv => Set("src0", "src1", "src2")(kv._1)).values.foreach { r =>
+      assert(r.getAs[Long]("n_kept") === r.getAs[Long]("n_docs"))
+    }
+    // listed sources never keep more than everything, and the three
+    // rates order their keep fractions (10 <= 25 <= 50 in expectation;
+    // assert only the hard invariant, not the statistical one)
+    Seq("src0", "src1", "src2").foreach { s =>
+      assert(out(s).getAs[Long]("n_kept") <= out(s).getAs[Long]("n_docs"))
+    }
+  }
+
+  test("grouping sets: per-set totals agree with the global total") {
+    val rows = graft.queries.CurationQueries.groupingSets(spark, sfDir).collect()
+    val global = rows.filter(r =>
+      r.getAs[Long]("g_priority") == 1L && r.getAs[Long]("g_status") == 1L)
+    assert(global.length === 1)
+    val byPriority = rows.filter(r => r.getAs[Long]("g_priority") == 0L)
+      .map(_.getAs[Long]("n_orders")).sum
+    val byStatus = rows.filter(r => r.getAs[Long]("g_status") == 0L)
+      .map(_.getAs[Long]("n_orders")).sum
+    val total = global(0).getAs[Long]("n_orders")
+    assert(byPriority === total && byStatus === total,
+      "each grouping set partitions the same row universe")
+  }
+
   test("kmeans step: partition of the corpus into at most k cells") {
     val emb = Tables.embeddings(spark, sfDir)
     val out = Clustering.kmeansStep(emb, k = 8).cache()
