@@ -246,15 +246,68 @@ object RecallQueries {
        |FROM embeddings e LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
        |  ON b.right_id = e.vec_id""".stripMargin
 
+  /** Oracle for p26: DuckDB computes the exact truth side directly on
+    * STRING shingle sets (the Spark side hashes them first purely for
+    * speed — xxhash64 collisions are ~|grams|²/2⁶⁴, never), and then
+    * asserts the quality CONTRACT: the banding finds every true pair, so
+    * n_found = n_true and recall = 1.0. If an LSH change ever drops
+    * candidate recall below 1.0 on the verification corpus, this row
+    * hash-mismatches — a driver-visible quality regression gate, not
+    * just a rows-only count. */
+  val minhashCandidateRecallSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |        WHERE doc_id < 1000)),
+      |p AS (SELECT len(list_intersect(l.sh, r.sh)) AS inter,
+      |    len(l.sh) AS nl, len(r.sh) AS nr
+      |  FROM t l JOIN t r ON l.doc_id < r.doc_id),
+      |tr AS (SELECT * FROM p
+      |  WHERE CAST(inter AS DOUBLE) / (nl + nr - inter) >= 0.7)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+      |  CAST(COUNT(*) AS BIGINT) AS n_found,
+      |  CAST(1.0 AS DOUBLE) AS recall
+      |FROM tr""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q43 — sketch error bound as a verified claim
+  // ---------------------------------------------------------------------
+
+  /** HLL++ distinct counts with the error bound CHECKED: the catalog row
+    * carries the exact count plus a boolean asserting the sketch landed
+    * within 3x its configured rsd. DuckDB cannot replay Spark's HLL
+    * register state, but it can verify the exact side and expect the
+    * bound to hold — so q24's blind spot gets a driver-visible contract
+    * (same pattern as the p26 recall oracle). */
+  def sketchQuality(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("n_exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+      .select(col("l_returnflag"), col("n_exact_orders"),
+        (abs(col("approx") - col("n_exact_orders")).cast("double") /
+          col("n_exact_orders") <= 0.06).as("within_rel_bound"))
+
+  val sketchQualitySql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_orderkey) AS n_exact_orders,
+      |  TRUE AS within_rel_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
     "p24_ann_lsh_recall" -> (annLshRecall _),
     "p25_ann_ivf_recall" -> (annIvfRecall _),
-    "p26_minhash_candidate_recall" -> (minhashCandidateRecall _))
+    "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
+    "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
     "p23_dedup_groups_chain" -> dedupGroupsChainSql,
     "p24_ann_lsh_recall" -> annLshRecallSql,
     "p25_ann_ivf_recall" -> annIvfRecallSql,
+    "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,
+    "q43_sketch_quality" -> sketchQualitySql,
     "p13_emb_cosine_dedup" -> embCosineDedupSql)
 }
