@@ -123,7 +123,17 @@ object RecallQueries {
 
   val annLshRecallSql: String =
     s"""WITH $bruteCtes,
-       |bk AS (SELECT vec_id, embedding,
+       |$lshCtes,
+       |lsh AS (SELECT q_id, c_id FROM lr WHERE rn <= 10)
+       |SELECT b.q_id, COUNT(*) AS n_exact, COUNT(l.c_id) AS n_hit,
+       |  round(CAST(COUNT(l.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
+       |FROM brute b LEFT JOIN lsh l ON l.q_id = b.q_id AND l.c_id = b.c_id
+       |GROUP BY b.q_id""".stripMargin
+
+  /** Shared LSH replay CTEs (8 tables x 3 bits — the geometry the
+    * adaptive sizing resolves to at the sf0.01 verification corpus). */
+  private lazy val lshCtes: String =
+    s"""bk AS (SELECT vec_id, embedding,
        |  ${bucketCols("embedding", 8, 3)}
        |  FROM embeddings),
        |lq AS (SELECT * FROM bk WHERE vec_id % 50 = 0),
@@ -131,12 +141,14 @@ object RecallQueries {
        |    ${cosSql("lq.embedding", "c.embedding")} AS cos_sim
        |  FROM bk c JOIN lq ON ${collideSql("c", "lq", 8)} AND c.vec_id <> lq.vec_id),
        |lr AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |        ORDER BY cos_sim DESC, c_id) AS rn FROM lp),
-       |lsh AS (SELECT q_id, c_id FROM lr WHERE rn <= 10)
-       |SELECT b.q_id, COUNT(*) AS n_exact, COUNT(l.c_id) AS n_hit,
-       |  round(CAST(COUNT(l.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
-       |FROM brute b LEFT JOIN lsh l ON l.q_id = b.q_id AND l.c_id = b.c_id
-       |GROUP BY b.q_id""".stripMargin
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM lp)""".stripMargin
+
+  /** Full oracle for PipelineQueries' p12_ann_lsh_topk: the bucket
+    * geometry is plain seeded arithmetic, so the RESULT rows — not just
+    * their recall — replay in SQL. */
+  val annLshTopKSql: String =
+    s"""WITH $lshCtes
+       |SELECT q_id, c_id, cos_sim FROM lr WHERE rn <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
   // p25 — recall@10 of the IVF ANN vs the exact baseline
@@ -158,9 +170,11 @@ object RecallQueries {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
-  val annIvfRecallSql: String =
-    s"""WITH $bruteCtes,
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+  /** Shared IVF replay CTEs (16 centroids, 4 probes — the p16 entry's
+    * parameters). `ip` carries the candidate's cell so the p16 result
+    * oracle can emit it. */
+  private lazy val ivfCtes: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
        |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |    ${dotSql("e.embedding", "c.cent_emb")} /
@@ -173,16 +187,53 @@ object RecallQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id
        |      ORDER BY cent_cos DESC, cent_id ASC) AS rn
        |    FROM sc WHERE vec_id % 50 = 0) WHERE rn <= 4),
-       |ip AS (SELECT pr.q_id, a.vec_id AS c_id,
+       |ip AS (SELECT pr.q_id, a.vec_id AS c_id, a.cell,
        |    ${cosSql("pr.q_emb", "a.embedding")} AS cos_sim
        |  FROM asg a JOIN pr ON a.cell = pr.cell AND a.vec_id <> pr.q_id),
        |ir AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |        ORDER BY cos_sim DESC, c_id) AS rn FROM ip),
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM ip)""".stripMargin
+
+  val annIvfRecallSql: String =
+    s"""WITH $bruteCtes,
+       |$ivfCtes,
        |ivf AS (SELECT q_id, c_id FROM ir WHERE rn <= 10)
        |SELECT b.q_id, COUNT(*) AS n_exact, COUNT(l.c_id) AS n_hit,
        |  round(CAST(COUNT(l.c_id) AS DOUBLE) / COUNT(*), 6) AS recall
        |FROM brute b LEFT JOIN ivf l ON l.q_id = b.q_id AND l.c_id = b.c_id
        |GROUP BY b.q_id""".stripMargin
+
+  /** Full oracle for PipelineQueries' p16_ann_ivf_topk — same CTEs, the
+    * result rows themselves. */
+  val annIvfTopKSql: String =
+    s"""WITH $ivfCtes
+       |SELECT q_id, c_id, cell, cos_sim FROM ir WHERE rn <= 10""".stripMargin
+
+  /** Full oracle for PipelineQueries' p19_dedup_groups. The entry's edge
+    * set is the MinHash-LSH verified pairs; verification filters on the
+    * EXACT shingle-set Jaccard (hashing only accelerates it), and the
+    * banding finds every >= 0.7 pair on the verification corpus (the p26
+    * contract). So the truth edges — word-3-shingle string Jaccard >=
+    * 0.7 — replay in SQL, and components follow via the same recursive
+    * min-label CTE the p23 oracle uses. A banding recall regression
+    * breaks this row AND p26 together, loudly. */
+  val dedupGroupsSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id,
+      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |      for i in range(1, len(w) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |e AS (SELECT l.doc_id AS a, r.doc_id AS b
+      |  FROM t l JOIN t r ON l.doc_id < r.doc_id
+      |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+      |        (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+      |        >= 0.7),
+      |es AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+      |reach(id, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)
+      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
 
   // ---------------------------------------------------------------------
   // p26 — candidate recall of the MinHash-LSH banding (rows-only)
@@ -309,5 +360,8 @@ object RecallQueries {
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,
     "q43_sketch_quality" -> sketchQualitySql,
-    "p13_emb_cosine_dedup" -> embCosineDedupSql)
+    "p13_emb_cosine_dedup" -> embCosineDedupSql,
+    "p12_ann_lsh_topk" -> annLshTopKSql,
+    "p16_ann_ivf_topk" -> annIvfTopKSql,
+    "p19_dedup_groups" -> dedupGroupsSql)
 }
