@@ -27,6 +27,24 @@ object Sinks {
     df.repartition(partitionCols.map(df(_)): _*)
       .write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** Compact a parquet dataset to ~`targetFileBytes` output files —
+    * small-file hygiene, the maintenance op every long-lived 100 TB
+    * table needs (thousands of tiny files turn listing and scan startup
+    * into the bottleneck). File count is computed from the ACTUAL input
+    * bytes via the Hadoop FileSystem API (scheme-agnostic: file://,
+    * hdfs://, s3a://), not guessed. Returns the output file count. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, inDir: String,
+                     outDir: String, targetFileBytes: Long = 128L << 20): Int = {
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(in).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    nFiles
+  }
+
   /** JDBC append (reference database_write.py:8-17) — errors propagate. */
   def appendJdbc(df: DataFrame, url: String, table: String,
                  props: java.util.Properties): Unit =

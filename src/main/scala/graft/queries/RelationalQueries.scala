@@ -181,15 +181,49 @@ object RelationalQueries {
       |  n_events - 1 AS n_dropped
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** q44 — dense global ids without a global sort: bucketed prefix-sum
+    * numbering (ops.Ids). The oracle IS the global window the operator
+    * avoids — fine for DuckDB at verification scale, the anti-pattern
+    * the operator exists to dodge at 100 TB. */
+  def q44GlobalIds(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Ids.contiguousIds(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        orderCol = col("n_chars"), tieCol = col("doc_id"), bucketWidth = 16)
+      .select(col("doc_id"), col("n_chars"), col("global_id"))
+
+  val q44Sql: String =
+    """SELECT doc_id, n_chars,
+      |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_id
+      |FROM documents""".stripMargin
+
+  /** q45 — small-file compaction round trip: compact the documents table
+    * to size-targeted files (io.Sinks.compactParquet), read the result
+    * back, and prove bit-for-bit content conservation against the
+    * original table (the q36 round-trip pattern, maintenance-op
+    * edition). */
+  def q45Compaction(spark: SparkSession, dir: String): DataFrame = {
+    val out = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_q45_compact").getAbsolutePath
+    graft.io.Sinks.compactParquet(spark, s"$dir/documents.parquet", out)
+    spark.read.parquet(out).select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val q45Sql: String =
+    "SELECT doc_id, source, n_chars FROM documents"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_full_outer" -> (q38FullOuter _),
     "q39_multiway_topk" -> (q39MultiwayTopK _),
     "q40_sliding_window" -> (q40SlidingWindow _),
-    "q41_event_dedup" -> (q41EventDedup _))
+    "q41_event_dedup" -> (q41EventDedup _),
+    "q44_global_ids" -> (q44GlobalIds _),
+    "q45_compaction" -> (q45Compaction _))
 
   val oracles: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
     "q39_multiway_topk" -> q39Sql,
     "q40_sliding_window" -> q40Sql,
-    "q41_event_dedup" -> q41Sql)
+    "q41_event_dedup" -> q41Sql,
+    "q44_global_ids" -> q44Sql,
+    "q45_compaction" -> q45Sql)
 }

@@ -61,6 +61,35 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("contiguous ids are dense 0..n-1 and follow the requested order") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    val out = graft.ops.Ids.contiguousIds(docs,
+      orderCol = col("n_chars"), tieCol = col("doc_id"), bucketWidth = 16).cache()
+    val n = docs.count()
+    assert(out.count() === n)
+    // dense: ids are exactly 0..n-1
+    assert(out.agg(min(col("global_id")), max(col("global_id")),
+      count_distinct(col("global_id"))).collect()(0).toSeq === Seq(0L, n - 1, n))
+    // order: sorting by id reproduces (n_chars, doc_id) order
+    val byId = out.orderBy(col("global_id"))
+      .select(col("n_chars"), col("doc_id")).collect()
+    val expected = byId.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(byId.toSeq === expected.toSeq)
+    out.unpersist()
+  }
+
+  test("compaction conserves rows and hits the file-count target") {
+    val outDir = java.nio.file.Files
+      .createTempDirectory("graft-compact-spec").toString
+    val nFiles = graft.io.Sinks.compactParquet(spark,
+      s"$sfDir/documents.parquet", outDir, targetFileBytes = 16L << 10)
+    val written = new java.io.File(outDir)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(written === nFiles, "file count matches the size-derived target")
+    assert(spark.read.parquet(outDir).count() ===
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("q41 dedup conserves events and keeps the earliest per key") {
     val out = RelationalQueries.q41EventDedup(spark, sfDir).cache()
     val total = Tables.events(spark, sfDir).count()
