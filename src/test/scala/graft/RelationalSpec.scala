@@ -78,6 +78,19 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q44 plan: row numbering is per-bucket, offsets broadcast") {
+    val q = RelationalQueries.q44GlobalIds(spark, sfDir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "bucket offsets must broadcast")
+    // the per-row numbering window must be partitioned by bucket; the
+    // only legitimate unpartitioned window is the offsets prefix sum
+    // over #buckets rows (inside the broadcast branch)
+    val rn = plan.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("[id_bucket")),
+      s"row_number must window per bucket, not globally:\n$plan")
+  }
+
   test("compaction conserves rows and hits the file-count target") {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-compact-spec").toString
