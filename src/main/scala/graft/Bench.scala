@@ -53,6 +53,10 @@ object Bench {
       // must not pass for a fast success in timings or the total
       if (ok) Some(name -> elapsed) else None
     }
+    // explicit root locale: under a comma-decimal default locale (de_DE
+    // etc.) f"$v%.3f" would print 0,727 — invalid JSON for the driver
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -72,12 +76,12 @@ object Bench {
     // qNN/pNN prefix (the detail line above always carries full names).
     def compactLine(short: Boolean): String = {
       val qs = results.map { case (k, v) =>
-        jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + f"$v%.3f"
+        jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + num3(v)
       }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

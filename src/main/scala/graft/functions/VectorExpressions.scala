@@ -27,6 +27,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  // a null ELEMENT (containsNull schemas — parquet list elements read as
+  // nullable) propagates to a null result rather than contributing an
+  // undefined value to the accumulator
+  private def anyContainsNull: Boolean = Seq(left, right).exists {
+    e => e.dataType.asInstanceOf[ArrayType].containsNull
+  }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || anyContainsNull
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(e: Expression) = e.dataType match {
       case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -44,15 +54,16 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
-    (elemType(left), elemType(right)) match {
-      case (FloatType, FloatType) =>
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
-      case (FloatType, DoubleType) =>
-        while (i < n) { acc += x.getFloat(i).toDouble * y.getDouble(i); i += 1 }
-      case (DoubleType, FloatType) =>
-        while (i < n) { acc += x.getDouble(i) * y.getFloat(i).toDouble; i += 1 }
-      case _ =>
-        while (i < n) { acc += x.getDouble(i) * y.getDouble(i); i += 1 }
+    val checkNulls = anyContainsNull
+    def get(d: ArrayData, t: DataType, j: Int): Double = t match {
+      case FloatType => d.getFloat(j).toDouble
+      case _ => d.getDouble(j)
+    }
+    val (lt, rt) = (elemType(left), elemType(right))
+    while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
+      acc += get(x, lt, i) * get(y, rt, i)
+      i += 1
     }
     acc
   }
@@ -66,10 +77,15 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullGuard =
+        if (anyContainsNull)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += ${getter(left, a, i)} * ${getter(right, b, i)};
          |}
          |${ev.value} = $acc;
@@ -105,14 +121,27 @@ case class VecSum(child: Expression)
           s"vec_sum expects array<float>/array<double>, got $other")
     }
 
+  // null ELEMENTS propagate to a null result (see VecDot)
+  private def containsNull: Boolean =
+    child.dataType.asInstanceOf[ArrayType].containsNull
+
+  override def nullable: Boolean = child.nullable || containsNull
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    val checkNulls = containsNull
     var acc = 0.0
     var i = 0
     elemType match {
-      case FloatType => while (i < n) { acc += x.getFloat(i).toDouble; i += 1 }
-      case _ => while (i < n) { acc += x.getDouble(i); i += 1 }
+      case FloatType => while (i < n) {
+        if (checkNulls && x.isNullAt(i)) return null
+        acc += x.getFloat(i).toDouble; i += 1
+      }
+      case _ => while (i < n) {
+        if (checkNulls && x.isNullAt(i)) return null
+        acc += x.getDouble(i); i += 1
+      }
     }
     acc
   }
@@ -126,10 +155,17 @@ case class VecSum(child: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullGuard =
+        if (containsNull)
+          s"if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $acc += ${get(a, i)}; }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
+         |  $acc += ${get(a, i)};
+         |}
          |${ev.value} = $acc;
        """.stripMargin
     })

@@ -19,9 +19,11 @@ object CurationQueries {
     TextAnalysis.repetitionStats(Tables.documents(spark, dir), n = 2)
 
   val repetitionSql: String =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      |  FROM documents),
       |g AS (SELECT doc_id,
-      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+      |    unnest(CASE WHEN len(w) < 2 THEN [text]
+      |      ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))] END) AS gram
       |  FROM t),
       |c AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2)
       |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_ngrams,

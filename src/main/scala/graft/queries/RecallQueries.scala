@@ -219,9 +219,11 @@ object RecallQueries {
   val dedupGroupsSql: String =
     """WITH RECURSIVE t AS (
       |  SELECT doc_id,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |      for i in range(1, len(w) - 1)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |        for i in range(1, len(w) - 1)]) END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
       |e AS (SELECT l.doc_id AS a, r.doc_id AS b
       |  FROM t l JOIN t r ON l.doc_id < r.doc_id
       |  WHERE CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
@@ -308,10 +310,11 @@ object RecallQueries {
   val minhashCandidateRecallSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |    list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-      |      for i in range(1, len(w) - 1)]) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |        WHERE doc_id < 1000)),
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |        for i in range(1, len(w) - 1)]) END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents WHERE doc_id < 1000)),
       |p AS (SELECT len(list_intersect(l.sh, r.sh)) AS inter,
       |    len(l.sh) AS nl, len(r.sh) AS nr
       |  FROM t l JOIN t r ON l.doc_id < r.doc_id),

@@ -202,10 +202,54 @@ object RelationalQueries {
     * original table (the q36 round-trip pattern, maintenance-op
     * edition). */
   def q45Compaction(spark: SparkSession, dir: String): DataFrame = {
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q45_compact").getAbsolutePath
+    // path is unique per (application, input dir): two concurrent drivers
+    // (bench + correctness, or two sf dirs) must not read each other's
+    // output through a shared fixed directory; cleaned up on JVM exit
+    // (deleting inline would break the lazily-read returned DataFrame)
+    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_q45_${spark.sparkContext.applicationId}_$tag").getAbsolutePath
     graft.io.Sinks.compactParquet(spark, s"$dir/documents.parquet", out)
+    cleanupOnExit(out)
     spark.read.parquet(out).select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** q46 — dense global ids over a SPARSE order key (a 32-bit content
+    * hash): the case where q44's fixed-width range bucketing degenerates
+    * (every row its own bucket). The quantile-bucketed variant bounds
+    * the offsets table at numBuckets rows regardless of key range. The
+    * oracle is again the global window the operator avoids. */
+  def q46GlobalIdsSparse(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+        .as("sort_key"))
+    graft.ops.Ids.contiguousIdsQuantile(
+        docs, orderCol = col("sort_key"), tieCol = col("doc_id"),
+        numBuckets = 64)
+      .select(col("doc_id"), col("sort_key"), col("global_id"))
+  }
+
+  val q46Sql: String =
+    """SELECT doc_id,
+      |  CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS sort_key,
+      |  row_number() OVER (
+      |    ORDER BY CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT),
+      |      doc_id) - 1 AS global_id
+      |FROM documents""".stripMargin
+
+  private val exitCleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val exitHookInstalled: Unit = {
+    sys.addShutdownHook {
+      exitCleanupPaths.forEach { p =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
+        catch { case _: java.io.IOException => () }
+      }
+    }; ()
+  }
+  private def cleanupOnExit(path: String): Unit = {
+    exitHookInstalled
+    exitCleanupPaths.add(path); ()
   }
 
   val q45Sql: String =
@@ -217,7 +261,8 @@ object RelationalQueries {
     "q40_sliding_window" -> (q40SlidingWindow _),
     "q41_event_dedup" -> (q41EventDedup _),
     "q44_global_ids" -> (q44GlobalIds _),
-    "q45_compaction" -> (q45Compaction _))
+    "q45_compaction" -> (q45Compaction _),
+    "q46_global_ids_sparse" -> (q46GlobalIdsSparse _))
 
   val oracles: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
@@ -225,5 +270,6 @@ object RelationalQueries {
     "q40_sliding_window" -> q40Sql,
     "q41_event_dedup" -> q41Sql,
     "q44_global_ids" -> q44Sql,
-    "q45_compaction" -> q45Sql)
+    "q45_compaction" -> q45Sql,
+    "q46_global_ids_sparse" -> q46Sql)
 }

@@ -78,6 +78,27 @@ class RelationalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("quantile-bucketed ids stay dense and ordered over a sparse key") {
+    // a 32-bit content hash: the key where fixed-width range bucketing
+    // degenerates to one bucket per row (the q44 offsets-table hazard)
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"),
+      conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long").as("k"))
+    val out = graft.ops.Ids.contiguousIdsQuantile(docs,
+      orderCol = col("k"), tieCol = col("doc_id"), numBuckets = 16).cache()
+    val n = docs.count()
+    assert(out.agg(min(col("global_id")), max(col("global_id")),
+      count_distinct(col("global_id"))).collect()(0).toSeq === Seq(0L, n - 1, n))
+    val byId = out.orderBy(col("global_id"))
+      .select(col("k"), col("doc_id")).collect()
+    assert(byId.toSeq === byId.sortBy(r => (r.getLong(0), r.getLong(1))).toSeq)
+    // numbering must stay per-bucket: no global row_number window
+    val plan = out.queryExecution.executedPlan.toString
+    val rn = plan.linesIterator.filter(_.contains("row_number()")).toSeq
+    assert(rn.nonEmpty && rn.forall(_.contains("[id_bucket")),
+      s"row_number must window per bucket, not globally:\n$plan")
+    out.unpersist()
+  }
+
   test("q44 plan: row numbering is per-bucket, offsets broadcast") {
     val q = RelationalQueries.q44GlobalIds(spark, sfDir)
     q.collect()
