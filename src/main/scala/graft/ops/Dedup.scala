@@ -121,20 +121,36 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.TextFunctions.simhash64(TextAnalysis.tokens(text))
 
-  /** Per-document SimHash signatures plus the four 16-bit chunks used for
-    * hamming-candidate banding. */
-  def simhashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), simhash(col("text")).as("simhash"))
+  /** 60-bit md5-hashed SimHash — identical vote machinery, but every
+    * intermediate replays as plain SQL (see functions.SimHashMd5), which
+    * is what gives the simhash catalog entries full hash oracles. The
+    * xxhash64 form stays the library default: md5 per token is ~5x
+    * slower, and 100 TB corpora care. */
+  def simhashMd5(text: Column): Column =
+    graft.functions.TextFunctions.simhash_md5(TextAnalysis.tokens(text))
+
+  /** Per-document SimHash signatures plus the four chunk columns used for
+    * hamming-candidate banding (16-bit chunks of the 64-bit default hash;
+    * 15-bit chunks of the 60-bit `replayable` md5 variant). */
+  def simhashSignatures(docs: DataFrame, replayable: Boolean = false): DataFrame = {
+    val (sig, chunkBits) =
+      if (replayable) (simhashMd5(col("text")), 15)
+      else (simhash(col("text")), 16)
+    val mask = (1L << chunkBits) - 1
+    docs.select(col("doc_id"), sig.as("simhash"))
       .withColumn("chunks", transform(sequence(lit(0), lit(3)), j =>
-        call_function("shiftright", col("simhash"), j * 16).bitwiseAND(lit(0xFFFFL))))
+        call_function("shiftright", col("simhash"), j * chunkBits)
+          .bitwiseAND(lit(mask))))
+  }
 
   /** Near-dup pairs with hamming distance <= maxHamming (pigeonhole over
-    * 16-bit chunks guarantees recall for maxHamming <= 3). Signatures are
+    * 4 chunks guarantees recall for maxHamming <= 3). Signatures are
     * NOT cached: the one derived branch recomputes a ~0.1 s narrow pass,
     * cheaper than a persist the caller would have to release (same
     * measurement as minhashLsh). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   replayable: Boolean = false): DataFrame = {
+    val sigs = simhashSignatures(docs, replayable)
     val banded = sigs.select(col("doc_id"), col("simhash"),
         posexplode(col("chunks")).as(Seq("chunk_id", "chunk_val")))
     val l = banded.as("l"); val r = banded.as("r")

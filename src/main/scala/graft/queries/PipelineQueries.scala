@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 
 /** Training-data pipeline query catalog: dedup, similarity search, text
   * analysis, multimodal plumbing — over the `documents` / `embeddings`
-  * fixture tables. SQL-expressible ops carry DuckDB oracles (same
-  * column names, bit-identical value policy); hash-seeded ops
-  * (minhash/simhash/LSH) are rows-only by nature — DuckDB has no
-  * xxhash64 — and are instead covered by ScalaTest invariants.
+  * fixture tables. Every entry carries a DuckDB oracle (same column
+  * names, bit-identical value policy). The formerly rows-only seeded-
+  * hash ops are closed out too: p02 verifies its pair set + exact
+  * Jaccard + an estimator error-bound contract (banding recall 1.0 is
+  * p26's contract), and p03/p04 run the md5-hashed replayable simhash
+  * variant whose 60-bit signatures replay as plain SQL.
   */
 object PipelineQueries {
 
@@ -26,17 +28,92 @@ object PipelineQueries {
     * over word TRIGRAM shingles. The loose defaults (bigrams, 4-row
     * bands) collide ~30% of ALL pairs on this small shared vocabulary
     * (1.7M candidates at sf0.1); trigrams + 8-row bands keep the
-    * candidate set proportional to true near-dups. */
+    * candidate set proportional to true near-dups.
+    *
+    * Fully oracle-checked via the same contract stack as p26: the
+    * banding finds every true >= 0.7 pair on the verification corpus
+    * (p26 asserts recall 1.0 for exactly these parameters), emitted
+    * pairs are filtered on the EXACT word-3-shingle Jaccard (which
+    * replays in SQL), and the MinHash estimate — the one seeded-hash
+    * quantity DuckDB cannot recompute — is exported as a checked
+    * error-bound flag (k=128 => sigma <= 0.044; 0.15 ~ 3.4 sigma) the
+    * oracle expects TRUE. A banding recall drop, a verify-threshold
+    * drift, or an estimator regression each breaks this row loudly. */
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(spark, dir),
-      bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      .select(col("left_id"), col("right_id"),
+        round(col("jaccard"), 6).as("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= 0.15)
+          .as("est_within_bound"))
 
+  val dedupMinhashSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |        for i in range(1, len(w) - 1)]) END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+      |    CAST(len(list_intersect(l.sh, r.sh)) AS DOUBLE) /
+      |    (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS j
+      |  FROM t l JOIN t r ON l.doc_id < r.doc_id)
+      |SELECT left_id, right_id, round(j, 6) AS jaccard,
+      |  TRUE AS est_within_bound
+      |FROM p WHERE j >= 0.7""".stripMargin
+
+  /** The catalog entries run the md5-hashed `replayable` simhash variant
+    * (60-bit signature, 4 x 15-bit pigeonhole chunks): identical vote /
+    * banding / hamming-verify machinery to the xxhash64 default, but
+    * every intermediate is plain SQL arithmetic, so the signatures AND
+    * the banded pair set get full DuckDB hash oracles instead of the
+    * rows-only checks seeded xxhash64 forces. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashSignatures(Tables.documents(spark, dir))
+    Dedup.simhashSignatures(Tables.documents(spark, dir), replayable = true)
       .select("doc_id", "simhash")
 
+  val dedupSimhashSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id,
+      |    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+      |v AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(60) r(j) GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+      |           ELSE 0 END) AS BIGINT) AS simhash
+      |FROM v GROUP BY doc_id""".stripMargin
+
   def dedupSimhashPairs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 8)
+    Dedup.simhashPairs(Tables.documents(spark, dir), maxHamming = 8,
+        replayable = true)
+      .select(col("left_id"), col("right_id"),
+        col("hamming").cast("long").as("hamming"))
+
+  val dedupSimhashPairsSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |h AS (SELECT doc_id,
+      |    CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS hv FROM tok),
+      |v AS (SELECT doc_id, j,
+      |    SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      |  FROM h, range(60) r(j) GROUP BY doc_id, j),
+      |s AS (SELECT doc_id,
+      |    CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+      |             ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM v GROUP BY doc_id),
+      |cc AS (SELECT doc_id, simhash, cid,
+      |    (simhash >> (15 * cid)) & 32767 AS cv
+      |  FROM s, range(4) t(cid)),
+      |cand AS (SELECT DISTINCT l.doc_id AS left_id, r.doc_id AS right_id,
+      |    l.simhash AS ls, r.simhash AS rs
+      |  FROM cc l JOIN cc r ON l.cid = r.cid AND l.cv = r.cv
+      |    AND l.doc_id < r.doc_id)
+      |SELECT left_id, right_id,
+      |  CAST(bit_count(xor(ls, rs)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ls, rs)) <= 8""".stripMargin
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardConsecutive(Tables.documents(spark, dir), n = 3)
@@ -559,6 +636,9 @@ object PipelineQueries {
     "p32_unigram_logprob" -> textUnigramLogProbSql,
     "p33_decontamination" -> textDecontaminationSql,
     "p01_dedup_exact" -> dedupExactSql,
+    "p02_dedup_minhash_lsh" -> dedupMinhashSql,
+    "p03_dedup_simhash" -> dedupSimhashSql,
+    "p04_dedup_simhash_pairs" -> dedupSimhashPairsSql,
     "p05_dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "p06_text_token_stats" -> textTokenStatsSql,
     "p07_text_quality" -> textQualitySql,

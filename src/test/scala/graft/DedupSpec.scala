@@ -52,6 +52,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 1L)) === 0)
   }
 
+  test("replayable md5 simhash: 60-bit, same dedup structure as default") {
+    val sigs = Dedup.simhashSignatures(docs, replayable = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    // signatures fit the 60 bits the SQL replay (15 md5 hex chars) covers
+    assert(sigs.values.forall(s => (s >>> 60) === 0L))
+    assert(sigs(0L) === sigs(1L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <
+      java.lang.Long.bitCount(sigs(0L) ^ sigs(3L)))
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3, replayable = true)
+      .collect()
+      .map(r => ((r.getAs[Long]("left_id"), r.getAs[Long]("right_id")),
+        r.getAs[Int]("hamming"))).toMap
+    assert(pairs((0L, 1L)) === 0)
+  }
+
   test("ngram jaccard: identical consecutive docs score 1.0") {
     val j = Dedup.ngramJaccardConsecutive(docs).filter(col("left_id") === 0)
       .select("jaccard").as[Double].head()
