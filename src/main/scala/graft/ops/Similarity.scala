@@ -171,6 +171,23 @@ object Similarity {
     */
   def ivfTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (assign, probes) = ivfParts(embeddings, queryStride, nCentroids, nProbe)
+    val pairs = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos_sim",
+        round(vec_dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("nrm")), 6))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
+    pairs.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("vec_id").as("c_id"), col("cell"), col("cos_sim"))
+  }
+
+  /** Shared IVF coarse-quantizer stages: `assign` = (vec_id, cell,
+    * embedding, nrm) — every vector in its argmax-cosine centroid cell;
+    * `probes` = (q_id, q_emb, q_norm, cell) — each stride-query paired
+    * with its nProbe nearest cells. */
+  private[graft] def ivfParts(embeddings: DataFrame, queryStride: Int,
+                              nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
     val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
     val centroids = embeddings
       .orderBy(scramble.asc, col("vec_id").asc).limit(nCentroids)
@@ -193,14 +210,79 @@ object Similarity {
       .withColumn("rp", row_number().over(w)).filter(col("rp") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cent_id").as("cell"))
-    val pairs = assign.join(broadcast(probes), Seq("cell"))
+    (assign, probes)
+  }
+
+  /** IVF-PQ: the coarse quantizer prunes to nProbe cells (as ivfTopK),
+    * then candidates are ranked by PRODUCT-QUANTIZED asymmetric distance
+    * (ADC) instead of the exact vector dot — the memory-bound regime's
+    * standard trade: each candidate costs `subspaces` code lookups in a
+    * per-query distance table rather than a dim-wide multiply, and an
+    * index at rest stores `subspaces` bytes per vector, not 4*dim.
+    *
+    * Codebook: `codebookSize` deterministically hash-sampled vectors,
+    * sliced into `subspaces` sub-codebooks (same Knuth-scramble sample
+    * the IVF/k-means steps use — plain arithmetic, so the whole pipeline
+    * replays in SQL). Encoding = per-subspace argmin squared-L2 code;
+    * query LUT = d2(q_sub, centroid) per (query, subspace, centroid);
+    * ADC = fixed-order sum of the `subspaces` looked-up entries.
+    * Distances combine in a FIXED column order (d0+d1+d2+d3), never a
+    * shuffle-order aggregate, so results are bit-stable across engines
+    * and partitionings.
+    *
+    * The 4-slices-per-row projection runs through interpreted HOF
+    * lambdas (tiny constant per row); a native subvector expression is
+    * the upgrade path if PQ encoding ever dominates a profile. */
+  def ivfPqTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                subspaces: Int = 4, codebookSize: Int = 8,
+                dim: Int = 64): DataFrame = {
+    require(dim % subspaces == 0, "dim must divide evenly into subspaces")
+    val subDim = dim / subspaces
+    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    def subVecs(df: DataFrame, idAs: String, embAs: String): DataFrame =
+      df.select(col("vec_id").as(idAs),
+        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
+          s => slice(col("embedding"), s * lit(subDim) + lit(1), lit(subDim)))))
+        .toDF(idAs, "s", embAs)
+    val codebook = subVecs(
+      embeddings.orderBy(scramble.asc, col("vec_id").asc).limit(codebookSize),
+      "cent_id", "ce")
+    val d2 = (v: Column, c: Column) =>
+      vec_dot(v, v) - lit(2.0) * vec_dot(v, c) + vec_dot(c, c)
+    // encode every vector: per-subspace argmin-d2 code (tie: lower id)
+    val vsubs = subVecs(embeddings, "vec_id", "ve")
+    val codes = vsubs.join(broadcast(codebook), Seq("s"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(struct(d2(col("ve"), col("ce")).as("d2"),
+        col("cent_id").as("code"))).as("m"))
+      .select(col("vec_id"), col("s"), col("m.code").as("code"))
+    // per-query lookup table: d2 to every sub-centroid
+    val lut = subVecs(
+        embeddings.filter(pmod(col("vec_id"), lit(queryStride)) === 0),
+        "q_id", "qe")
+      .join(broadcast(codebook), Seq("s"))
+      .select(col("q_id"), col("s"), col("cent_id"),
+        d2(col("qe"), col("ce")).as("d2"))
+    // coarse-quantizer candidates, then ADC ranking over code lookups
+    val (assign, probes) = ivfParts(embeddings, queryStride, nCentroids, nProbe)
+    val cand = assign.join(broadcast(probes.select(col("q_id"), col("cell"))),
+        Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos_sim",
-        round(vec_dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("nrm")), 6))
+      .select(col("q_id"), col("vec_id").as("c_id"))
+    val lutByCode = lut.withColumnRenamed("cent_id", "code")
+    val parts = cand.join(codes.withColumnRenamed("vec_id", "c_id"), Seq("c_id"))
+      .join(broadcast(lutByCode), Seq("q_id", "s", "code"))
+    val dCols = (0 until subspaces).map(i =>
+      sum(when(col("s") === i, col("d2"))).as(s"d$i"))
+    val adist = round((0 until subspaces).map(i => col(s"d$i")).reduce(_ + _), 6)
+    val agg = parts.groupBy(col("q_id"), col("c_id"))
+      .agg(dCols.head, dCols.tail: _*)
+      .withColumn("adist", adist)
     val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
-    pairs.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id").as("c_id"), col("cell"), col("cos_sim"))
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("c_id").asc)
+    agg.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("adist"))
   }
 
   /** Per-vector dedup verdict: a vector is a duplicate if some LOWER-id

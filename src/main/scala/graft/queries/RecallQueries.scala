@@ -208,6 +208,56 @@ object RecallQueries {
     s"""WITH $ivfCtes
        |SELECT q_id, c_id, cell, cos_sim FROM ir WHERE rn <= 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p39 — IVF-PQ: coarse-quantized candidates ranked by ADC distance
+  // ---------------------------------------------------------------------
+
+  /** IVF-PQ top-k (Similarity.ivfPqTopK): IVF candidates, ranked by
+    * product-quantized asymmetric distance. Codebook sample, encoding
+    * argmin, per-query LUT, and the fixed-order ADC sum are all plain
+    * arithmetic — the full pipeline replays in SQL below. */
+  def annIvfPqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(spark, dir))
+
+  private def dotNSql(a: String, b: String, d: Int): String =
+    s"list_sum([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) for i in range(1, ${d + 1})])"
+
+  /** Squared L2 via the same dot-product decomposition and operator
+    * order the Spark side uses: (dot(a,a) - 2*dot(a,b)) + dot(b,b). */
+  private def d2Sql(a: String, b: String, d: Int): String =
+    s"(${dotNSql(a, a, d)} - 2.0 * ${dotNSql(a, b, d)} + ${dotNSql(b, b, d)})"
+
+  val annIvfPqTopKSql: String =
+    s"""WITH $ivfCtes,
+       |pqc AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |cb AS (SELECT cent_id, s, cent_emb[s*16+1 : (s+1)*16] AS ce
+       |  FROM pqc, range(4) t(s)),
+       |vs AS (SELECT vec_id, s, embedding[s*16+1 : (s+1)*16] AS ve
+       |  FROM embeddings, range(4) t(s)),
+       |encr AS (SELECT vs.vec_id, vs.s AS s, cb.cent_id,
+       |    row_number() OVER (PARTITION BY vs.vec_id, vs.s
+       |      ORDER BY ${d2Sql("ve", "ce", 16)} ASC, cb.cent_id ASC) AS rn
+       |  FROM vs JOIN cb ON vs.s = cb.s),
+       |enc AS (SELECT vec_id, s, cent_id AS code FROM encr WHERE rn = 1),
+       |lut AS (SELECT vs.vec_id AS q_id, vs.s AS s, cb.cent_id AS code,
+       |    ${d2Sql("ve", "ce", 16)} AS d2
+       |  FROM vs JOIN cb ON vs.s = cb.s WHERE vs.vec_id % 50 = 0),
+       |cand AS (SELECT q_id, c_id FROM ip),
+       |ad AS (SELECT cand.q_id, cand.c_id,
+       |    SUM(CASE WHEN e.s = 0 THEN l.d2 END) AS d0,
+       |    SUM(CASE WHEN e.s = 1 THEN l.d2 END) AS d1,
+       |    SUM(CASE WHEN e.s = 2 THEN l.d2 END) AS d2_,
+       |    SUM(CASE WHEN e.s = 3 THEN l.d2 END) AS d3
+       |  FROM cand JOIN enc e ON e.vec_id = cand.c_id
+       |    JOIN lut l ON l.q_id = cand.q_id AND l.s = e.s AND l.code = e.code
+       |  GROUP BY cand.q_id, cand.c_id),
+       |pqr AS (SELECT q_id, c_id, round(d0 + d1 + d2_ + d3, 6) AS adist,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY round(d0 + d1 + d2_ + d3, 6) ASC, c_id ASC) AS rn
+       |  FROM ad)
+       |SELECT q_id, c_id, adist FROM pqr WHERE rn <= 10""".stripMargin
+
   /** Full oracle for PipelineQueries' p19_dedup_groups. The entry's edge
     * set is the MinHash-LSH verified pairs; verification filters on the
     * EXACT shingle-set Jaccard (hashing only accelerates it), and the
@@ -355,6 +405,7 @@ object RecallQueries {
     "p24_ann_lsh_recall" -> (annLshRecall _),
     "p25_ann_ivf_recall" -> (annIvfRecall _),
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
+    "p39_ann_ivfpq_topk" -> (annIvfPqTopK _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +413,7 @@ object RecallQueries {
     "p24_ann_lsh_recall" -> annLshRecallSql,
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,
+    "p39_ann_ivfpq_topk" -> annIvfPqTopKSql,
     "q43_sketch_quality" -> sketchQualitySql,
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,

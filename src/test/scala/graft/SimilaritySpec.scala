@@ -62,6 +62,25 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.map(_._1) === brute.map(_._1))
   }
 
+  test("ivfPqTopK ranks the IVF candidate set by quantized distance") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val pq = Similarity.ivfPqTopK(emb, k = 5).cache()
+    val rows = pq.collect()
+    // k rows per query, ascending quantized distance, deterministic ties
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length === 5, s"query $q must have k rows")
+      val ds = rs.sortBy(_.getAs[Long]("c_id")).map(_.getAs[Double]("adist"))
+      assert(ds.forall(d => d >= 0 - 1e-6), s"squared distances non-negative: $q")
+    }
+    // PQ candidates must come from the same coarse cells as exact IVF —
+    // every returned pair must be an IVF candidate pair
+    val ivfCand = Similarity.ivfTopK(emb, k = 1000000).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val pqPairs = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    assert(pqPairs.subsetOf(ivfCand), "PQ must rank within the IVF candidate set")
+    pq.unpersist()
+  }
+
   test("multi-table lshTopK holds a recall floor vs brute force on testdata") {
     val emb = Tables.embeddings(spark, sfDir)
     val brute = Similarity.bruteForceTopK(emb, k = 5).collect()
