@@ -68,21 +68,33 @@ object ExchangeQueries {
     val o = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_totalprice"))
     val li = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
-    Bucketing.dropTable(spark, "graft_q34_orders_bkt")
-    Bucketing.dropTable(spark, "graft_q34_lineitem_bkt")
-    Bucketing.writeBucketed(o, "graft_q34_orders_bkt", "o_orderkey", 8)
-    Bucketing.writeBucketed(li, "graft_q34_lineitem_bkt", "o_orderkey", 8)
+    // table names unique per application: concurrent drivers share the
+    // ./spark-warehouse directory and must not clobber each other's
+    // bucket layouts mid-join (same hazard class the q36/q45 scratch
+    // paths fixed)
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val oTbl = s"graft_q34_orders_bkt_$app"
+    val liTbl = s"graft_q34_lineitem_bkt_$app"
+    Bucketing.dropTable(spark, oTbl)
+    Bucketing.dropTable(spark, liTbl)
+    Bucketing.writeBucketed(o, oTbl, "o_orderkey", 8)
+    Bucketing.writeBucketed(li, liTbl, "o_orderkey", 8)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       Bucketing
-        .cocolocatedJoin(spark, "graft_q34_orders_bkt", "graft_q34_lineitem_bkt",
-          "o_orderkey")
+        .cocolocatedJoin(spark, oTbl, liTbl, "o_orderkey")
         .groupBy(col("o_orderkey"), col("o_totalprice"))
         .agg(count(lit(1)).as("n_items"),
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
         .localCheckpoint() // materialize under the disabled-broadcast conf
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      // bucket tables are per-application scratch: drop the catalog
+      // entries and remove the warehouse dirs on exit
+      Bucketing.dropTable(spark, oTbl)
+      Bucketing.dropTable(spark, liTbl)
+    }
   }
 
   val q34Sql: String =
@@ -113,10 +125,16 @@ object ExchangeQueries {
     * nothing about the physical layout, which is the point. */
   def q36PartitionPrunedMart(spark: SparkSession, dir: String): DataFrame = {
     val mart = CoreQueries.q03CustomerMart(spark, dir)
-    val out = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_q36_mart").getAbsolutePath
-    mart.write.mode("overwrite").partitionBy("sales_month").parquet(out)
-    val minMonth = mart.agg(min(col("sales_month"))).collect()(0).getString(0)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q36", dir)
+    // repartition on the partition column (Sinks.writePartitioned): one
+    // task owns each month, so the layout is one file per partition dir
+    // instead of (tasks x months) small files
+    graft.io.Sinks.writePartitioned(mart, out, Seq("sales_month"))
+    // min month from the written layout: sales_month is a partition
+    // column, so this plan reads directory names, not data files — the
+    // mart is NOT recomputed a second time for the filter value
+    val minMonth = spark.read.parquet(out)
+      .agg(min(col("sales_month"))).collect()(0).getString(0)
     spark.read.parquet(out)
       .filter(col("sales_month") === minMonth)
       .select(col("customer_id"), col("full_name"), col("sales_month"),

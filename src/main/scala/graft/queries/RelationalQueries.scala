@@ -202,15 +202,8 @@ object RelationalQueries {
     * original table (the q36 round-trip pattern, maintenance-op
     * edition). */
   def q45Compaction(spark: SparkSession, dir: String): DataFrame = {
-    // path is unique per (application, input dir): two concurrent drivers
-    // (bench + correctness, or two sf dirs) must not read each other's
-    // output through a shared fixed directory; cleaned up on JVM exit
-    // (deleting inline would break the lazily-read returned DataFrame)
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
-    val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_q45_${spark.sparkContext.applicationId}_$tag").getAbsolutePath
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q45", dir)
     graft.io.Sinks.compactParquet(spark, s"$dir/documents.parquet", out)
-    cleanupOnExit(out)
     spark.read.parquet(out).select(col("doc_id"), col("source"), col("n_chars"))
   }
 
@@ -236,21 +229,6 @@ object RelationalQueries {
       |    ORDER BY CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT),
       |      doc_id) - 1 AS global_id
       |FROM documents""".stripMargin
-
-  private val exitCleanupPaths =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  private lazy val exitHookInstalled: Unit = {
-    sys.addShutdownHook {
-      exitCleanupPaths.forEach { p =>
-        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p))
-        catch { case _: java.io.IOException => () }
-      }
-    }; ()
-  }
-  private def cleanupOnExit(path: String): Unit = {
-    exitHookInstalled
-    exitCleanupPaths.add(path); ()
-  }
 
   val q45Sql: String =
     "SELECT doc_id, source, n_chars FROM documents"
