@@ -79,6 +79,48 @@ object TextAnalysis {
         col("n_tokens"))
   }
 
+  /** Corpus-bigram log-probability score with add-k smoothing — one rung
+    * up the LM-quality ladder from [[unigramLogProb]]: token-order
+    * coherence now matters, so shuffled or word-salad text scores low
+    * even when its unigrams are common. P(w2|w1) = (c(w1 w2) + k) /
+    * (c(w1·) + k·V) over corpus bigram counts (the WordNgrams MULTISET —
+    * set semantics would undercount repeats), context counts, and
+    * unigram vocabulary size V. Defined for documents with >= 2 tokens.
+    *
+    * Shape at scale: bigram instances aggregate with map-side partials
+    * (shuffle on the gram, not the doc), the model join is gram-keyed,
+    * and the per-doc reduce follows — three hash aggregations, no
+    * windows. Per-position log-probs round to 6 decimals BEFORE the
+    * exact-decimal sum (the unigram/money determinism policy). */
+  def bigramLogProb(docs: DataFrame, k: Double = 0.5): DataFrame = {
+    val eligible = docs.filter(size(tokens(col("text"))) >= 2)
+    val inst = eligible.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.word_ngrams(tokens(col("text")), 2))
+        .as("gram"))
+    val bgCounts = inst.groupBy(col("gram")).agg(count(lit(1)).as("c_bg"))
+    val ctxCounts = inst
+      .select(element_at(split(col("gram"), " "), 1).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    val vocab = eligible
+      .select(explode(tokens(col("text"))).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val model = bgCounts
+      .withColumn("w1", element_at(split(col("gram"), " "), 1))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("gram"),
+        round(log((col("c_bg") + lit(k)) /
+          (col("c_ctx") + lit(k) * col("v"))), 6).as("lp"))
+    inst.join(model, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("lp").cast("decimal(18,6)")).as("lp_sum"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col("doc_id"),
+        round(col("lp_sum").cast("double") / col("n_bigrams"), 6)
+          .as("avg_logprob"),
+        col("n_bigrams"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 8-gram with a holdout/benchmark subset. The benchmark gram set is
     * distinct + broadcast (benchmarks are small by definition); the

@@ -574,6 +574,36 @@ object PipelineQueries {
       |  CAST(n AS BIGINT) AS n_tokens
       |FROM s""".stripMargin
 
+  def textBigramLogProb(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProb(Tables.documents(spark, dir))
+
+  val textBigramLogProbSql: String =
+    """WITH el AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |inst AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS gram
+      |  FROM el),
+      |bg AS (SELECT gram, COUNT(*) AS c_bg FROM inst GROUP BY gram),
+      |ctx AS (SELECT string_split(gram, ' ')[1] AS w1,
+      |    CAST(SUM(c_bg) AS BIGINT) AS c_ctx
+      |  FROM bg GROUP BY 1),
+      |vv AS (SELECT COUNT(DISTINCT t.term) AS v
+      |  FROM el, unnest(w) AS t(term)),
+      |model AS (
+      |  SELECT gram,
+      |    round(ln((c_bg + 0.5) / (c_ctx + 0.5 * v)), 6) AS lp
+      |  FROM bg JOIN ctx ON string_split(bg.gram, ' ')[1] = ctx.w1
+      |  CROSS JOIN vv),
+      |s AS (
+      |  SELECT doc_id, SUM(CAST(lp AS DECIMAL(18,6))) AS lp_sum,
+      |    COUNT(*) AS n
+      |  FROM inst JOIN model USING (gram) GROUP BY doc_id)
+      |SELECT doc_id, round(CAST(lp_sum AS DOUBLE) / n, 6) AS avg_logprob,
+      |  CAST(n AS BIGINT) AS n_bigrams
+      |FROM s""".stripMargin
+
   def textDecontamination(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.decontamination(Tables.documents(spark, dir))
 
@@ -604,6 +634,7 @@ object PipelineQueries {
     "p31_stratified_sample" -> (stratifiedSample _),
     "p32_unigram_logprob" -> (textUnigramLogProb _),
     "p33_decontamination" -> (textDecontamination _),
+    "p40_bigram_logprob" -> (textBigramLogProb _),
     "p01_dedup_exact" -> (dedupExact _),
     "p02_dedup_minhash_lsh" -> (dedupMinhash _),
     "p03_dedup_simhash" -> (dedupSimhash _),
@@ -635,6 +666,7 @@ object PipelineQueries {
     "p31_stratified_sample" -> stratifiedSampleSql,
     "p32_unigram_logprob" -> textUnigramLogProbSql,
     "p33_decontamination" -> textDecontaminationSql,
+    "p40_bigram_logprob" -> textBigramLogProbSql,
     "p01_dedup_exact" -> dedupExactSql,
     "p02_dedup_minhash_lsh" -> dedupMinhashSql,
     "p03_dedup_simhash" -> dedupSimhashSql,

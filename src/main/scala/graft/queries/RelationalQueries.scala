@@ -233,6 +233,39 @@ object RelationalQueries {
   val q45Sql: String =
     "SELECT doc_id, source, n_chars FROM documents"
 
+  /** q50 — z-order clustered layout round trip: orders are written
+    * range-partitioned + sorted on the Morton interleave of
+    * (customer, order-day), the two-dimensional locality key that lets
+    * parquet min/max stats prune scans filtered on EITHER dimension.
+    * RelationalSpec asserts the written files carry disjoint z-ranges
+    * (the skippability property); the oracle replays the interleave
+    * arithmetic and checks the values survive the round trip. */
+  def q50ZOrderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val zed = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("ck"),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+          lit(65536L)).as("ed"))
+      .withColumn("zval", graft.ops.ZOrder.zValue(col("ck"), col("ed")))
+      .select(col("o_orderkey"), col("zval"))
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q50", dir)
+    zed.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  val q50Sql: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((ck >> $i) & 1) << ${2 * i}) + (((ed >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH z AS (
+       |  SELECT o_orderkey, o_custkey % 65536 AS ck,
+       |    (CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 65536 AS ed
+       |  FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM z""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_full_outer" -> (q38FullOuter _),
     "q39_multiway_topk" -> (q39MultiwayTopK _),
@@ -240,7 +273,8 @@ object RelationalQueries {
     "q41_event_dedup" -> (q41EventDedup _),
     "q44_global_ids" -> (q44GlobalIds _),
     "q45_compaction" -> (q45Compaction _),
-    "q46_global_ids_sparse" -> (q46GlobalIdsSparse _))
+    "q46_global_ids_sparse" -> (q46GlobalIdsSparse _),
+    "q50_zorder_layout" -> (q50ZOrderLayout _))
 
   val oracles: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
@@ -249,5 +283,6 @@ object RelationalQueries {
     "q41_event_dedup" -> q41Sql,
     "q44_global_ids" -> q44Sql,
     "q45_compaction" -> q45Sql,
-    "q46_global_ids_sparse" -> q46Sql)
+    "q46_global_ids_sparse" -> q46Sql,
+    "q50_zorder_layout" -> q50Sql)
 }

@@ -112,6 +112,39 @@ class RelationalSpec extends SparkSpec {
       s"row_number must window per bucket, not globally:\n$plan")
   }
 
+  test("q50 z-order layout: written files carry disjoint z-ranges") {
+    val q = RelationalQueries.q50ZOrderLayout(spark, sfDir)
+    val files = q.inputFiles
+    assert(files.length > 1, "layout must produce multiple files to skip over")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("zval")), max(col("zval"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, prevMax), (curMin, _)) =>
+        assert(curMin >= prevMax,
+          s"file z-ranges overlap: $prevMax vs $curMin — min/max skipping broken")
+      case _ =>
+    }
+    // round-trip: de-interleaving the code recovers both key dimensions
+    val sample = q.limit(200).collect()
+    val orig = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("ck"),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+          lit(65536L)).as("ed"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    sample.foreach { r =>
+      val z = r.getAs[Long]("zval")
+      val (ck, ed) = (0 until 16).foldLeft((0L, 0L)) { case ((a, b), i) =>
+        (a | (((z >> (2 * i)) & 1L) << i), b | (((z >> (2 * i + 1)) & 1L) << i))
+      }
+      assert((ck, ed) === orig(r.getAs[Long]("o_orderkey")),
+        s"z-code must decode to its key pair for order ${r.get(0)}")
+    }
+  }
+
   test("compaction conserves rows and hits the file-count target") {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-compact-spec").toString

@@ -19,6 +19,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) === ((11L, 3L, 3L)))
   }
 
+  test("bigramLogProb scores word salad below coherent text") {
+    // the coherent phrase repeats, so its bigrams are corpus-frequent;
+    // the scrambled doc uses the SAME unigrams (identical unigram score)
+    // in an order whose bigrams appear nowhere else
+    val corpus = (Seq.tabulate(5)(i =>
+        (i.toLong, "the cat sat on the mat")) :+
+      (10L, "mat the on cat the sat")).toDF("doc_id", "text")
+    val scores = TextAnalysis.bigramLogProb(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob")).toMap
+    assert(scores(0L) > scores(10L),
+      s"coherent ${scores(0L)} must outscore scrambled ${scores(10L)}")
+    // every doc has 5 bigram positions
+    val n = TextAnalysis.bigramLogProb(corpus).collect()
+      .map(_.getAs[Long]("n_bigrams")).toSet
+    assert(n === Set(5L))
+  }
+
   test("languageId picks the language with most stopword hits") {
     val r = TextAnalysis.languageId(docs).collect()
       .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("lang_pred")).toMap
