@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, VecDot}
+import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, SimHashMd5, VecDot, VecSum, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -26,6 +26,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of a string array"),
       (args: Seq[Expression]) => SimHash64(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("simhash_md5"),
+      info("simhash_md5",
+        "simhash_md5(tokens) - 60-bit SQL-replayable (md5-hashed) SimHash"),
+      (args: Seq[Expression]) => SimHashMd5(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("vec_sum"),
+      info("vec_sum", "vec_sum(a) - component sum of a float/double array"),
+      (args: Seq[Expression]) => VecSum(args.head)))
+
+    ext.injectFunction((FunctionIdentifier("word_ngrams"),
+      info("word_ngrams",
+        "word_ngrams(tokens, n) - all word n-grams with multiplicity"),
+      (args: Seq[Expression]) => {
+        val n = args.lift(1) match {
+          case None => 2
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"word_ngrams: n must be an integer literal, got $other")
+        }
+        WordNgrams(args.head, n)
+      }))
 
     ext.injectFunction((FunctionIdentifier("sig_agreement"),
       info("sig_agreement", "sig_agreement(a, b) - fraction of agreeing minhash positions"),

@@ -101,4 +101,26 @@ class ExplainSpec extends SparkSpec {
     val plan = planString(graft.queries.PipelineQueries.eventsIntervalJoin(spark, sfDir))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("q47 SCD2 build is join-free: a union of narrow passes") {
+    val plan = planString(graft.queries.WarehouseQueries.q47Scd2History(spark, sfDir))
+    assert(!plan.contains("Join"),
+      s"SCD2 change detection must be a predicate, not a join:\n$plan")
+    assert(plan.contains("Union"))
+  }
+
+  test("q48 MERGE is one full-outer join on the merge key") {
+    val plan = planString(graft.queries.WarehouseQueries.q48MergeUpsert(spark, sfDir))
+    assert(plan.contains("FullOuter"), s"expected a full outer join:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin)".r.findAllIn(plan).size === 1,
+      s"MERGE must be exactly one shuffled join:\n$plan")
+  }
+
+  test("p39 IVF-PQ: LUT and probe sides broadcast, no cartesian product") {
+    val plan = planString(graft.ops.Similarity.ivfPqTopK(Tables.embeddings(spark, sfDir)))
+    assert(!plan.contains("CartesianProduct"),
+      s"PQ ranking must stay on keyed joins:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook/LUT joins must broadcast:\n$plan")
+  }
 }

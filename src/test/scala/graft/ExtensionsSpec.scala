@@ -40,6 +40,16 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0).getSeq[Long](0).length === 64)
       assert(s2.sql("SELECT char_ngrams('abcd', 3) AS g")
         .collect()(0).getSeq[String](0) === Seq("abc", "bcd"))
+      // 60-bit replayable simhash: top nibble clear, same bag semantics
+      val m1 = s2.sql("SELECT simhash_md5(array('a','b','a')) AS h")
+        .collect()(0).getLong(0)
+      val m2 = s2.sql("SELECT simhash_md5(array('a','a','b')) AS h")
+        .collect()(0).getLong(0)
+      assert(m1 === m2 && (m1 >>> 60) === 0L)
+      assert(s2.sql("SELECT vec_sum(array(1.0D, 2.5D, -0.5D)) AS s")
+        .collect()(0).getDouble(0) === 3.0)
+      assert(s2.sql("SELECT word_ngrams(array('a','b','a','b'), 2) AS g")
+        .collect()(0).getSeq[String](0) === Seq("a b", "b a", "a b"))
     } finally {
       // do NOT stop s2 (it shares the SparkContext); restore the default
       SparkSession.setDefaultSession(spark)
