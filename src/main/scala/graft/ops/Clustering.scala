@@ -39,6 +39,38 @@ object Clustering {
         col("m.cos").as("cos"), col("comp_sum"))
   }
 
+  /** SemDeDup-style semantic dedup: cluster with the coarse quantizer,
+    * then keep-first cosine dedup WITHIN cells only. The clustering is
+    * what makes semantic dedup affordable — pair work is quadratic in
+    * CELL size, not corpus size, so k is chosen as n/targetCellSize and
+    * the cross-cell near-misses are the accepted recall trade (the
+    * SemDeDup paper's design). Complements the LSH-prefiltered dedup
+    * (Similarity.cosineDedupVerdicts): learned data-adaptive cells vs
+    * random hyperplane buckets. One row per vector, always. */
+  def semanticDedup(embeddings: DataFrame, k: Int = 8,
+                    threshold: Double = 0.45): DataFrame = {
+    import graft.functions.VectorFunctions.{vec_dot => dot, vec_norm => nrm}
+    val cells = assign(embeddings, k).select(col("vec_id"), col("cell"))
+    val emb = embeddings
+      .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("n2"))
+      .join(cells, Seq("vec_id"))
+    val l = emb.select(col("cell"), col("vec_id").as("left_id"),
+      col("embedding").as("l_emb"), col("n2").as("l_norm"))
+    val r = emb.select(col("cell"), col("vec_id").as("right_id"),
+      col("embedding").as("r_emb"), col("n2").as("r_norm"))
+    val pairs = l.join(r, Seq("cell")).filter(col("left_id") < col("right_id"))
+      .withColumn("cos_sim",
+        round(dot(col("l_emb"), col("r_emb")) / (col("l_norm") * col("r_norm")), 6))
+      .filter(col("cos_sim") >= threshold)
+    val best = pairs.groupBy(col("right_id").as("vec_id"))
+      .agg(max(struct(col("cos_sim"), col("left_id"))).as("m"))
+      .select(col("vec_id"), col("m.left_id").as("dup_of"),
+        col("m.cos_sim").as("dup_cos"))
+    cells.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+  }
+
   /** One k-means step reported per cell: member count, mean cosine to the
     * current centroid (cohesion), and the component sum of the UPDATED
     * centroid (the mean vector) — a scalar fingerprint, since

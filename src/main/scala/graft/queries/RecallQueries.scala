@@ -376,6 +376,42 @@ object RecallQueries {
       |FROM tr""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p41 — SemDeDup: cluster-scoped semantic dedup, fully replayed
+  // ---------------------------------------------------------------------
+
+  /** Cluster-then-dedup (Clustering.semanticDedup): the k-means-cell
+    * assignment (p37's geometry) scopes the quadratic cosine dedup to
+    * within-cell pairs. The oracle replays assignment, pairs, and the
+    * keep-first policy — max-struct tie rules mirrored exactly (cell
+    * argmax breaks toward the HIGHER centroid id, best-match toward the
+    * higher left id). */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.semanticDedup(Tables.embeddings(spark, dir))
+
+  val semanticDedupSql: String =
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+       |  FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${dotSql("e.embedding", "c.cent_emb")} /
+       |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos
+       |  FROM embeddings e CROSS JOIN cents c),
+       |asg AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cent_id DESC) AS rn FROM sc) WHERE rn = 1),
+       |p AS (SELECT l.cell, l.vec_id AS left_id, r.vec_id AS right_id,
+       |    ${cosSql("l.embedding", "r.embedding")} AS cos_sim
+       |  FROM asg l JOIN asg r ON l.cell = r.cell AND l.vec_id < r.vec_id),
+       |f AS (SELECT * FROM p WHERE cos_sim >= 0.45),
+       |b AS (SELECT right_id, left_id, cos_sim,
+       |    row_number() OVER (PARTITION BY right_id
+       |      ORDER BY cos_sim DESC, left_id DESC) AS rn FROM f)
+       |SELECT a.vec_id, a.cell, (b.left_id IS NOT NULL) AS is_dup,
+       |  b.left_id AS dup_of, b.cos_sim AS dup_cos
+       |FROM asg a LEFT JOIN (SELECT * FROM b WHERE rn = 1) b
+       |  ON b.right_id = a.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q43 — sketch error bound as a verified claim
   // ---------------------------------------------------------------------
 
@@ -406,6 +442,7 @@ object RecallQueries {
     "p25_ann_ivf_recall" -> (annIvfRecall _),
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
     "p39_ann_ivfpq_topk" -> (annIvfPqTopK _),
+    "p41_semantic_dedup" -> (semanticDedup _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -414,6 +451,7 @@ object RecallQueries {
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,
     "p39_ann_ivfpq_topk" -> annIvfPqTopKSql,
+    "p41_semantic_dedup" -> semanticDedupSql,
     "q43_sketch_quality" -> sketchQualitySql,
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,

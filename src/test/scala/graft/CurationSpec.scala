@@ -92,4 +92,21 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(col("mean_cos") > 1.000001 || col("mean_cos") < -1.000001).isEmpty)
     out.unpersist()
   }
+
+  test("semantic dedup: keep-first within cells, dup evidence consistent") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Clustering.semanticDedup(emb).cache()
+    assert(out.count() === emb.count(), "one verdict per vector, always")
+    // duplicates point at a LOWER-id vector in the SAME cell above threshold
+    val dups = out.filter(col("is_dup"))
+    assert(dups.filter(col("dup_of") >= col("vec_id")).isEmpty)
+    assert(dups.filter(col("dup_cos") < 0.45).isEmpty)
+    val cellOf = out.select(col("vec_id").as("dup_of"), col("cell").as("dup_cell"))
+    assert(dups.join(cellOf, "dup_of")
+      .filter(col("cell") =!= col("dup_cell")).isEmpty,
+      "dedup must be cluster-scoped: evidence pair shares the cell")
+    // non-duplicates carry no evidence
+    assert(out.filter(!col("is_dup") && col("dup_of").isNotNull).isEmpty)
+    out.unpersist()
+  }
 }
