@@ -85,6 +85,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: z-order codes decode to their key pairs and stay bounded") {
+    val keyGen = Gen.listOfN(50, for {
+      a <- Gen.choose(0L, 65535L)
+      b <- Gen.choose(0L, 65535L)
+    } yield (a, b))
+    forAllSeeded(keyGen) { keys =>
+      val df = keys.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("id", "a", "b")
+        .withColumn("z", graft.ops.ZOrder.zValue(col("a"), col("b")))
+      df.collect().foreach { r =>
+        val z = r.getAs[Long]("z")
+        assert(z >= 0 && z < (1L << 32))
+        val (a, b) = (0 until 16).foldLeft((0L, 0L)) { case ((x, y), i) =>
+          (x | (((z >> (2 * i)) & 1L) << i), y | (((z >> (2 * i + 1)) & 1L) << i))
+        }
+        assert((a, b) === ((r.getAs[Long]("a"), r.getAs[Long]("b"))))
+      }
+    }
+  }
+
+  test("property: quantile-bucketed ids ≡ fixed-width ids ≡ global order") {
+    val rowGen = Gen.listOfN(80, for {
+      key <- Gen.choose(Long.MinValue / 4, Long.MaxValue / 4) // sparse 62-bit
+    } yield key)
+    forAllSeeded(rowGen, n = 3) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("rid", "k")
+      val expected = df.orderBy(col("k"), col("rid")).collect()
+        .map(_.getAs[Long]("rid")).zipWithIndex
+        .map { case (rid, i) => rid -> i.toLong }.toMap
+      val got = graft.ops.Ids
+        .contiguousIdsQuantile(df, col("k"), col("rid"), numBuckets = 8)
+        .collect().map(r => r.getAs[Long]("rid") -> r.getAs[Long]("global_id"))
+        .toMap
+      assert(got === expected,
+        "quantile bucketing must reproduce the exact global order")
+    }
+  }
+
   test("property: normalize always emits the canonical 9-column schema") {
     val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
     forAllSeeded(extraColsGen) { extras =>
