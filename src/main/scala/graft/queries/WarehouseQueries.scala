@@ -201,13 +201,61 @@ object WarehouseQueries {
       |  SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
       |      THEN 1 ELSE 0 END) = 0 FROM lineitem""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q53 — join-key skew diagnosis report
+  // ---------------------------------------------------------------------
+
+  /** The measurement that decides whether a join key needs salting /
+    * AQE skew handling BEFORE the job melts an executor: per-key group
+    * sizes reduced to distribution stats (max, quantiles, skew ratio).
+    * Two bounded aggregations — per-key counts collapse map-side, and
+    * the stats pass reduces #keys rows to one. Quantiles round to 4
+    * decimals: integer inputs interpolate identically across engines
+    * well inside that precision. */
+  def q53SkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+    counts.agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_per_key"),
+        expr("percentile(n, 0.5)").as("p50"),
+        expr("percentile(n, 0.99)").as("p99"))
+      .select(
+        col("n_keys").cast("long").as("n_keys"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("max_per_key").cast("long").as("max_per_key"),
+        round(col("p50"), 4).as("p50_per_key"),
+        round(col("p99"), 4).as("p99_per_key"),
+        round(col("max_per_key") /
+          (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"))
+  }
+
+  val q53Sql: String =
+    """WITH c AS (
+      |  SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+      |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(n) AS BIGINT) AS n_rows,
+      |    CAST(MAX(n) AS BIGINT) AS max_per_key,
+      |    quantile_cont(n, 0.5) AS p50,
+      |    quantile_cont(n, 0.99) AS p99
+      |  FROM c)
+      |SELECT n_keys, n_rows, max_per_key,
+      |  round(p50, 4) AS p50_per_key,
+      |  round(p99, 4) AS p99_per_key,
+      |  round(max_per_key / (CAST(n_rows AS DOUBLE) / n_keys), 6)
+      |    AS skew_ratio
+      |FROM s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_scd2_history" -> (q47Scd2History _),
     "q48_merge_upsert" -> (q48MergeUpsert _),
-    "q49_quality_audit" -> (q49QualityAudit _))
+    "q49_quality_audit" -> (q49QualityAudit _),
+    "q53_skew_report" -> (q53SkewReport _))
 
   val oracles: Map[String, String] = Map(
     "q47_scd2_history" -> q47Sql,
     "q48_merge_upsert" -> q48Sql,
-    "q49_quality_audit" -> q49Sql)
+    "q49_quality_audit" -> q49Sql,
+    "q53_skew_report" -> q53Sql)
 }
