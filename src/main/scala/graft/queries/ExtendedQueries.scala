@@ -216,18 +216,61 @@ object ExtendedQueries {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
 
-  /** q24 — sketch aggregates: HyperLogLog++ distinct counts and quantile
-    * approximation. Rows-only (sketch algorithms are engine-specific);
-    * exact companions are q21. At 100 TB these are the aggregates you
-    * actually run: bounded memory per group regardless of cardinality. */
-  def q24Sketches(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  /** q24 — sketch aggregates as VERIFIED claims: HyperLogLog++ distinct
+    * counts and approximate percentiles, each emitted as the exact value
+    * it approximates plus a boolean asserting the sketch landed inside
+    * its contract (HLL: 3x the configured 0.02 rsd; percentile_approx:
+    * the returned value's true rank inside a generous band around the
+    * target, checked by one bounded re-aggregation over the data).
+    * DuckDB cannot replay Spark's sketch register state, but it can
+    * verify the exact side and expect every bound claim to hold — the
+    * q43 pattern, which turns the catalog's one rows-only blind spot
+    * into a full hash row. At 100 TB these are the aggregates you
+    * actually run (bounded memory per group regardless of cardinality),
+    * and the rank check is itself bounded: a 3-row broadcast join plus
+    * a counting aggregate. */
+  def q24Sketches(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"),
+        col("l_extendedprice"))
+    val sk = li.groupBy(col("l_returnflag")).agg(
+      count_distinct(col("l_partkey")).as("n_exact_parts"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      count_distinct(col("l_orderkey")).as("n_exact_orders"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
+      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+    // true rank of each percentile claim: one more pass over the fact
+    // table against the broadcast 3-row claim set
+    val rk = li
+      .join(broadcast(sk.select(col("l_returnflag"), col("p50"), col("p99"))),
+        Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_price"),
-        percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99_price"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
+        count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))
+    sk.join(rk, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        col("n_exact_parts"),
+        (abs(col("ap") - col("n_exact_parts")).cast("double") /
+          col("n_exact_parts") <= 0.06).as("parts_in_bound"),
+        col("n_exact_orders"),
+        (abs(col("ao") - col("n_exact_orders")).cast("double") /
+          col("n_exact_orders") <= 0.06).as("orders_in_bound"),
+        (col("le50").cast("double") / col("n") >= 0.47 &&
+          col("le50").cast("double") / col("n") <= 0.53).as("p50_rank_ok"),
+        (col("le99").cast("double") / col("n") >= 0.97).as("p99_rank_ok"))
+  }
+
+  val q24Sql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_exact_parts,
+      |  TRUE AS parts_in_bound,
+      |  COUNT(DISTINCT l_orderkey) AS n_exact_orders,
+      |  TRUE AS orders_in_bound,
+      |  TRUE AS p50_rank_ok,
+      |  TRUE AS p99_rank_ok
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
   /** q25 — the SQL surface end-to-end: the same star query expressed as
     * SQL text over registered views, exercising the parser/analyzer path
@@ -425,6 +468,7 @@ object ExtendedQueries {
     "q21_distinct_agg" -> q21Sql,
     "q22_correlated_subquery" -> q22Sql,
     "q23_cube" -> q23Sql,
+    "q24_sketches" -> q24Sql,
     "q25_sql_surface" -> q25Sql,
     "q26_pivot" -> q26Sql,
     "q27_explode" -> q27Sql,

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Warehouse-maintenance catalog: the mutation patterns a long-lived
@@ -208,25 +209,58 @@ object WarehouseQueries {
   /** The measurement that decides whether a join key needs salting /
     * AQE skew handling BEFORE the job melts an executor: per-key group
     * sizes reduced to distribution stats (max, quantiles, skew ratio).
-    * Two bounded aggregations — per-key counts collapse map-side, and
-    * the stats pass reduces #keys rows to one. Quantiles round to 4
-    * decimals: integer inputs interpolate identically across engines
-    * well inside that precision. */
+    *
+    * The quantiles are EXACT but bounded-state: instead of
+    * `percentile(n, p)` — a single-group aggregate whose buffer holds
+    * every one of the n_keys count values (at 100 TB the skew query
+    * itself becomes the OOM) — the per-key counts collapse to a
+    * histogram of group SIZES first. A histogram of d distinct sizes
+    * over n_rows input rows satisfies d(d+1)/2 <= n_rows (each distinct
+    * size appears at least once), so d <= sqrt(2*n_rows): ~1.4M rows at
+    * a trillion input rows, a few MB. The cumulative-rank window over
+    * that histogram then reads off the interpolated quantiles with
+    * plain arithmetic — the same linear interpolation at h = p*(N-1)
+    * that `percentile`/`quantile_cont` define, so the oracle is
+    * unchanged. Quantiles round to 4 decimals: integer inputs
+    * interpolate identically across engines well inside that
+    * precision. */
   def q53SkewReport(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.orders(spark, dir)
       .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
-    counts.agg(
-        count(lit(1)).as("n_keys"),
-        sum(col("n")).as("n_rows"),
+    // histogram of group sizes: d <= sqrt(2*n_rows) rows, so the
+    // single-partition cumulative window below is bounded by data
+    // volume, not key cardinality
+    val hist = counts.groupBy(col("n")).agg(count(lit(1)).as("keys"))
+    val wCum = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy(col("n"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("cum", sum(col("keys")).over(wCum))
+      .withColumn("nk", sum(col("keys")).over(wAll))
+    // value at 0-indexed rank r of the sorted sizes = smallest n whose
+    // cumulative key count exceeds r; h = p*(N-1), interpolate lo..hi
+    def rankValue(rank: Column): Column =
+      min(when(col("cum") > rank, col("n")))
+    def h(p: Double): Column = (col("nk") - 1) * lit(p)
+    cum.agg(
+        max(col("nk")).as("n_keys"),
+        sum(col("keys") * col("n")).as("n_rows"),
         max(col("n")).as("max_per_key"),
-        expr("percentile(n, 0.5)").as("p50"),
-        expr("percentile(n, 0.99)").as("p99"))
+        rankValue(floor(h(0.5))).as("v50lo"),
+        rankValue(ceil(h(0.5))).as("v50hi"),
+        max(h(0.5) - floor(h(0.5))).as("f50"),
+        rankValue(floor(h(0.99))).as("v99lo"),
+        rankValue(ceil(h(0.99))).as("v99hi"),
+        max(h(0.99) - floor(h(0.99))).as("f99"))
       .select(
         col("n_keys").cast("long").as("n_keys"),
         col("n_rows").cast("long").as("n_rows"),
         col("max_per_key").cast("long").as("max_per_key"),
-        round(col("p50"), 4).as("p50_per_key"),
-        round(col("p99"), 4).as("p99_per_key"),
+        round(col("v50lo") +
+          col("f50") * (col("v50hi") - col("v50lo")), 4).as("p50_per_key"),
+        round(col("v99lo") +
+          col("f99") * (col("v99hi") - col("v99lo")), 4).as("p99_per_key"),
         round(col("max_per_key") /
           (col("n_rows").cast("double") / col("n_keys")), 6).as("skew_ratio"))
   }
