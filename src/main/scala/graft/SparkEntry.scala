@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CurationQueries, EventQueries, ExchangeQueries, ExtendedQueries, PipelineQueries, RecallQueries, RelationalQueries, WarehouseQueries}
+import graft.queries.{CoreQueries, CurationQueries, EventQueries, ExchangeQueries, ExtendedQueries, PipelineQueries, RecallQueries, RelationalQueries, StreamingQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ ExtendedQueries.queries ++ PipelineQueries.queries ++
       ExchangeQueries.queries ++ RecallQueries.queries ++ RelationalQueries.queries ++
-      CurationQueries.queries ++ WarehouseQueries.queries ++ EventQueries.queries
+      CurationQueries.queries ++ WarehouseQueries.queries ++ EventQueries.queries ++
+      StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ PipelineQueries.oracles ++
       ExchangeQueries.oracles ++ RecallQueries.oracles ++ RelationalQueries.oracles ++
-      CurationQueries.oracles ++ WarehouseQueries.oracles ++ EventQueries.oracles
+      CurationQueries.oracles ++ WarehouseQueries.oracles ++ EventQueries.oracles ++
+      StreamingQueries.oracles
 }

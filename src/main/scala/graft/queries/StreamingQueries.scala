@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventsStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Catalog rows that run the ACTUAL Structured Streaming engine — not a
+  * batch analogue — and hash-compare its output against a batch DuckDB
+  * oracle. StreamingSpec unit-tests the stateful operators; these rows
+  * make the streaming runtime itself driver-visible: a regression in the
+  * file source, watermark bookkeeping, state-store aggregation, or the
+  * AvailableNow trigger breaks a CORRECTNESS row, not just a unit test.
+  */
+object StreamingQueries {
+
+  /** q54 — watermarked hourly aggregation executed by the streaming
+    * engine under `Trigger.AvailableNow` (the exactly-once ledger
+    * subsumption path: file source + checkpoint), read back from the
+    * parquet sink.
+    *
+    * Append mode emits exactly the windows whose end fell at-or-below
+    * the final watermark (max event time - 30 min; the closed-window
+    * set StreamingSpec pins). To keep the oracle free of the eviction
+    * boundary's <=-vs-< fine print, BOTH sides filter one full window
+    * stricter — end <= watermark - 1 hour. Window ends are exactly one
+    * hour apart, so every window passing the stricter filter is
+    * unambiguously emitted, and the filtered stream output must equal
+    * the filtered batch aggregate bit-for-bit (counts and exact-decimal
+    * value sums are arrival-order-free, so multi-batch state merging
+    * cannot perturb them).
+    *
+    * Scale notes: state is (window, type)-keyed and watermark-evicted;
+    * the sink is an ordinary partitionable parquet write; the read-back
+    * filter needs max(ts), computed as a one-row broadcast — no
+    * collect. Re-running against the same checkpoint is a no-op (the
+    * file source records processed files), so bench repetitions measure
+    * a warm, idempotent pipeline. */
+  def q54StreamingHourly(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q54_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q54_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q54_out", dir)
+    new java.io.File(landing).mkdirs()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      java.nio.file.Paths.get(landing, "events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    EventsStream.runAvailableNow(spark, landing, ckpt, out)
+    val mx = Tables.events(spark, dir)
+      .agg(max(unix_millis(col("ts"))).as("mx_ms"))
+    spark.read.parquet(out)
+      .crossJoin(broadcast(mx))
+      .filter(unix_millis(col("hour")) + 3600000L <=
+        col("mx_ms") - 1800000L - 3600000L)
+      .select(substring(col("hour").cast("string"), 1, 13).as("hour"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  val q54Sql: String =
+    """WITH m AS (SELECT epoch_ms(MAX(ts)) AS mx_ms FROM events),
+      |h AS (
+      |  SELECT date_trunc('hour', ts) AS hr, event_type,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM events GROUP BY 1, 2)
+      |SELECT substring(CAST(hr AS VARCHAR), 1, 13) AS hour, event_type,
+      |  n_events, total_value
+      |FROM h, m
+      |WHERE epoch_ms(hr) + 3600000 <= mx_ms - 1800000 - 3600000""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_streaming_hourly" -> (q54StreamingHourly _))
+
+  val oracles: Map[String, String] = Map(
+    "q54_streaming_hourly" -> q54Sql)
+}
