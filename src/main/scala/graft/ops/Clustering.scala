@@ -42,14 +42,32 @@ object Clustering {
   /** SemDeDup-style semantic dedup: cluster with the coarse quantizer,
     * then keep-first cosine dedup WITHIN cells only. The clustering is
     * what makes semantic dedup affordable — pair work is quadratic in
-    * CELL size, not corpus size, so k is chosen as n/targetCellSize and
-    * the cross-cell near-misses are the accepted recall trade (the
-    * SemDeDup paper's design). Complements the LSH-prefiltered dedup
-    * (Similarity.cosineDedupVerdicts): learned data-adaptive cells vs
-    * random hyperplane buckets. One row per vector, always. */
-  def semanticDedup(embeddings: DataFrame, k: Int = 8,
-                    threshold: Double = 0.45): DataFrame = {
+    * CELL size, not corpus size — so k is DERIVED from the corpus:
+    * k = ceil(n / targetCellSize) via one metadata count (at warehouse
+    * scale, substitute stored table stats for the count job). That keeps
+    * mean cell size pinned at targetCellSize no matter how the corpus
+    * grows; cross-cell near-misses are the accepted recall trade (the
+    * SemDeDup paper's design). Cell-size SKEW is bounded by the
+    * data-sampled centroids — dense regions contribute proportionally
+    * many centroids (CurationSpec pins the max-cell bound on the
+    * verification corpus) — but a corpus dominated by near-identical
+    * vectors still concentrates cells; that is inherent to single-step
+    * assignment, and the multi-iteration Lloyd refinement (`lloyd`)
+    * is the data-adaptive upgrade path. Complements the LSH-prefiltered
+    * dedup (Similarity.cosineDedupVerdicts): learned data-adaptive
+    * cells vs random hyperplane buckets. One row per vector, always.
+    *
+    * `kOverride` bypasses the derivation (and its count job) when the
+    * caller already knows the cell budget — tests and the SQL oracle
+    * replay use it implicitly via derivation determinism. */
+  def semanticDedup(embeddings: DataFrame, targetCellSize: Int = 64,
+                    threshold: Double = 0.45,
+                    kOverride: Option[Int] = None): DataFrame = {
     import graft.functions.VectorFunctions.{vec_dot => dot, vec_norm => nrm}
+    val k = kOverride.getOrElse {
+      val n = embeddings.count()
+      math.max(1L, (n + targetCellSize - 1) / targetCellSize).toInt
+    }
     val cells = assign(embeddings, k).select(col("vec_id"), col("cell"))
     val emb = embeddings
       .select(col("vec_id"), col("embedding"), nrm(col("embedding")).as("n2"))
@@ -69,6 +87,140 @@ object Clustering {
     cells.join(best, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("dup_cos"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-iteration Lloyd refinement
+  // ---------------------------------------------------------------------
+
+  /** Assignment against an explicit centroid table (cent_id, cent_emb):
+    * broadcast O(n*k) scoring, argmax by (cos, cent_id) — the same
+    * max-struct tie rule as `assign`. Carries the member embedding
+    * through for the update half of the step. */
+  private def assignTo(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val c = broadcast(cents.withColumn("cent_norm", vec_norm(col("cent_emb"))))
+    emb.select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      .crossJoin(c)
+      .withColumn("cos",
+        vec_dot(col("embedding"), col("cent_emb")) /
+          (col("nrm") * col("cent_norm")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cos"), col("cent_id"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"),
+        col("m.cos").as("cos"), col("embedding"))
+  }
+
+  /** Centroid-update half of a spherical Lloyd step: per-dimension
+    * exact-decimal sums of each cell's members' UNIT vectors, as
+    * (cell, pos, m) rows. The direction maximizing the cell's cosine
+    * cohesion sum_{v in c} cos(v, d) is the normalized sum of the
+    * NORMALIZED members — using raw sums breaks the monotone objective
+    * and the iteration can cycle (observed on the fixture). Cosine
+    * assignment is scale-invariant, so the un-normalized unit-sum
+    * serves directly as the next centroid.
+    *
+    * Determinism: each component is round(v_j/|v|, 6) — a double
+    * quotient with an IRRATIONAL denominator, which never lands on an
+    * exact half-decimal boundary, so both engines round identically
+    * (contrast the mean's decimal/integer quotient, which hit such a
+    * boundary and split engines by 1e-6) — then an exact decimal sum.
+    * posexplode shuffles n*dim NARROW rows with map-side partial
+    * aggregation — never a whole-vector aggregation buffer. */
+  private def perDimSums(asg: DataFrame): DataFrame =
+    asg.select(col("cell"), vec_norm(col("embedding")).as("nrm"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("v") / col("nrm"), 6).cast("decimal(28,6)"))
+        .cast("double").as("m"))
+
+  /** Reassemble per-dimension means into centroid vectors; cent_id is
+    * the cell id, so centroid identity is stable across rounds. */
+  private def meansToCentroids(means: DataFrame): DataFrame =
+    means.groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(pm, x -> x.m)").as("cent_emb"))
+
+  /** `rounds` full Lloyd iterations (assign -> exact-decimal centroid
+    * update -> reassign) from the deterministic hash-sampled seed, with
+    * `localCheckpoint` on each k-row centroid table to cut plan lineage
+    * (the dedupGroupsDistributed discipline). Reports per final cell:
+    * member count, mean cosine to the round's centroid (cohesion), and
+    * the component-sum fingerprint of the NEXT centroid. Every
+    * quantity follows the round-then-decimal-sum rule, so the whole
+    * multi-round pipeline replays bit-for-bit in SQL (p42's oracle).
+    * Float inputs are cast to array<double> up front — an exact
+    * widening, so round 1 equals `assign`'s geometry. */
+  def lloydReport(embeddings: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, "at least one assignment round")
+    val emb = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+    var asg = assignTo(emb, cents)
+    var means = perDimSums(asg)
+    for (_ <- 1 until rounds) {
+      cents = meansToCentroids(means).localCheckpoint()
+      asg = assignTo(emb, cents)
+      means = perDimSums(asg)
+    }
+    val stats = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("cos"), 6).cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"))
+    val fp = means.groupBy(col("cell"))
+      .agg(round(sum(col("m").cast("decimal(28,6)")).cast("double"), 6)
+        .as("new_centroid_comp_sum"))
+    stats.join(fp, Seq("cell"))
+  }
+
+  /** Lloyd with a convergence stop: iterate until the RELATIVE change in
+    * total cohesion (sum of member cosines, the spherical k-means
+    * objective) drops below `eps`, or `maxRounds` is hit — the standard
+    * inertia-tolerance criterion. Centroid-movement stopping was tried
+    * and rejected: on noisy corpora a trickle of near-tie boundary
+    * vectors keeps flipping cells forever, each flip perturbing a
+    * centroid visibly while changing the objective by ~nothing, so
+    * movement plateaus where the objective has long converged (observed
+    * on the fixture). The objective is an exact-decimal sum — one
+    * scalar collected per round, driver-visible metadata, not data
+    * volume. Returns the final per-cell report plus rounds run. */
+  def lloydConverged(embeddings: DataFrame, k: Int = 8, maxRounds: Int = 10,
+                     eps: Double = 1e-3): (DataFrame, Int) = {
+    val emb = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
+      .localCheckpoint()
+    var asg = assignTo(emb, cents)
+    var rounds = 1
+    var prevObj = Double.NaN
+    var done = false
+    while (rounds < maxRounds && !done) {
+      val obj = asg
+        .agg(sum(round(col("cos"), 6).cast("decimal(28,6)")).cast("double"))
+        .collect()(0).getDouble(0)
+      if (sys.env.contains("GRAFT_LLOYD_DEBUG"))
+        println(s"lloyd round $rounds obj=$obj prev=$prevObj")
+      if (!prevObj.isNaN &&
+          math.abs(obj - prevObj) <= eps * math.max(math.abs(prevObj), 1e-12)) {
+        done = true
+      } else {
+        prevObj = obj
+        cents = meansToCentroids(perDimSums(asg)).localCheckpoint()
+        asg = assignTo(emb, cents)
+        rounds += 1
+      }
+    }
+    val report = asg.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round(sum(round(col("cos"), 6).cast("decimal(28,6)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"))
+    (report, rounds)
   }
 
   /** One k-means step reported per cell: member count, mean cosine to the

@@ -412,6 +412,63 @@ object RecallQueries {
        |  ON b.right_id = a.vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p42 — multi-iteration Lloyd (k-means), fully replayed in SQL
+  // ---------------------------------------------------------------------
+
+  /** Two full Lloyd rounds (Clustering.lloydReport): hash-sampled seed,
+    * argmax-cosine assignment, exact-decimal per-dimension centroid
+    * means, reassignment against the LEARNED centroids. The oracle
+    * unrolls both rounds — every quantity is round-then-decimal-sum
+    * arithmetic, so the learned-cell refinement (what makes p41's cells
+    * data-adaptive) is itself hash-verified, not just the single step
+    * p37 pins. */
+  def kmeansLloyd(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Clustering.lloydReport(Tables.embeddings(spark, dir),
+      k = 8, rounds = 2)
+
+  val kmeansLloydSql: String =
+    s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
+       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |s0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${dotSql("e.embedding", "c.cent_emb")} /
+       |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos
+       |  FROM embeddings e CROSS JOIN c0 c),
+       |a0 AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cent_id DESC) AS rn FROM s0) WHERE rn = 1),
+       |d0 AS (SELECT cell, t.i AS pos,
+       |    round(CAST(embedding[t.i] AS DOUBLE) / ${normSql("embedding")}, 6) AS v
+       |  FROM a0, unnest(range(1, 65)) t(i)),
+       |m1 AS (SELECT cell, pos,
+       |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS m
+       |  FROM d0 GROUP BY cell, pos),
+       |c1 AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS cent_emb
+       |  FROM m1 GROUP BY cell),
+       |s1 AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |    ${dotSql("e.embedding", "c.cent_emb")} /
+       |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos
+       |  FROM embeddings e CROSS JOIN c1 c),
+       |a1 AS (SELECT vec_id, embedding, cos, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos DESC, cent_id DESC) AS rn FROM s1) WHERE rn = 1),
+       |d1 AS (SELECT cell, t.i AS pos,
+       |    round(CAST(embedding[t.i] AS DOUBLE) / ${normSql("embedding")}, 6) AS v
+       |  FROM a1, unnest(range(1, 65)) t(i)),
+       |m2 AS (SELECT cell, pos,
+       |    CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE) AS m
+       |  FROM d1 GROUP BY cell, pos),
+       |st AS (SELECT cell, COUNT(*) AS n_members,
+       |    round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(28,6))) AS DOUBLE)
+       |      / COUNT(*), 6) AS mean_cos
+       |  FROM a1 GROUP BY cell),
+       |fp AS (SELECT cell,
+       |    round(CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE), 6)
+       |      AS new_centroid_comp_sum
+       |  FROM m2 GROUP BY cell)
+       |SELECT st.cell, st.n_members, st.mean_cos, fp.new_centroid_comp_sum
+       |FROM st JOIN fp USING (cell)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q43 — sketch error bound as a verified claim
   // ---------------------------------------------------------------------
 
@@ -443,6 +500,7 @@ object RecallQueries {
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
     "p39_ann_ivfpq_topk" -> (annIvfPqTopK _),
     "p41_semantic_dedup" -> (semanticDedup _),
+    "p42_kmeans_lloyd" -> (kmeansLloyd _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -452,6 +510,7 @@ object RecallQueries {
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,
     "p39_ann_ivfpq_topk" -> annIvfPqTopKSql,
     "p41_semantic_dedup" -> semanticDedupSql,
+    "p42_kmeans_lloyd" -> kmeansLloydSql,
     "q43_sketch_quality" -> sketchQualitySql,
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,

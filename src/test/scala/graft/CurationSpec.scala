@@ -109,4 +109,49 @@ class CurationSpec extends SparkSpec {
     assert(out.filter(!col("is_dup") && col("dup_of").isNotNull).isEmpty)
     out.unpersist()
   }
+
+  test("semantic dedup derives k from corpus size; cell sizes stay bounded") {
+    // realistic geometry: the sf0.01 corpus (500 vectors incl. near-dup
+    // families). targetCellSize=32 must derive k = ceil(500/32) = 16,
+    // and data-sampled centroids keep the worst cell within a small
+    // multiple of the target (pinned on the fixed corpus).
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val out = Clustering.semanticDedup(emb, targetCellSize = 32).cache()
+    assert(out.count() === 500)
+    val cells = out.groupBy(col("cell")).count().cache()
+    assert(cells.count() <= 16, "at most k = ceil(n/target) cells")
+    val maxCell = cells.agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxCell <= 4L * 32,
+      s"max cell $maxCell must stay within 4x the target size")
+    cells.unpersist(); out.unpersist()
+  }
+
+  test("lloyd converges on the fixture and reports consistent cells") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val (report, rounds) = Clustering.lloydConverged(emb, k = 4,
+      maxRounds = 30, eps = 5e-3)
+    val rows = report.cache()
+    assert(rounds < 30, "cohesion improvement must fall below eps before cap")
+    assert(rows.count() <= 4)
+    val members = rows.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(members === emb.count(), "every vector lands in exactly one cell")
+    assert(rows.filter(col("mean_cos") > 1.000001 || col("mean_cos") < -1.000001).isEmpty)
+    rows.unpersist()
+  }
+
+  test("lloydReport round 2 equals round 1 composed with one refinement") {
+    // rounds=1 must equal the single hash-sampled-seed assignment stats;
+    // rounds=2 must differ only via the learned centroids (cells keyed by
+    // the same seed ids). Sanity-pins the loop plumbing.
+    val emb = Tables.embeddings(spark, sfDir)
+    val r1 = Clustering.lloydReport(emb, k = 4, rounds = 1)
+    val r2 = Clustering.lloydReport(emb, k = 4, rounds = 2)
+    val m1 = r1.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    val m2 = r2.agg(sum(col("n_members"))).collect()(0).getLong(0)
+    assert(m1 === emb.count() && m2 === emb.count())
+    // cell ids in round 2 are a subset of round 1's seed-derived ids
+    val ids1 = r1.select("cell").collect().map(_.getLong(0)).toSet
+    val ids2 = r2.select("cell").collect().map(_.getLong(0)).toSet
+    assert(ids2.subsetOf(ids1))
+  }
 }
