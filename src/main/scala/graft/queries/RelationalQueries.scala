@@ -266,6 +266,44 @@ object RelationalQueries {
        |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM z""".stripMargin
   }
 
+  /** q55 — THREE-dimensional z-order layout (ZOrder.zValueN): customer,
+    * order-day, and order-key-suffix interleaved at 16 bits each (48-bit
+    * code). With the layout range-partitioned on the code, the top code
+    * bits are the top bits of ALL THREE dimensions, so a selective
+    * predicate on any one of them — including the third — touches only
+    * the files whose z-range can contain it (RelationalSpec asserts
+    * disjoint file ranges and third-dimension file skipping). The
+    * oracle replays the 3-way interleave arithmetic. */
+  def q55ZOrder3(spark: SparkSession, dir: String): DataFrame = {
+    val zed = Tables.orders(spark, dir).select(
+        col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("ck"),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+          lit(65536L)).as("ed"),
+        pmod(col("o_orderkey"), lit(65536L)).as("pk"))
+      .withColumn("zval",
+        graft.ops.ZOrder.zValueN(Seq(col("ck"), col("ed"), col("pk")), 16))
+      .select(col("o_orderkey"), col("zval"))
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q55", dir)
+    zed.repartitionByRange(8, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+  }
+
+  val q55Sql: String = {
+    val terms = (0 until 16).map(i =>
+      s"(((ck >> $i) & 1) << ${3 * i}) + (((ed >> $i) & 1) << ${3 * i + 1}) + " +
+        s"(((pk >> $i) & 1) << ${3 * i + 2})")
+      .mkString(" + ")
+    s"""WITH z AS (
+       |  SELECT o_orderkey, o_custkey % 65536 AS ck,
+       |    (CAST(o_orderdate AS DATE) - DATE '1992-01-01') % 65536 AS ed,
+       |    o_orderkey % 65536 AS pk
+       |  FROM orders)
+       |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM z""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_full_outer" -> (q38FullOuter _),
     "q39_multiway_topk" -> (q39MultiwayTopK _),
@@ -274,7 +312,8 @@ object RelationalQueries {
     "q44_global_ids" -> (q44GlobalIds _),
     "q45_compaction" -> (q45Compaction _),
     "q46_global_ids_sparse" -> (q46GlobalIdsSparse _),
-    "q50_zorder_layout" -> (q50ZOrderLayout _))
+    "q50_zorder_layout" -> (q50ZOrderLayout _),
+    "q55_zorder3" -> (q55ZOrder3 _))
 
   val oracles: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
@@ -284,5 +323,6 @@ object RelationalQueries {
     "q44_global_ids" -> q44Sql,
     "q45_compaction" -> q45Sql,
     "q46_global_ids_sparse" -> q46Sql,
-    "q50_zorder_layout" -> q50Sql)
+    "q50_zorder_layout" -> q50Sql,
+    "q55_zorder3" -> q55Sql)
 }

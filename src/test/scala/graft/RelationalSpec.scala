@@ -145,6 +145,54 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q55 3-D z-order: disjoint file ranges, third-dim skipping, decode") {
+    val q = RelationalQueries.q55ZOrder3(spark, sfDir)
+    val files = q.inputFiles
+    assert(files.length > 1, "layout must produce multiple files to skip over")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min(col("zval")), max(col("zval"))).collect()(0)
+      (f, r.getLong(0), r.getLong(1))
+    }.sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array((_, _, prevMax), (_, curMin, _)) =>
+        assert(curMin >= prevMax,
+          s"file z-ranges overlap: $prevMax vs $curMin — min/max skipping broken")
+      case _ =>
+    }
+    def decode3(z: Long): (Long, Long, Long) =
+      (0 until 16).foldLeft((0L, 0L, 0L)) { case ((a, b, c), i) =>
+        (a | (((z >> (3 * i)) & 1L) << i),
+         b | (((z >> (3 * i + 1)) & 1L) << i),
+         c | (((z >> (3 * i + 2)) & 1L) << i))
+      }
+    val orig = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536L)).as("ck"),
+        pmod(datediff(col("o_orderdate"), lit("1992-01-01")).cast("long"),
+          lit(65536L)).as("ed"),
+        pmod(col("o_orderkey"), lit(65536L)).as("pk"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    q.limit(200).collect().foreach { r =>
+      assert(decode3(r.getAs[Long]("zval")) === orig(r.getAs[Long]("o_orderkey")),
+        s"3-D z-code must decode to its key triple for order ${r.get(0)}")
+    }
+    // skipping on the THIRD interleaved dimension: for B = the data's top
+    // varying pk bit, pk >= 2^B forces code bit 3B+2, so every file whose
+    // z-range tops out below 2^(3B+2) is skippable for that predicate
+    // (on this fixture no other dimension reaches bit B+1, so the
+    // threshold is exact)
+    val maxPk = orig.values.map(_._3).max
+    val bitB = 63 - java.lang.Long.numberOfLeadingZeros(maxPk)
+    assert(orig.values.exists(_._3 >= (1L << bitB)),
+      "the pk >= 2^B predicate must match some rows")
+    val thresholdZ = 1L << (3 * bitB + 2)
+    assert(ranges.exists { case (_, _, mx) => mx < thresholdZ },
+      s"at least one file must be skippable for pk >= ${1L << bitB}")
+  }
+
   test("compaction conserves rows and hits the file-count target") {
     val outDir = java.nio.file.Files
       .createTempDirectory("graft-compact-spec").toString
