@@ -17,31 +17,49 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** q51 — strictly-ordered funnel view → click → purchase: a user
-    * converts at stage n when the stage event happens AFTER their
-    * stage-(n-1) conversion time. Each stage is a filtered aggregate
-    * joined on user_id — no event self-join on time ranges, no window
-    * over the stream. */
-  def q51Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val viewed = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
-    val clicked = ev.filter(col("event_type") === "click")
-      .join(viewed, Seq("user_id"))
-      .filter(col("ts") > col("t_view"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
-    val purchased = ev.filter(col("event_type") === "purchase")
-      .join(clicked, Seq("user_id"))
-      .filter(col("ts") > col("t_click"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
-    def stage(name: String, order: Long, df: DataFrame): DataFrame =
+  /** Strictly-ordered funnel over an arbitrary ordered stage list: a
+    * user converts at stage n when a stage-n event happens AFTER their
+    * stage-(n-1) conversion time (conversion time = earliest qualifying
+    * event). Each stage is a filtered aggregate joined on user_id — no
+    * event self-join on time ranges, no window over the stream, and the
+    * per-stage state is one row per converted user.
+    *
+    * The events scan is paid ONCE: the projection is filtered to the
+    * funnel's event types and localCheckpoint'd, so the k stage
+    * aggregates read the materialized narrow subset instead of
+    * rescanning the fact table k times. (For small k over a table with
+    * cheap pushed-down type filters, rescanning can win — the
+    * checkpoint trades executor storage for scan amortization, the
+    * right default once k grows.) */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "a funnel needs at least one stage")
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+      .filter(col("event_type").isin(stages: _*))
+      .localCheckpoint()
+    var converted = ev.filter(col("event_type") === stages.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
+    val perStage = Seq.newBuilder[(String, DataFrame)]
+    perStage += ((stages.head, converted))
+    stages.sliding(2).foreach {
+      case Seq(prev, s) =>
+        converted = ev.filter(col("event_type") === s)
+          .join(converted, Seq("user_id"))
+          .filter(col("ts") > col("t_conv"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_conv"))
+        perStage += ((s"${s}_after_$prev", converted))
+      case _ =>
+    }
+    perStage.result().zipWithIndex.map { case ((name, df), i) =>
       df.agg(count(lit(1)).as("n_users"))
-        .select(lit(order).as("stage"), lit(name).as("stage_name"),
+        .select(lit(i + 1L).as("stage"), lit(name).as("stage_name"),
           col("n_users"))
-    stage("view", 1, viewed)
-      .unionByName(stage("click_after_view", 2, clicked))
-      .unionByName(stage("purchase_after_click", 3, purchased))
+    }.reduce(_ unionByName _)
   }
+
+  /** q51 — the view -> click -> purchase funnel, expressed through the
+    * parameterized engine above. */
+  def q51Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables.events(spark, dir), Seq("view", "click", "purchase"))
 
   val q51Sql: String =
     """WITH v AS (

@@ -6,6 +6,31 @@ import org.apache.spark.sql.functions._
 /** Event-analytics invariants: funnel monotonicity and cohort accounting. */
 class EventSpec extends SparkSpec {
 
+  test("parameterized funnel enforces strict ordering per stage") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 full ordered path; u2 stops after click; u3 clicks with no view;
+    // u4 purchases BEFORE clicking (so stage 3 must reject it)
+    val ev = Seq(
+      (1L, "view", t(1)), (1L, "click", t(2)), (1L, "purchase", t(3)),
+      (2L, "view", t(1)), (2L, "click", t(5)),
+      (3L, "click", t(2)),
+      (4L, "view", t(1)), (4L, "purchase", t(2)), (4L, "click", t(4)))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventQueries.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getAs[Long]("stage"), r.getAs[String]("stage_name"),
+        r.getAs[Long]("n_users"))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "view", 3L),
+      (2L, "click_after_view", 3L),
+      (3L, "purchase_after_click", 1L)))
+    // four-stage variant over the same engine: an extra stage with no
+    // qualifying events yields zero, not a missing row
+    val got4 = EventQueries.funnel(ev, Seq("view", "click", "purchase", "refund"))
+      .collect().sortBy(_.getAs[Long]("stage"))
+    assert(got4.length === 4 && got4.last.getAs[Long]("n_users") === 0L)
+  }
+
   test("q51 funnel stages are monotonically non-increasing") {
     val rows = EventQueries.q51Funnel(spark, sfDir).collect()
       .sortBy(_.getAs[Long]("stage")).map(_.getAs[Long]("n_users"))
