@@ -58,8 +58,9 @@ object Clustering {
     * cells vs random hyperplane buckets. One row per vector, always.
     *
     * `kOverride` bypasses the derivation (and its count job) when the
-    * caller already knows the cell budget — tests and the SQL oracle
-    * replay use it implicitly via derivation determinism. */
+    * caller already knows the cell budget; the p41 oracle instead
+    * replays the derivation itself (CEIL(COUNT(*)/64.0)) so parity
+    * holds at any corpus size. */
   def semanticDedup(embeddings: DataFrame, targetCellSize: Int = 64,
                     threshold: Double = 0.45,
                     kOverride: Option[Int] = None): DataFrame = {
@@ -190,13 +191,20 @@ object Clustering {
     * volume. Returns the final per-cell report plus rounds run. */
   def lloydConverged(embeddings: DataFrame, k: Int = 8, maxRounds: Int = 10,
                      eps: Double = 1e-3): (DataFrame, Int) = {
+    // materialize the working set once: every round re-scans it for
+    // assignment, so iterating against the source scan would re-read
+    // (and re-decode) the parquet k times
     val emb = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
     val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
     var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       .localCheckpoint()
-    var asg = assignTo(emb, cents)
+    // localCheckpoint each round's assignment: the objective collect,
+    // perDimSums, and the final report all reuse the materialized rows
+    // instead of re-running the broadcast cross-join + argmax twice
+    var asg = assignTo(emb, cents).localCheckpoint()
     var rounds = 1
     var prevObj = Double.NaN
     var done = false
@@ -212,7 +220,7 @@ object Clustering {
       } else {
         prevObj = obj
         cents = meansToCentroids(perDimSums(asg)).localCheckpoint()
-        asg = assignTo(emb, cents)
+        asg = assignTo(emb, cents).localCheckpoint()
         rounds += 1
       }
     }

@@ -75,7 +75,10 @@ object ExchangeQueries {
     * the TempPaths shutdown hook. */
   def q34BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val tag = java.lang.Integer.toHexString(dir.hashCode)
+    // collision-safe dir tag: SHA-256 prefix, not 32-bit hashCode — two
+    // input dirs colliding would silently reuse the wrong bucket layout
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
     val oTbl = s"graft_q34_orders_bkt_${app}_$tag"
     val liTbl = s"graft_q34_lineitem_bkt_${app}_$tag"
     val wh = spark.conf.get("spark.sql.warehouse.dir")

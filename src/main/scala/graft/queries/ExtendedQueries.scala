@@ -247,6 +247,7 @@ object ExtendedQueries {
         Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
+        count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
         count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
         count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))
     sk.join(rk, Seq("l_returnflag"))
@@ -257,8 +258,12 @@ object ExtendedQueries {
         col("n_exact_orders"),
         (abs(col("ao") - col("n_exact_orders")).cast("double") /
           col("n_exact_orders") <= 0.06).as("orders_in_bound"),
-        (col("le50").cast("double") / col("n") >= 0.47 &&
-          col("le50").cast("double") / col("n") <= 0.53).as("p50_rank_ok"),
+        // tie-safe: the returned value's true-rank INTERVAL [lt50, le50]
+        // must intersect the target band — strictly-less on the upper
+        // check, less-or-equal on the lower, so tied mass at the median
+        // value can never fail a correct sketch
+        (col("lt50").cast("double") / col("n") <= 0.53 &&
+          col("le50").cast("double") / col("n") >= 0.47).as("p50_rank_ok"),
         (col("le99").cast("double") / col("n") >= 0.97).as("p99_rank_ok"))
   }
 

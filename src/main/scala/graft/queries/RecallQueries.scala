@@ -384,14 +384,21 @@ object RecallQueries {
     * within-cell pairs. The oracle replays assignment, pairs, and the
     * keep-first policy — max-struct tie rules mirrored exactly (cell
     * argmax breaks toward the HIGHER centroid id, best-match toward the
-    * higher left id). */
+    * higher left id). The Spark side derives k = ceil(n/64) from a
+    * count, so the oracle derives it the same way (`cnt` CTE) rather
+    * than hardcoding a corpus-size-specific LIMIT — the row stays green
+    * at any scale factor. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Clustering.semanticDedup(Tables.embeddings(spark, dir))
 
   val semanticDedupSql: String =
-    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
-       |  FROM embeddings
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+    s"""WITH cnt AS (SELECT CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) AS k
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM (
+       |    SELECT vec_id, embedding, row_number() OVER (
+       |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= (SELECT k FROM cnt)),
        |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |    ${dotSql("e.embedding", "c.cent_emb")} /
        |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos

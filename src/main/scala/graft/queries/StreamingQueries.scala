@@ -41,10 +41,26 @@ object StreamingQueries {
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q54_ckpt", dir)
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q54_out", dir)
     new java.io.File(landing).mkdirs()
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      java.nio.file.Paths.get(landing, "events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // fixture today is a single parquet file; if it ever becomes a
+    // directory-style dataset, copy every part file rather than silently
+    // landing an empty dir (the stream would emit nothing and the
+    // failure would only surface at oracle-compare time)
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val parts: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isRegularFile(src)) Seq(src)
+      else if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+          .toSeq.sortBy(_.getFileName.toString)
+      } else sys.error(s"q54: fixture $src is neither a file nor a directory")
+    require(parts.nonEmpty, s"q54: no parquet part files under $src")
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p,
+        java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     EventsStream.runAvailableNow(spark, landing, ckpt, out)
     val mx = Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts"))).as("mx_ms"))
