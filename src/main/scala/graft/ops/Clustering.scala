@@ -156,16 +156,21 @@ object Clustering {
     * widening, so round 1 equals `assign`'s geometry. */
   def lloydReport(embeddings: DataFrame, k: Int = 8, rounds: Int = 2): DataFrame = {
     require(rounds >= 1, "at least one assignment round")
+    // materialize the working set and each round's assignment once:
+    // the final round's asg feeds BOTH the stats aggregate and the
+    // centroid fingerprint, and each round re-scans emb — without the
+    // checkpoints the whole multi-round chain re-executes per consumer
     val emb = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
+      .localCheckpoint()
     val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
     var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
-    var asg = assignTo(emb, cents)
+    var asg = assignTo(emb, cents).localCheckpoint()
     var means = perDimSums(asg)
     for (_ <- 1 until rounds) {
       cents = meansToCentroids(means).localCheckpoint()
-      asg = assignTo(emb, cents)
+      asg = assignTo(emb, cents).localCheckpoint()
       means = perDimSums(asg)
     }
     val stats = asg.groupBy(col("cell"))

@@ -94,13 +94,21 @@ object TextAnalysis {
     * exact-decimal sum (the unigram/money determinism policy). */
   def bigramLogProb(docs: DataFrame, k: Double = 0.5): DataFrame = {
     val eligible = docs.filter(size(tokens(col("text"))) >= 2)
-    val inst = eligible.select(col("doc_id"),
-      explode(graft.functions.TextFunctions.word_ngrams(tokens(col("text")), 2))
-        .as("gram"))
-    val bgCounts = inst.groupBy(col("gram")).agg(count(lit(1)).as("c_bg"))
-    val ctxCounts = inst
-      .select(element_at(split(col("gram"), " "), 1).as("w1"))
-      .groupBy(col("w1")).agg(count(lit(1)).as("c_ctx"))
+    // ONE explode over the corpus, immediately collapsed to per-(doc,
+    // gram) counts — map-side combinable, and every downstream aggregate
+    // and the scoring join run on the distinct-gram stream, not the raw
+    // instance stream (at corpus scale the instance stream is the data
+    // volume; shuffling it once instead of three times is the design)
+    val instDoc = eligible.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.word_ngrams(tokens(col("text")), 2))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c_dg"))
+    val bgCounts = instDoc.groupBy(col("gram")).agg(sum(col("c_dg")).as("c_bg"))
+    // context totals roll up from the bigram counts (Σ c_bg per w1):
+    // no second pass over instances
+    val ctxCounts = bgCounts
+      .select(element_at(split(col("gram"), " "), 1).as("w1"), col("c_bg"))
+      .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
     val vocab = eligible
       .select(explode(tokens(col("text"))).as("term"))
       .agg(count_distinct(col("term")).as("v"))
@@ -111,10 +119,12 @@ object TextAnalysis {
       .select(col("gram"),
         round(log((col("c_bg") + lit(k)) /
           (col("c_ctx") + lit(k) * col("v"))), 6).as("lp"))
-    inst.join(model, Seq("gram"))
+    // weighted by the per-doc gram count: decimal × integer is exact, so
+    // Σ lp·c_dg equals the per-instance decimal sum bit-for-bit
+    instDoc.join(model, Seq("gram"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("lp").cast("decimal(18,6)")).as("lp_sum"),
-        count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("lp").cast("decimal(18,6)") * col("c_dg")).as("lp_sum"),
+        sum(col("c_dg")).as("n_bigrams"))
       .select(col("doc_id"),
         round(col("lp_sum").cast("double") / col("n_bigrams"), 6)
           .as("avg_logprob"),

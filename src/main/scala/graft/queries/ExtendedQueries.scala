@@ -233,13 +233,21 @@ object ExtendedQueries {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"),
         col("l_extendedprice"))
-    val sk = li.groupBy(col("l_returnflag")).agg(
+    // two distinct columns in one aggregate force an Expand (3x row
+    // multiplication); keep the quantile sketch OUT of that aggregate so
+    // it feeds on the raw stream, and fetch both percentiles from ONE
+    // sketch (array form) instead of building two
+    val cnts = li.groupBy(col("l_returnflag")).agg(
       count_distinct(col("l_partkey")).as("n_exact_parts"),
       approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
       count_distinct(col("l_orderkey")).as("n_exact_orders"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50"),
-      percentile_approx(col("l_extendedprice"), lit(0.99), lit(1000)).as("p99"))
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+    val pcts = li.groupBy(col("l_returnflag")).agg(
+      percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)),
+        lit(1000)).as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"), element_at(col("ps"), 2).as("p99"))
+    val sk = cnts.join(pcts, Seq("l_returnflag"))
     // true rank of each percentile claim: one more pass over the fact
     // table against the broadcast 3-row claim set
     val rk = li
