@@ -247,7 +247,14 @@ object ExtendedQueries {
         lit(1000)).as("ps"))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p50"), element_at(col("ps"), 2).as("p99"))
-    val sk = cnts.join(pcts, Seq("l_returnflag"))
+    // Materialize the claim set once: it is referenced twice below (as the
+    // broadcast side of the rank pass AND in the final join), and left as a
+    // lazy plan Spark would re-run both aggregate scans for each reference.
+    // The collect is bounded by the number of groups (distinct returnflag
+    // values — a 3-row domain regardless of fact-table size).
+    val skPlan = cnts.join(pcts, Seq("l_returnflag"))
+    val sk = spark.createDataFrame(
+      java.util.Arrays.asList(skPlan.collect(): _*), skPlan.schema)
     // true rank of each percentile claim: one more pass over the fact
     // table against the broadcast 3-row claim set
     val rk = li

@@ -1,10 +1,13 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ad-hoc stage profiler for the q24 sketch-verification row (dev utility):
-  * times each aggregate family in isolation to attribute the row's cost. */
+  * times each aggregate family in isolation to attribute the row's cost.
+  * Every stage is forced through `queryExecution.toRdd.count()` — a plain
+  * `.count()` on an Aggregate lets Catalyst prune the aggregate
+  * expressions themselves, which silently times an empty shell. */
 object ProbeQ24 {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -23,30 +26,47 @@ object ProbeQ24 {
       val n = f
       println(f"PROBE $tag%-18s ${(System.nanoTime() - s) / 1e9}%7.2f s rows=$n")
     }
+    def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
     t("warmup")(li.count())
     (1 to 2).foreach { _ =>
-      t("exact_distincts")(li.groupBy(col("l_returnflag"))
+      t("exact_distincts")(full(li.groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")),
-          count_distinct(col("l_orderkey"))).count())
-      t("approx_distincts")(li.groupBy(col("l_returnflag"))
+          count_distinct(col("l_orderkey")))))
+      t("approx_distincts")(full(li.groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey"), 0.02),
-          approx_count_distinct(col("l_orderkey"), 0.02)).count())
-      t("pct_sketch")(li.groupBy(col("l_returnflag"))
+          approx_count_distinct(col("l_orderkey"), 0.02))))
+      t("pct_sketch")(full(li.groupBy(col("l_returnflag"))
         .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.99)), lit(1000))).count())
-      t("all4_one_agg")(li.groupBy(col("l_returnflag"))
+          array(lit(0.5), lit(0.99)), lit(1000)))))
+      t("all4_one_agg")(full(li.groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")),
           approx_count_distinct(col("l_partkey"), 0.02),
           count_distinct(col("l_orderkey")),
-          approx_count_distinct(col("l_orderkey"), 0.02)).count())
+          approx_count_distinct(col("l_orderkey"), 0.02))))
+      t("rank_pass")(full(li
+        .join(broadcast(spark.createDataFrame(java.util.Arrays.asList(
+          org.apache.spark.sql.Row("A", 1000.0, 90000.0),
+          org.apache.spark.sql.Row("N", 1000.0, 90000.0),
+          org.apache.spark.sql.Row("R", 1000.0, 90000.0)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l_returnflag",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("p50",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("p99",
+              org.apache.spark.sql.types.DoubleType))))),
+          Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
+          count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
+          count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))))
     }
     t("full_q24_catalog")(graft.queries.ExtendedQueries
       .q24Sketches(spark, dir).queryExecution.toRdd.count())
     t("full_q24_again")(graft.queries.ExtendedQueries
       .q24Sketches(spark, dir).queryExecution.toRdd.count())
-    println(graft.queries.ExtendedQueries.q24Sketches(spark, dir)
-      .queryExecution.executedPlan.toString.take(4000))
     spark.stop()
   }
 }
