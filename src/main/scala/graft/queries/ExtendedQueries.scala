@@ -228,45 +228,49 @@ object ExtendedQueries {
     * into a full hash row. At 100 TB these are the aggregates you
     * actually run (bounded memory per group regardless of cardinality),
     * and the rank check is itself bounded: a 3-row broadcast join plus
-    * a counting aggregate. */
+    * a counting aggregate.
+    *
+    * NOTE — eager execution: CONSTRUCTING this DataFrame runs the
+    * percentile-sketch pass (one aggregate scan of lineitem, collected to
+    * one row per returnflag value — a 3-row domain regardless of
+    * fact-table size) and embeds the result as a broadcast literal; the
+    * returned plan is the single combined counting pass. Bench/Verify
+    * call the builder inside their timed/try regions so measurements
+    * cover both scans, but plan-only callers (plan dumps, repeated view
+    * registration) pay the sketch scan on every construction. */
   def q24Sketches(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"),
         col("l_extendedprice"))
-    // two distinct columns in one aggregate force an Expand (3x row
-    // multiplication); keep the quantile sketch OUT of that aggregate so
-    // it feeds on the raw stream, and fetch both percentiles from ONE
-    // sketch (array form) instead of building two
-    val cnts = li.groupBy(col("l_returnflag")).agg(
-      count_distinct(col("l_partkey")).as("n_exact_parts"),
-      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-      count_distinct(col("l_orderkey")).as("n_exact_orders"),
-      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"))
+    // pass 1 — percentile sketches only, both percentiles from ONE sketch
+    // (array form). Kept OUT of the counting aggregate so the sketch
+    // feeds on the raw row stream, not the Expand-multiplied one.
     val pcts = li.groupBy(col("l_returnflag")).agg(
       percentile_approx(col("l_extendedprice"), array(lit(0.5), lit(0.99)),
         lit(1000)).as("ps"))
       .select(col("l_returnflag"),
         element_at(col("ps"), 1).as("p50"), element_at(col("ps"), 2).as("p99"))
-    // Materialize the claim set once: it is referenced twice below (as the
-    // broadcast side of the rank pass AND in the final join), and left as a
-    // lazy plan Spark would re-run both aggregate scans for each reference.
-    // The collect is bounded by the number of groups (distinct returnflag
-    // values — a 3-row domain regardless of fact-table size).
-    val skPlan = cnts.join(pcts, Seq("l_returnflag"))
-    val sk = spark.createDataFrame(
-      java.util.Arrays.asList(skPlan.collect(): _*), skPlan.schema)
-    // true rank of each percentile claim: one more pass over the fact
-    // table against the broadcast 3-row claim set
-    val rk = li
-      .join(broadcast(sk.select(col("l_returnflag"), col("p50"), col("p99"))),
-        Seq("l_returnflag"))
+    val claims = spark.createDataFrame(
+      java.util.Arrays.asList(pcts.collect(): _*), pcts.schema)
+    // pass 2 — ONE combined aggregate: the two distinct columns force an
+    // Expand (3x row multiplication — the cost the counts pass always
+    // paid), and the rank-check conditional counts ride along on the
+    // non-distinct branch against the broadcast 3-row claim set. Two
+    // scans of lineitem total, down from three (the rank check used to
+    // be its own pass).
+    val agg = li
+      .join(broadcast(claims), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
-      .agg(count(lit(1)).as("n"),
+      .agg(
+        count_distinct(col("l_partkey")).as("n_exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        count_distinct(col("l_orderkey")).as("n_exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        count(lit(1)).as("n"),
         count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
         count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
         count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))
-    sk.join(rk, Seq("l_returnflag"))
-      .select(col("l_returnflag"),
+    agg.select(col("l_returnflag"),
         col("n_exact_parts"),
         (abs(col("ap") - col("n_exact_parts")).cast("double") /
           col("n_exact_parts") <= 0.06).as("parts_in_bound"),

@@ -29,6 +29,17 @@ object ProbeQ24 {
     def full(df: DataFrame): Long = df.queryExecution.toRdd.count()
 
     t("warmup")(li.count())
+    // claim rows derived from the SAME data (one percentile pass,
+    // collected): the profiled join keeps every row and the conditional
+    // counts see production selectivity — hard-coded flags/thresholds
+    // would drop rows on a domain mismatch and under-measure the stage
+    val pcts = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.99)), lit(1000)).as("ps"))
+      .select(col("l_returnflag"),
+        element_at(col("ps"), 1).as("p50"), element_at(col("ps"), 2).as("p99"))
+    val claims = spark.createDataFrame(
+      java.util.Arrays.asList(pcts.collect(): _*), pcts.schema)
     (1 to 2).foreach { _ =>
       t("exact_distincts")(full(li.groupBy(col("l_returnflag"))
         .agg(count_distinct(col("l_partkey")),
@@ -45,20 +56,22 @@ object ProbeQ24 {
           count_distinct(col("l_orderkey")),
           approx_count_distinct(col("l_orderkey"), 0.02))))
       t("rank_pass")(full(li
-        .join(broadcast(spark.createDataFrame(java.util.Arrays.asList(
-          org.apache.spark.sql.Row("A", 1000.0, 90000.0),
-          org.apache.spark.sql.Row("N", 1000.0, 90000.0),
-          org.apache.spark.sql.Row("R", 1000.0, 90000.0)),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("l_returnflag",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("p50",
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("p99",
-              org.apache.spark.sql.types.DoubleType))))),
-          Seq("l_returnflag"))
+        .join(broadcast(claims), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
+          count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
+          count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))))
+      // the production pass-2 shape since the 3->2 scan fold: distincts
+      // AND rank counts in one aggregate over the broadcast-joined stream
+      t("combined_pass")(full(li
+        .join(broadcast(claims), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_partkey")),
+          approx_count_distinct(col("l_partkey"), 0.02),
+          count_distinct(col("l_orderkey")),
+          approx_count_distinct(col("l_orderkey"), 0.02),
+          count(lit(1)).as("n"),
           count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
           count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
           count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))))
