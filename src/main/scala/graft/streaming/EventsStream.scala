@@ -30,14 +30,20 @@ object EventsStream {
     * `Trigger.AvailableNow` this is the ledger-replacement batch-ingest:
     * each file is processed exactly once per checkpoint.
     */
-  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def readEventsStream(spark: SparkSession, dir: String,
+                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.types._
     // nanos ts arrives as long under nanosAsLong; normalize to timestamp
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
+    val reader = spark.readStream.schema(schema)
+    // maxFilesPerTrigger splits an AvailableNow run into MULTIPLE
+    // micro-batches — the knob that turns "one big batch" into a real
+    // cross-batch state-store exercise (q56)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
@@ -114,6 +120,21 @@ object EventsStream {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Keyed streaming dedup on arbitrary columns with a caller-chosen
+    * watermark horizon. Same state-store operator as [[dedupEvents]];
+    * the horizon is the state-size/recall trade: duplicates arriving
+    * within `delay` of the first occurrence are guaranteed dropped,
+    * state older than the watermark is evicted. A `delay` longer than
+    * the dataset's time span makes the streaming result EXACTLY equal
+    * to batch `SELECT DISTINCT keys` — the property q56's oracle
+    * checks; production picks a real horizon and accepts bounded
+    * re-admission instead (unit-tested in StreamingSpec). */
+  def dedupEventsByKey(events: DataFrame, keys: Seq[String],
+                       delay: String): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream interval join: each "click" joined to the same user's
     * "view" events within the following `windowMinutes`. Both sides carry
     * watermarks so the join state for expired intervals is evicted —
@@ -138,9 +159,18 @@ object EventsStream {
   /** Run the hourly aggregate over a static directory via AvailableNow —
     * the exactly-once batch-ingest entry (ledger subsumption). */
   def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,
-                      outDir: String): Unit = {
-    val q = hourlyAggregates(readEventsStream(spark, dir))
-      .writeStream
+                      outDir: String): Unit =
+    runAvailableNowTo(hourlyAggregates(readEventsStream(spark, dir)),
+      checkpoint, outDir)
+
+  /** Drain any streaming Dataset to a parquet sink under
+    * `Trigger.AvailableNow` (append mode) and block until done — the
+    * shared exactly-once runner behind q54/q56/q57: the checkpoint's
+    * file-source log is the ledger, so a re-run against the same
+    * checkpoint processes only files it has not seen. */
+  def runAvailableNowTo(ds: Dataset[_], checkpoint: String,
+                        outDir: String): Unit = {
+    val q = ds.writeStream
       .outputMode("append")
       .format("parquet")
       .option("path", outDir)

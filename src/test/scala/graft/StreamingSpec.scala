@@ -77,6 +77,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed dedup dedups ACROSS micro-batches via the state store") {
+    // land the fixture as 3 ts-range files; maxFilesPerTrigger=1 forces
+    // AvailableNow through 3 micro-batches, so a key's duplicate in a
+    // later batch is dropped by a state lookup, not intra-batch hashing
+    val landing = Files.createTempDirectory("dedup_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(landing)
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val out = Files.createTempDirectory("dedup_out").toString
+    val keyed = EventsStream
+      .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+      .withColumn("hour",
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13))
+    EventsStream.runAvailableNowTo(
+      EventsStream.dedupEventsByKey(
+        keyed, Seq("hour", "user_id", "event_type"), "90 days")
+        .select(col("hour"), col("user_id"), col("event_type")),
+      ckpt, out)
+    // >1 offset log entry proves the run really was multi-batch
+    val batches = Option(new java.io.File(s"$ckpt/offsets").list())
+      .map(_.count(!_.contains("."))).getOrElse(0)
+    assert(batches > 1, s"expected multiple micro-batches, got $batches")
+    val got = spark.read.parquet(out)
+    val expected = Tables.events(spark, sfDir)
+      .select(
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13)
+          .as("hour"),
+        col("user_id"), col("event_type"))
+      .distinct()
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("streaming sessionize (flatMapGroupsWithState) matches batch sessionize") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+      Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+      Event(3, ts("2024-01-01 12:00:00"), 7, "view", 4.0), // >30min gap
+      Event(4, ts("2024-01-01 10:00:00"), 8, "view", 8.0))
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventsStream.sessionize(spark, mem.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_stream_test").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("sess_stream_test").as[UserSession]
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime)).toSeq
+      val batch = EventsStream.sessionize(spark, events.toDS(), gapMinutes = 30)
+        .collect().sortBy(s => (s.user_id, s.session_start.getTime)).toSeq
+      assert(streamed === batch)
+      assert(streamed.length === 3)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with following views") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
