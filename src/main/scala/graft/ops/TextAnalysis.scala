@@ -104,17 +104,24 @@ object TextAnalysis {
           .as("gram"))
       .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c_dg"))
     val bgCounts = instDoc.groupBy(col("gram")).agg(sum(col("c_dg")).as("c_bg"))
-    // context totals roll up from the bigram counts (Σ c_bg per w1):
-    // no second pass over instances
-    val ctxCounts = bgCounts
-      .select(element_at(split(col("gram"), " "), 1).as("w1"), col("c_bg"))
-      .groupBy(col("w1")).agg(sum(col("c_bg")).as("c_ctx"))
-    val vocab = eligible
-      .select(explode(tokens(col("text"))).as("term"))
+    // context totals (Σ c_bg per w1) as a window over the bigram counts:
+    // gram-keyed state only — no second pass over instances, and no
+    // self-join that would make the plan re-derive the bgCounts subtree
+    // (a second derivation re-runs the corpus explode+aggregate; caching
+    // it instead measured SLOWER at sf0.1 — materializing the near-
+    // instance-sized (doc, gram) frame costs more than recomputing it)
+    // vocabulary size from the distinct-GRAM frame, not a second corpus
+    // scan: every token of a >=2-token doc occurs in at least one bigram
+    // (as w1 or w2), so the union of gram tokens IS the eligible vocab —
+    // and the gram frame's exchange is already computed for the model
+    val vocab = bgCounts
+      .select(explode(split(col("gram"), " ")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
     val model = bgCounts
       .withColumn("w1", element_at(split(col("gram"), " "), 1))
-      .join(ctxCounts, Seq("w1"))
+      .withColumn("c_ctx",
+        sum(col("c_bg")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
       .crossJoin(broadcast(vocab))
       .select(col("gram"),
         round(log((col("c_bg") + lit(k)) /
