@@ -234,10 +234,11 @@ object ExtendedQueries {
     * percentile-sketch pass (one aggregate scan of lineitem, collected to
     * one row per returnflag value — a 3-row domain regardless of
     * fact-table size) and embeds the result as a broadcast literal; the
-    * returned plan is the single combined counting pass. Bench/Verify
-    * call the builder inside their timed/try regions so measurements
-    * cover both scans, but plan-only callers (plan dumps, repeated view
-    * registration) pay the sketch scan on every construction. */
+    * returned plan is the exact-distinct pass joined with the
+    * sketch/rank pass (3-row join). Bench/Verify call the builder inside
+    * their timed/try regions so measurements cover all scans, but
+    * plan-only callers (plan dumps, repeated view registration) pay the
+    * sketch scan on every construction. */
   def q24Sketches(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_partkey"), col("l_orderkey"),
@@ -252,24 +253,31 @@ object ExtendedQueries {
         element_at(col("ps"), 1).as("p50"), element_at(col("ps"), 2).as("p99"))
     val claims = spark.createDataFrame(
       java.util.Arrays.asList(pcts.collect(): _*), pcts.schema)
-    // pass 2 — ONE combined aggregate: the two distinct columns force an
-    // Expand (3x row multiplication — the cost the counts pass always
-    // paid), and the rank-check conditional counts ride along on the
-    // non-distinct branch against the broadcast 3-row claim set. Two
-    // scans of lineitem total, down from three (the rank check used to
-    // be its own pass).
-    val agg = li
+    // pass 2/3 — exact distincts and the sketch/rank family kept in
+    // SEPARATE aggregates. Folding all four counts into one aggregate
+    // (fewer scans) measured 1.7x SLOWER at sf0.1: mixing two distinct
+    // columns with non-distinct aggregates forces a 3-projection Expand
+    // whose wide-key partial aggregation carries the HLL sketches and
+    // conditional counts across the whole tripled stream (ProbeQ24:
+    // all4_one_agg 4.4-9.5 s vs exact 1.5 s + approx/rank 1.2 s run
+    // apart). Scan count is the cheap resource here — shuffled partial
+    // state is identical either way, and each narrow pass stays in one
+    // whole-stage-codegen span.
+    val exact = li.groupBy(col("l_returnflag")).agg(
+      count_distinct(col("l_partkey")).as("n_exact_parts"),
+      count_distinct(col("l_orderkey")).as("n_exact_orders"))
+    val sketched = li
       .join(broadcast(claims), Seq("l_returnflag"))
       .groupBy(col("l_returnflag"))
       .agg(
-        count_distinct(col("l_partkey")).as("n_exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
-        count_distinct(col("l_orderkey")).as("n_exact_orders"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
         count(lit(1)).as("n"),
         count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
         count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
         count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))
+    // 3-row ⋈ 3-row reconciliation join (the returnflag domain)
+    val agg = exact.join(sketched, Seq("l_returnflag"))
     agg.select(col("l_returnflag"),
         col("n_exact_parts"),
         (abs(col("ap") - col("n_exact_parts")).cast("double") /

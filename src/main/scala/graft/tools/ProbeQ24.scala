@@ -62,8 +62,10 @@ object ProbeQ24 {
           count(when(col("l_extendedprice") < col("p50"), 1)).as("lt50"),
           count(when(col("l_extendedprice") <= col("p50"), 1)).as("le50"),
           count(when(col("l_extendedprice") <= col("p99"), 1)).as("le99"))))
-      // the production pass-2 shape since the 3->2 scan fold: distincts
-      // AND rank counts in one aggregate over the broadcast-joined stream
+      // the REJECTED single-aggregate fold (kept for comparison): its
+      // 3-projection Expand + wide-key partial agg measured 1.7x slower
+      // than running exact and approx/rank as separate narrow passes —
+      // which is why production q24 splits them
       t("combined_pass")(full(li
         .join(broadcast(claims), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
