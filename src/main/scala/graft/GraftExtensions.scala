@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, SimHashMd5, VecDot, VecSum, WordNgrams}
+import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, SimHashMd5, SubVectors, VecDot, VecSum, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -47,6 +47,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_ngrams: n must be an integer literal, got $other")
         }
         WordNgrams(args.head, n)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("subvectors"),
+      info("subvectors",
+        "subvectors(a, parts) - split an array into `parts` equal contiguous sub-arrays"),
+      (args: Seq[Expression]) => {
+        val parts = args.lift(1) match {
+          case Some(Literal(v: Int, _)) => v
+          case other => throw new IllegalArgumentException(
+            s"subvectors: parts must be an integer literal, got $other")
+        }
+        SubVectors(args.head, parts)
       }))
 
     ext.injectFunction((FunctionIdentifier("sig_agreement"),

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -175,6 +175,64 @@ case class VecSum(child: Expression)
     copy(child = newChild)
 }
 
+/** Split a float/double array into `parts` equal contiguous sub-arrays
+  * (product-quantization subspace slicing). Replaces the
+  * `transform(sequence(...), s => slice(...))` higher-order formulation,
+  * which walks interpreted lambda plumbing and re-evaluates the slice
+  * bounds per subspace; this is one pass over the source array. Sub-width
+  * is numElements/parts per row (trailing remainder elements are dropped;
+  * callers enforce divisibility). Element type and element nullability
+  * are preserved, so downstream VecDot sees the same schema the slice
+  * form produced. CodegenFallback: runs once per row against a small
+  * constant `parts`, not per element of the hot loops. */
+case class SubVectors(child: Expression, parts: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with CodegenFallback {
+
+  require(parts > 0, "subvectors: parts must be positive")
+
+  private def childArray: ArrayType = child.dataType.asInstanceOf[ArrayType]
+
+  override def dataType: DataType =
+    ArrayType(childArray, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"subvectors expects array<float>/array<double>, got $other")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val sub = x.numElements() / parts
+    val isFloat = childArray.elementType == FloatType
+    val out = new Array[Any](parts)
+    var p = 0
+    while (p < parts) {
+      val piece = new Array[Any](sub)
+      val base = p * sub
+      var j = 0
+      while (j < sub) {
+        piece(j) =
+          if (x.isNullAt(base + j)) null
+          else if (isFloat) x.getFloat(base + j)
+          else x.getDouble(base + j)
+        j += 1
+      }
+      out(p) = new org.apache.spark.sql.catalyst.util.GenericArrayData(piece)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubVectors =
+    copy(child = newChild)
+}
+
 /** Column-level vector functions built on the native expression. */
 object VectorFunctions {
   def vec_dot(a: Column, b: Column): Column =
@@ -188,4 +246,7 @@ object VectorFunctions {
 
   def vec_cosine(a: Column, b: Column): Column =
     vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+
+  def subvectors(a: Column, parts: Int): Column =
+    ColumnBridge.column(SubVectors(ColumnBridge.expression(a), parts))
 }

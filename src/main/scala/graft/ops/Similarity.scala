@@ -230,20 +230,19 @@ object Similarity {
     * shuffle-order aggregate, so results are bit-stable across engines
     * and partitionings.
     *
-    * The 4-slices-per-row projection runs through interpreted HOF
-    * lambdas (tiny constant per row); a native subvector expression is
-    * the upgrade path if PQ encoding ever dominates a profile. */
+    * Subspace slicing runs through the native `SubVectors` expression
+    * (one pass per row) rather than interpreted transform/slice HOF
+    * lambdas. */
   def ivfPqTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
                 nCentroids: Int = 16, nProbe: Int = 4,
                 subspaces: Int = 4, codebookSize: Int = 8,
                 dim: Int = 64): DataFrame = {
     require(dim % subspaces == 0, "dim must divide evenly into subspaces")
-    val subDim = dim / subspaces
     val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
     def subVecs(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
-        posexplode(transform(sequence(lit(0), lit(subspaces - 1)),
-          s => slice(col("embedding"), s * lit(subDim) + lit(1), lit(subDim)))))
+        posexplode(graft.functions.VectorFunctions
+          .subvectors(col("embedding"), subspaces)))
         .toDF(idAs, "s", embAs)
     val codebook = subVecs(
       embeddings.orderBy(scramble.asc, col("vec_id").asc).limit(codebookSize),

@@ -50,6 +50,8 @@ class ExtensionsSpec extends SparkSpec {
         .collect()(0).getDouble(0) === 3.0)
       assert(s2.sql("SELECT word_ngrams(array('a','b','a','b'), 2) AS g")
         .collect()(0).getSeq[String](0) === Seq("a b", "b a", "a b"))
+      assert(s2.sql("SELECT subvectors(array(1.0D, 2.0D, 3.0D, 4.0D), 2) AS sv")
+        .collect()(0).getSeq[Seq[Double]](0) === Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
     } finally {
       // do NOT stop s2 (it shares the SparkContext); restore the default
       SparkSession.setDefaultSession(spark)

@@ -101,6 +101,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.adaptiveBitsPerTable(1L << 40) === 24) // capped
   }
 
+  test("subvectors matches the transform/slice HOF formulation") {
+    val df = Seq((1L, Array(1.0f, 2, 3, 4, 5, 6, 7, 8))).toDF("vec_id", "embedding")
+    val native = df.select(posexplode(
+        graft.functions.VectorFunctions.subvectors(col("embedding"), 4)))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    val hof = df.select(posexplode(transform(sequence(lit(0), lit(3)),
+        s => slice(col("embedding"), s * lit(2) + lit(1), lit(2)))))
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1))).toSeq
+    assert(native === hof)
+    assert(native.map(_._1) === Seq(0, 1, 2, 3))
+    assert(native.map(_._2) === Seq(Seq(1.0f, 2), Seq(3.0f, 4), Seq(5.0f, 6), Seq(7.0f, 8)))
+  }
+
   test("cosineDedupVerdicts: identical lower-id vector marks the higher id a dup") {
     val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99,
         tables = 2, bitsPerTable = 2)
