@@ -485,14 +485,23 @@ object RecallQueries {
     * register state, but it can verify the exact side and expect the
     * bound to hold — so q24's blind spot gets a driver-visible contract
     * (same pattern as the p26 recall oracle). */
-  def sketchQuality(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(count_distinct(col("l_orderkey")).as("n_exact_orders"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+  def sketchQuality(spark: SparkSession, dir: String): DataFrame = {
+    // exact and sketch sides as SEPARATE narrow aggregates joined on the
+    // 3-row returnflag domain (same finding as q24): a combined aggregate
+    // plans the distinct as a (flag, orderkey)-keyed partial whose HLL
+    // partials are then one sketch PER DISTINCT KEY merged at the final
+    // stage — one extra scan is far cheaper than merging ~n_distinct
+    // sketches
+    val li = Tables.lineitem(spark, dir)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("n_exact_orders"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx"))
+    exact.join(approx, Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_exact_orders"),
         (abs(col("approx") - col("n_exact_orders")).cast("double") /
           col("n_exact_orders") <= 0.06).as("within_rel_bound"))
+  }
 
   val sketchQualitySql: String =
     """SELECT l_returnflag,
