@@ -59,12 +59,25 @@ object StreamingQueries {
                                landing: String, nFiles: Int): Unit = {
     val existing = Option(new java.io.File(landing).listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!existing)
+    if (!existing) {
       // raw read (ts stays a nanos long) so the landed schema matches
       // what readEventsStream declares
       spark.read.parquet(s"$dir/events.parquet")
         .repartitionByRange(nFiles, col("ts"))
         .write.mode("overwrite").parquet(landing)
+      // the file source orders batches by MODIFICATION TIME, and the
+      // range write's parallel tasks finish in arbitrary order — without
+      // explicit ascending modTimes a later-ts part could batch before
+      // an earlier-ts one, advance the watermark, and get the earlier
+      // part's rows dropped as late (range part index N = ts range N,
+      // so name order is time order)
+      val parts = Option(new java.io.File(landing).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 10000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(base + i * 10000L)
+      }
+    }
   }
 
   /** q54 — watermarked hourly aggregation executed by the streaming
@@ -188,13 +201,76 @@ object StreamingQueries {
       col("n_events"), col("total_value"))
   }
 
+  /** q58 — sessionization under the STREAMING contract: event-time
+    * timeouts + watermark-proved completion, run across four
+    * micro-batches (ts-range landing with ascending modTimes +
+    * `maxFilesPerTrigger=1`). Unlike q57's one-batch NoTimeout form,
+    * per-user state here genuinely persists across batches: a session
+    * begun in batch 1 can be extended in batch 2 and is emitted either
+    * when a later batch's data closes it or when the state-store
+    * timeout fires after the watermark passes its end + gap (including
+    * the post-final-batch timeout round AvailableNow runs when the last
+    * batch advanced the watermark).
+    *
+    * Only sessions the watermark PROVABLY completed are emitted, so both
+    * sides filter to session_end <= max(ts) - (delay + gap + one extra
+    * gap of margin): every such session is unambiguously closed by the
+    * final watermark, keeping the oracle free of the <=-vs-< eviction
+    * fine print (the q54 device). */
+  def q58StreamingSessionizeEventTime(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q58_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q58_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q58_out", dir)
+    landFixtureSplit(spark, dir, landing, nFiles = 4)
+    val ev = EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventsStream.Event]
+    val sessions = EventsStream.sessionizeEventTime(spark, ev,
+      gapMinutes = 30, delayMinutes = 30)
+    EventsStream.runAvailableNowTo(sessions, ckpt, out)
+    val mx = Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts"))).as("mx_us"))
+    spark.read.parquet(out)
+      .crossJoin(broadcast(mx))
+      .filter(unix_micros(col("session_end")) <= col("mx_us") - lit(5400000000L))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"), col("total_value"))
+  }
+
+  val q58Sql: String =
+    """WITH m AS (SELECT epoch_us(MAX(ts)) AS mx_us FROM events),
+      |e AS (
+      |  SELECT user_id, ts, value, event_id,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id,
+      |    epoch_us(min(ts)) AS session_start_us,
+      |    epoch_us(max(ts)) AS session_end_us,
+      |    COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, session_start_us, session_end_us, n_events, total_value
+      |FROM g, m WHERE session_end_us <= mx_us - 5400000000""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
-    "q57_streaming_sessionize" -> (q57StreamingSessionize _))
+    "q57_streaming_sessionize" -> (q57StreamingSessionize _),
+    "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
     "q56_streaming_dedup" -> q56Sql,
-    "q57_streaming_sessionize" -> PipelineQueries.eventsSessionizeSql)
+    "q57_streaming_sessionize" -> PipelineQueries.eventsSessionizeSql,
+    "q58_streaming_session_eventtime" -> q58Sql)
 }

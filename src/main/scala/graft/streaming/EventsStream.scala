@@ -110,6 +110,80 @@ object EventsStream {
     }
   }
 
+  /** Streaming-correct gap sessionization with EVENT-TIME timeouts — the
+    * contract [[sessionize]]'s NoTimeout close-all form cannot give: a
+    * user's history may arrive across MANY micro-batches, and a session
+    * is emitted exactly when the watermark proves it complete (watermark
+    * > session end + gap, so any would-be member event is by then
+    * guaranteed dropped as late). Open sessions stay in per-user state;
+    * users idle in a batch are closed by the state-store timeout
+    * (`setTimeoutTimestamp` at open-end + gap), not by data arrival.
+    *
+    * Scale notes: state per user is the OPEN suffix of their event
+    * stream only — closed sessions leave state immediately, so state
+    * size tracks concurrently-active users × open-session length, not
+    * history. Emission is monotone in the watermark: sessions ending
+    * more than (delay + gap) before the max event time seen are always
+    * out, which is the determinism window q58's oracle filter uses. */
+  def sessionizeEventTime(spark: SparkSession, events: Dataset[Event],
+                          gapMinutes: Int = 30,
+                          delayMinutes: Int = 30): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def micros(t: Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+
+    def toSessions(evs: Seq[Event]): Seq[Seq[Event]] = {
+      val sorted = evs.sortBy(e => micros(e.ts))
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Event]]
+      var cur = scala.collection.mutable.ArrayBuffer(sorted.head)
+      sorted.tail.foreach { e =>
+        if (micros(e.ts) - micros(cur.last.ts) > gapUs) {
+          out += cur.toSeq
+          cur = scala.collection.mutable.ArrayBuffer(e)
+        } else cur += e
+      }
+      out += cur.toSeq
+      out.toSeq
+    }
+
+    def emit(userId: Long, s: Seq[Event]): UserSession = {
+      val total = s.map(e => BigDecimal.valueOf(e.value)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).sum
+      UserSession(userId, s.head.ts, s.last.ts, s.size.toLong, total.toDouble)
+    }
+
+    events.withWatermark("ts", s"$delayMinutes minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, it: Iterator[Event], state: GroupState[Seq[Event]]) =>
+          val buf = state.getOption.getOrElse(Seq.empty) ++ it
+          if (buf.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val sessions = toSessions(buf)
+            // a session can still gain a member while end + gap >= wm
+            // (a joining event has ts <= end + gap, and only ts < wm is
+            // guaranteed dropped); session ends ascend, so the closed
+            // set is a prefix
+            val closed = sessions.takeWhile(s => micros(s.last.ts) + gapUs < wmUs)
+            val open = sessions.drop(closed.length)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open.flatten)
+              // fire when the watermark passes the FIRST open session's
+              // close horizon; must be strictly beyond the current
+              // watermark or the state store rejects it
+              val fireMs = (micros(open.head.last.ts) + gapUs) / 1000L + 1L
+              state.setTimeoutTimestamp(
+                math.max(fireMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator.map(emit(userId, _))
+          }
+      }
+  }
+
   /** Streaming deduplication on event_id with watermark-bounded state:
     * duplicates arriving within the watermark horizon are dropped, state
     * for ids older than the watermark is evicted (without the watermark

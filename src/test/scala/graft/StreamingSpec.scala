@@ -134,6 +134,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionize extends sessions ACROSS batches, closes by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionizeEventTime(spark, mem.toDS(),
+        gapMinutes = 30, delayMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_et_test").start()
+    try {
+      // batch 1: two u7 events + one u9 event; watermark -> 09:40
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "click", 2.0),
+        Event(3, ts("2024-01-01 10:00:00"), 9, "view", 8.0))
+      q.processAllAvailable()
+      assert(spark.table("sess_et_test").count() === 0) // nothing provably closed
+      // batch 2: u7 event within the gap — must EXTEND the batch-1
+      // session held in state; u8 drives the watermark to 12:30
+      mem.addData(
+        Event(4, ts("2024-01-01 10:20:00"), 7, "click", 4.0),
+        Event(5, ts("2024-01-01 13:00:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      // batch 3: dummy late-day event; u7/u9 have NO data, so their
+      // sessions can only close via the state-store timeout
+      mem.addData(Event(6, ts("2024-01-01 13:01:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sess_et_test").as[UserSession].collect()
+        .map(s => s.user_id -> ((s.n_events, s.total_value,
+          s.session_start.toString, s.session_end.toString))).toMap
+      assert(got(7L) === ((3L, 7.0,
+        "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0")))
+      assert(got(9L) === ((1L, 8.0,
+        "2024-01-01 10:00:00.0", "2024-01-01 10:00:00.0")))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with following views") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
