@@ -292,6 +292,22 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Representative selection per dedup group: keep the HIGHEST-QUALITY
+    * member, not the lowest id — the policy a real curation pipeline
+    * wants (among near-duplicates, retain the cleanest copy). `groups`
+    * is [[dedupGroups]] output (doc_id, group_id, ...), `scores` carries
+    * (doc_id, quality_score); ties break on the higher doc_id via the
+    * struct max. One shuffled row per document with map-side partial
+    * max — no window over members, so a pathological million-member
+    * group costs one aggregate cell, not a million-row sort. */
+  def groupRepresentatives(groups: DataFrame, scores: DataFrame): DataFrame =
+    groups.join(scores, Seq("doc_id"))
+      .groupBy(col("group_id"))
+      .agg(max(struct(col("quality_score"), col("doc_id"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), col("m.doc_id").as("rep_id"),
+        round(col("m.quality_score"), 6).as("rep_score"), col("n_members"))
+
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */

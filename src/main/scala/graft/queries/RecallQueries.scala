@@ -80,8 +80,10 @@ object RecallQueries {
     Dedup.dedupGroups(docs, Dedup.blockedNgramJaccardPairs(docs))
   }
 
-  val dedupGroupsChainSql: String =
-    """WITH RECURSIVE g AS (
+  /** Shared connected-component CTEs over the SQL-replayable blocked
+    * trigram-Jaccard edge set (used by the p23 and p43 oracles). */
+  private val componentCtes: String =
+    """g AS (
       |  SELECT doc_id, text,
       |    list_distinct([substring(text, i, 3)
       |                   for i in range(1, greatest(length(text)-1, 2))]) AS grams
@@ -96,9 +98,54 @@ object RecallQueries {
       |reach(id, root) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)
-      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
-      |FROM reach GROUP BY id""".stripMargin
+      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)""".stripMargin
+
+  val dedupGroupsChainSql: String =
+    s"""WITH RECURSIVE $componentCtes
+       |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+       |FROM reach GROUP BY id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p43 — dedup-group representative selection (keep the BEST, not the first)
+  // ---------------------------------------------------------------------
+
+  /** One row per near-dup component: the member with the highest p07
+    * quality score survives (doc_id-desc tiebreak), with the member
+    * count. The keep-first policy (p19/p23's `is_keeper`) is the cheap
+    * default; keep-best is what a curation pipeline actually ships —
+    * among duplicates, retain the cleanest copy. Edges and quality both
+    * replay in SQL, so the whole policy is hash-checked. */
+  def dedupRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val groups = Dedup.dedupGroups(docs, Dedup.blockedNgramJaccardPairs(docs))
+    val scores = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    Dedup.groupRepresentatives(groups, scores)
+  }
+
+  val dedupRepresentativesSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |grp AS (SELECT id AS doc_id, MIN(root) AS group_id FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |           len(string_split(text, ' '))) +
+       |    0.3 * (CAST(len(list_filter(string_split(text, ' '),
+       |           x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) /
+       |           len(string_split(text, ' '))) +
+       |    0.3 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+       |           len(string_split(text, ' '))) / 10.0, 1.0) AS quality_score
+       |  FROM documents),
+       |j AS (SELECT grp.group_id, grp.doc_id, q.quality_score
+       |  FROM grp JOIN q USING (doc_id)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY group_id
+       |      ORDER BY quality_score DESC, doc_id DESC) AS rn,
+       |    COUNT(*) OVER (PARTITION BY group_id) AS n_members
+       |  FROM j)
+       |SELECT group_id, doc_id AS rep_id, round(quality_score, 6) AS rep_score,
+       |  n_members
+       |FROM r WHERE rn = 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // p24 — recall@10 of the LSH-bucketed ANN vs the exact baseline
@@ -511,6 +558,7 @@ object RecallQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
+    "p43_dedup_representatives" -> (dedupRepresentatives _),
     "p24_ann_lsh_recall" -> (annLshRecall _),
     "p25_ann_ivf_recall" -> (annIvfRecall _),
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
@@ -521,6 +569,7 @@ object RecallQueries {
 
   val oracles: Map[String, String] = Map(
     "p23_dedup_groups_chain" -> dedupGroupsChainSql,
+    "p43_dedup_representatives" -> dedupRepresentativesSql,
     "p24_ann_lsh_recall" -> annLshRecallSql,
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,

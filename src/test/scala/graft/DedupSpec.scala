@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
     assert(g(4L) === 4L && g(7L) === 7L)
   }
 
+  test("groupRepresentatives keeps the highest-quality member, id-desc ties") {
+    val groups = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 2L), (21L, 2L), (30L, 3L))
+      .toDF("doc_id", "group_id")
+    val scores = Seq((10L, 0.5), (11L, 0.9), (12L, 0.7),
+      (20L, 0.4), (21L, 0.4), (30L, 0.6)).toDF("doc_id", "quality_score")
+    val got = Dedup.groupRepresentatives(groups, scores).collect()
+      .map(r => r.getAs[Long]("group_id") ->
+        ((r.getAs[Long]("rep_id"), r.getAs[Double]("rep_score"),
+          r.getAs[Long]("n_members")))).toMap
+    assert(got(1L) === ((11L, 0.9, 3L)))  // best quality wins
+    assert(got(2L) === ((21L, 0.4, 2L)))  // tie -> higher doc_id
+    assert(got(3L) === ((30L, 0.6, 1L)))  // singleton keeps itself
+  }
+
   test("shingles produces distinct word n-grams") {
     val s = docs.filter(col("doc_id") === 3)
       .select(Dedup.shingles(col("text"), 2).as("s"))
