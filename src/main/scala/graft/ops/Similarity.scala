@@ -284,6 +284,38 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("adist"))
   }
 
+  /** Reciprocal-rank fusion of per-query candidate lists — the hybrid
+    * retrieval combiner (e.g. LSH + IVF, or lexical + dense): each list
+    * contributes 1/(rrfK + rank) per candidate, summed across lists,
+    * re-ranked top-k. Lists need only (q_id, c_id, cos_sim); ranks are
+    * recomputed with the catalog's canonical ordering (score desc, id
+    * asc) so fused output is engine-independent.
+    *
+    * Determinism at N lists: contributions are rounded to 9 decimals
+    * and summed as exact decimals — double partial-aggregation order
+    * across 3+ lists would otherwise perturb low bits. Scale: every
+    * window runs over one query's bounded top-k list (k rows), and the
+    * fuse groupBy carries one row per (query, candidate, list) — no
+    * corpus-sized state anywhere. */
+  def rrfFuseTopK(lists: Seq[DataFrame], k: Int = 10, rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuseTopK: need at least one candidate list")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    val contribs = lists.map { df =>
+      df.select(col("q_id"), col("c_id"), row_number().over(w).as("rank"))
+        .select(col("q_id"), col("c_id"),
+          round(lit(1.0) / (lit(rrfK) + col("rank")), 9)
+            .cast("decimal(18,9)").as("contrib"))
+    }.reduce(_ unionByName _)
+    val fused = contribs.groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("contrib")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_score").desc, col("c_id").asc)
+    fused.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rrf_score"), col("n_lists"))
+  }
+
   /** Per-vector dedup verdict: a vector is a duplicate if some LOWER-id
     * vector in its LSH bucket exceeds the cosine threshold (keep-first
     * policy). One row per vector, always — is_dup + best match evidence.

@@ -256,6 +256,43 @@ object RecallQueries {
        |SELECT q_id, c_id, cell, cos_sim FROM ir WHERE rn <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p44 — RRF fusion of the LSH and IVF candidate lists
+  // ---------------------------------------------------------------------
+
+  /** Hybrid-retrieval fusion: reciprocal-rank-fuse the multi-table-LSH
+    * and IVF top-10 lists per query (1/(60+rank) per list, summed,
+    * re-ranked). Each retriever misses different true neighbors — LSH
+    * by hyperplane luck, IVF by cell-boundary truncation — so the fused
+    * list dominates either alone; RRF needs no score calibration
+    * between lists, which is why it is the standard combiner. Both
+    * input geometries replay in SQL, so the fused RESULT rows are
+    * hash-checked, not just a quality number. */
+  def annRrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.rrfFuseTopK(Seq(
+      Similarity.lshTopK(emb).select(col("q_id"), col("c_id"), col("cos_sim")),
+      Similarity.ivfTopK(emb).select(col("q_id"), col("c_id"), col("cos_sim"))))
+  }
+
+  val annRrfFusionSql: String =
+    s"""WITH $lshCtes,
+       |$ivfCtes,
+       |u AS (
+       |  SELECT q_id, c_id,
+       |    CAST(round(1.0 / (60 + rn), 9) AS DECIMAL(18,9)) AS contrib
+       |  FROM lr WHERE rn <= 10
+       |  UNION ALL
+       |  SELECT q_id, c_id,
+       |    CAST(round(1.0 / (60 + rn), 9) AS DECIMAL(18,9)) AS contrib
+       |  FROM ir WHERE rn <= 10),
+       |f AS (SELECT q_id, c_id, CAST(SUM(contrib) AS DOUBLE) AS rrf_score,
+       |    COUNT(*) AS n_lists
+       |  FROM u GROUP BY q_id, c_id),
+       |fr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf_score DESC, c_id) AS rn FROM f)
+       |SELECT q_id, c_id, rrf_score, n_lists FROM fr WHERE rn <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // p39 — IVF-PQ: coarse-quantized candidates ranked by ADC distance
   // ---------------------------------------------------------------------
 
@@ -559,6 +596,7 @@ object RecallQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
     "p43_dedup_representatives" -> (dedupRepresentatives _),
+    "p44_ann_rrf_fusion" -> (annRrfFusion _),
     "p24_ann_lsh_recall" -> (annLshRecall _),
     "p25_ann_ivf_recall" -> (annIvfRecall _),
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
@@ -570,6 +608,7 @@ object RecallQueries {
   val oracles: Map[String, String] = Map(
     "p23_dedup_groups_chain" -> dedupGroupsChainSql,
     "p43_dedup_representatives" -> dedupRepresentativesSql,
+    "p44_ann_rrf_fusion" -> annRrfFusionSql,
     "p24_ann_lsh_recall" -> annLshRecallSql,
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,

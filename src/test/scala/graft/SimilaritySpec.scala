@@ -114,6 +114,23 @@ class SimilaritySpec extends SparkSpec {
     assert(native.map(_._2) === Seq(Seq(1.0f, 2), Seq(3.0f, 4), Seq(5.0f, 6), Seq(7.0f, 8)))
   }
 
+  test("rrfFuseTopK: candidates in both lists outrank single-list ones") {
+    val lsh = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
+      .toDF("q_id", "c_id", "cos_sim")
+    val ivf = Seq((1L, 11L, 0.85), (1L, 13L, 0.6))
+      .toDF("q_id", "c_id", "cos_sim")
+    val fused = Similarity.rrfFuseTopK(Seq(lsh, ivf), k = 3)
+      .collect().map(r => (r.getAs[Long]("c_id"), r.getAs[Double]("rrf_score"),
+        r.getAs[Long]("n_lists")))
+    // 11 appears in both lists (rank 2 + rank 1) -> top despite never rank-1 in lsh
+    val byScore = fused.sortBy(-_._2)
+    assert(byScore.head._1 === 11L && byScore.head._3 === 2L)
+    assert(math.abs(byScore.head._2 - (1.0 / 62 + 1.0 / 61)) < 1e-8)
+    // singles carry exactly their one contribution
+    assert(fused.find(_._1 == 10L).get._3 === 1L)
+    assert(fused.length === 3) // k=3 of 4 distinct candidates
+  }
+
   test("cosineDedupVerdicts: identical lower-id vector marks the higher id a dup") {
     val v = Similarity.cosineDedupVerdicts(vecs, threshold = 0.99,
         tables = 2, bitsPerTable = 2)
