@@ -253,4 +253,35 @@ object Clustering {
         round(col("cos_sum").cast("double") / col("n_members"), 6).as("mean_cos"),
         round(col("comp_total").cast("double") / col("n_members"), 6)
           .as("new_centroid_comp_sum"))
+
+  /** Corpus-centroid outlier pruning — SemDeDup's sibling policy: flag
+    * vectors whose cosine to the GLOBAL mean embedding falls below
+    * `threshold` (embedding-space junk sits far from the corpus mass).
+    * Per-dimension means follow the exact-decimal rule (round components
+    * to 6dp, decimal sum, double divide) so the centroid is
+    * partial-aggregation-order-free; per-vector cosines then run through
+    * the native left-to-right VecDot against the broadcast centroid
+    * literal — identical accumulation order to the oracle's list_sum.
+    *
+    * NOTE — eager execution: CONSTRUCTING this DataFrame runs the
+    * centroid aggregation (one pass over the component stream, collected
+    * to `dim` rows — 64 doubles regardless of corpus size; the q24
+    * claim-set device). The returned plan is the single per-vector
+    * scoring pass. */
+  def centroidOutliers(embeddings: DataFrame,
+                       threshold: Double = -0.15): DataFrame = {
+    val cent = embeddings
+      .select(posexplode(col("embedding"))).toDF("pos", "v")
+      .groupBy(col("pos"))
+      .agg((sum(round(col("v").cast("double"), 6).cast("decimal(28,6)"))
+        .cast("double") / count(lit(1))).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1))
+    // same left-to-right fold the oracle's list_sum does — IEEE addition
+    // in identical order, so the scalar matches bit-for-bit
+    val normM = math.sqrt(cent.foldLeft(0.0)((acc, x) => acc + x * x))
+    embeddings.select(col("vec_id"),
+        round(vec_dot(col("embedding"), typedLit(cent.toSeq)) /
+          (vec_norm(col("embedding")) * lit(normM)), 6).as("centroid_cos"))
+      .withColumn("is_outlier", col("centroid_cos") < lit(threshold))
+  }
 }

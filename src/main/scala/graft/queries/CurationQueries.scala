@@ -175,8 +175,33 @@ object CurationQueries {
       |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())"""
       .stripMargin
 
+  /** p45 — embedding-space outlier pruning: cosine of every vector to
+    * the corpus-mean embedding, below-threshold flagged (the prune-far-
+    * from-centroid companion of SemDeDup's prune-near-duplicates; on the
+    * zero-centered fixture −0.15 flags a real ~5% tail). The oracle
+    * replays the per-dimension decimal means, the list assembly, and the
+    * left-to-right cosine — the whole geometry, not just the flags. */
+  def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
+    Clustering.centroidOutliers(Tables.embeddings(spark, dir))
+
+  val centroidOutliersSql: String = {
+    import RecallQueries.cosSql
+    s"""WITH comps AS (
+       |  SELECT t.i AS pos, CAST(embedding[t.i] AS DOUBLE) AS v
+       |  FROM embeddings, unnest(range(1, 65)) t(i)),
+       |cent AS (
+       |  SELECT pos, CAST(SUM(CAST(round(v, 6) AS DECIMAL(28,6))) AS DOUBLE) /
+       |    (SELECT COUNT(*) FROM embeddings) AS m
+       |  FROM comps GROUP BY pos),
+       |c AS (SELECT list(m ORDER BY pos) AS cm FROM cent)
+       |SELECT vec_id, centroid_cos, centroid_cos < -0.15 AS is_outlier
+       |FROM (SELECT e.vec_id, ${cosSql("e.embedding", "c.cm")} AS centroid_cos
+       |      FROM embeddings e CROSS JOIN c)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_repetition_quality" -> (repetition _),
+    "p45_centroid_outliers" -> (centroidOutliers _),
     "p35_seq_packing" -> (seqPacking _),
     "p36_boilerplate_filter" -> (boilerplate _),
     "p37_kmeans_step" -> (kmeansStep _),
@@ -185,6 +210,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "p34_repetition_quality" -> repetitionSql,
+    "p45_centroid_outliers" -> centroidOutliersSql,
     "p35_seq_packing" -> seqPackingSql,
     "p36_boilerplate_filter" -> boilerplateSql,
     "p37_kmeans_step" -> kmeansStepSql,

@@ -154,4 +154,19 @@ class CurationSpec extends SparkSpec {
     val ids2 = r2.select("cell").collect().map(_.getLong(0)).toSet
     assert(ids2.subsetOf(ids1))
   }
+
+  test("centroidOutliers flags vectors opposing the corpus mean") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(-1.0f, 0.0f))) // opposes the (1/3, 0) centroid
+      .toDF("vec_id", "embedding")
+    val got = Clustering.centroidOutliers(emb, threshold = -0.15)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("centroid_cos"), r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got(0L) === ((1.0, false)))
+    assert(got(1L) === ((1.0, false)))
+    assert(got(2L) === ((-1.0, true)))
+  }
 }
