@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{ArrayJaccard, CharNgrams, MinHashSig, SigAgreement, SimHash64, SimHashMd5, SubVectors, VecDot, VecSum, WordNgrams}
+import graft.functions.{ArrayJaccard, CharNgrams, CharNgramsMultiset, MinHashSig, SigAgreement, SimHash64, SimHashMd5, SubVectors, VecDot, VecSum, WordNgrams}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -79,6 +79,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"char_ngrams: n must be an integer literal, got $other")
         }
         CharNgrams(args.head, n)
+      }))
+
+    ext.injectFunction((FunctionIdentifier("char_ngrams_multiset"),
+      info("char_ngrams_multiset",
+        "char_ngrams_multiset(text, n) - all character n-grams with multiplicity"),
+      (args: Seq[Expression]) => {
+        val n = args.lift(1) match {
+          case None => 2
+          case Some(Literal(v: Int, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"char_ngrams_multiset: n must be an integer literal, got $other")
+        }
+        CharNgramsMultiset(args.head, n)
       }))
 
     ext.injectFunction((FunctionIdentifier("minhash_sig"),

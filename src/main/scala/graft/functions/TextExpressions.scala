@@ -146,6 +146,46 @@ object SimHashMd5 {
 /** Distinct character n-grams of a string, as array<string> — tight loop
   * replacement for `transform(sequence(...), i -> substr(text, i, n))`,
   * whose lambda evaluates interpreted per position. */
+/** All character n-grams of a string WITH multiplicity, in order — the
+  * BPE-style pair-statistics primitive ([[CharNgrams]] dedups, which
+  * destroys exactly the repeat counts merge ranking needs). Returns an
+  * empty array for inputs shorter than n (callers pre-filter; no
+  * whole-string clipping fallback here, unlike CharNgrams whose shingle
+  * oracles require it). Same single-pass UTF-8 offset scan as
+  * CharNgrams. */
+case class CharNgramsMultiset(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val starts = new Array[Int](bytes.length + 1)
+    var count = 0
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xC0) != 0x80) { starts(count) = i; count += 1 }
+      i += 1
+    }
+    starts(count) = bytes.length
+    if (count < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count - n + 1)
+      var j = 0
+      while (j <= count - n) {
+        out(j) = UTF8String.fromBytes(bytes, starts(j), starts(j + n) - starts(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharNgramsMultiset =
+    copy(child = newChild)
+}
+
 case class CharNgrams(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
 
@@ -365,6 +405,10 @@ object TextFunctions {
   /** Distinct character n-grams of a string column. */
   def char_ngrams(text: Column, n: Int): Column =
     ColumnBridge.column(CharNgrams(ColumnBridge.expression(text), n))
+
+  /** All character n-grams WITH multiplicity (BPE pair statistics). */
+  def char_ngrams_multiset(text: Column, n: Int): Column =
+    ColumnBridge.column(CharNgramsMultiset(ColumnBridge.expression(text), n))
 
   /** Distinct word n-gram shingles of a token-array column. */
   def word_shingles(tokens: Column, n: Int): Column =

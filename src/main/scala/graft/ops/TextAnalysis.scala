@@ -138,6 +138,28 @@ object TextAnalysis {
         col("n_bigrams"))
   }
 
+  /** BPE merge-pair statistics — the first step of byte-pair-encoding
+    * tokenizer training: corpus-wide counts of adjacent character pairs
+    * WITHIN tokens (multiset — repeats inside a token count), ranked to
+    * the top-k merge candidates. Pair extraction is the native
+    * `CharNgramsMultiset` (one UTF-8 offset pass per token); counts
+    * collapse map-side on the pair key. The final ranking window is
+    * global but runs over DISTINCT pairs — bounded by the character
+    * set squared, not the corpus — so the single-partition sort is a
+    * few thousand rows at any corpus size. */
+  def bpePairStats(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    val counts = toks
+      .select(explode(graft.functions.TextFunctions
+        .char_ngrams_multiset(col("tok"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+    counts.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("pair"), col("n_occurrences"))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 8-gram with a holdout/benchmark subset. The benchmark gram set is
     * distinct + broadcast (benchmarks are small by definition); the

@@ -199,9 +199,29 @@ object CurationQueries {
        |      FROM embeddings e CROSS JOIN c)""".stripMargin
   }
 
+  /** p46 — BPE merge-pair statistics: top-20 adjacent character pairs
+    * within tokens, with multiplicity — the ranking that picks a BPE
+    * tokenizer's first merge. The oracle replays the multiset pair
+    * extraction as a per-token list comprehension. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairStats(Tables.documents(spark, dir))
+
+  val bpePairsSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      |p AS (
+      |  SELECT unnest([substring(tok, i, 2) for i in range(1, len(tok))]) AS pair
+      |  FROM tok WHERE len(tok) >= 2),
+      |c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      |  FROM p GROUP BY pair),
+      |r AS (SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rn
+      |  FROM c)
+      |SELECT pair, n_occurrences FROM r WHERE rn <= 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_repetition_quality" -> (repetition _),
     "p45_centroid_outliers" -> (centroidOutliers _),
+    "p46_bpe_pair_stats" -> (bpePairs _),
     "p35_seq_packing" -> (seqPacking _),
     "p36_boilerplate_filter" -> (boilerplate _),
     "p37_kmeans_step" -> (kmeansStep _),
@@ -211,6 +231,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "p34_repetition_quality" -> repetitionSql,
     "p45_centroid_outliers" -> centroidOutliersSql,
+    "p46_bpe_pair_stats" -> bpePairsSql,
     "p35_seq_packing" -> seqPackingSql,
     "p36_boilerplate_filter" -> boilerplateSql,
     "p37_kmeans_step" -> kmeansStepSql,

@@ -4,6 +4,25 @@ import graft.ops.TextAnalysis
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("char_ngrams_multiset keeps repeats and order; empty below n; UTF-8 safe") {
+    import spark.implicits._
+    val got = Seq("aaa", "a", "héllo").toDF("t")
+      .select(graft.functions.TextFunctions.char_ngrams_multiset(col("t"), 2).as("g"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("aa", "aa"))       // multiplicity preserved
+    assert(got(1) === Seq.empty)             // shorter than n -> empty
+    assert(got(2) === Seq("hé", "él", "ll", "lo")) // codepoint, not byte, slices
+  }
+
+  test("bpePairStats ranks corpus pair counts desc with pair tiebreak") {
+    import spark.implicits._
+    val docs = Seq((1L, "aab aab"), (2L, "ab")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpePairStats(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pairs: "aab" x2 -> aa x2, ab x2 ; "ab" -> ab ; totals: ab=3, aa=2
+    assert(got === Seq(("ab", 3L), ("aa", 2L)))
+  }
   import spark.implicits._
 
   private def docs = Seq(
