@@ -132,7 +132,15 @@ object Similarity {
     * touches the n² pair space.
     */
   def lshTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
-              tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+              tables: Int = 8, bitsPerTable: Int = 0): DataFrame =
+    boundedTopK(lshScoredCandidates(embeddings, queryStride, tables, bitsPerTable), k)
+
+  /** Exactly-scored LSH candidate pairs (q_id, c_id, cos_sim): distinct
+    * any-table bucket collisions against the stride-selected query set,
+    * scored with the native dot — the shared feed for [[lshTopK]] and
+    * [[hardNegatives]]. */
+  private def lshScoredCandidates(embeddings: DataFrame, queryStride: Int,
+                                  tables: Int, bitsPerTable: Int): DataFrame = {
     val b = resolveBits(embeddings, bitsPerTable)
     val posed = embeddings.select(col("vec_id"),
       posexplode(lshBucketsMulti(col("embedding"), tables, b)))
@@ -147,14 +155,32 @@ object Similarity {
         vec_norm(col("embedding")).as("q_norm"))
     val ce = embeddings.select(col("vec_id").as("c_id"),
       col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_norm"))
-    val scored = ce.join(broadcast(cand.join(qe, Seq("q_id"))), Seq("c_id"))
+    ce.join(broadcast(cand.join(qe, Seq("q_id"))), Seq("c_id"))
       .withColumn("cos_sim",
         round(vec_dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6))
+  }
+
+  /** Bounded per-query top-k over scored pairs (partial k-buffers merge
+    * map-side; the shuffle carries k rows per (query, task)). */
+  private def boundedTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("q_id"))
       .agg(graft.functions.TopKAggregator.top_k(k)(col("cos_sim"), col("c_id")).as("tk"))
       .select(col("q_id"), explode(col("tk")).as("t"))
       .select(col("q_id"), col("t.id").as("c_id"), col("t.score").as("cos_sim"))
-  }
+
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * LSH candidates inside the cosine band [lo, hi) — similar enough to
+    * be informative negatives, strictly below the positive/near-dup
+    * ceiling. Same bucketed candidate generation as [[lshTopK]] (never
+    * the n² pair space); the band filter runs before the bounded top-k
+    * aggregate, so the shuffle carries at most k rows per query-task. */
+  def hardNegatives(embeddings: DataFrame, lo: Double = 0.1, hi: Double = 0.35,
+                    k: Int = 10, queryStride: Int = 50, tables: Int = 8,
+                    bitsPerTable: Int = 0): DataFrame =
+    boundedTopK(
+      lshScoredCandidates(embeddings, queryStride, tables, bitsPerTable)
+        .filter(col("cos_sim") >= lo && col("cos_sim") < hi),
+      k)
 
   /** IVF (inverted-file) approximate search: a coarse quantizer of
     * `nCentroids` deterministically hash-sampled vectors assigns each

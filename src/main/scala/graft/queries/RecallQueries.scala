@@ -293,6 +293,27 @@ object RecallQueries {
        |SELECT q_id, c_id, rrf_score, n_lists FROM fr WHERE rn <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p47 — hard-negative mining (cosine-band candidates for contrastive pairs)
+  // ---------------------------------------------------------------------
+
+  /** Contrastive-training data prep: per query, the top-10 LSH
+    * candidates with cosine in [0.1, 0.35) — informative negatives
+    * (non-random, but safely below the positive band; on the random
+    * fixture true neighbors reach ~0.5). The oracle replays the bucket
+    * geometry plus the band filter, so both the candidate generation
+    * and the band policy are hash-checked. */
+  def annHardNegatives(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hardNegatives(Tables.embeddings(spark, dir))
+
+  val annHardNegativesSql: String =
+    s"""WITH $lshCtes,
+       |hb AS (SELECT q_id, c_id, cos_sim FROM lp
+       |  WHERE cos_sim >= 0.1 AND cos_sim < 0.35),
+       |hr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos_sim DESC, c_id) AS rn FROM hb)
+       |SELECT q_id, c_id, cos_sim FROM hr WHERE rn <= 10""".stripMargin
+
+  // ---------------------------------------------------------------------
   // p39 — IVF-PQ: coarse-quantized candidates ranked by ADC distance
   // ---------------------------------------------------------------------
 
@@ -597,6 +618,7 @@ object RecallQueries {
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
     "p43_dedup_representatives" -> (dedupRepresentatives _),
     "p44_ann_rrf_fusion" -> (annRrfFusion _),
+    "p47_ann_hard_negatives" -> (annHardNegatives _),
     "p24_ann_lsh_recall" -> (annLshRecall _),
     "p25_ann_ivf_recall" -> (annIvfRecall _),
     "p26_minhash_candidate_recall" -> (minhashCandidateRecall _),
@@ -609,6 +631,7 @@ object RecallQueries {
     "p23_dedup_groups_chain" -> dedupGroupsChainSql,
     "p43_dedup_representatives" -> dedupRepresentativesSql,
     "p44_ann_rrf_fusion" -> annRrfFusionSql,
+    "p47_ann_hard_negatives" -> annHardNegativesSql,
     "p24_ann_lsh_recall" -> annLshRecallSql,
     "p25_ann_ivf_recall" -> annIvfRecallSql,
     "p26_minhash_candidate_recall" -> minhashCandidateRecallSql,

@@ -114,6 +114,15 @@ class SimilaritySpec extends SparkSpec {
     assert(native.map(_._2) === Seq(Seq(1.0f, 2), Seq(3.0f, 4), Seq(5.0f, 6), Seq(7.0f, 8)))
   }
 
+  test("hardNegatives stays inside the cosine band and excludes near-dups") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val hn = Similarity.hardNegatives(emb, lo = 0.1, hi = 0.35, k = 5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Double]("cos_sim")))
+    assert(hn.nonEmpty, "band [0.1, 0.35) should be populated on the fixture")
+    assert(hn.forall { case (_, c) => c >= 0.1 && c < 0.35 })
+    assert(hn.groupBy(_._1).forall(_._2.length <= 5))
+  }
+
   test("rrfFuseTopK: candidates in both lists outrank single-list ones") {
     val lsh = Seq((1L, 10L, 0.9), (1L, 11L, 0.8), (1L, 12L, 0.7))
       .toDF("q_id", "c_id", "cos_sim")
