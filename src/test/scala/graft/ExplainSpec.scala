@@ -123,4 +123,23 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"codebook/LUT joins must broadcast:\n$plan")
   }
+
+  test("p45 centroid scoring is a single narrow pass: no exchange, no join") {
+    // the centroid is a collected literal, so the returned plan must be
+    // scan -> project only; a shuffle or join here means the operator
+    // regressed to a per-row centroid recompute
+    val plan = planString(
+      graft.ops.Clustering.centroidOutliers(Tables.embeddings(spark, sfDir)))
+    assert(!plan.contains("Exchange"), s"expected shuffle-free scoring:\n$plan")
+    assert(!plan.contains("Join"), s"expected join-free scoring:\n$plan")
+  }
+
+  test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(
+      graft.ops.Similarity.lshTopK(emb).select("q_id", "c_id", "cos_sim"),
+      graft.ops.Similarity.ivfTopK(emb).select("q_id", "c_id", "cos_sim"))))
+    assert(!plan.contains("CartesianProduct"), s"fusion must stay keyed:\n$plan")
+    assert(plan.contains("Window"), s"expected per-query rank windows:\n$plan")
+  }
 }
