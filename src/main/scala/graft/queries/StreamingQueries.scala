@@ -262,15 +262,44 @@ object StreamingQueries {
       |SELECT user_id, session_start_us, session_end_us, n_events, total_value
       |FROM g, m WHERE session_end_us <= mx_us - 5400000000""".stripMargin
 
+  /** q59 — STREAM-STREAM interval join executed by the real engine
+    * across four micro-batches: clicks joined to the same user's views
+    * within 10 minutes, both sides watermarked, join state carried in
+    * the state store — a click landing in batch k is matched by a view
+    * arriving in batch k+1 via a state lookup. The watermark horizon
+    * (90 days) exceeds the fixture span so no join state is evicted
+    * mid-run and the streaming output is exactly the batch interval
+    * join (the p27 oracle); production picks a real horizon, bounding
+    * state to the active window (eviction fine print unit-tested in
+    * StreamingSpec). Completes the driver-visible streaming surface:
+    * windowed agg (q54), keyed dedup (q56), sessionization (q57/q58),
+    * stream-stream join (q59). */
+  def q59StreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q59_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q59_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q59_out", dir)
+    landFixtureSplit(spark, dir, landing, nFiles = 4)
+    val joined = EventsStream.clickToViewJoin(
+      EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1)),
+      windowMinutes = 10, delay = "90 days")
+    EventsStream.runAvailableNowTo(joined, ckpt, out)
+    spark.read.parquet(out)
+      .select(col("click_id"), col("view_id"), col("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
     "q57_streaming_sessionize" -> (q57StreamingSessionize _),
-    "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _))
+    "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _),
+    "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
     "q56_streaming_dedup" -> q56Sql,
     "q57_streaming_sessionize" -> PipelineQueries.eventsSessionizeSql,
-    "q58_streaming_session_eventtime" -> q58Sql)
+    "q58_streaming_session_eventtime" -> q58Sql,
+    "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql)
 }

@@ -214,14 +214,15 @@ object EventsStream {
     * watermarks so the join state for expired intervals is evicted —
     * the state-bounding contract that makes a stream-stream join runnable
     * indefinitely. */
-  def clickToViewJoin(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+  def clickToViewJoin(events: DataFrame, windowMinutes: Int = 10,
+                      delay: String = "30 minutes"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "30 minutes")
+      .withWatermark("click_ts", delay)
     val views = events.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
         col("ts").as("view_ts"))
-      .withWatermark("view_ts", "30 minutes")
+      .withWatermark("view_ts", delay)
     clicks.join(views,
       col("user_id") === col("v_user_id") &&
       col("view_ts") >= col("click_ts") &&
