@@ -29,6 +29,28 @@ object Sampling {
   def deterministicSample(df: DataFrame, key: Column, pct: Int): DataFrame =
     df.filter(hashBucket(key) < pct)
 
+  /** Fine-grained [0, 10000) bucket — the quality-weighted sampler needs
+    * ~4 decimal places of keep-probability resolution, not percent.
+    * (Like [[hashBucket]], the modulo leaves the first 5536 buckets one
+    * 1/65536-slot heavier — deterministic, engine-replayable, and
+    * irrelevant at per-mille sampling granularity.) */
+  def hashBucket10k(key: Column): Column =
+    (conv(substring(md5(key), 1, 4), 16, 10).cast("long") % 10000L).cast("long")
+
+  /** Quality-WEIGHTED deterministic sampling: a row's keep probability
+    * IS its score in [0,1] (the standard data-selection move — keep the
+    * cleanest data with certainty, down-weight the tail instead of hard
+    * thresholding), with content-keyed membership: keep iff
+    * bucket/10000 < score. Same rerun/repartition stability story as
+    * [[deterministicSample]] — no RNG, no seed, same row set on every
+    * engine. The comparison formula (bucket cast to double, divided by
+    * 10000.0, strictly less) must be replayed verbatim by any oracle. */
+  def qualityWeightedSample(df: DataFrame, key: Column,
+                            score: Column): DataFrame =
+    df.withColumn("bucket", hashBucket10k(key))
+      .withColumn("is_kept",
+        col("bucket").cast("double") / lit(10000.0) < score)
+
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (e.g.
     * downsample the dominant language, keep all of the rare ones) with
     * content-keyed membership. The fraction map rides along as a literal

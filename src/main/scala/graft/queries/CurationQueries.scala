@@ -1,8 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Clustering, Packing, TextAnalysis}
+import graft.ops.{Clustering, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Corpus-curation catalog: repetition quality metrics, boilerplate
   * gating, sequence packing, and embedding-space clustering — the
@@ -218,10 +219,50 @@ object CurationQueries {
       |  FROM c)
       |SELECT pair, n_occurrences FROM r WHERE rn <= 20""".stripMargin
 
+  /** p48 — quality-weighted sampling: keep probability = the p07 quality
+    * score, membership content-keyed (md5 bucket / 10000 < score) — the
+    * soft alternative to hard quality thresholds, deterministic across
+    * reruns, partitionings, and engines. The oracle replays the quality
+    * formula, the fine-grained bucket, and the comparison verbatim. */
+  def qualitySample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val q = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    Sampling.qualityWeightedSample(
+        docs.select(col("doc_id"), col("text")).join(q, Seq("doc_id")),
+        col("text"), col("quality_score"))
+      .select(col("doc_id"), col("bucket"), col("quality_score"), col("is_kept"))
+  }
+
+  val qualitySampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','is'))) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, text,
+      |    0.4 * (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) +
+      |    0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+      |    0.3 * least((CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens)
+      |          / 10.0, 1.0) AS quality_score
+      |  FROM t),
+      |b AS (
+      |  SELECT doc_id, quality_score,
+      |    CAST(CAST(('0x' || substring(md5(text), 1, 4)) AS INTEGER) % 10000
+      |      AS BIGINT) AS bucket
+      |  FROM q)
+      |SELECT doc_id, bucket, quality_score,
+      |  CAST(bucket AS DOUBLE) / 10000.0 < quality_score AS is_kept
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p34_repetition_quality" -> (repetition _),
     "p45_centroid_outliers" -> (centroidOutliers _),
     "p46_bpe_pair_stats" -> (bpePairs _),
+    "p48_quality_weighted_sample" -> (qualitySample _),
     "p35_seq_packing" -> (seqPacking _),
     "p36_boilerplate_filter" -> (boilerplate _),
     "p37_kmeans_step" -> (kmeansStep _),
@@ -232,6 +273,7 @@ object CurationQueries {
     "p34_repetition_quality" -> repetitionSql,
     "p45_centroid_outliers" -> centroidOutliersSql,
     "p46_bpe_pair_stats" -> bpePairsSql,
+    "p48_quality_weighted_sample" -> qualitySampleSql,
     "p35_seq_packing" -> seqPackingSql,
     "p36_boilerplate_filter" -> boilerplateSql,
     "p37_kmeans_step" -> kmeansStepSql,

@@ -68,4 +68,20 @@ class QuantizeSamplingSpec extends SparkSpec {
       Map("en" -> 50), defaultPct = 100).select("id")
     assert(half.select("id").exceptAll(again).isEmpty)
   }
+
+  test("quality-weighted sample: score is the keep probability, rerun-stable") {
+    import spark.implicits._
+    val df = (1 to 400).map(i => (i.toLong, s"document number $i content", i % 2))
+      .toDF("id", "text", "parity")
+      // score 0.0 for even ids, 1.0 for odd: keeps must be exactly the odds
+      .withColumn("score", col("parity").cast("double"))
+    val out = Sampling.qualityWeightedSample(df, col("text"), col("score"))
+    assert(out.filter(col("is_kept") && col("parity") === 0).count() === 0L)
+    assert(out.filter(!col("is_kept") && col("parity") === 1).count() === 0L)
+    // bucket range and rerun stability
+    assert(out.filter(col("bucket") < 0 || col("bucket") >= 10000).count() === 0L)
+    val again = Sampling.qualityWeightedSample(df, col("text"), col("score"))
+      .filter(col("is_kept")).select("id")
+    assert(out.filter(col("is_kept")).select("id").exceptAll(again).isEmpty)
+  }
 }
