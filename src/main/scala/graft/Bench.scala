@@ -25,15 +25,17 @@ object Bench {
     graft.ops.Similarity.bruteForceTopK(we, k = 2).queryExecution.toRdd.count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
+    // sweep scratch stranded by prior killed runs (the exit hook only
+    // fires on clean JVM exit); own-app dirs and anything younger than
+    // the idle threshold are left alone
+    graft.io.TempPaths.sweepStale(spark.sparkContext.applicationId,
+      Seq(sys.props("java.io.tmpdir"),
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N timing: a single rep cannot tell a regression from a
     // GC/scheduler hiccup on a shared box (round 8 reported a 4x phantom
     // on code unchanged since round 1). The median of 3 is noise-proof
-    // against one bad rep while keeping total runtime bounded. Queries
-    // with per-application state (q34 bucket tables, streaming
-    // checkpoints) are cold on rep 1 and warm after — the median then
-    // reports the amortized steady-state cost, which is the number the
-    // pay-once designs exist to demonstrate.
+    // against one bad rep while keeping total runtime bounded.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // deterministic name order: per-query timings stay comparable across
     // rounds (hash-map order shuffled with every catalog addition, moving
@@ -42,6 +44,15 @@ object Bench {
       val times = (1 to reps).iterator.map { _ =>
         if (errors.contains(name)) None
         else {
+          // fresh scratch epoch per rep: queries with per-application
+          // state (streaming checkpoints, q34 bucket tables, q36/q45/
+          // q50/q55 write-then-read dirs) execute their FULL work every
+          // rep instead of resuming an existing checkpoint as an
+          // exactly-once no-op — round 9's medians reported that no-op
+          // (q59: 16.2 s cold, 0.16 s resumed) and were useless as perf
+          // numbers. Every rep is now a cold run of the operator, so the
+          // median is a real median and totals compare across rounds.
+          graft.io.TempPaths.bumpEpoch()
           val t0 = System.nanoTime()
           // materialize the FULL output rows (toRdd), not count(): a count
           // lets Catalyst prune every projection-only expression, which
@@ -87,7 +98,17 @@ object Bench {
     val qsFull = allReps.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"reps":$reps,"queries":$qsFull,"errors":$errFull}""")
+    val detail = s"""{"reps":$reps,"scratch":"fresh-per-rep","sf":${jstr(sfDir)},"queries":$qsFull,"errors":$errFull}"""
+    println(s"BENCH_DETAIL $detail")
+    // The driver's stdout window keeps only the last 2000 chars, which
+    // truncated round 9's detail line before the p-rows — exactly the
+    // numbers needed to arbitrate the drift cluster. Persist the full
+    // detail to a file the round snapshot commits.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_LATEST.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(detailPath), detail + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
     // The driver keeps only the LAST 2000 characters of stdout and parses
     // the JSON out of that tail — rounds 1-3 produced a ~2300-char line
     // that arrived truncated and never parsed. The final line must stay
@@ -101,7 +122,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"scratch":"fresh-per-rep","sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

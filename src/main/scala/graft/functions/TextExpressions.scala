@@ -143,9 +143,6 @@ object SimHashMd5 {
     java.security.MessageDigest.getInstance("MD5"))
 }
 
-/** Distinct character n-grams of a string, as array<string> — tight loop
-  * replacement for `transform(sequence(...), i -> substr(text, i, n))`,
-  * whose lambda evaluates interpreted per position. */
 /** All character n-grams of a string WITH multiplicity, in order — the
   * BPE-style pair-statistics primitive ([[CharNgrams]] dedups, which
   * destroys exactly the repeat counts merge ranking needs). Returns an
@@ -155,6 +152,10 @@ object SimHashMd5 {
   * CharNgrams. */
 case class CharNgramsMultiset(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
+  // n <= 0 would index starts(j + n) before starts(j) and fail deep in
+  // eval with ArrayIndexOutOfBounds; reject at construction (analysis
+  // time for the SQL surface) like SubVectors does for parts
+  require(n >= 1, s"char_ngrams_multiset: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -186,8 +187,12 @@ case class CharNgramsMultiset(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Distinct character n-grams of a string, as array<string> — tight loop
+  * replacement for `transform(sequence(...), i -> substr(text, i, n))`,
+  * whose lambda evaluates interpreted per position. */
 case class CharNgrams(child: Expression, n: Int)
   extends UnaryExpression with CodegenFallback {
+  require(n >= 1, s"char_ngrams: n must be >= 1, got $n")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true

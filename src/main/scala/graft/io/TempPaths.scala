@@ -9,14 +9,51 @@ package graft.io
   * the queries return). */
 object TempPaths {
 
-  /** `<tmpdir>/<prefix>_<appId>_<hash(discriminator)>`. */
+  /** Monotone scratch epoch. The benchmark bumps this before every rep so
+    * queries with per-application state (streaming checkpoints, bucketed
+    * warehouse tables, write-then-read marts) get FRESH scratch paths and
+    * therefore execute their full work each rep: a rep that resumes an
+    * existing checkpoint measures the exactly-once no-op (0.2 s), not the
+    * operator (3-16 s) — which made round-9's streaming medians
+    * unusable as performance numbers. Epoch 0 (the default — Verify,
+    * tests, ad-hoc use) keeps the historical stable path shape, so the
+    * idempotent-resume behavior itself is still exercised wherever the
+    * epoch is never bumped. */
+  private val epoch = new java.util.concurrent.atomic.AtomicInteger(0)
+  def bumpEpoch(): Unit = { epoch.incrementAndGet(); () }
+  /** Empty at epoch 0, "_eN" after — embedded in every scratch name. */
+  def epochTag: String = { val e = epoch.get; if (e == 0) "" else s"_e$e" }
+
+  /** `<tmpdir>/<prefix>_<appId>_<hash(discriminator)>[_eN]`. */
   def scratchDir(spark: org.apache.spark.sql.SparkSession, prefix: String,
                  discriminator: String): String = {
     val tag = java.lang.Integer.toHexString(discriminator.hashCode)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${spark.sparkContext.applicationId}_$tag").getAbsolutePath
+      s"${prefix}_${spark.sparkContext.applicationId}_$tag$epochTag").getAbsolutePath
     cleanupOnExit(out)
     out
+  }
+
+  /** Best-effort sweep of scratch left behind by PRIOR runs: the exit
+    * hook only covers a cleanly-exiting JVM, so a killed driver strands
+    * its `graft*` dirs until someone removes them. Only directories that
+    * (a) carry one of our scratch prefixes, (b) do NOT belong to
+    * `ownAppId`, and (c) have been idle past `maxAgeMs` are touched — a
+    * concurrently-running sibling driver's dirs are younger than that. */
+  def sweepStale(ownAppId: String, roots: Seq[String],
+                 maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    val prefixes = Seq("graft_", "graft-warehouse", "graft-compact-spec")
+    roots.map(new java.io.File(_)).filter(_.isDirectory).foreach { root =>
+      Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
+        val n = f.getName
+        if (f.isDirectory && prefixes.exists(n.startsWith) &&
+            !n.contains(ownAppId) && f.lastModified() < cutoff) {
+          try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: java.io.IOException => () }
+        }
+      }
+    }
   }
 
   private val exitCleanupPaths =

@@ -44,12 +44,22 @@ object Sampling {
     * bucket/10000 < score. Same rerun/repartition stability story as
     * [[deterministicSample]] — no RNG, no seed, same row set on every
     * engine. The comparison formula (bucket cast to double, divided by
-    * 10000.0, strictly less) must be replayed verbatim by any oracle. */
+    * 10000.0, strictly less) must be replayed verbatim by any oracle.
+    *
+    * Output columns `bucket` and `is_kept` are RESERVED: withColumn
+    * would silently overwrite same-named input columns, so their
+    * presence is rejected up front. */
   def qualityWeightedSample(df: DataFrame, key: Column,
-                            score: Column): DataFrame =
+                            score: Column): DataFrame = {
+    Seq("bucket", "is_kept").foreach { c =>
+      require(!df.columns.contains(c),
+        s"qualityWeightedSample writes reserved output column '$c'; " +
+          "rename or drop the input column of that name first")
+    }
     df.withColumn("bucket", hashBucket10k(key))
       .withColumn("is_kept",
         col("bucket").cast("double") / lit(10000.0) < score)
+  }
 
   /** Deterministic STRATIFIED sample: per-stratum keep-percentages (e.g.
     * downsample the dominant language, keep all of the rare ones) with

@@ -185,6 +185,10 @@ object CurationQueries {
   def centroidOutliers(spark: SparkSession, dir: String): DataFrame =
     Clustering.centroidOutliers(Tables.embeddings(spark, dir))
 
+  // range(1, 65) pins the fixture's embedding dim=64 contract (TESTDATA
+  // .md; RecallQueries.cosSql hardcodes the same bound). The Scala side
+  // adapts to the actual array length, so a fixture dim change breaks
+  // ONLY the oracles — loudly, as a hash mismatch on every vector row.
   val centroidOutliersSql: String = {
     import RecallQueries.cosSql
     s"""WITH comps AS (

@@ -65,22 +65,25 @@ object ExchangeQueries {
     * query because at fixture scale the planner would broadcast and skip
     * the bucket layout this entry exists to exercise.
     *
-    * The bucket tables are CACHED per (application, input dir): built on
-    * first use, reused by every later call in the session — which is the
-    * whole pay-shuffle-once economics this entry demonstrates (bench
-    * repetitions measure the amortized join, not table builds). Names
-    * carry the appId so concurrent drivers sharing ./spark-warehouse
-    * never clobber each other, and the dir hash so two scale factors in
-    * one session get separate layouts; the physical dirs are removed by
-    * the TempPaths shutdown hook. */
+    * The bucket tables are CACHED per (application, input dir, scratch
+    * epoch): built on first use, reused by later calls at the same
+    * epoch — the pay-shuffle-once economics (asserted exchange-free in
+    * BucketingSpec). The TempPaths epoch is in the name so benchmark
+    * reps, which bump it, rebuild the tables and time the FULL operator
+    * (layout write + exchange-free join) instead of a warm cache hit.
+    * Names carry the appId so concurrent drivers sharing
+    * ./spark-warehouse never clobber each other, and the dir hash so two
+    * scale factors in one session get separate layouts; the physical
+    * dirs are removed by the TempPaths shutdown hook. */
   def q34BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
     val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     // collision-safe dir tag: SHA-256 prefix, not 32-bit hashCode — two
     // input dirs colliding would silently reuse the wrong bucket layout
     val tag = java.security.MessageDigest.getInstance("SHA-256")
       .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val oTbl = s"graft_q34_orders_bkt_${app}_$tag"
-    val liTbl = s"graft_q34_lineitem_bkt_${app}_$tag"
+    val epoch = graft.io.TempPaths.epochTag
+    val oTbl = s"graft_q34_orders_bkt_${app}_$tag$epoch"
+    val liTbl = s"graft_q34_lineitem_bkt_${app}_$tag$epoch"
     val wh = spark.conf.get("spark.sql.warehouse.dir")
       .stripPrefix("file:")
     if (!spark.catalog.tableExists(oTbl)) {

@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object StreamingQueries {
 
+  /** State-store partition count for the catalog's streaming rows. Every
+    * state partition pays fixed commit + maintenance I/O per micro-batch
+    * whether or not it holds keys; the fixtures' stateful keyspaces are
+    * thousands of keys, where the session default (32, sized for batch
+    * shuffles) is ~4x pure per-batch overhead — measured, it is most of
+    * q59's wall time. 8 still exercises real multi-partition state
+    * (store lookups cross partitions, HashPartitioner routing, per-
+    * partition commits). At production volume this number is a capacity
+    * decision — state bytes / executor memory — made per stream and
+    * locked into the checkpoint by the first batch; see
+    * EventsStream.runAvailableNowTo. Env-overridable for profiling. */
+  private val statePartitions: Option[Int] =
+    Some(sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(8))
+
   /** Copy the events fixture into a landing directory as-is (one part
     * file per fixture part, deterministic names). Idempotent:
     * REPLACE_EXISTING keeps names stable, so a re-run lands no NEW files
@@ -75,7 +89,12 @@ object StreamingQueries {
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val base = System.currentTimeMillis() - parts.length * 10000L
       parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(base + i * 10000L)
+        // fail LOUDLY if the filesystem refuses the mtime: without the
+        // ascending-modTime guarantee a later-ts part could batch first,
+        // advance the watermark, and silently drop earlier rows as late —
+        // a nondeterministic oracle mismatch instead of a setup error
+        require(f.setLastModified(base + i * 10000L),
+          s"failed to set mtime on $f — cannot guarantee batch order")
       }
     }
   }
@@ -107,7 +126,7 @@ object StreamingQueries {
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q54_ckpt", dir)
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q54_out", dir)
     landFixture(dir, landing)
-    EventsStream.runAvailableNow(spark, landing, ckpt, out)
+    EventsStream.runAvailableNow(spark, landing, ckpt, out, statePartitions)
     val mx = Tables.events(spark, dir)
       .agg(max(unix_millis(col("ts"))).as("mx_ms"))
     spark.read.parquet(out)
@@ -158,7 +177,7 @@ object StreamingQueries {
     val deduped = EventsStream
       .dedupEventsByKey(keyed, Seq("hour", "user_id", "event_type"), "90 days")
       .select(col("hour"), col("user_id"), col("event_type"))
-    EventsStream.runAvailableNowTo(deduped, ckpt, out)
+    EventsStream.runAvailableNowTo(deduped, ckpt, out, statePartitions)
     spark.read.parquet(out)
       .select(col("hour"), col("user_id"), col("event_type"))
   }
@@ -194,7 +213,7 @@ object StreamingQueries {
         col("event_type"), col("value"))
       .as[EventsStream.Event]
     val sessions = EventsStream.sessionize(spark, ev, gapMinutes = 30)
-    EventsStream.runAvailableNowTo(sessions, ckpt, out)
+    EventsStream.runAvailableNowTo(sessions, ckpt, out, statePartitions)
     spark.read.parquet(out).select(col("user_id"),
       unix_micros(col("session_start")).as("session_start_us"),
       unix_micros(col("session_end")).as("session_end_us"),
@@ -229,7 +248,7 @@ object StreamingQueries {
       .as[EventsStream.Event]
     val sessions = EventsStream.sessionizeEventTime(spark, ev,
       gapMinutes = 30, delayMinutes = 30)
-    EventsStream.runAvailableNowTo(sessions, ckpt, out)
+    EventsStream.runAvailableNowTo(sessions, ckpt, out, statePartitions)
     val mx = Tables.events(spark, dir)
       .agg(max(unix_micros(col("ts"))).as("mx_us"))
     spark.read.parquet(out)
@@ -282,7 +301,7 @@ object StreamingQueries {
     val joined = EventsStream.clickToViewJoin(
       EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1)),
       windowMinutes = 10, delay = "90 days")
-    EventsStream.runAvailableNowTo(joined, ckpt, out)
+    EventsStream.runAvailableNowTo(joined, ckpt, out, statePartitions)
     spark.read.parquet(out)
       .select(col("click_id"), col("view_id"), col("user_id"),
         unix_micros(col("click_ts")).as("click_us"),

@@ -234,24 +234,45 @@ object EventsStream {
   /** Run the hourly aggregate over a static directory via AvailableNow —
     * the exactly-once batch-ingest entry (ledger subsumption). */
   def runAvailableNow(spark: SparkSession, dir: String, checkpoint: String,
-                      outDir: String): Unit =
+                      outDir: String,
+                      statePartitions: Option[Int] = None): Unit =
     runAvailableNowTo(hourlyAggregates(readEventsStream(spark, dir)),
-      checkpoint, outDir)
+      checkpoint, outDir, statePartitions)
 
   /** Drain any streaming Dataset to a parquet sink under
     * `Trigger.AvailableNow` (append mode) and block until done — the
-    * shared exactly-once runner behind q54/q56/q57: the checkpoint's
+    * shared exactly-once runner behind q54/q56-q59: the checkpoint's
     * file-source log is the ledger, so a re-run against the same
-    * checkpoint processes only files it has not seen. */
+    * checkpoint processes only files it has not seen.
+    *
+    * `statePartitions` sizes the stateful-operator partition count for
+    * THIS query (set as spark.sql.shuffle.partitions around start, then
+    * restored): state partitioning is a per-stream capacity decision the
+    * first batch locks into the checkpoint forever, so it must be chosen
+    * deliberately — a state store per partition pays fixed commit/
+    * snapshot I/O EVERY micro-batch whether or not it holds keys, which
+    * is pure overhead when the keyspace is small, and a too-small count
+    * caps stateful parallelism forever when it is not. Size it to
+    * expected state volume (keys x bytes / executor memory), not to the
+    * session's batch-shuffle default. None inherits the session conf. */
   def runAvailableNowTo(ds: Dataset[_], checkpoint: String,
-                        outDir: String): Unit = {
-    val q = ds.writeStream
-      .outputMode("append")
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+                        outDir: String,
+                        statePartitions: Option[Int] = None): Unit = {
+    val spark = ds.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = ds.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
   }
 }

@@ -17,6 +17,9 @@ object ProfileQuery {
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
     (1 to reps).foreach { i =>
+      // match Bench: fresh scratch per rep, so stateful queries run COLD
+      // instead of resuming their checkpoint as an exactly-once no-op
+      graft.io.TempPaths.bumpEpoch()
       val t0 = System.nanoTime()
       val n = fn(spark, dir).queryExecution.toRdd.count()
       println(f"PROFILE $name rep$i ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$n")

@@ -1,0 +1,147 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.Event
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQueryException
+import java.nio.file.Files
+
+/** Poison gate for failure injection: while armed, processing the marker
+  * row throws — crashing the micro-batch that contains it partway
+  * through (earlier rows of the batch have already flowed through the
+  * operator chain; the batch is NOT committed). Local mode runs
+  * executors in this JVM, so the UDF closure sees these fields live. */
+object PoisonGate {
+  @volatile var armed = false
+  @volatile var markerId = -1L
+}
+
+/** Crash-recovery: the stronger half of the exactly-once claim the
+  * checkpoint-as-ledger design (SURVEY §2.10) rests on. Clean-shutdown
+  * resume is covered in StreamingSpec ("exactly once per checkpoint");
+  * these tests kill a multi-batch AvailableNow run MID-BATCH via an
+  * injected task failure, restart from the same checkpoint, and assert
+  * the recovered output equals an uninterrupted run's — no duplicate,
+  * no lost row, for both stateful shapes where recovery is interesting:
+  * keyed dedup (q56) and event-time sessionization (q58). */
+class RecoverySpec extends SparkSpec {
+  import spark.implicits._
+
+  // passes every row; throws on the marker row while armed
+  private val poison = udf((id: Long) => {
+    if (PoisonGate.armed && id == PoisonGate.markerId)
+      throw new RuntimeException("injected mid-batch crash")
+    true
+  })
+
+  /** Land the sf events fixture as `n` ts-range part files with
+    * ascending modification times (file-source batch order follows
+    * modTime; see StreamingQueries.landFixtureSplit for why). */
+  private def landSplit(n: Int): String = {
+    val landing = Files.createTempDirectory("graft_recovery_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(n, col("ts"))
+      .write.mode("overwrite").parquet(landing)
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    landing
+  }
+
+  /** Marker id: the LAST event_id (in file row order) of the middle part
+    * file — so when batch 2 crashes, earlier rows of that batch have
+    * already been processed, i.e. the failure is genuinely mid-batch. */
+  private def middleFileMarker(landing: String): Long = {
+    val mid = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).apply(1)
+    spark.read.parquet(mid.getAbsolutePath)
+      .select(col("event_id")).collect().last.getLong(0)
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("mid-batch crash + restart: keyed dedup loses nothing, duplicates nothing") {
+    val landing = landSplit(3)
+    PoisonGate.markerId = middleFileMarker(landing)
+    val ckpt = tmp("graft_rec_dedup_ckpt")
+    val out = tmp("graft_rec_dedup_out")
+    def pipeline: DataFrame = {
+      val keyed = EventsStream
+        .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .filter(poison(col("event_id")))
+        .withColumn("hour",
+          substring(date_trunc("hour", col("ts")).cast("string"), 1, 13))
+      EventsStream
+        .dedupEventsByKey(keyed, Seq("hour", "user_id", "event_type"), "90 days")
+        .select(col("hour"), col("user_id"), col("event_type"))
+    }
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] {
+      EventsStream.runAvailableNowTo(pipeline, ckpt, out)
+    } finally PoisonGate.armed = false
+    // batch 1 committed, batch 2 aborted: the sink's metadata log must
+    // expose a PROPER PREFIX of the final output — failed-task files in
+    // the out dir are invisible to readers (exactly-once sink contract)
+    val partial = spark.read.parquet(out).count()
+    val expected = Tables.events(spark, sfDir)
+      .select(
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13).as("hour"),
+        col("user_id"), col("event_type"))
+      .distinct()
+    val expectedN = expected.count()
+    assert(partial > 0 && partial < expectedN,
+      s"crash should land between batches: got $partial of $expectedN")
+    // restart from the SAME checkpoint: the WAL replays the failed batch,
+    // then drains the rest
+    EventsStream.runAvailableNowTo(pipeline, ckpt, out)
+    val got = spark.read.parquet(out)
+    assert(got.count() === expectedN)                    // no lost key
+    assert(got.distinct().count() === expectedN)         // no duplicate
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("mid-batch crash + restart: event-time sessionize equals the uninterrupted run") {
+    val landing = landSplit(3)
+    PoisonGate.markerId = middleFileMarker(landing)
+    def pipeline = {
+      val ev = EventsStream
+        .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .filter(poison(col("event_id")))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event]
+      EventsStream.sessionizeEventTime(spark, ev, gapMinutes = 30,
+        delayMinutes = 30)
+    }
+    def sessions(out: String): Set[(Long, Long, Long, Long, Double)] =
+      spark.read.parquet(out).select(col("user_id"),
+          unix_micros(col("session_start")), unix_micros(col("session_end")),
+          col("n_events"), col("total_value"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toSet
+    // reference: the same pipeline run uninterrupted on its own checkpoint
+    PoisonGate.armed = false
+    val refOut = tmp("graft_rec_sess_ref_out")
+    EventsStream.runAvailableNowTo(pipeline, tmp("graft_rec_sess_ref_ckpt"), refOut)
+    val reference = sessions(refOut)
+    assert(reference.nonEmpty)
+    // crash run: batch 2 dies mid-task, restart resumes the same checkpoint
+    val ckpt = tmp("graft_rec_sess_ckpt")
+    val out = tmp("graft_rec_sess_out")
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] {
+      EventsStream.runAvailableNowTo(pipeline, ckpt, out)
+    } finally PoisonGate.armed = false
+    EventsStream.runAvailableNowTo(pipeline, ckpt, out)
+    // per-user session state recovered from the state store: the session
+    // set must be IDENTICAL — a lost state row would split or drop a
+    // session, a replayed batch would double-count n_events/total_value
+    assert(sessions(out) === reference)
+  }
+}
