@@ -308,6 +308,44 @@ object Dedup {
       .select(col("group_id"), col("m.doc_id").as("rep_id"),
         round(col("m.quality_score"), 6).as("rep_score"), col("n_members"))
 
+  /** EXACT substring-overlap pairs: documents sharing at least one
+    * identical `k`-character window, with the count of distinct shared
+    * windows — the exact-substring-duplication signal (training-data
+    * memorization risk comes from verbatim repeats that token-level
+    * Jaccard can dilute away). Every stride-1 window of every document
+    * is fingerprinted (md5 — engine-replayable), fingerprints are
+    * bucket-joined, and pairs aggregate the shared-window count.
+    *
+    * Scale: fingerprinting is one narrow O(total chars) pass; the join
+    * key is a fixed 32-byte digest; and `maxDocFreq` drops windows that
+    * appear in more documents than that BEFORE the pair join — the
+    * boilerplate guard (a shared header in a million docs would
+    * otherwise contribute C(1M, 2) pairs; with the cap, bucket pair
+    * work is bounded by C(maxDocFreq, 2) per window). Documents
+    * shorter than k contribute their whole text as the single window
+    * (CharNgrams clipping), so short exact dups are still caught. */
+  def substringOverlapPairs(docs: DataFrame, k: Int = 30,
+                            maxDocFreq: Int = 50): DataFrame = {
+    // distinct windows per doc (CharNgrams dedups), hashed: one
+    // (doc, window-hash) row per distinct window
+    val grams = docs.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.char_ngrams(col("text"), k))
+          .as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    // grams is distinct per (doc_id, h), so count(1) IS the doc freq
+    val rare = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq && col("df") >= 2)
+      .select(col("h"))
+    val kept = grams.join(rare, Seq("h"))
+    val l = kept.select(col("h"), col("doc_id").as("left_id"))
+    val r = kept.select(col("h"), col("doc_id").as("right_id"))
+    l.join(r, Seq("h")).filter(col("left_id") < col("right_id"))
+      // one row per (pair, h) since windows are distinct per doc
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */

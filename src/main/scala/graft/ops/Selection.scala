@@ -1,0 +1,84 @@
+package graft.ops
+
+import graft.functions.TopKAggregator
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus SELECTION operators — the "which documents make the training
+  * set" step that sits after scoring and dedup in an LLM data pipeline:
+  * per-group caps (no domain may dominate) and global token budgets
+  * (the corpus must fit the compute plan).
+  *
+  * Both are shaped for 100 TB: the per-group cap is a bounded top-k
+  * AGGREGATE (map-side combinable, at most k rows shuffled per group per
+  * map task — never a per-group window sort over all members), and the
+  * budget selection computes a global running sum without a global
+  * sort, using the bucket-offset prefix-sum trick from [[Ids]].
+  */
+object Selection {
+
+  /** Keep at most `cap` rows per group, the best first by
+    * (score desc, tie asc) — e.g. "at most N documents per source,
+    * highest quality". Emits (group, rank, id, score), rank 1-based.
+    *
+    * A heavy-hitter group (one domain owning half the corpus) costs a
+    * bounded k-element buffer per map task, not a single-partition sort
+    * of half the corpus — the reason this is an aggregate, not
+    * `row_number().over(Window.partitionBy(group))`. */
+  def groupCappedTopK(df: DataFrame, group: Column, score: Column,
+                      id: Column, cap: Int): DataFrame = {
+    require(cap >= 1, s"groupCappedTopK: cap must be >= 1, got $cap")
+    df.groupBy(group.as("group_key"))
+      .agg(TopKAggregator.top_k(cap)(score.cast("double"), id.cast("long"))
+        .as("tk"))
+      .select(col("group_key"), posexplode(col("tk")))
+      .select(col("group_key"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"),
+        col("col.score").as("score"))
+  }
+
+  /** Global GREEDY selection under a weight budget: rows are taken in
+    * (ord asc, tie asc) order while the running `weight` sum stays
+    * within `budget` (prefix semantics: the first row that would
+    * overflow, and everything after it, is unselected). Emits the input
+    * plus `cum_weight` (inclusive running sum) and `is_selected`.
+    *
+    * The running sum is computed WITHOUT `sum().over(Window.orderBy)` —
+    * which funnels every row through one partition. Instead `ord`
+    * (must be a double in [0, 1], e.g. 1 - quality_score) is bucketed
+    * into `resolution` fixed-width ranges; per-bucket weight totals
+    * (≤ resolution + 1 rows) are prefix-summed into bucket offsets, and
+    * each row's cum_weight is its bucket offset plus a within-bucket
+    * running sum — the window is bounded by the bucket's value width.
+    * Equal ord values always share a bucket, so the result equals the
+    * exact global running sum whatever the bucket count. Integer weight
+    * arithmetic: the sum is exact, engine-replayable. */
+  def budgetSelect(df: DataFrame, ord: Column, weight: Column, tie: Column,
+                   budget: Long, resolution: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budgetSelect: budget must be >= 0, got $budget")
+    require(resolution >= 1, s"budgetSelect: resolution must be >= 1")
+    val withB = df
+      .withColumn("sel_ord", ord.cast("double"))
+      .withColumn("sel_w", weight.cast("long"))
+      .withColumn("sel_bucket",
+        least(greatest(floor(col("sel_ord") * resolution), lit(0L)),
+          lit(resolution.toLong)).cast("long"))
+    val offsets = withB.groupBy(col("sel_bucket"))
+      .agg(sum(col("sel_w")).as("bucket_w"))
+      .withColumn("bucket_offset",
+        coalesce(
+          sum(col("bucket_w")).over(Window.orderBy(col("sel_bucket"))
+            .rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .drop("bucket_w")
+    val w = Window.partitionBy(col("sel_bucket"))
+      .orderBy(col("sel_ord").asc, tie.asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withB.join(broadcast(offsets), Seq("sel_bucket"))
+      .withColumn("cum_weight", col("bucket_offset") + sum(col("sel_w")).over(w))
+      .withColumn("is_selected", col("cum_weight") <= budget)
+      .drop("sel_bucket", "bucket_offset", "sel_ord", "sel_w")
+  }
+}

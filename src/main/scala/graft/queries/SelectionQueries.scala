@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.{Dedup, Selection, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection catalog rows: per-source caps, global token
+  * budgets, exact substring overlap — the operators that decide what
+  * actually ships in a training set once scoring and dedup are done.
+  * All three carry full DuckDB hash oracles; the quality formula is the
+  * p07/p48 one, replayed verbatim in SQL. */
+object SelectionQueries {
+
+  // the p07 quality score replayed in SQL (same CTEs as p48's oracle),
+  // with `source` carried through for the per-source cap
+  private val qualityCte: String =
+    """t AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split(text, ' ')) AS n_tokens,
+      |    len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+      |    len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the','a','of','and','to','is'))) AS n_stop
+      |  FROM documents),
+      |q AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    0.4 * (CAST(n_uniq_tokens AS DOUBLE) / n_tokens) +
+      |    0.3 * (CAST(n_stop AS DOUBLE) / n_tokens) +
+      |    0.3 * least((CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens)
+      |          / 10.0, 1.0) AS quality_score
+      |  FROM t)""".stripMargin
+
+  /** p49 — per-source quality cap: at most 5 documents per source,
+    * best-quality first (doc_id tie-break) — "no domain may dominate
+    * the mix". The Spark side is a bounded top-k AGGREGATE (map-side
+    * combinable, never a per-source window sort); the oracle is the
+    * window form, which is exactly the semantic contract the aggregate
+    * must reproduce. */
+  def sourceCappedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    Selection.groupCappedTopK(scored, col("source"), col("quality_score"),
+        col("doc_id"), cap = 5)
+      .select(col("group_key").as("source"), col("rank"),
+        col("id").as("doc_id"), col("score").as("quality_score"))
+  }
+
+  val sourceCappedSampleSql: String =
+    s"""WITH $qualityCte,
+       |r AS (
+       |  SELECT source, doc_id, quality_score,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY quality_score DESC, doc_id) AS rank
+       |  FROM q)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, quality_score
+       |FROM r WHERE rank <= 5""".stripMargin
+
+  /** p50 — token-budget corpus selection: take documents best-quality
+    * first until the running token total exceeds the budget (prefix
+    * semantics). The Spark side computes the global running sum with
+    * bucket-offset prefix sums (no single-partition global window — the
+    * [[graft.ops.Ids]] device applied to a weight instead of a count);
+    * the oracle IS the global window, pinning exact equality. Integer
+    * token weights make the cumulative sum engine-exact. */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    Selection.budgetSelect(scored,
+        ord = lit(1.0) - col("quality_score"), weight = col("n_tokens"),
+        tie = col("doc_id"), budget = 20000L)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"),
+        col("cum_weight").as("cum_tokens"), col("is_selected"))
+  }
+
+  val tokenBudgetSelectSql: String =
+    s"""WITH $qualityCte,
+       |c AS (
+       |  SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |    -- DuckDB sums BIGINT into HUGEINT; pin the wire type
+       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (
+       |      ORDER BY quality_score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM q)
+       |SELECT doc_id, quality_score, n_tokens, cum_tokens,
+       |  cum_tokens <= 20000 AS is_selected
+       |FROM c""".stripMargin
+
+  /** p51 — exact substring-overlap pairs: documents sharing a verbatim
+    * 30-character window, with the distinct-shared-window count — the
+    * memorization-risk signal token-level Jaccard dilutes. The oracle
+    * replays the stride-1 window fingerprints (md5 in both engines),
+    * the boilerplate doc-frequency cap, and the pair aggregation. */
+  def substringOverlap(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringOverlapPairs(Tables.documents(spark, dir),
+      k = 30, maxDocFreq = 50)
+
+  val substringOverlapSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, unnest(CASE WHEN length(text) < 30 THEN [text]
+      |    ELSE list_distinct([substring(text, i, 30)
+      |                        for i in range(1, length(text) - 28)]) END) AS gram
+      |  FROM documents),
+      |h AS (SELECT doc_id, md5(gram) AS h FROM g),
+      |f AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+      |k AS (SELECT doc_id, h.h FROM h JOIN f USING (h)),
+      |p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id
+      |      FROM k l JOIN k r ON l.h = r.h AND l.doc_id < r.doc_id)
+      |SELECT left_id, right_id, COUNT(*) AS n_shared_windows
+      |FROM p GROUP BY left_id, right_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p49_source_capped_sample" -> (sourceCappedSample _),
+    "p50_token_budget_select" -> (tokenBudgetSelect _),
+    "p51_substring_overlap" -> (substringOverlap _))
+
+  val oracles: Map[String, String] = Map(
+    "p49_source_capped_sample" -> sourceCappedSampleSql,
+    "p50_token_budget_select" -> tokenBudgetSelectSql,
+    "p51_substring_overlap" -> substringOverlapSql)
+}

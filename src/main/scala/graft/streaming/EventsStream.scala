@@ -165,8 +165,13 @@ object EventsStream {
             val sessions = toSessions(buf)
             // a session can still gain a member while end + gap >= wm
             // (a joining event has ts <= end + gap, and only ts < wm is
-            // guaranteed dropped); session ends ascend, so the closed
-            // set is a prefix
+            // guaranteed dropped). Spark's late filter actually drops
+            // ts <= wm (boundary equality is late — pinned empirically
+            // in StreamingSpec), so this close predicate is one notch
+            // conservative: a session with end + gap == wm stays open
+            // one more batch and closes via timeout. Correct under
+            // either filter semantics. Session ends ascend, so the
+            // closed set is a prefix
             val closed = sessions.takeWhile(s => micros(s.last.ts) + gapUs < wmUs)
             val open = sessions.drop(closed.length)
             if (open.isEmpty) state.remove()

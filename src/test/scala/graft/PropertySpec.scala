@@ -124,6 +124,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rrfFuseTopK is list-order- and partitioning-invariant") {
+    // the decimal-contribution rationale (Similarity.scala): at 3+ lists
+    // a double sum's partial-aggregation order could perturb low bits,
+    // making rrf_score (and thus the top-k cut) depend on which list or
+    // partition arrives first. Contributions are exact decimals, so any
+    // list order and any physical partitioning must give BIT-IDENTICAL
+    // fused output.
+    val listGen = Gen.listOfN(3, Gen.listOfN(30, for {
+      q <- Gen.choose(1L, 4L)
+      c <- Gen.choose(1L, 40L)
+      s <- Gen.choose(0, 10000).map(_ / 10000.0)
+    } yield (q, c, s)))
+    forAllSeeded(listGen, n = 3) { lists =>
+      val dfs = lists.map(_.distinct.toDF("q_id", "c_id", "cos_sim"))
+      def fused(ls: Seq[org.apache.spark.sql.DataFrame]): Set[(Long, Long, Double, Long)] =
+        graft.ops.Similarity.rrfFuseTopK(ls, k = 5).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+          .toSet
+      val canonical = fused(dfs)
+      assert(fused(dfs.reverse) === canonical, "list order must not matter")
+      assert(fused(dfs.map(_.repartition(7))) === canonical,
+        "physical partitioning must not matter")
+    }
+  }
+
   test("property: normalize always emits the canonical 9-column schema") {
     val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
     forAllSeeded(extraColsGen) { extras =>

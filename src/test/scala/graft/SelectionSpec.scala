@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.{Dedup, Selection}
+import org.apache.spark.sql.functions._
+
+/** Corpus-selection operators: per-group caps, budgeted selection,
+  * exact substring overlap. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupCappedTopK keeps the best `cap` rows per group with tie-break") {
+    val df = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.8), ("a", 3L, 0.8), ("a", 4L, 0.1),
+      ("b", 5L, 0.5)).toDF("g", "id", "s")
+    val got = Selection.groupCappedTopK(df, col("g"), col("s"), col("id"), cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    // group a: 0.9 first, then the 0.8 TIE breaks to the smaller id (2)
+    assert(got === Set(("a", 1L, 1L, 0.9), ("a", 2L, 2L, 0.8),
+      ("b", 1L, 5L, 0.5)))
+  }
+
+  test("groupCappedTopK equals the window form on the fixture") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val agg = Selection.groupCappedTopK(scored, col("source"),
+        col("quality_score"), col("doc_id"), cap = 3)
+      .select(col("group_key"), col("rank"), col("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("quality_score").desc, col("doc_id").asc)
+    val win = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("source").as("group_key"), col("rank"),
+        col("doc_id").as("id"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+  }
+
+  test("budgetSelect running sum equals the global-window form exactly") {
+    val df = Seq(
+      (1L, 0.95, 10L), (2L, 0.90, 20L), (3L, 0.90, 5L),
+      (4L, 0.50, 40L), (5L, 0.10, 100L)).toDF("id", "q", "w")
+    val got = Selection.budgetSelect(df, lit(1.0) - col("q"), col("w"),
+        col("id"), budget = 35L)
+      .select(col("id"), col("cum_weight"), col("is_selected"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    // order: id1(10) -> cum 10, id2(20) -> 30, id3(5) -> 35 (== budget:
+    // selected), id4 -> 75, id5 -> 175
+    assert(got === Set((1L, 10L, true), (2L, 30L, true), (3L, 35L, true),
+      (4L, 75L, false), (5L, 175L, false)))
+  }
+
+  test("budgetSelect is bucket-count-invariant (exact prefix sums)") {
+    val docs = graft.ops.TextAnalysis.qualityScore(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    def run(res: Int) = Selection.budgetSelect(docs,
+        lit(1.0) - col("quality_score"), col("n_tokens"), col("doc_id"),
+        budget = 2000L, resolution = res)
+      .select(col("doc_id"), col("cum_weight"), col("is_selected"))
+    val a = run(4)
+    val b = run(1024)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("substringOverlapPairs finds verbatim shared windows, respects maxDocFreq") {
+    val shared = "the quick brown fox jumps over the lazy dog tonight"
+    val boiler = "COMMON-HEADER-THAT-EVERY-SINGLE-DOCUMENT-CARRIES--"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"other intro $shared different tail"),
+      (3L, "completely unrelated text with nothing in common here at all"),
+      // tails diverge at the FIRST char after the header, so any window
+      // crossing the boundary is unique to its doc — 4/5/6 share ONLY
+      // the header's windows
+      (4L, boiler + "Afour"), (5L, boiler + "Bfive"),
+      (6L, boiler + "Csix")).toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(df, k = 30, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1/2 share the 52-char run -> many 30-char windows; the
+    // boilerplate header appears in 3 docs > maxDocFreq=2 -> its windows
+    // are dropped, so 4/5/6 must not pair
+    assert(got === Set((1L, 2L)))
+    val n = Dedup.substringOverlapPairs(df, k = 30, maxDocFreq = 2)
+      .filter(col("left_id") === 1L).select(col("n_shared_windows"))
+      .as[Long].head()
+    // the shared run includes the flanking spaces both docs carry
+    assert(n === (shared.length + 2 - 30 + 1).toLong,
+      "every stride-1 window of the shared run must count once")
+  }
+
+  test("substringOverlapPairs catches short exact duplicates via clipping") {
+    val df = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny different"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringOverlapPairs(df, k = 30, maxDocFreq = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 2L, 1L)))
+  }
+}

@@ -169,6 +169,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time sessionize: watermark boundary — ts == wm dropped, ts > wm kept") {
+    // the <-vs-<= fine print, pinned EMPIRICALLY: Spark's late-row
+    // filter for flatMapGroupsWithState drops rows with ts <= watermark
+    // (boundary EQUALITY is late), and keeps ts > watermark. The close
+    // predicate in sessionizeEventTime (end + gap < wm) assumes only
+    // the weaker "ts < wm dropped" guarantee, so it holds sessions one
+    // notch longer than strictly needed — conservative, never wrong.
+    // If Spark ever relaxed the filter to keep ts == wm, this test
+    // fails and the close predicate must be re-audited before trusting
+    // a green q58.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStream.sessionizeEventTime(spark, mem.toDS(),
+        gapMinutes = 30, delayMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sess_boundary_test").start()
+    try {
+      // batch 1: u7 and u11 open sessions; u9@11:00 drives the
+      // watermark to 11:00 - 30min = 10:30 after this batch
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:15:00"), 11, "click", 1.0),
+        Event(3, ts("2024-01-01 11:00:00"), 9, "view", 8.0))
+      q.processAllAvailable()
+      // batch 2: u7@10:30:00 is EXACTLY the watermark -> dropped as
+      // late (equality is late); u11@10:31:00 is strictly above the
+      // watermark and within u11's gap -> kept, extends the session
+      mem.addData(
+        Event(4, ts("2024-01-01 10:30:00"), 7, "click", 2.0),
+        Event(5, ts("2024-01-01 10:31:00"), 11, "view", 2.0))
+      q.processAllAvailable()
+      // batch 3 advances the watermark far past both close horizons;
+      // batch 4 lets the state-store timeout round observe it
+      mem.addData(Event(6, ts("2024-01-01 15:00:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      mem.addData(Event(7, ts("2024-01-01 15:01:00"), 8, "view", 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("sess_boundary_test").as[UserSession].collect()
+      val u7 = rows.filter(_.user_id == 7L)
+      val u11 = rows.filter(_.user_id == 11L)
+      assert(u7.length === 1 && u7.head.n_events === 1L &&
+        u7.head.session_end.toString === "2024-01-01 10:00:00.0",
+        s"ts == watermark must be dropped as late; got ${u7.toSeq}")
+      assert(u11.length === 1 && u11.head.n_events === 2L &&
+        u11.head.session_end.toString === "2024-01-01 10:31:00.0",
+        s"ts > watermark must extend the open session; got ${u11.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs clicks with following views") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
