@@ -114,6 +114,69 @@ object Dedup {
     pairs
   }
 
+  /** INCREMENTAL near-dup detection: every NEW (delta) document gets a
+    * verdict against an EXISTING corpus — the daily-ingest shape, where
+    * re-running all-pairs dedup over corpus ∪ delta would redo the
+    * corpus×corpus work the pipeline already paid for. Bands the two
+    * sides separately and joins delta bands against corpus bands only:
+    * candidate work is |delta bands| probing the corpus index, never
+    * corpus×corpus and never corpus×delta all-pairs. At production
+    * scale the corpus side is a PERSISTED banded-signature table
+    * (bucketed on band_hash so only the delta shuffles); here it is
+    * derived inline from the corpus frame with the identical plan shape
+    * above the scan.
+    *
+    * Emits ONE row per delta document: is_dup (some corpus doc reaches
+    * the exact-Jaccard threshold), dup_of (best match — highest rounded
+    * Jaccard, lowest corpus id on ties), jaccard (rounded). Same
+    * two-pass verify as [[minhashLsh]]: signature-agreement prefilter,
+    * then exact n-gram Jaccard. */
+  def incrementalMinhashVerdicts(corpus: DataFrame, delta: DataFrame,
+                                 bands: Int = 16, rowsPerBand: Int = 8,
+                                 shingleN: Int = 3,
+                                 threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    def sigOf(df: DataFrame) = df.select(col("doc_id"), col("text"),
+      minhashSignature(col("text"), k, shingleN).as("sig"))
+    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), j =>
+        struct(j.as("band_id"),
+          hash(j, slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
+            .as("band_hash")))).as("b"))
+      .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
+    val cSig = sigOf(corpus)
+    val dSig = sigOf(delta)
+    val candidates = bandsOf(dSig).as("d")
+      .join(bandsOf(cSig).as("c"),
+        col("d.band_id") === col("c.band_id") &&
+        col("d.band_hash") === col("c.band_hash"))
+      .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val ds = dSig.select(col("doc_id").as("new_id"), col("sig").as("dsig"),
+      shingles(col("text"), shingleN).as("dgrams"))
+    val cs = cSig.select(col("doc_id").as("corpus_id"), col("sig").as("csig"),
+      shingles(col("text"), shingleN).as("cgrams"))
+    val verified = candidates.join(ds, "new_id").join(cs, "corpus_id")
+      .withColumn("est",
+        graft.functions.TextFunctions.sig_agreement(col("dsig"), col("csig")))
+      .filter(col("est") >= threshold - 0.1)
+      .withColumn("jaccard",
+        graft.functions.TextFunctions.array_jaccard(col("dgrams"), col("cgrams")))
+      .filter(col("jaccard") >= threshold)
+      // round BEFORE the argmax so oracle tie-breaks see the same keys
+      .withColumn("jaccard", round(col("jaccard"), 6))
+    val best = verified.groupBy(col("new_id"))
+      // argmax(jaccard), ties to the LOWEST corpus id: max over
+      // (jaccard, -corpus_id) — a struct-max aggregate, one cell per
+      // delta doc, no per-candidate window
+      .agg(max(struct(col("jaccard"), (-col("corpus_id")).as("neg_id"))).as("m"))
+      .select(col("new_id").as("doc_id"), col("m.jaccard").as("jaccard"),
+        (-col("m.neg_id")).cast("long").as("dup_of"))
+    delta.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("jaccard"))
+  }
+
   /** 64-bit SimHash over word unigrams: per-bit vote of token hashes.
     * Token hashes are computed once per document, then folded 64 times —
     * all narrow per-row work.

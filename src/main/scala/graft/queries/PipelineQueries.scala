@@ -63,6 +63,45 @@ object PipelineQueries {
       |  TRUE AS est_within_bound
       |FROM p WHERE j >= 0.7""".stripMargin
 
+  /** p52 — incremental (delta-vs-corpus) dedup: every fifth document
+    * plays the freshly-ingested delta, the rest the existing corpus;
+    * each delta doc gets an is_dup/dup_of/jaccard verdict against the
+    * corpus only (daily-ingest shape — corpus×corpus work is never
+    * redone). The oracle is the exact all-pairs delta×corpus truth at
+    * the same threshold: a full hash match certifies the banded path
+    * has FULL recall on the fixture, same device as p02. Tie-break and
+    * rounding are replayed exactly (round to 6 before the argmax). */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Dedup.incrementalMinhashVerdicts(
+      corpus = docs.filter(col("doc_id") % 5 =!= 0),
+      delta = docs.filter(col("doc_id") % 5 === 0),
+      bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) < 3 THEN [text]
+      |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |        for i in range(1, len(w) - 1)]) END AS sh
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+      |        FROM documents)),
+      |d AS (SELECT * FROM t WHERE doc_id % 5 = 0),
+      |c AS (SELECT * FROM t WHERE doc_id % 5 <> 0),
+      |p AS (SELECT d.doc_id AS doc_id, c.doc_id AS cid,
+      |    CAST(len(list_intersect(d.sh, c.sh)) AS DOUBLE) /
+      |    (len(d.sh) + len(c.sh) - len(list_intersect(d.sh, c.sh))) AS j
+      |  FROM d, c),
+      |m AS (SELECT doc_id, cid, round(j, 6) AS j,
+      |    row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY round(j, 6) DESC, cid) AS rn
+      |  FROM p WHERE j >= 0.7)
+      |SELECT dd.doc_id, (m.cid IS NOT NULL) AS is_dup,
+      |  m.cid AS dup_of, m.j AS jaccard
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
+      |LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)""".stripMargin
+
   /** The catalog entries run the md5-hashed `replayable` simhash variant
     * (60-bit signature, 4 x 15-bit pigeonhole chunks): identical vote /
     * banding / hamming-verify machinery to the xxhash64 default, but
@@ -656,7 +695,8 @@ object PipelineQueries {
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
     "p21_train_test_split" -> (trainTestSplit _),
-    "p22_quantize_embeddings" -> (quantizeReport _))
+    "p22_quantize_embeddings" -> (quantizeReport _),
+    "p52_dedup_incremental" -> (dedupIncremental _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -684,5 +724,6 @@ object PipelineQueries {
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,
-    "p22_quantize_embeddings" -> quantizeReportSql)
+    "p22_quantize_embeddings" -> quantizeReportSql,
+    "p52_dedup_incremental" -> dedupIncrementalSql)
 }

@@ -134,6 +134,52 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"expected join-free scoring:\n$plan")
   }
 
+  test("p49 per-group cap is an aggregate, not a per-group window sort") {
+    val docs = Tables.documents(spark, sfDir)
+    val scored = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("quality_score"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+    val plan = planString(graft.ops.Selection.groupCappedTopK(scored,
+      org.apache.spark.sql.functions.col("source"),
+      org.apache.spark.sql.functions.col("quality_score"),
+      org.apache.spark.sql.functions.col("doc_id"), cap = 5))
+    // a Window here means the operator regressed to row_number().over(
+    // partitionBy(group)) — a full sort of every member of the heaviest
+    // group on one partition
+    assert(!plan.contains("Window"), s"expected aggregate top-k:\n$plan")
+    assert(plan.contains("Aggregate"), s"expected partial/final aggregate:\n$plan")
+  }
+
+  test("p50 budget selection: per-row window is bucket-partitioned, offsets broadcast") {
+    val scored = graft.ops.TextAnalysis
+      .qualityScore(Tables.documents(spark, sfDir))
+      .select("doc_id", "n_tokens", "quality_score")
+    val plan = planString(graft.ops.Selection.budgetSelect(scored,
+      org.apache.spark.sql.functions.lit(1.0) -
+        org.apache.spark.sql.functions.col("quality_score"),
+      org.apache.spark.sql.functions.col("n_tokens"),
+      org.apache.spark.sql.functions.col("doc_id"), budget = 2000L))
+    // the row-level running sum must be partitioned by the bucket key;
+    // an empty partition spec would funnel every row through one task
+    assert(plan.contains("windowspecdefinition(sel_bucket"),
+      s"expected the per-row window keyed on sel_bucket:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast back:\n$plan")
+  }
+
+  test("p51/p52 fingerprint joins never cross-product") {
+    val docs = Tables.documents(spark, sfDir)
+    val p51 = planString(graft.ops.Dedup.substringOverlapPairs(docs))
+    assert(!p51.contains("CartesianProduct"),
+      s"substring overlap must join on window hashes:\n$p51")
+    val p52 = planString(graft.ops.Dedup.incrementalMinhashVerdicts(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 5 === 0)))
+    assert(!p52.contains("CartesianProduct"),
+      s"incremental dedup must probe band buckets:\n$p52")
+  }
+
   test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(

@@ -90,6 +90,35 @@ class SelectionSpec extends SparkSpec {
       "every stride-1 window of the shared run must count once")
   }
 
+  test("incrementalMinhashVerdicts matches the exact delta-vs-corpus truth") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val got = Dedup.incrementalMinhashVerdicts(corpus, delta,
+      bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+    // one verdict row per delta doc, no delta doc lost or duplicated
+    assert(got.count() === delta.count())
+    assert(got.select("doc_id").distinct().count() === delta.count())
+    // exact truth: per delta doc, best corpus match with jaccard >= 0.7
+    // (3-gram word shingles, the banded path must have full recall here)
+    val sh = (d: org.apache.spark.sql.DataFrame, p: String) => d.select(
+      col("doc_id").as(s"${p}_id"),
+      Dedup.shingles(col("text"), 3).as(s"${p}_sh"))
+    val exact = sh(delta, "d").crossJoin(sh(corpus, "c"))
+      .withColumn("j", round(graft.functions.TextFunctions.array_jaccard(
+        col("d_sh"), col("c_sh")), 6))
+      .filter(col("j") >= 0.7)
+      .groupBy(col("d_id"))
+      .agg(max(struct(col("j"), (-col("c_id")).as("n"))).as("m"))
+      .select(col("d_id").as("doc_id"), col("m.j").as("jaccard"),
+        (-col("m.n")).cast("long").as("dup_of"))
+    val gotDups = got.filter(col("is_dup"))
+      .select(col("doc_id"), col("jaccard"), col("dup_of"))
+    assert(gotDups.exceptAll(exact).isEmpty && exact.exceptAll(gotDups).isEmpty,
+      "banded verdicts must equal the exact all-pairs truth")
+    assert(gotDups.count() > 0, "fixture contains known near-dups")
+  }
+
   test("substringOverlapPairs catches short exact duplicates via clipping") {
     val df = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny different"))
       .toDF("doc_id", "text")
