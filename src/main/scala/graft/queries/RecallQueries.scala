@@ -371,8 +371,11 @@ object RecallQueries {
     * 0.7 — replay in SQL, and components follow via the same recursive
     * min-label CTE the p23 oracle uses. A banding recall regression
     * breaks this row AND p26 together, loudly. */
-  val dedupGroupsSql: String =
-    """WITH RECURSIVE t AS (
+  // the exact-truth connected components (word-3-shingle Jaccard >= 0.7
+  // edges, recursive min-label propagation) shared by the p19 and p53
+  // oracles
+  private val componentsCte: String =
+    """t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [text]
       |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
@@ -388,9 +391,50 @@ object RecallQueries {
       |reach(id, root) AS (
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
-      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)
-      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
-      |FROM reach GROUP BY id""".stripMargin
+      |  SELECT es.b, reach.root FROM reach JOIN es ON es.a = reach.id)""".stripMargin
+
+  val dedupGroupsSql: String =
+    s"""WITH RECURSIVE $componentsCte
+       |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+       |FROM reach GROUP BY id""".stripMargin
+
+  /** p53 — corpus dedup-rate report: the one-row summary a curation
+    * dashboard needs (how duplicated IS this corpus?) — doc count,
+    * component count, duplicate count and rate, largest near-dup
+    * cluster, verified pair count. Everything derives from bounded
+    * aggregates over the groups/pairs frames; the three one-row
+    * aggregates combine via broadcast cross joins. Oracle: the same
+    * recursive-CTE truth as p19, aggregated. */
+  def dedupReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val pairs = Dedup.minhashLsh(docs, bands = 16, rowsPerBand = 8,
+      shingleN = 3, threshold = 0.7)
+    val groups = Dedup.dedupGroups(docs, pairs)
+    val sizes = groups.groupBy(col("group_id")).agg(count(lit(1)).as("sz"))
+    val gAgg = sizes.agg(count(lit(1)).as("n_groups"),
+      max(col("sz")).as("largest_group"))
+    val dAgg = groups.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("is_keeper"), 0L).otherwise(1L)).as("n_dup_docs"))
+    val pAgg = pairs.agg(count(lit(1)).as("n_dup_pairs"))
+    dAgg.crossJoin(broadcast(gAgg)).crossJoin(broadcast(pAgg))
+      .withColumn("dup_rate",
+        round(col("n_dup_docs").cast("double") / col("n_docs"), 6))
+      .select(col("n_docs"), col("n_groups"), col("n_dup_docs"),
+        col("dup_rate"), col("largest_group"), col("n_dup_pairs"))
+  }
+
+  val dedupReportSql: String =
+    s"""WITH RECURSIVE $componentsCte,
+       |g AS (SELECT id, MIN(root) AS root FROM reach GROUP BY id),
+       |s AS (SELECT root, COUNT(*) AS sz FROM g GROUP BY root)
+       |SELECT
+       |  (SELECT COUNT(*) FROM documents) AS n_docs,
+       |  (SELECT COUNT(*) FROM s) AS n_groups,
+       |  (SELECT COUNT(*) FROM g WHERE id <> root) AS n_dup_docs,
+       |  round(CAST((SELECT COUNT(*) FROM g WHERE id <> root) AS DOUBLE) /
+       |        (SELECT COUNT(*) FROM documents), 6) AS dup_rate,
+       |  (SELECT MAX(sz) FROM s) AS largest_group,
+       |  (SELECT COUNT(*) FROM e) AS n_dup_pairs""".stripMargin
 
   // ---------------------------------------------------------------------
   // p26 — candidate recall of the MinHash-LSH banding (rows-only)
@@ -625,6 +669,7 @@ object RecallQueries {
     "p39_ann_ivfpq_topk" -> (annIvfPqTopK _),
     "p41_semantic_dedup" -> (semanticDedup _),
     "p42_kmeans_lloyd" -> (kmeansLloyd _),
+    "p53_dedup_report" -> (dedupReport _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -642,5 +687,6 @@ object RecallQueries {
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,
     "p16_ann_ivf_topk" -> annIvfTopKSql,
-    "p19_dedup_groups" -> dedupGroupsSql)
+    "p19_dedup_groups" -> dedupGroupsSql,
+    "p53_dedup_report" -> dedupReportSql)
 }

@@ -90,9 +90,12 @@ object SelectionQueries {
 
   /** p51 — exact substring-overlap pairs: documents sharing a verbatim
     * 30-character window, with the distinct-shared-window count — the
-    * memorization-risk signal token-level Jaccard dilutes. The oracle
-    * replays the stride-1 window fingerprints (md5 in both engines),
-    * the boilerplate doc-frequency cap, and the pair aggregation. */
+    * memorization-risk signal token-level Jaccard dilutes. The Spark
+    * side buckets on a 64-bit hash of the window (join accelerator,
+    * never in the output); the oracle joins on the window STRINGS, so
+    * a hash-match also certifies the hashing introduced no collision
+    * artifacts. Doc-frequency cap and pair aggregation replayed
+    * exactly. */
   def substringOverlap(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringOverlapPairs(Tables.documents(spark, dir),
       k = 30, maxDocFreq = 50)
@@ -103,11 +106,10 @@ object SelectionQueries {
       |    ELSE list_distinct([substring(text, i, 30)
       |                        for i in range(1, length(text) - 28)]) END) AS gram
       |  FROM documents),
-      |h AS (SELECT doc_id, md5(gram) AS h FROM g),
-      |f AS (SELECT h FROM h GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
-      |k AS (SELECT doc_id, h.h FROM h JOIN f USING (h)),
+      |f AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 50),
+      |k AS (SELECT doc_id, g.gram FROM g JOIN f USING (gram)),
       |p AS (SELECT l.doc_id AS left_id, r.doc_id AS right_id
-      |      FROM k l JOIN k r ON l.h = r.h AND l.doc_id < r.doc_id)
+      |      FROM k l JOIN k r ON l.gram = r.gram AND l.doc_id < r.doc_id)
       |SELECT left_id, right_id, COUNT(*) AS n_shared_windows
       |FROM p GROUP BY left_id, right_id""".stripMargin
 

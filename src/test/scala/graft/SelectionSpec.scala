@@ -119,6 +119,19 @@ class SelectionSpec extends SparkSpec {
     assert(gotDups.count() > 0, "fixture contains known near-dups")
   }
 
+  test("dedupReport invariants: keepers + duplicates = docs, one keeper per group") {
+    val r = graft.queries.RecallQueries.dedupReport(spark, sfDir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val (nDocs, nGroups, nDupDocs) = (row.getAs[Long]("n_docs"),
+      row.getAs[Long]("n_groups"), row.getAs[Long]("n_dup_docs"))
+    // each component keeps exactly one doc, so groups + dups = docs
+    assert(nGroups + nDupDocs === nDocs)
+    assert(row.getAs[Long]("largest_group") >= 1L)
+    assert(row.getAs[Double]("dup_rate") ===
+      math.rint(nDupDocs.toDouble / nDocs * 1e6) / 1e6)
+  }
+
   test("substringOverlapPairs catches short exact duplicates via clipping") {
     val df = Seq((1L, "tiny doc"), (2L, "tiny doc"), (3L, "tiny different"))
       .toDF("doc_id", "text")
