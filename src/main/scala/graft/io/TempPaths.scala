@@ -38,17 +38,31 @@ object TempPaths {
     * hook only covers a cleanly-exiting JVM, so a killed driver strands
     * its `graft*` dirs until someone removes them. Only directories that
     * (a) carry one of our scratch prefixes, (b) do NOT belong to
-    * `ownAppId`, and (c) have been idle past `maxAgeMs` are touched — a
-    * concurrently-running sibling driver's dirs are younger than that. */
+    * `ownAppId` — matched in BOTH its raw and sanitized forms, because
+    * q34-style warehouse tables embed `appId.replaceAll("[^a-zA-Z0-9]",
+    * "_")` which never contains the raw id — and (c) have been idle past
+    * `maxAgeMs` are touched. Idleness is the NEWEST mtime found
+    * recursively, not the root dir's: a directory's own mtime does not
+    * update when nested files change, so a live sibling's checkpoint or
+    * warehouse (actively writing deep inside) would look idle at the
+    * root while its leaves are seconds old. */
   def sweepStale(ownAppId: String, roots: Seq[String],
                  maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
     val prefixes = Seq("graft_", "graft-warehouse", "graft-compact-spec")
+    val sanitizedAppId = ownAppId.replaceAll("[^a-zA-Z0-9]", "_")
+    def newestMtime(f: java.io.File): Long = {
+      val own = f.lastModified()
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.foldLeft(own)((mx, k) =>
+        math.max(mx, if (k.isDirectory) newestMtime(k) else k.lastModified()))
+    }
     roots.map(new java.io.File(_)).filter(_.isDirectory).foreach { root =>
       Option(root.listFiles()).getOrElse(Array.empty[java.io.File]).foreach { f =>
         val n = f.getName
         if (f.isDirectory && prefixes.exists(n.startsWith) &&
-            !n.contains(ownAppId) && f.lastModified() < cutoff) {
+            !n.contains(ownAppId) && !n.contains(sanitizedAppId) &&
+            newestMtime(f) < cutoff) {
           try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () }
         }

@@ -25,7 +25,11 @@ object Selection {
     * A heavy-hitter group (one domain owning half the corpus) costs a
     * bounded k-element buffer per map task, not a single-partition sort
     * of half the corpus — the reason this is an aggregate, not
-    * `row_number().over(Window.partitionBy(group))`. */
+    * `row_number().over(Window.partitionBy(group))`.
+    *
+    * Output column names (group_key, rank, id, score) are fixed; the
+    * aggregate REPLACES the input schema, so same-named input columns
+    * cannot be silently shadowed — no reserved-name hazard here. */
   def groupCappedTopK(df: DataFrame, group: Column, score: Column,
                       id: Column, cap: Int): DataFrame = {
     require(cap >= 1, s"groupCappedTopK: cap must be >= 1, got $cap")
@@ -54,14 +58,35 @@ object Selection {
     * running sum — the window is bounded by the bucket's value width.
     * Equal ord values always share a bucket, so the result equals the
     * exact global running sum whatever the bucket count. Integer weight
-    * arithmetic: the sum is exact, engine-replayable. */
+    * arithmetic: the sum is exact, engine-replayable.
+    *
+    * The ord-domain contract is ENFORCED, not assumed: an ord outside
+    * [0, 1] would silently collapse the bucketing into the clamped
+    * boundary buckets (still correct, quietly unscalable), and a
+    * null/NaN ord or null weight would produce a null bucket key that
+    * the offsets join drops — a silent row-loss path. Both fail loudly
+    * per-row instead (a codegen'd branch, no extra pass over the data). */
   def budgetSelect(df: DataFrame, ord: Column, weight: Column, tie: Column,
                    budget: Long, resolution: Int = 1024): DataFrame = {
     require(budget >= 0, s"budgetSelect: budget must be >= 0, got $budget")
     require(resolution >= 1, s"budgetSelect: resolution must be >= 1")
+    for (c <- Seq("sel_ord", "sel_w", "sel_bucket", "cum_weight", "is_selected"))
+      require(!df.columns.contains(c),
+        s"budgetSelect writes reserved column '$c'; rename the input column")
     val withB = df
       .withColumn("sel_ord", ord.cast("double"))
       .withColumn("sel_w", weight.cast("long"))
+      .withColumn("sel_ord",
+        when(col("sel_ord").isNull || isnan(col("sel_ord")) ||
+            col("sel_ord") < 0.0 || col("sel_ord") > 1.0,
+          raise_error(concat(
+            lit("budgetSelect: ord must be a non-null double in [0, 1], got "),
+            coalesce(col("sel_ord").cast("string"), lit("NULL")))))
+        .otherwise(col("sel_ord")))
+      .withColumn("sel_w",
+        when(col("sel_w").isNull,
+          raise_error(lit("budgetSelect: weight must be non-null")))
+        .otherwise(col("sel_w")))
       .withColumn("sel_bucket",
         least(greatest(floor(col("sel_ord") * resolution), lit(0L)),
           lit(resolution.toLong)).cast("long"))

@@ -30,9 +30,19 @@ object StreamingQueries {
     * partition commits). At production volume this number is a capacity
     * decision — state bytes / executor memory — made per stream and
     * locked into the checkpoint by the first batch; see
-    * EventsStream.runAvailableNowTo. Env-overridable for profiling. */
-  private val statePartitions: Option[Int] =
-    Some(sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt).getOrElse(8))
+    * EventsStream.runAvailableNowTo. Env-overridable for profiling; a
+    * malformed or non-positive override falls back to the default with
+    * a stderr warning instead of detonating class init (a bare .toInt
+    * here would surface as ExceptionInInitializerError). */
+  private val statePartitions: Option[Int] = Some(
+    sys.env.get("SPARK_GRAFT_STATE_PARTS") match {
+      case None => 8
+      case Some(raw) => raw.toIntOption.filter(_ >= 1).getOrElse {
+        System.err.println(
+          s"[graft] SPARK_GRAFT_STATE_PARTS='$raw' is not a positive int; using 8")
+        8
+      }
+    })
 
   /** Copy the events fixture into a landing directory as-is (one part
     * file per fixture part, deterministic names). Idempotent:

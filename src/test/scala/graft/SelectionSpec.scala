@@ -64,6 +64,35 @@ class SelectionSpec extends SparkSpec {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("budgetSelect fails loudly on out-of-range, NaN or null ord and null weight") {
+    val df = Seq((1L, 0.5, 10L), (2L, 1.5, 20L)).toDF("id", "o", "w")
+    // ord > 1 would silently collapse bucketing into the clamped boundary
+    // bucket; the contract is enforced per-row instead
+    val e1 = intercept[Exception] {
+      Selection.budgetSelect(df, col("o"), col("w"), col("id"), budget = 100L)
+        .collect()
+    }
+    assert(e1.getMessage.contains("budgetSelect") ||
+      Option(e1.getCause).exists(_.getMessage.contains("budgetSelect")))
+    // null ord rows used to VANISH via a null bucket key missing the
+    // offsets join; now they fail
+    val withNull = Seq((1L, Some(0.5), 10L), (2L, None, 20L))
+      .toDF("id", "o", "w")
+    val e2 = intercept[Exception] {
+      Selection.budgetSelect(withNull, col("o"), col("w"), col("id"), budget = 100L)
+        .collect()
+    }
+    assert(e2.getMessage.contains("budgetSelect") ||
+      Option(e2.getCause).exists(_.getMessage.contains("budgetSelect")))
+    // reserved output/internal names are rejected up front
+    val clash = Seq((1L, 0.5, 10L)).toDF("id", "o", "cum_weight")
+    val e3 = intercept[IllegalArgumentException] {
+      Selection.budgetSelect(clash, col("o"), col("cum_weight"), col("id"),
+        budget = 100L)
+    }
+    assert(e3.getMessage.contains("reserved"))
+  }
+
   test("substringOverlapPairs finds verbatim shared windows, respects maxDocFreq") {
     val shared = "the quick brown fox jumps over the lazy dog tonight"
     val boiler = "COMMON-HEADER-THAT-EVERY-SINGLE-DOCUMENT-CARRIES--"
