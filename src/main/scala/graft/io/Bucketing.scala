@@ -28,9 +28,20 @@ object Bucketing {
   /** Write `df` as a bucketed, sorted table on `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
+    writeBucketedMulti(df, table, Seq(key), buckets, mode)
+
+  /** Multi-key variant: bucket AND sort on the full key sequence, in
+    * order. Needed when the downstream join clusters on several keys —
+    * `spark.sql.requireAllClusterKeysForCoPartition` (default true)
+    * rejects a partial-key bucket layout for co-partitioned joins, so a
+    * table bucketed on a key SUBSET would be silently re-shuffled (and
+    * its bucketed scan disabled by the planner), defeating the layout. */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int,
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

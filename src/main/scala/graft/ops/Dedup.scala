@@ -114,49 +114,38 @@ object Dedup {
     pairs
   }
 
-  /** INCREMENTAL near-dup detection: every NEW (delta) document gets a
-    * verdict against an EXISTING corpus — the daily-ingest shape, where
-    * re-running all-pairs dedup over corpus ∪ delta would redo the
-    * corpus×corpus work the pipeline already paid for. Bands the two
-    * sides separately and joins delta bands against corpus bands only:
-    * candidate work is |delta bands| probing the corpus index, never
-    * corpus×corpus and never corpus×delta all-pairs. At production
-    * scale the corpus side is a PERSISTED banded-signature table
-    * (bucketed on band_hash so only the delta shuffles); here it is
-    * derived inline from the corpus frame with the identical plan shape
-    * above the scan.
-    *
-    * Emits ONE row per delta document: is_dup (some corpus doc reaches
-    * the exact-Jaccard threshold), dup_of (best match — highest rounded
-    * Jaccard, lowest corpus id on ties), jaccard (rounded). Same
-    * two-pass verify as [[minhashLsh]]: signature-agreement prefilter,
-    * then exact n-gram Jaccard. */
-  def incrementalMinhashVerdicts(corpus: DataFrame, delta: DataFrame,
-                                 bands: Int = 16, rowsPerBand: Int = 8,
-                                 shingleN: Int = 3,
-                                 threshold: Double = 0.7): DataFrame = {
-    val k = bands * rowsPerBand
-    def sigOf(df: DataFrame) = df.select(col("doc_id"), col("text"),
+  /** Per-doc (doc_id, text, sig) MinHash-signature frame — shared by the
+    * inline and persisted-index incremental paths so both carry the
+    * IDENTICAL plan shape above their scans. */
+  private[graft] def sigFrame(df: DataFrame, k: Int, shingleN: Int): DataFrame =
+    df.select(col("doc_id"), col("text"),
       minhashSignature(col("text"), k, shingleN).as("sig"))
-    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
+
+  /** Exploded (doc_id, band_id, band_hash) LSH band frame over `sig`. */
+  private[graft] def bandFrame(sig: DataFrame, bands: Int,
+                               rowsPerBand: Int): DataFrame =
+    sig.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(bands - 1)), j =>
         struct(j.as("band_id"),
           hash(j, slice(col("sig"), j * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))
             .as("band_hash")))).as("b"))
       .select(col("doc_id"), col("b.band_id"), col("b.band_hash"))
-    val cSig = sigOf(corpus)
-    val dSig = sigOf(delta)
-    val candidates = bandsOf(dSig).as("d")
-      .join(bandsOf(cSig).as("c"),
-        col("d.band_id") === col("c.band_id") &&
-        col("d.band_hash") === col("c.band_hash"))
-      .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
-      .distinct()
-    val ds = dSig.select(col("doc_id").as("new_id"), col("sig").as("dsig"),
+
+  /** Shared verify + argmax + left-join tail of the incremental family:
+    * two-pass verify (signature-agreement prefilter, exact n-gram
+    * Jaccard), round-before-argmax so oracle tie-breaks see the same
+    * keys, struct-max best match (ties to the LOWEST corpus id — one
+    * cell per delta doc, no per-candidate window), then one verdict row
+    * per delta document. `corpusVerify` must carry (corpus_id, csig,
+    * cgrams). */
+  private def incrementalVerdictsFrom(delta: DataFrame, deltaSig: DataFrame,
+                                      corpusVerify: DataFrame,
+                                      candidates: DataFrame,
+                                      shingleN: Int,
+                                      threshold: Double): DataFrame = {
+    val ds = deltaSig.select(col("doc_id").as("new_id"), col("sig").as("dsig"),
       shingles(col("text"), shingleN).as("dgrams"))
-    val cs = cSig.select(col("doc_id").as("corpus_id"), col("sig").as("csig"),
-      shingles(col("text"), shingleN).as("cgrams"))
-    val verified = candidates.join(ds, "new_id").join(cs, "corpus_id")
+    val verified = candidates.join(ds, "new_id").join(corpusVerify, "corpus_id")
       .withColumn("est",
         graft.functions.TextFunctions.sig_agreement(col("dsig"), col("csig")))
       .filter(col("est") >= threshold - 0.1)
@@ -175,6 +164,94 @@ object Dedup {
     delta.select(col("doc_id")).join(best, Seq("doc_id"), "left")
       .select(col("doc_id"), col("dup_of").isNotNull.as("is_dup"),
         col("dup_of"), col("jaccard"))
+  }
+
+  /** INCREMENTAL near-dup detection: every NEW (delta) document gets a
+    * verdict against an EXISTING corpus — the daily-ingest shape, where
+    * re-running all-pairs dedup over corpus ∪ delta would redo the
+    * corpus×corpus work the pipeline already paid for. Bands the two
+    * sides separately and joins delta bands against corpus bands only:
+    * candidate work is |delta bands| probing the corpus index, never
+    * corpus×corpus and never corpus×delta all-pairs. Here the corpus
+    * side is derived inline from the corpus frame; the production shape
+    * — the corpus signatures persisted ONCE as bucketed tables so every
+    * daily delta probes them with no corpus-side shuffle — is
+    * [[buildCorpusIndex]] + [[incrementalVerdictsAgainstIndex]], which
+    * share this method's plan shape above the scan.
+    *
+    * Emits ONE row per delta document: is_dup (some corpus doc reaches
+    * the exact-Jaccard threshold), dup_of (best match — highest rounded
+    * Jaccard, lowest corpus id on ties), jaccard (rounded). Same
+    * two-pass verify as [[minhashLsh]]: signature-agreement prefilter,
+    * then exact n-gram Jaccard. */
+  def incrementalMinhashVerdicts(corpus: DataFrame, delta: DataFrame,
+                                 bands: Int = 16, rowsPerBand: Int = 8,
+                                 shingleN: Int = 3,
+                                 threshold: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    val cSig = sigFrame(corpus, k, shingleN)
+    val dSig = sigFrame(delta, k, shingleN)
+    val candidates = bandFrame(dSig, bands, rowsPerBand).as("d")
+      .join(bandFrame(cSig, bands, rowsPerBand).as("c"),
+        col("d.band_id") === col("c.band_id") &&
+        col("d.band_hash") === col("c.band_hash"))
+      .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val cs = cSig.select(col("doc_id").as("corpus_id"), col("sig").as("csig"),
+      shingles(col("text"), shingleN).as("cgrams"))
+    incrementalVerdictsFrom(delta, dSig, cs, candidates, shingleN, threshold)
+  }
+
+  /** Persist the corpus side of incremental dedup as two BUCKETED tables
+    * — the build-once half of the daily-ingest contract:
+    *
+    *  - `bandsTable` (doc_id, band_id, band_hash) bucketed on the FULL
+    *    probe key (band_id, band_hash): the LSH band index the delta
+    *    probes. Bucketing pre-shuffles it at write time, so the probe
+    *    join needs NO corpus-side exchange and only the (small) delta
+    *    shuffles, every day, forever. Both keys must be in the layout:
+    *    requireAllClusterKeysForCoPartition rejects subset-key bucketing
+    *    for co-partitioned joins (see Bucketing.writeBucketedMulti).
+    *  - `sigsTable` (doc_id, text, sig) bucketed on doc_id: the verify
+    *    side; candidate hits join it on corpus_id, again exchange-free
+    *    on the corpus side. Shingles are rebuilt post-scan rather than
+    *    stored (grams are ~3x the text; recompute is a narrow pass).
+    *
+    * Corpus×corpus work is paid exactly once, at build time. */
+  def buildCorpusIndex(corpus: DataFrame, bandsTable: String,
+                       sigsTable: String, bands: Int = 16,
+                       rowsPerBand: Int = 8, shingleN: Int = 3,
+                       buckets: Int = 8): Unit = {
+    val sig = sigFrame(corpus, bands * rowsPerBand, shingleN)
+    graft.io.Bucketing.writeBucketedMulti(bandFrame(sig, bands, rowsPerBand),
+      bandsTable, Seq("band_id", "band_hash"), buckets)
+    graft.io.Bucketing.writeBucketed(sig, sigsTable, "doc_id", buckets)
+  }
+
+  /** The probe half of the daily-ingest contract: identical semantics to
+    * [[incrementalMinhashVerdicts]] (same banding, verify, tie-breaks —
+    * `bands`/`rowsPerBand`/`shingleN` MUST match the index build), but
+    * the corpus side reads the persisted [[buildCorpusIndex]] tables, so
+    * the plan shuffles ONLY the delta: both corpus scans arrive
+    * pre-partitioned on their join keys (asserted exchange-free in
+    * ExplainSpec). This is the operator a 100 TB corpus runs every day —
+    * the index amortizes the corpus-side signature computation AND its
+    * shuffle across every future delta. */
+  def incrementalVerdictsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                      delta: DataFrame, bandsTable: String,
+                                      sigsTable: String, bands: Int = 16,
+                                      rowsPerBand: Int = 8, shingleN: Int = 3,
+                                      threshold: Double = 0.7): DataFrame = {
+    val dSig = sigFrame(delta, bands * rowsPerBand, shingleN)
+    val candidates = bandFrame(dSig, bands, rowsPerBand).as("d")
+      .join(spark.table(bandsTable).as("c"),
+        col("d.band_id") === col("c.band_id") &&
+        col("d.band_hash") === col("c.band_hash"))
+      .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .distinct()
+    val cs = spark.table(sigsTable).select(col("doc_id").as("corpus_id"),
+      col("sig").as("csig"), shingles(col("text"), shingleN).as("cgrams"))
+    incrementalVerdictsFrom(delta, dSig, cs, candidates, shingleN, threshold)
   }
 
   /** 64-bit SimHash over word unigrams: per-bit vote of token hashes.

@@ -102,6 +102,53 @@ object PipelineQueries {
       |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) dd
       |LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (doc_id)""".stripMargin
 
+  /** p54 — incremental dedup against the PERSISTED corpus index: same
+    * split and semantics as p52, but the corpus side is built ONCE as
+    * two bucketed tables (band index on band_hash, signatures on
+    * doc_id) and the delta probes them — the production daily-ingest
+    * shape where only the delta ever shuffles (corpus-side scans
+    * asserted exchange-free in ExplainSpec). The oracle is p52's exact
+    * all-pairs truth, so a hash match certifies the persisted-index
+    * path loses nothing vs the inline one.
+    *
+    * Index tables are cached per (application, input dir, scratch
+    * epoch) exactly like q34's bucket layout: benchmark reps bump the
+    * epoch and time the FULL operator (index build + probe), while
+    * repeated calls at one epoch pay the build once — the amortization
+    * the index exists for. Broadcast is disabled around the probe
+    * because at fixture scale the planner would broadcast the delta and
+    * skip the bucket layout this row exists to exercise. */
+  def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    val epoch = graft.io.TempPaths.epochTag
+    val bandsTbl = s"graft_p54_bands_${app}_$tag$epoch"
+    val sigsTbl = s"graft_p54_sigs_${app}_$tag$epoch"
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(bandsTbl) ||
+        !spark.catalog.tableExists(sigsTbl)) {
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
+        buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${bandsTbl.toLowerCase}")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${sigsTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalVerdictsAgainstIndex(spark,
+          docs.filter(col("doc_id") % 5 === 0), bandsTbl, sigsTbl,
+          bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   /** The catalog entries run the md5-hashed `replayable` simhash variant
     * (60-bit signature, 4 x 15-bit pigeonhole chunks): identical vote /
     * banding / hamming-verify machinery to the xxhash64 default, but
@@ -696,7 +743,8 @@ object PipelineQueries {
     "p20_text_tfidf" -> (textTfIdf _),
     "p21_train_test_split" -> (trainTestSplit _),
     "p22_quantize_embeddings" -> (quantizeReport _),
-    "p52_dedup_incremental" -> (dedupIncremental _))
+    "p52_dedup_incremental" -> (dedupIncremental _),
+    "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -725,5 +773,8 @@ object PipelineQueries {
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,
     "p22_quantize_embeddings" -> quantizeReportSql,
-    "p52_dedup_incremental" -> dedupIncrementalSql)
+    "p52_dedup_incremental" -> dedupIncrementalSql,
+    // same split, same semantics: the persisted-index path must equal
+    // the exact all-pairs truth exactly like the inline path
+    "p54_dedup_incremental_indexed" -> dedupIncrementalSql)
 }

@@ -180,6 +180,54 @@ class ExplainSpec extends SparkSpec {
       s"incremental dedup must probe band buckets:\n$p52")
   }
 
+  test("p54 probe: persisted corpus index joins shuffle ONLY the delta") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val bandsTbl = "graft_p54spec_bands"
+    val sigsTbl = "graft_p54spec_sigs"
+    graft.io.Bucketing.dropTable(spark, bandsTbl)
+    graft.io.Bucketing.dropTable(spark, sigsTbl)
+    graft.ops.Dedup.buildCorpusIndex(corpus, bandsTbl, sigsTbl,
+      bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // fixture scale would broadcast the delta and AQE would rewrap the
+      // exchanges; pin the static shuffle-join plan the layout targets
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dSig = graft.ops.Dedup.sigFrame(delta, 128, 3)
+      val probe = graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      val plan = planString(probe)
+      // the corpus scan must arrive pre-partitioned (bucketed read) …
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"corpus band index must be read as a bucketed table:\n$plan")
+      // … and the ONLY exchange in the probe is the delta side's: a
+      // second one means the corpus re-shuffled and the index bought nothing
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly one (delta-side) exchange:\n$plan")
+      // end-to-end: the indexed path emits exactly the inline verdicts
+      val indexed = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+        spark, delta, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      val inline = graft.ops.Dedup.incrementalMinhashVerdicts(corpus, delta,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "persisted-index verdicts must equal the inline path")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+    }
+  }
+
   test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(
