@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Dedup, Selection, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -146,6 +146,98 @@ object RecallQueries {
        |SELECT group_id, doc_id AS rep_id, round(quality_score, 6) AS rep_score,
        |  n_members
        |FROM r WHERE rn = 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p55 — the END-TO-END curation pipeline, composed
+  // ---------------------------------------------------------------------
+
+  /** The full corpus-curation chain as ONE row: quality scoring (p07) →
+    * near-dup edges → transitive groups (p19 machinery) → keep-best
+    * representatives (p43) → per-source cap (p49) → global token budget
+    * (p50). Every stage exists as its own catalog row; this row runs
+    * them COMPOSED, because that is how users run them, and
+    * operator-boundary bugs — column collisions, round-then-compare
+    * drift between a stage's output and the next stage's ordering —
+    * only surface composed. The edge set is the SQL-replayable blocked
+    * trigram-Jaccard one (the p23/p43 device; minhash edges are seeded
+    * and cannot replay in the oracle), so the whole chain hash-checks
+    * end to end against a single recursive-CTE pipeline oracle.
+    *
+    * Scale shape is inherited stage by stage: narrow scoring pass,
+    * blocked pair join (never all-pairs), driver-or-distributed
+    * components, struct-max representatives, bounded top-k aggregate
+    * cap, bucket-offset prefix-sum budget — no stage regresses to a
+    * global sort or cross join just because it now feeds another.
+    *
+    * Output: one row per capped representative with its running token
+    * total and the final in/out verdict. Ordering fine print: the
+    * budget stage orders by (1.0 - rep_score) — the oracle replays
+    * THAT expression, not `rep_score DESC`, so any floating-point
+    * collision in the subtraction collides identically in both
+    * engines. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.qualityScore(docs)
+    val groups = Dedup.dedupGroups(docs, Dedup.blockedNgramJaccardPairs(docs))
+    val reps = Dedup.groupRepresentatives(groups,
+      scored.select(col("doc_id"), col("quality_score")))
+    val repSrc = reps.select(col("rep_id").as("doc_id"), col("rep_score"))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val capped = Selection.groupCappedTopK(repSrc, col("source"),
+        col("rep_score"), col("doc_id"), cap = 10)
+      .select(col("group_key").as("source"), col("rank").as("cap_rank"),
+        col("id").as("doc_id"), col("score").as("rep_score"))
+    val withTok = capped
+      .join(scored.select(col("doc_id"), col("n_tokens")), Seq("doc_id"))
+    Selection.budgetSelect(withTok, ord = lit(1.0) - col("rep_score"),
+        weight = col("n_tokens"), tie = col("doc_id"), budget = 10000L)
+      .select(col("doc_id"), col("source"), col("rep_score"), col("cap_rank"),
+        col("n_tokens"), col("cum_weight").as("cum_tokens"),
+        col("is_selected"))
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH RECURSIVE $componentCtes,
+       |grp AS (SELECT id AS doc_id, MIN(root) AS group_id FROM reach GROUP BY id),
+       |q AS (
+       |  SELECT doc_id,
+       |    len(string_split(text, ' ')) AS n_tokens,
+       |    0.4 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+       |           len(string_split(text, ' '))) +
+       |    0.3 * (CAST(len(list_filter(string_split(text, ' '),
+       |           x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) /
+       |           len(string_split(text, ' '))) +
+       |    0.3 * least((CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+       |           len(string_split(text, ' '))) / 10.0, 1.0) AS quality_score
+       |  FROM documents),
+       |j AS (SELECT grp.group_id, grp.doc_id, q.quality_score
+       |  FROM grp JOIN q USING (doc_id)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY group_id
+       |      ORDER BY quality_score DESC, doc_id DESC) AS rn
+       |  FROM j),
+       |rep AS (SELECT doc_id, round(quality_score, 6) AS rep_score
+       |  FROM r WHERE rn = 1),
+       |src AS (SELECT rep.doc_id, rep.rep_score, d.source
+       |  FROM rep JOIN documents d USING (doc_id)),
+       |cap AS (SELECT *,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY rep_score DESC, doc_id) AS cap_rank
+       |  FROM src),
+       |kept AS (SELECT doc_id, source, rep_score,
+       |    CAST(cap_rank AS BIGINT) AS cap_rank
+       |  FROM cap WHERE cap_rank <= 10),
+       |c AS (
+       |  SELECT k.doc_id, k.source, k.rep_score, k.cap_rank,
+       |    CAST(q.n_tokens AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(q.n_tokens AS BIGINT)) OVER (
+       |      ORDER BY 1.0 - k.rep_score, k.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM kept k JOIN q USING (doc_id))
+       |SELECT doc_id, source, rep_score, cap_rank, n_tokens, cum_tokens,
+       |  cum_tokens <= 10000 AS is_selected
+       |FROM c""".stripMargin
 
   // ---------------------------------------------------------------------
   // p24 — recall@10 of the LSH-bucketed ANN vs the exact baseline
@@ -670,6 +762,7 @@ object RecallQueries {
     "p41_semantic_dedup" -> (semanticDedup _),
     "p42_kmeans_lloyd" -> (kmeansLloyd _),
     "p53_dedup_report" -> (dedupReport _),
+    "p55_curation_pipeline" -> (curationPipeline _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -688,5 +781,6 @@ object RecallQueries {
     "p12_ann_lsh_topk" -> annLshTopKSql,
     "p16_ann_ivf_topk" -> annIvfTopKSql,
     "p19_dedup_groups" -> dedupGroupsSql,
-    "p53_dedup_report" -> dedupReportSql)
+    "p53_dedup_report" -> dedupReportSql,
+    "p55_curation_pipeline" -> curationPipelineSql)
 }

@@ -148,6 +148,45 @@ class SelectionSpec extends SparkSpec {
     assert(gotDups.count() > 0, "fixture contains known near-dups")
   }
 
+  test("p55 curation pipeline invariants: one rep per group, cap respected, prefix budget") {
+    val out = graft.queries.RecallQueries.curationPipeline(spark, sfDir)
+      .collect()
+    assert(out.nonEmpty)
+    // at most `cap` rows per source, ranks 1..k dense
+    val bySource = out.groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (s, rows) =>
+      assert(rows.length <= 10, s"source $s exceeds the per-source cap")
+      assert(rows.map(_.getAs[Long]("cap_rank")).sorted.toSeq ===
+        (1L to rows.length).toSeq, s"source $s ranks must be dense from 1")
+    }
+    // the budget is a PREFIX property in the (1 - rep_score, doc_id)
+    // order: cum_tokens strictly increases and is_selected never
+    // re-activates after the first overflow
+    val ordered = out.sortBy(r =>
+      (1.0 - r.getAs[Double]("rep_score"), r.getAs[Long]("doc_id")))
+    var cum = 0L
+    var overflowed = false
+    ordered.foreach { r =>
+      cum += r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("cum_tokens") === cum,
+        "cum_tokens must be the exact running sum in selection order")
+      val sel = r.getAs[Boolean]("is_selected")
+      assert(sel === (cum <= 10000L))
+      if (overflowed) assert(!sel, "selection must be a prefix")
+      if (!sel) overflowed = true
+    }
+    // representatives only: no two output docs share a dedup group
+    val docs = Tables.documents(spark, sfDir)
+    val groups = graft.ops.Dedup.dedupGroups(docs,
+      graft.ops.Dedup.blockedNgramJaccardPairs(docs))
+    val outIds = out.map(_.getAs[Long]("doc_id")).toSet
+    val groupOf = groups.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_id")).toMap
+    val seen = outIds.toSeq.map(groupOf)
+    assert(seen.distinct.size === seen.size,
+      "two curated docs share a near-dup group — representative stage leaked")
+  }
+
   test("dedupReport invariants: keepers + duplicates = docs, one keeper per group") {
     val r = graft.queries.RecallQueries.dedupReport(spark, sfDir).collect()
     assert(r.length === 1)
