@@ -244,6 +244,22 @@ object EventsStream {
     runAvailableNowTo(hourlyAggregates(readEventsStream(spark, dir)),
       checkpoint, outDir, statePartitions)
 
+  /** State-store provider for the streaming surface: RocksDB unless
+    * overridden (`SPARK_GRAFT_STATE_PROVIDER=hdfs` restores the
+    * heap-backed default). At 100x state the HDFS-backed provider holds
+    * every state row ON HEAP — the scale-killer watermark eviction
+    * cannot fix, because the bound is live keys, not history; RocksDB
+    * keeps state off-heap with incremental changelog snapshots, so
+    * state capacity tracks local disk, not executor heap. The provider
+    * is part of the checkpoint contract: it must be chosen before the
+    * first batch and kept for the checkpoint's life. */
+  private val stateStoreProvider: Option[String] =
+    sys.env.get("SPARK_GRAFT_STATE_PROVIDER") match {
+      case Some("hdfs") => None
+      case _ => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    }
+
   /** Drain any streaming Dataset to a parquet sink under
     * `Trigger.AvailableNow` (append mode) and block until done — the
     * shared exactly-once runner behind q54/q56-q59: the checkpoint's
@@ -259,14 +275,23 @@ object EventsStream {
     * is pure overhead when the keyspace is small, and a too-small count
     * caps stateful parallelism forever when it is not. Size it to
     * expected state volume (keys x bytes / executor memory), not to the
-    * session's batch-shuffle default. None inherits the session conf. */
+    * session's batch-shuffle default. None inherits the session conf.
+    *
+    * Returns the per-micro-batch [[StreamingQueryProgress]] history —
+    * the observability surface a ledger-replacement pipeline alerts on
+    * (rows dropped as late, state rows, batch durations); see
+    * [[progressSummary]] for the DataFrame form. */
   def runAvailableNowTo(ds: Dataset[_], checkpoint: String,
                         outDir: String,
-                        statePartitions: Option[Int] = None): Unit = {
+                        statePartitions: Option[Int] = None)
+      : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val spark = ds.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
     try {
       val q = ds.writeStream
         .outputMode("append")
@@ -276,8 +301,34 @@ object EventsStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.recentProgress
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
     }
+  }
+
+  /** The streaming observability surface as a small DataFrame: one row
+    * per micro-batch with the numbers a production pipeline alerts on —
+    * input volume, rows the watermark dropped as late, state-store row
+    * counts and update churn, batch duration. Aggregated from the
+    * engine's own [[StreamingQueryProgress]]; a one-batch-per-row frame
+    * is driver-sized by construction (micro-batch counts, not data). */
+  def progressSummary(spark: SparkSession,
+                      progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])
+      : DataFrame = {
+    import spark.implicits._
+    progress.map { p =>
+      val st = p.stateOperators
+      (p.batchId, p.numInputRows,
+        st.map(_.numRowsDroppedByWatermark).sum,
+        st.map(_.numRowsTotal).sum,
+        st.map(_.numRowsUpdated).sum,
+        p.batchDuration)
+    }.toDF("batch_id", "num_input_rows", "rows_dropped_by_watermark",
+      "state_rows_total", "state_rows_updated", "batch_duration_ms")
   }
 }

@@ -218,6 +218,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runAvailableNowTo engages RocksDB state and accounts for every dropped duplicate") {
+    // same multi-batch keyed-dedup shape as the cross-batch test, but
+    // the assertions are about the OBSERVABILITY surface: the returned
+    // StreamingQueryProgress must show (a) the RocksDB provider actually
+    // holding the state (custom rocksdb* metrics present — a silent
+    // fallback to the heap provider would pass every output check while
+    // keeping the 100x-state scale problem), (b) zero watermark drops
+    // under the 90-day horizon, and (c) input minus output exactly equal
+    // to the batch-side duplicate count — the "drops exactly what it
+    // dedups" ledger a production pipeline alerts on.
+    val landing = Files.createTempDirectory("metrics_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(landing)
+    val ckpt = Files.createTempDirectory("metrics_ckpt").toString
+    val out = Files.createTempDirectory("metrics_out").toString
+    val keyed = EventsStream
+      .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+      .withColumn("hour",
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13))
+    val progress = EventsStream.runAvailableNowTo(
+      EventsStream.dedupEventsByKey(
+        keyed, Seq("hour", "user_id", "event_type"), "90 days")
+        .select(col("hour"), col("user_id"), col("event_type")),
+      ckpt, out)
+    assert(progress.nonEmpty)
+    val stateful = progress.filter(_.stateOperators.nonEmpty)
+    assert(stateful.nonEmpty, "dedup run must report stateful operators")
+    assert(stateful.exists(_.stateOperators.exists(op =>
+      op.customMetrics.keySet.toArray.exists(_.toString.startsWith("rocksdb")))),
+      "state operator metrics must come from the RocksDB provider")
+    val summary = EventsStream.progressSummary(spark, progress.toSeq)
+    val dropped = summary.agg(sum("rows_dropped_by_watermark")).as[Long].head()
+    assert(dropped === 0L, "90-day horizon must drop nothing as late")
+    val totalIn = summary.agg(sum("num_input_rows")).as[Long].head()
+    val totalOut = spark.read.parquet(out).count()
+    val batchDistinct = Tables.events(spark, sfDir)
+      .select(
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13)
+          .as("hour"),
+        col("user_id"), col("event_type"))
+      .distinct().count()
+    val batchTotal = Tables.events(spark, sfDir).count()
+    assert(totalIn === batchTotal, "every fixture row must enter exactly once")
+    assert(totalOut === batchDistinct)
+    assert(totalIn - totalOut === batchTotal - batchDistinct,
+      "input minus output must equal exactly the duplicate count")
+    // state rows grow to the distinct-key count by the final batch
+    val lastState = summary.orderBy(col("batch_id").desc)
+      .select("state_rows_total").as[Long].head()
+    assert(lastState === batchDistinct,
+      "watermark-free horizon: state must hold every distinct key")
+  }
+
   test("stream-stream interval join pairs clicks with following views") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
