@@ -149,6 +149,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: groupCappedTopK ≡ window form under heavy ties") {
+    // scores drawn from 4 distinct values over 3 groups: most rows TIE,
+    // which is exactly where an aggregate top-k and a window row_number
+    // can drift apart if the tie-break disagrees
+    val rowsGen = Gen.listOfN(40, for {
+      g <- Gen.choose(1L, 3L)
+      s <- Gen.choose(0, 3).map(_ / 4.0)
+    } yield (g, s))
+    def windowForm(df: org.apache.spark.sql.DataFrame, cap: Int) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("s").desc, col("id").asc)
+      df.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= cap)
+        .select(col("g").as("group_key"), col("rank"), col("id"),
+          col("s").as("score"))
+    }
+    forAllSeeded(rowsGen, n = 4) { rows =>
+      // distinct ids so the (score desc, id asc) order is total
+      val df = rows.zipWithIndex.map { case ((g, s), i) => (g, i.toLong, s) }
+        .toDF("g", "id", "s")
+      val agg = graft.ops.Selection.groupCappedTopK(df, col("g"), col("s"),
+        col("id"), cap = 3)
+      val win = windowForm(df, 3)
+      assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty,
+        "aggregate top-k must equal the window form")
+      // the all-ties corner: every row the same score, order is id alone
+      val flat = df.withColumn("s", lit(0.5))
+      val aggF = graft.ops.Selection.groupCappedTopK(flat, col("g"), col("s"),
+        col("id"), cap = 3)
+      val winF = windowForm(flat, 3)
+      assert(aggF.exceptAll(winF).isEmpty && winF.exceptAll(aggF).isEmpty,
+        "all-ties: aggregate top-k must equal the window form")
+    }
+  }
+
+  test("property: budgetSelect cum_weight invariant under repartitioning and resolution") {
+    val rowsGen = Gen.listOfN(50, for {
+      ord <- Gen.choose(0, 1000).map(_ / 1000.0)
+      w <- Gen.choose(1L, 50L)
+    } yield (ord, w))
+    forAllSeeded(rowsGen, n = 3) { rows =>
+      val data = rows.zipWithIndex.map { case ((o, w), i) => (i.toLong, o, w) }
+      val budget = rows.map(_._2).sum / 2
+      // driver-side reference: exact running sum in (ord, id) order
+      val expected = data.sortBy { case (id, o, _) => (o, id) }
+        .scanLeft((0L, 0L, 0.0)) { case ((_, cum, _), (id, o, w)) => (id, cum + w, o) }
+        .drop(1).map { case (id, cum, _) => id -> cum }.toMap
+      for (res <- Seq(1, 2, 1024); parts <- Seq(1, 7)) {
+        val df = data.toDF("id", "o", "w").repartition(parts)
+        val got = graft.ops.Selection.budgetSelect(df, col("o"), col("w"),
+            col("id"), budget = budget, resolution = res)
+          .collect()
+          .map(r => (r.getAs[Long]("id"), r.getAs[Long]("cum_weight"),
+            r.getAs[Boolean]("is_selected")))
+        withClue(s"resolution=$res parts=$parts: ") {
+          got.foreach { case (id, cum, sel) =>
+            assert(cum === expected(id),
+              s"cum_weight for id=$id must match the exact global running sum")
+            assert(sel === (cum <= budget))
+          }
+        }
+      }
+    }
+  }
+
   test("property: normalize always emits the canonical 9-column schema") {
     val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
     forAllSeeded(extraColsGen) { extras =>
