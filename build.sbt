@@ -34,5 +34,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // embedded Derby (JdbcSpec, metastore) writes its log to CWD by
+  // default, littering the repo root after every test run
+  "-Dderby.stream.error.file=target/derby.log",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

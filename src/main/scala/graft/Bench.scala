@@ -10,8 +10,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable scratch (q34/p54 bucket layouts) out of the
+      // repo root; the graft-warehouse prefix is swept by
+      // TempPaths.sweepStale if a kill strands it
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.io.TempPaths.cleanupOnExit(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     // warm the session so first-use compilation cost (codegen, JIT of the
     // native expression paths, parquet reader init) doesn't land on
     // whichever timed query happens to run an operator family first —

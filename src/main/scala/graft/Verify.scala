@@ -15,8 +15,15 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // keep saveAsTable scratch (q34/p54 bucket layouts) out of the
+      // repo root; the graft-warehouse prefix is swept by
+      // TempPaths.sweepStale if a kill strands it
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.io.TempPaths.cleanupOnExit(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
