@@ -59,7 +59,8 @@ object Bench {
       "q45_compaction", "q50_zorder_layout", "q55_zorder3",
       "q54_streaming_hourly", "q56_streaming_dedup",
       "q57_streaming_sessionize", "q58_streaming_session_eventtime",
-      "q59_streaming_interval_join", "p54_dedup_incremental_indexed")
+      "q59_streaming_interval_join", "q60_streaming_metrics",
+      "p54_dedup_incremental_indexed")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
     // deterministic name order: per-query timings stay comparable across

@@ -318,17 +318,115 @@ object StreamingQueries {
         unix_micros(col("view_ts")).as("view_us"))
   }
 
+  /** Land the events fixture split into `nFiles` part files by
+    * `event_id % nFiles` — the DETERMINISTIC split q60 needs: its
+    * output hashes PER-BATCH numbers, so each batch's contents must be
+    * engine-replayable (a ts-range split's boundaries come from range
+    * sampling, which the oracle cannot replay). Ascending modTimes pin
+    * batch order = index order; ts values interleave across files, which
+    * is harmless here because the watermark horizon exceeds the fixture
+    * span (nothing is ever late). */
+  private def landFixtureModulo(spark: SparkSession, dir: String,
+                                landing: String, nFiles: Int): Unit = {
+    val existing = Option(new java.io.File(landing).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!existing) {
+      new java.io.File(landing).mkdirs()
+      val staging = java.nio.file.Files.createTempDirectory("graft_q60_stage")
+      (0 until nFiles).foreach { i =>
+        val stageDir = staging.resolve(s"part_$i")
+        spark.read.parquet(s"$dir/events.parquet")
+          .filter(col("event_id") % nFiles === i)
+          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+        val part = Option(stageDir.toFile.listFiles()).get
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      val parts = Option(new java.io.File(landing).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 10000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 10000L),
+          s"failed to set mtime on $f — cannot guarantee batch order")
+      }
+    }
+  }
+
+  /** q60 — the STREAMING ENGINE'S OWN METRICS as a hash-checked row:
+    * the keyed dedup of q56 runs across four deterministic micro-batches
+    * (event_id % 4 file split, maxFilesPerTrigger=1), and the row emits
+    * the engine's per-batch StreamingQueryProgress numbers — input rows,
+    * rows dropped by the watermark, state-store rows after the batch.
+    * The oracle recomputes what those numbers MUST be from the data:
+    * batch k's input is the modulo-k slice, nothing is droppable under
+    * the 90-day horizon, and the state row count after batch k is the
+    * cumulative distinct-key count over slices 0..k. A hash mismatch
+    * here means the observability surface lies about the state store —
+    * the failure mode that makes production alerting worthless.
+    *
+    * Metrics are persisted next to the sink on first run and read back,
+    * so a checkpoint-resumed re-run (no new files → no new batches →
+    * empty progress) stays idempotent like every other streaming row. */
+  def q60StreamingMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q60_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q60_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q60_out", dir)
+    val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q60_metrics", dir)
+    landFixtureModulo(spark, dir, landing, nFiles = 4)
+    val hasMetrics = Option(new java.io.File(metricsDir).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!hasMetrics) {
+      val keyed = EventsStream
+        .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .withColumn("hour",
+          substring(date_trunc("hour", col("ts")).cast("string"), 1, 13))
+      val deduped = EventsStream
+        .dedupEventsByKey(keyed, Seq("hour", "user_id", "event_type"), "90 days")
+        .select(col("hour"), col("user_id"), col("event_type"))
+      val progress =
+        EventsStream.runAvailableNowTo(deduped, ckpt, out, statePartitions)
+      EventsStream.progressSummary(spark, progress.toSeq)
+        .filter(col("num_input_rows") > 0)
+        .select(col("batch_id"), col("num_input_rows"),
+          col("rows_dropped_by_watermark"), col("state_rows_total"))
+        .coalesce(1).write.mode("overwrite").parquet(metricsDir)
+    }
+    spark.read.parquet(metricsDir)
+  }
+
+  val q60Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS batch_id,
+      |    substring(CAST(date_trunc('hour', ts) AS VARCHAR), 1, 13) AS hour,
+      |    user_id, event_type
+      |  FROM events),
+      |per AS (
+      |  SELECT batch_id, COUNT(*) AS num_input_rows FROM b GROUP BY batch_id),
+      |first_seen AS (
+      |  SELECT hour, user_id, event_type, MIN(batch_id) AS fb
+      |  FROM b GROUP BY hour, user_id, event_type)
+      |SELECT p.batch_id, p.num_input_rows,
+      |  CAST(0 AS BIGINT) AS rows_dropped_by_watermark,
+      |  (SELECT COUNT(*) FROM first_seen f WHERE f.fb <= p.batch_id)
+      |    AS state_rows_total
+      |FROM per p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
     "q57_streaming_sessionize" -> (q57StreamingSessionize _),
     "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _),
-    "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _))
+    "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _),
+    "q60_streaming_metrics" -> (q60StreamingMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
     "q56_streaming_dedup" -> q56Sql,
     "q57_streaming_sessionize" -> PipelineQueries.eventsSessionizeSql,
     "q58_streaming_session_eventtime" -> q58Sql,
-    "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql)
+    "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql,
+    "q60_streaming_metrics" -> q60Sql)
 }
