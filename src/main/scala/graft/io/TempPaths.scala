@@ -24,6 +24,20 @@ object TempPaths {
   /** Empty at epoch 0, "_eN" after — embedded in every scratch name. */
   def epochTag: String = { val e = epoch.get; if (e == 0) "" else s"_e$e" }
 
+  /** Catalog-safe scratch TABLE name, unique per (application, input,
+    * epoch) — the warehouse-table analogue of [[scratchDir]], shared by
+    * the bucketed-layout rows (q34/p54/p56): appId so concurrent drivers
+    * sharing one warehouse never clobber each other, a SHA-256 prefix of
+    * the discriminator (a 32-bit hashCode collision would silently reuse
+    * the WRONG layout), and the epoch so benchmark reps rebuild. */
+  def scratchTableName(spark: org.apache.spark.sql.SparkSession, prefix: String,
+                       discriminator: String): String = {
+    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(discriminator.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"${prefix}_${app}_$tag$epochTag"
+  }
+
   /** `<tmpdir>/<prefix>_<appId>_<hash(discriminator)>[_eN]`. */
   def scratchDir(spark: org.apache.spark.sql.SparkSession, prefix: String,
                  discriminator: String): String = {

@@ -198,6 +198,13 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, k: Int = 10, queryStride: Int = 50,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val (assign, probes) = ivfParts(embeddings, queryStride, nCentroids, nProbe)
+    ivfRank(assign, probes, k)
+  }
+
+  /** Shared probe-and-rank tail: candidates = assigned vectors in the
+    * query's probed cells (probe side broadcast — bounded by queries x
+    * nProbe), exact cosine on survivors, per-query top-k window. */
+  private def ivfRank(assign: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val pairs = assign.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos_sim",
@@ -206,6 +213,34 @@ object Similarity {
       .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id").asc)
     pairs.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
       .select(col("q_id"), col("vec_id").as("c_id"), col("cell"), col("cos_sim"))
+  }
+
+  /** Persist the IVF coarse-quantizer ASSIGNMENT as a bucketed table —
+    * the build-once half of a production vector index: the O(n x
+    * nCentroids) argmax scoring and its aggregate shuffle are paid once
+    * at build time, and every future query batch probes the stored
+    * (vec_id, cell, embedding, nrm) rows directly. Bucketed on `cell`
+    * (the full probe-join key) so even a non-broadcast probe join runs
+    * with no index-side exchange. */
+  def buildIvfIndex(embeddings: DataFrame, table: String,
+                    nCentroids: Int = 16, buckets: Int = 8): Unit = {
+    val (assign, _) = ivfParts(embeddings, queryStride = 50, nCentroids, nProbe = 1)
+    graft.io.Bucketing.writeBucketed(assign, table, "cell", buckets)
+  }
+
+  /** The probe half: identical semantics to [[ivfTopK]] (same centroid
+    * geometry — `nCentroids` MUST match the index build; probes are
+    * derived from the same deterministic scramble), but the corpus side
+    * reads the persisted [[buildIvfIndex]] table, so a query batch costs
+    * probe-derivation + one broadcast join over the stored assignment —
+    * no per-run argmax aggregate, no corpus-side shuffle (asserted in
+    * ExplainSpec). */
+  def ivfTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                          embeddings: DataFrame, table: String, k: Int = 10,
+                          queryStride: Int = 50, nCentroids: Int = 16,
+                          nProbe: Int = 4): DataFrame = {
+    val (_, probes) = ivfParts(embeddings, queryStride, nCentroids, nProbe)
+    ivfRank(spark.table(table), probes, k)
   }
 
   /** Shared IVF coarse-quantizer stages: `assign` = (vec_id, cell,

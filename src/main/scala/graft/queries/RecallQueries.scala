@@ -780,6 +780,8 @@ object RecallQueries {
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,
     "p16_ann_ivf_topk" -> annIvfTopKSql,
+    // the indexed probe must return bit-identical neighbors to p16
+    "p56_ann_ivf_indexed" -> annIvfTopKSql,
     "p19_dedup_groups" -> dedupGroupsSql,
     "p53_dedup_report" -> dedupReportSql,
     "p55_curation_pipeline" -> curationPipelineSql)

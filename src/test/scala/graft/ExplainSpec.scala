@@ -228,6 +228,40 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p56 probe: persisted IVF index replaces the per-run assignment aggregate") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val tbl = "graft_p56spec_ivf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.Similarity.buildIvfIndex(emb, tbl, nCentroids = 16, buckets = 4)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val indexed = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, tbl)
+      val plan = planString(indexed)
+      // the corpus side must come straight from the stored assignment:
+      // no argmax aggregate (that was the build-time work) …
+      assert(!plan.contains("HashAggregate"),
+        s"probe must not recompute the cell assignment:\n$plan")
+      // … read as the bucketed table it is, and NEVER re-shuffled on the
+      // probe key (the remaining exchanges are the per-query windows —
+      // top-k on q_id, nProbe on vec_id — both bounded by query count)
+      assert(plan.contains("Bucketed: true"),
+        s"index must be read as a bucketed table:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(cell"),
+        s"index side must stream into the join without a cell shuffle:\n$plan")
+      assert(plan.contains("BroadcastHashJoin"),
+        s"probe side must broadcast:\n$plan")
+      // end-to-end: bit-identical neighbors vs the inline path
+      val inline = graft.ops.Similarity.ivfTopK(emb)
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "indexed IVF must equal the inline path")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(
