@@ -228,6 +228,28 @@ object Dedup {
     graft.io.Bucketing.writeBucketed(sig, sigsTable, "doc_id", buckets)
   }
 
+  /** The maintenance half of the daily-ingest contract: fold a verdicted
+    * delta INTO the persisted index so tomorrow's delta probes today's
+    * documents too. Only the delta is signed, banded, and written —
+    * appended files land inside the existing bucket layout (Spark
+    * validates the bucket spec against catalog metadata and fails loudly
+    * on a mismatch), so the corpus is never re-signed, re-shuffled, or
+    * rewritten. At 100 TB this is the nightly index upkeep: O(|delta|)
+    * work forever, with the small appended files swept by the same
+    * compaction machinery as any bucketed fact table (q45). Parameters
+    * MUST match the [[buildCorpusIndex]] call that created the tables. */
+  def appendToCorpusIndex(delta: DataFrame, bandsTable: String,
+                          sigsTable: String, bands: Int = 16,
+                          rowsPerBand: Int = 8, shingleN: Int = 3,
+                          buckets: Int = 8): Unit = {
+    val sig = sigFrame(delta, bands * rowsPerBand, shingleN)
+    graft.io.Bucketing.writeBucketedMulti(bandFrame(sig, bands, rowsPerBand),
+      bandsTable, Seq("band_id", "band_hash"), buckets,
+      org.apache.spark.sql.SaveMode.Append)
+    graft.io.Bucketing.writeBucketed(sig, sigsTable, "doc_id", buckets,
+      org.apache.spark.sql.SaveMode.Append)
+  }
+
   /** The probe half of the daily-ingest contract: identical semantics to
     * [[incrementalMinhashVerdicts]] (same banding, verify, tie-breaks —
     * `bands`/`rowsPerBand`/`shingleN` MUST match the index build), but

@@ -417,4 +417,109 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("left_id"), col("right_id"), col("cos_sim"))
   }
+
+  // -------------------------------------------------------------------
+  // Incremental embedding dedup against a persisted vector index — the
+  // embedding analogue of Dedup.buildCorpusIndex/
+  // incrementalVerdictsAgainstIndex (reference semantics: the same
+  // keep-first near-dup policy as cosineDedupVerdicts, restricted to
+  // NEW vectors vs an EXISTING corpus — the daily-ingest shape).
+  // -------------------------------------------------------------------
+
+  /** Shared probe + exact-verify + argmax tail of the incremental
+    * cosine family. `bandsC` must carry (corpus_id, t, bucket); `vecsC`
+    * (corpus_id, c_emb, c_nrm). Candidates = delta vectors colliding
+    * with a corpus vector in ANY of the multi-table sign-LSH buckets;
+    * survivors are scored exactly, rounded BEFORE the argmax so oracle
+    * tie-breaks see the same keys; best match ties to the LOWEST corpus
+    * id (struct-max — one cell per delta vector, no per-candidate
+    * window). One verdict row per delta vector, always. */
+  private def incrementalCosineFrom(delta: DataFrame, bandsC: DataFrame,
+                                    vecsC: DataFrame, tables: Int,
+                                    bits: Int, threshold: Double): DataFrame = {
+    val dPosed = delta.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, bits)))
+      .toDF("new_id", "t", "bucket")
+    val candidates = dPosed.join(bandsC, Seq("t", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    val dv = delta.select(col("vec_id").as("new_id"),
+      col("embedding").as("d_emb"), vec_norm(col("embedding")).as("d_nrm"))
+    val best = candidates.join(dv, "new_id").join(vecsC, "corpus_id")
+      .withColumn("cos_sim",
+        round(vec_dot(col("d_emb"), col("c_emb")) / (col("d_nrm") * col("c_nrm")), 6))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("cos_sim"), (-col("corpus_id")).as("neg_id"))).as("m"))
+      .select(col("new_id").as("vec_id"), col("m.cos_sim").as("dup_cos"),
+        (-col("m.neg_id")).cast("long").as("dup_of"))
+    delta.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"), col("dup_cos"))
+  }
+
+  /** INCREMENTAL embedding near-dup verdicts, corpus side inline: every
+    * delta vector gets (is_dup, dup_of, dup_cos) against the corpus —
+    * candidate volume is |delta| probing the corpus band index, never
+    * corpus x corpus. The production shape — corpus persisted once so
+    * the probe plan shuffles only the delta — is [[buildVectorIndex]] +
+    * [[incrementalCosineVerdictsAgainstIndex]], which share this tail. */
+  def incrementalCosineVerdicts(corpus: DataFrame, delta: DataFrame,
+                                threshold: Double = 0.45, tables: Int = 8,
+                                bitsPerTable: Int = 0): DataFrame = {
+    val b = resolveBits(corpus, bitsPerTable)
+    val bandsC = corpus.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, b)))
+      .toDF("corpus_id", "t", "bucket")
+    val vecsC = corpus.select(col("vec_id").as("corpus_id"),
+      col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_nrm"))
+    incrementalCosineFrom(delta, bandsC, vecsC, tables, b, threshold)
+  }
+
+  /** Persist the corpus side of incremental embedding dedup as two
+    * BUCKETED tables — the vector-index analogue of Dedup's corpus
+    * index:
+    *
+    *  - `bandsTable` (corpus_id, t, bucket) bucketed on the FULL probe
+    *    key (t, bucket): ints only — the multi-table sign-LSH postings.
+    *  - `vecsTable` (corpus_id, c_emb, c_nrm) bucketed on corpus_id:
+    *    the exact-verify payload; only candidate hits fetch embeddings.
+    *
+    * Bits per table are sized from the corpus count at build time; the
+    * probe re-derives the SAME value from the stored row count (a
+    * parquet-footer read), so the two halves cannot drift. Returns the
+    * resolved bits for callers that want to log it. */
+  def buildVectorIndex(corpus: DataFrame, bandsTable: String,
+                       vecsTable: String, tables: Int = 8,
+                       bitsPerTable: Int = 0, buckets: Int = 8): Int = {
+    val b = resolveBits(corpus, bitsPerTable)
+    val bands = corpus.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, b)))
+      .toDF("corpus_id", "t", "bucket")
+    graft.io.Bucketing.writeBucketedMulti(bands, bandsTable,
+      Seq("t", "bucket"), buckets)
+    graft.io.Bucketing.writeBucketed(
+      corpus.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_nrm")),
+      vecsTable, "corpus_id", buckets)
+    b
+  }
+
+  /** The probe half: identical semantics to
+    * [[incrementalCosineVerdicts]] (same hyperplanes — `tables` MUST
+    * match the index build; bits are re-derived from the stored count),
+    * but both corpus scans arrive pre-partitioned on their join keys —
+    * the probe plan shuffles ONLY the delta (asserted in ExplainSpec).
+    * This is what a 100 TB embedded corpus runs per ingest batch: the
+    * index amortizes the corpus-side banding AND its shuffle across
+    * every future delta. */
+  def incrementalCosineVerdictsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, delta: DataFrame,
+      bandsTable: String, vecsTable: String, threshold: Double = 0.45,
+      tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+    val vecsC = spark.table(vecsTable)
+    val b = if (bitsPerTable > 0) bitsPerTable
+            else adaptiveBitsPerTable(vecsC.count())
+    incrementalCosineFrom(delta, spark.table(bandsTable), vecsC, tables, b,
+      threshold)
+  }
 }

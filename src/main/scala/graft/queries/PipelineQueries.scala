@@ -149,6 +149,48 @@ object PipelineQueries {
     }
   }
 
+  /** p58 — index MAINTENANCE: the persisted corpus index is built from
+    * only 60% of the corpus (doc_id % 5 in 2..4), day-one's delta
+    * (doc_id % 5 = 1) is APPENDED into it — only the delta is signed
+    * and written, the corpus untouched — and day-two's delta
+    * (doc_id % 5 = 0) probes the combined index. The oracle is p52's
+    * exact all-pairs truth over the FULL %5<>0 corpus, so a hash match
+    * certifies the appended index is indistinguishable from a
+    * monolithic rebuild: the O(|delta|)-per-day upkeep loop loses
+    * nothing. Build+append are cached per (application, input, scratch
+    * epoch) as one guarded unit, so the append is never replayed into
+    * an already-appended index within an epoch (reps bump the epoch and
+    * pay the full build+append+probe). */
+  def dedupIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p58_bands", dir)
+    val sigsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p58_sigs", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(bandsTbl) ||
+        !spark.catalog.tableExists(sigsTbl)) {
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 5 >= 2),
+        bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
+        buckets = 8)
+      Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 5 === 1),
+        bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
+        buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${bandsTbl.toLowerCase}")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${sigsTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalVerdictsAgainstIndex(spark,
+          docs.filter(col("doc_id") % 5 === 0), bandsTbl, sigsTbl,
+          bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   /** The catalog entries run the md5-hashed `replayable` simhash variant
     * (60-bit signature, 4 x 15-bit pigeonhole chunks): identical vote /
     * banding / hamming-verify machinery to the xxhash64 default, but
@@ -764,7 +806,8 @@ object PipelineQueries {
     "p21_train_test_split" -> (trainTestSplit _),
     "p22_quantize_embeddings" -> (quantizeReport _),
     "p52_dedup_incremental" -> (dedupIncremental _),
-    "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _))
+    "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
+    "p58_dedup_index_append" -> (dedupIndexAppend _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -796,5 +839,7 @@ object PipelineQueries {
     "p52_dedup_incremental" -> dedupIncrementalSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
-    "p54_dedup_incremental_indexed" -> dedupIncrementalSql)
+    "p54_dedup_incremental_indexed" -> dedupIncrementalSql,
+    // appended index must be indistinguishable from a monolithic build
+    "p58_dedup_index_append" -> dedupIncrementalSql)
 }

@@ -406,6 +406,71 @@ object RecallQueries {
        |SELECT q_id, c_id, cos_sim FROM hr WHERE rn <= 10""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p57 — incremental embedding dedup against a PERSISTED vector index
+  // ---------------------------------------------------------------------
+
+  /** p57 — every delta vector (vec_id % 5 = 0, the p52/p54 split) gets a
+    * near-dup verdict against the corpus via the PERSISTED two-table
+    * vector index (bands bucketed on the full (t, bucket) probe key;
+    * verify payload on corpus_id) — the per-ingest-batch shape of p13.
+    * Index cached per (application, input, scratch epoch) like q34/p54/
+    * p56, so bench reps time build+probe while same-epoch calls pay the
+    * probe only. The oracle replays the bucket geometry AND the
+    * threshold verify, so the hash certifies the indexed path loses
+    * nothing vs the inline banding (ExplainSpec additionally proves
+    * inline ≡ indexed and the shuffle-only-the-delta plan). */
+  def embDedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p57_vbands", dir)
+    val vecsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p57_vecs", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(bandsTbl) ||
+        !spark.catalog.tableExists(vecsTbl)) {
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, vecsTbl)
+      Similarity.buildVectorIndex(corpus, bandsTbl, vecsTbl)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${bandsTbl.toLowerCase}")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${vecsTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Similarity.incrementalCosineVerdictsAgainstIndex(spark, delta,
+          bandsTbl, vecsTbl, threshold = 0.45)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  /** Replays the delta-probes-corpus banding (8 tables x 3 bits at the
+    * sf0.01 corpus count — adaptiveBitsPerTable(400)), exact cosine
+    * verify at 0.45 (just under the random fixture's max neighbor
+    * cosine, so the verdict set is non-trivial), argmax tie to the
+    * lowest corpus id — same keys as the struct-max because cos_sim is
+    * rounded before both. */
+  val embDedupIncrementalSql: String =
+    s"""WITH c AS (SELECT vec_id, embedding,
+       |  ${bucketCols("embedding", 8, 3)}
+       |  FROM embeddings WHERE vec_id % 5 <> 0),
+       |d AS (SELECT vec_id, embedding,
+       |  ${bucketCols("embedding", 8, 3)}
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |p AS (SELECT d.vec_id AS new_id, c.vec_id AS corpus_id,
+       |    ${cosSql("d.embedding", "c.embedding")} AS cos_sim
+       |  FROM d JOIN c ON ${collideSql("d", "c", 8)}),
+       |f AS (SELECT * FROM p WHERE cos_sim >= 0.45),
+       |b AS (SELECT new_id, corpus_id, cos_sim,
+       |    row_number() OVER (PARTITION BY new_id
+       |      ORDER BY cos_sim DESC, corpus_id ASC) AS rn FROM f)
+       |SELECT e.vec_id, (b.corpus_id IS NOT NULL) AS is_dup,
+       |  b.corpus_id AS dup_of, b.cos_sim AS dup_cos
+       |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) e
+       |  LEFT JOIN (SELECT * FROM b WHERE rn = 1) b ON b.new_id = e.vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // p39 — IVF-PQ: coarse-quantized candidates ranked by ADC distance
   // ---------------------------------------------------------------------
 
@@ -763,6 +828,7 @@ object RecallQueries {
     "p42_kmeans_lloyd" -> (kmeansLloyd _),
     "p53_dedup_report" -> (dedupReport _),
     "p55_curation_pipeline" -> (curationPipeline _),
+    "p57_emb_dedup_incremental" -> (embDedupIncrementalIndexed _),
     "q43_sketch_quality" -> (sketchQuality _))
 
   val oracles: Map[String, String] = Map(
@@ -784,5 +850,6 @@ object RecallQueries {
     "p56_ann_ivf_indexed" -> annIvfTopKSql,
     "p19_dedup_groups" -> dedupGroupsSql,
     "p53_dedup_report" -> dedupReportSql,
-    "p55_curation_pipeline" -> curationPipelineSql)
+    "p55_curation_pipeline" -> curationPipelineSql,
+    "p57_emb_dedup_incremental" -> embDedupIncrementalSql)
 }

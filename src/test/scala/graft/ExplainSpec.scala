@@ -262,6 +262,99 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p58 append: appended index stays bucketed, equals a monolithic build") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val delta2 = docs.filter(col("doc_id") % 5 === 0)
+    val bandsTbl = "graft_p58spec_bands"
+    val sigsTbl = "graft_p58spec_sigs"
+    graft.io.Bucketing.dropTable(spark, bandsTbl)
+    graft.io.Bucketing.dropTable(spark, sigsTbl)
+    // day 0: index 60% of the corpus; day 1: append the next 20%
+    graft.ops.Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 5 >= 2),
+      bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 4)
+    graft.ops.Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 5 === 1),
+      bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the appended table must STILL plan as a bucketed scan — an
+      // append that silently degraded the layout would re-shuffle the
+      // whole corpus on every future probe
+      val dSig = graft.ops.Dedup.sigFrame(delta2, 128, 3)
+      val probe = graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      val plan = planString(probe)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"appended band index must still scan bucketed:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly one (delta-side) exchange after append:\n$plan")
+      // day 2's probe over build+append == one monolithic 80% build
+      val appended = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+        spark, delta2, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      val monolithic = graft.ops.Dedup.incrementalMinhashVerdicts(
+        docs.filter(col("doc_id") % 5 =!= 0), delta2,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      assert(appended.exceptAll(monolithic).isEmpty &&
+             monolithic.exceptAll(appended).isEmpty,
+        "append-maintained index must equal the monolithic rebuild")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+    }
+  }
+
+  test("p57 probe: persisted vector index joins shuffle ONLY the delta") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val bandsTbl = "graft_p57spec_vbands"
+    val vecsTbl = "graft_p57spec_vecs"
+    graft.io.Bucketing.dropTable(spark, bandsTbl)
+    graft.io.Bucketing.dropTable(spark, vecsTbl)
+    val bits = graft.ops.Similarity.buildVectorIndex(corpus, bandsTbl, vecsTbl,
+      buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dPosed = delta.select(col("vec_id"),
+        posexplode(graft.ops.Similarity.lshBucketsMulti(col("embedding"), 8, bits)))
+        .toDF("new_id", "t", "bucket")
+      val probe = dPosed.join(spark.table(bandsTbl), Seq("t", "bucket"))
+        .select(col("new_id"), col("corpus_id"))
+      val plan = planString(probe)
+      // the corpus postings must arrive pre-partitioned (bucketed read) …
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"corpus band index must be read as a bucketed table:\n$plan")
+      // … and the ONLY exchange in the probe is the delta side's
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly one (delta-side) exchange:\n$plan")
+      // end-to-end: the indexed path emits exactly the inline verdicts
+      val indexed = graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(
+        spark, delta, bandsTbl, vecsTbl, threshold = 0.45)
+      val inline = graft.ops.Similarity.incrementalCosineVerdicts(corpus, delta,
+        threshold = 0.45)
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "persisted-index verdicts must equal the inline path")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, vecsTbl)
+    }
+  }
+
   test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(
