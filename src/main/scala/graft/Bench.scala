@@ -60,6 +60,7 @@ object Bench {
       "q54_streaming_hourly", "q56_streaming_dedup",
       "q57_streaming_sessionize", "q58_streaming_session_eventtime",
       "q59_streaming_interval_join", "q60_streaming_metrics",
+      "q61_streaming_upsert",
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append")
     def repsFor(name: String): Int =

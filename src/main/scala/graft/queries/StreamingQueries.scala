@@ -414,13 +414,50 @@ object StreamingQueries {
       |    AS state_rows_total
       |FROM per p""".stripMargin
 
+  /** q61 — streaming keyed UPSERT through `foreachBatch`: four
+    * micro-batches MERGE into a bucket-partitioned parquet table
+    * holding the latest row per (user_id, event_type) — the
+    * ledger/mart maintenance shape for sinks without a transactional
+    * streaming log (the reference's JDBC mart upserts). "Latest" =
+    * highest event_id, a unique per-key version, so the final table is
+    * split-independent and the oracle is one argmax over the raw
+    * events. Each batch rewrites ONLY its affected bucket partitions
+    * (merge-on-affected-partitions + dynamic partition overwrite);
+    * idempotence of the merge — not sink transactionality — is what
+    * makes WAL replay exactly-once (proved under a mid-batch crash in
+    * RecoverySpec, and by replaying a committed batch in
+    * StreamingSpec). */
+  def q61StreamingUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q61_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q61_ckpt", dir)
+    val target = graft.io.TempPaths.scratchDir(spark, "graft_q61_tbl", dir)
+    landFixtureModulo(spark, dir, landing, nFiles = 4)
+    graft.streaming.UpsertSink.runUpsertLatest(
+      EventsStream.readEventsStream(spark, landing,
+        maxFilesPerTrigger = Some(1)),
+      ckpt, target, nBuckets = 16)
+    spark.read.parquet(target)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value"))
+  }
+
+  val q61Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, event_type, event_id, ts, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+      |FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
     "q57_streaming_sessionize" -> (q57StreamingSessionize _),
     "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _),
     "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _),
-    "q60_streaming_metrics" -> (q60StreamingMetrics _))
+    "q60_streaming_metrics" -> (q60StreamingMetrics _),
+    "q61_streaming_upsert" -> (q61StreamingUpsert _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
@@ -428,5 +465,6 @@ object StreamingQueries {
     "q57_streaming_sessionize" -> PipelineQueries.eventsSessionizeSql,
     "q58_streaming_session_eventtime" -> q58Sql,
     "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql,
-    "q60_streaming_metrics" -> q60Sql)
+    "q60_streaming_metrics" -> q60Sql,
+    "q61_streaming_upsert" -> q61Sql)
 }

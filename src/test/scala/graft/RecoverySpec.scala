@@ -144,4 +144,34 @@ class RecoverySpec extends SparkSpec {
     // session, a replayed batch would double-count n_events/total_value
     assert(sessions(out) === reference)
   }
+
+  test("mid-batch crash + restart: foreachBatch upsert converges to the batch answer") {
+    val landing = landSplit(3)
+    PoisonGate.markerId = middleFileMarker(landing)
+    val ckpt = tmp("graft_rec_upsert_ckpt")
+    val target = tmp("graft_rec_upsert_tbl")
+    def run(): Unit = graft.streaming.UpsertSink.runUpsertLatest(
+      EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .filter(poison(col("event_id"))),
+      ckpt, target, nBuckets = 8)
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] { run() }
+    finally PoisonGate.armed = false
+    // restart replays the failed batch through the same merge — the
+    // idempotent argmax repairs whatever the crash left behind
+    run()
+    val got = spark.read.parquet(target)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id").desc)
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("value"))
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "recovered upsert table must equal the batch argmax")
+  }
 }

@@ -305,4 +305,46 @@ class StreamingSpec extends SparkSpec {
     assert(s7(1).n_events === 1 && s7(1).total_value === 4.0)
     assert(sessions.count(_.user_id == 8) === 1)
   }
+
+  test("upsert merge: keyed last-wins, partition pruning, replay is a no-op") {
+    import graft.streaming.UpsertSink
+    val target = Files.createTempDirectory("graft_upsert_tbl").toString
+    val events = Tables.events(spark, sfDir)
+    val half1 = events.filter(col("event_id") % 2 === 0)
+    val half2 = events.filter(col("event_id") % 2 === 1)
+    UpsertSink.mergeLatestBatch(half1, target, nBuckets = 8)
+    UpsertSink.mergeLatestBatch(half2, target, nBuckets = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id").desc)
+    val expected = events
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    def table() = spark.read.parquet(target)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    assert(table().exceptAll(expected).isEmpty &&
+           expected.exceptAll(table()).isEmpty,
+      "two-batch upsert must equal the one-shot argmax")
+    // crash-replay simulation: re-merging an already-committed batch
+    // must leave the table bit-identical (the idempotence exactly-once
+    // rests on)
+    val before = table().collect().toSet
+    UpsertSink.mergeLatestBatch(half1, target, nBuckets = 8)
+    assert(table().collect().toSet === before,
+      "replaying a committed batch must be a no-op")
+    // a batch touching ONE user must not rewrite unaffected partitions:
+    // bucket files of untouched partitions stay byte-identical
+    val oneUser = events.filter(col("user_id") === 1).limit(1)
+    val bucketOf1 = 1 % 8
+    def partFiles(b: Int): Set[String] = {
+      val d = new java.io.File(s"$target/u_bucket=$b")
+      Option(d.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName + ":" + f.length()).toSet).getOrElse(Set.empty)
+    }
+    val untouchedBefore = (0 until 8).filter(_ != bucketOf1).map(partFiles)
+    UpsertSink.mergeLatestBatch(oneUser, target, nBuckets = 8)
+    val untouchedAfter = (0 until 8).filter(_ != bucketOf1).map(partFiles)
+    assert(untouchedAfter === untouchedBefore,
+      "dynamic overwrite must leave unaffected bucket partitions alone")
+  }
 }
