@@ -120,12 +120,8 @@ object PipelineQueries {
     * skip the bucket layout this row exists to exercise. */
   def dedupIncrementalIndexed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    val epoch = graft.io.TempPaths.epochTag
-    val bandsTbl = s"graft_p54_bands_${app}_$tag$epoch"
-    val sigsTbl = s"graft_p54_sigs_${app}_$tag$epoch"
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p54_bands", dir)
+    val sigsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p54_sigs", dir)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     if (!spark.catalog.tableExists(bandsTbl) ||
         !spark.catalog.tableExists(sigsTbl)) {
@@ -176,6 +172,48 @@ object PipelineQueries {
       Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 5 === 1),
         bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
         buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${bandsTbl.toLowerCase}")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${sigsTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalVerdictsAgainstIndex(spark,
+          docs.filter(col("doc_id") % 5 === 0), bandsTbl, sigsTbl,
+          bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
+  /** p59 — the full index MAINTENANCE lifecycle: build (60%) → append
+    * (20%) → COMPACT → probe (20%). Append-mode ingestion fragments the
+    * bucket layout one file wave per day; compaction folds each
+    * bucket's waves back into one file as a ZERO-SHUFFLE rewrite (the
+    * bucketed scan already delivers bucket-aligned tasks —
+    * Bucketing.compactBucketed), preserving the spec the probe plan
+    * depends on. Oracle = p52's exact truth: the hash certifies the
+    * compacted index is still indistinguishable from a monolithic
+    * build; ExplainSpec/BucketingSpec assert the file count and the
+    * still-bucketed still-one-exchange probe plan. */
+  def dedupIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p59_bands", dir)
+    val sigsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p59_sigs", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(bandsTbl) ||
+        !spark.catalog.tableExists(sigsTbl)) {
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+      Dedup.buildCorpusIndex(docs.filter(col("doc_id") % 5 >= 2),
+        bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
+        buckets = 8)
+      Dedup.appendToCorpusIndex(docs.filter(col("doc_id") % 5 === 1),
+        bandsTbl, sigsTbl, bands = 16, rowsPerBand = 8, shingleN = 3,
+        buckets = 8)
+      graft.io.Bucketing.compactBucketed(spark, bandsTbl)
+      graft.io.Bucketing.compactBucketed(spark, sigsTbl)
       graft.io.TempPaths.cleanupOnExit(s"$wh/${bandsTbl.toLowerCase}")
       graft.io.TempPaths.cleanupOnExit(s"$wh/${sigsTbl.toLowerCase}")
     }
@@ -807,7 +845,8 @@ object PipelineQueries {
     "p22_quantize_embeddings" -> (quantizeReport _),
     "p52_dedup_incremental" -> (dedupIncremental _),
     "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
-    "p58_dedup_index_append" -> (dedupIndexAppend _))
+    "p58_dedup_index_append" -> (dedupIndexAppend _),
+    "p59_dedup_index_compact" -> (dedupIndexCompact _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -841,5 +880,7 @@ object PipelineQueries {
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,
     // appended index must be indistinguishable from a monolithic build
-    "p58_dedup_index_append" -> dedupIncrementalSql)
+    "p58_dedup_index_append" -> dedupIncrementalSql,
+    // … and compaction must not change a single verdict
+    "p59_dedup_index_compact" -> dedupIncrementalSql)
 }

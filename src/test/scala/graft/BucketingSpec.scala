@@ -58,6 +58,43 @@ class BucketingSpec extends SparkSpec {
     assert(kept < total, s"bloom filter kept all $total rows")
   }
 
+  test("compactBucketed: one file per bucket, spec preserved, content identical") {
+    import graft.io.Bucketing
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val tbl = "graft_compactspec_tbl"
+    Bucketing.dropTable(spark, tbl)
+    Bucketing.dropTable(spark, s"${tbl}_compacting")
+    // three write waves -> up to 3 files per bucket
+    Bucketing.writeBucketed(docs.filter(col("doc_id") % 3 === 0), tbl, "doc_id", 4)
+    Bucketing.writeBucketed(docs.filter(col("doc_id") % 3 === 1), tbl, "doc_id", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    Bucketing.writeBucketed(docs.filter(col("doc_id") % 3 === 2), tbl, "doc_id", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    val before = Bucketing.dataFileCount(spark, tbl)
+    assert(before > 4, s"expected >4 files after three waves, got $before")
+    val after = Bucketing.compactBucketed(spark, tbl)
+    assert(after <= 4, s"expected <=1 file per bucket after compact, got $after")
+    // spec survived the swap …
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 &&
+      s.bucketColumnNames == Seq("doc_id")), s"bucket spec lost: $spec")
+    // … the planner still sees a bucketed scan …
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = spark.table(tbl).groupBy(col("doc_id")).count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"groupBy on the bucket key must stay exchange-free after compact:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    // … and not a row was lost or duplicated
+    val got = spark.table(tbl)
+    assert(got.count() === docs.count())
+    assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty)
+    Bucketing.dropTable(spark, tbl)
+  }
+
   test("salted two-phase sum equals direct groupBy sum") {
     val o = Tables.orders(spark, sfDir)
     val salted = Salting.saltedSum(o, "o_custkey", "o_totalprice",

@@ -304,6 +304,27 @@ class ExplainSpec extends SparkSpec {
       assert(appended.exceptAll(monolithic).isEmpty &&
              monolithic.exceptAll(appended).isEmpty,
         "append-maintained index must equal the monolithic rebuild")
+      // p59: compact the fragmented index — files fold to <=1/bucket,
+      // the probe plan keeps its bucketed scan + single delta exchange,
+      // and not one verdict changes
+      val beforeFiles = graft.io.Bucketing.dataFileCount(spark, bandsTbl)
+      assert(graft.io.Bucketing.compactBucketed(spark, bandsTbl) <= 4 &&
+             graft.io.Bucketing.compactBucketed(spark, sigsTbl) <= 4,
+        s"compaction must leave <=1 file per bucket (was $beforeFiles)")
+      val planC = planString(graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id")))
+      assert((planC.contains("SelectedBucketsCount") || planC.contains("Bucketed: true")) &&
+        "Exchange hashpartitioning".r.findAllIn(planC).size == 1,
+        s"compacted index must keep the bucketed one-exchange probe plan:\n$planC")
+      val compacted = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+        spark, delta2, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      assert(compacted.exceptAll(monolithic).isEmpty &&
+             monolithic.exceptAll(compacted).isEmpty,
+        "compaction must not change a single verdict")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)

@@ -214,6 +214,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: upsert merge is batch-split- and order-invariant") {
+    // q61's exactly-once claim reduces to this algebra: the per-key
+    // argmax is commutative, associative, and idempotent, so ANY way of
+    // chopping the event stream into batches — and any replay — must
+    // converge to the same table. Random keyed rows with deliberate key
+    // collisions, random 3-way splits, merged in shuffled order.
+    val rowsGen = for {
+      rows <- Gen.listOfN(60, for {
+        id <- Gen.choose(1L, 1000L)
+        u <- Gen.choose(1L, 6L)
+        t <- Gen.oneOf("click", "view")
+        v <- Gen.choose(0, 1000).map(_ / 10.0)
+      } yield (id, u, t, v))
+      splits <- Gen.listOfN(rows.length, Gen.choose(0, 2))
+    } yield (rows.distinctBy(_._1), splits)
+    forAllSeeded(rowsGen, n = 3) { case (rows, splits) =>
+      def df(rs: Seq[(Long, Long, String, Double)]) =
+        rs.toDF("event_id", "user_id", "event_type", "value")
+          .withColumn("ts", org.apache.spark.sql.functions
+            .timestamp_micros(col("event_id") * 1000000L))
+      def run(batches: Seq[Seq[(Long, Long, String, Double)]]): Set[(Long, String, Long, Double)] = {
+        val target = java.nio.file.Files
+          .createTempDirectory("graft_upsert_prop").toString
+        batches.filter(_.nonEmpty).foreach(b =>
+          graft.streaming.UpsertSink.mergeLatestBatch(df(b), target, nBuckets = 4))
+        val got = spark.read.parquet(target)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+          .toSet
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+        got
+      }
+      val grouped = rows.zip(splits).groupMap(_._2)(_._1)
+      val batches = (0 to 2).map(i => grouped.getOrElse(i, Nil))
+      val oneShot = run(Seq(rows))
+      assert(run(batches) === oneShot, "3-way split must equal one-shot")
+      assert(run(batches.reverse ++ Seq(batches.head)) === oneShot,
+        "reversed order plus a replayed batch must equal one-shot")
+    }
+  }
+
   test("property: normalize always emits the canonical 9-column schema") {
     val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
     forAllSeeded(extraColsGen) { extras =>
