@@ -63,7 +63,7 @@ object Bench {
       "q61_streaming_upsert",
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append",
-      "p59_dedup_index_compact")
+      "p59_dedup_index_compact", "q62_schema_evolution")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
     // deterministic name order: per-query timings stay comparable across

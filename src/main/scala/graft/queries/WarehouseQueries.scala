@@ -281,15 +281,57 @@ object WarehouseQueries {
       |    AS skew_ratio
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62 — schema evolution across write generations
+  // ---------------------------------------------------------------------
+
+  /** q62 — schema EVOLUTION: a long-lived table's early files were
+    * written before a column existed (generation 1: doc_id, text_len),
+    * later files carry it (generation 2: + source). `mergeSchema`
+    * reconciles the generations at read time — old rows surface the new
+    * column as null, no rewrite of historical files (at 100 TB,
+    * "ALTER TABLE ADD COLUMN + backfill" is a compute bill; additive
+    * evolution must be free). The oracle replays the generation split
+    * with a NULL-padded UNION ALL. mergeSchema is a per-read opt-in
+    * because reconciling N file footers has driver cost — production
+    * pins the merged schema in a catalog; here the read IS the test. */
+  def q62SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q62_tbl", dir)
+    val docs = Tables.documents(spark, dir)
+    val hasData = Option(new java.io.File(out).listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!hasData) {
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+        .write.mode("append").parquet(out)
+      docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
+          col("source"))
+        .write.mode("append").parquet(out)
+    }
+    spark.read.option("mergeSchema", "true").parquet(out)
+      .select(col("doc_id"), col("text_len"), col("source"))
+  }
+
+  val q62Sql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len,
+      |  NULL AS source
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len, source
+      |FROM documents WHERE doc_id % 2 = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q47_scd2_history" -> (q47Scd2History _),
     "q48_merge_upsert" -> (q48MergeUpsert _),
     "q49_quality_audit" -> (q49QualityAudit _),
-    "q53_skew_report" -> (q53SkewReport _))
+    "q53_skew_report" -> (q53SkewReport _),
+    "q62_schema_evolution" -> (q62SchemaEvolution _))
 
   val oracles: Map[String, String] = Map(
     "q47_scd2_history" -> q47Sql,
     "q48_merge_upsert" -> q48Sql,
     "q49_quality_audit" -> q49Sql,
-    "q53_skew_report" -> q53Sql)
+    "q53_skew_report" -> q53Sql,
+    "q62_schema_evolution" -> q62Sql)
 }
