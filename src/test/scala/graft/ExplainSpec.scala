@@ -262,6 +262,22 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q65 pivot and q66 rollup: one scan, one aggregate pass each") {
+    // q65's scaladoc claim: an explicit pivot domain avoids the
+    // distinct-discovery job — the plan must scan lineitem exactly once
+    val pivotPlan = planString(
+      graft.queries.RelationalQueries.q65Pivot(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(pivotPlan).size === 1,
+      s"explicit-domain pivot must scan once:\n$pivotPlan")
+    // q66: rollup levels come from ONE Expand over ONE scan, not a
+    // UNION ALL of per-level re-scans
+    val rollupPlan = planString(
+      graft.queries.RelationalQueries.q66Rollup(spark, sfDir))
+    assert("Scan parquet".r.findAllIn(rollupPlan).size === 1 &&
+           rollupPlan.contains("Expand"),
+      s"rollup must be one Expand pass over one scan:\n$rollupPlan")
+  }
+
   test("p58 append: appended index stays bucketed, equals a monolithic build") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
