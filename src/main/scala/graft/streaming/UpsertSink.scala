@@ -62,7 +62,24 @@ object UpsertSink {
   def mergeLatestBatch(batch: DataFrame, target: String,
                        nBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    val best = latestPerKey(batch.withColumn("u_bucket",
+    // u_bucket is the sink's partition column — a caller column of the
+    // same name would be silently overwritten (the budgetSelect
+    // reserved-column hazard)
+    require(!batch.columns.contains("u_bucket"),
+      "input must not carry a 'u_bucket' column (reserved by the sink)")
+    // null keys would land in the __HIVE_DEFAULT_PARTITION__ bucket and
+    // then never match the affected-partition filter — silent row loss;
+    // a null version makes the argmax winner undefined. Fail loudly in
+    // the codegen'd stream instead (raise_error evaluates per row, no
+    // extra pass).
+    val guarded = batch
+      .withColumn("user_id", when(col("user_id").isNull,
+        raise_error(lit("upsert key user_id must be non-null")))
+        .otherwise(col("user_id")))
+      .withColumn("event_id", when(col("event_id").isNull,
+        raise_error(lit("upsert version event_id must be non-null")))
+        .otherwise(col("event_id")))
+    val best = latestPerKey(guarded.withColumn("u_bucket",
       pmod(col("user_id"), lit(nBuckets)).cast("int")))
     // affected partitions: at most nBuckets values — driver-sized
     val buckets = best.select("u_bucket").distinct()

@@ -347,4 +347,26 @@ class StreamingSpec extends SparkSpec {
     assert(untouchedAfter === untouchedBefore,
       "dynamic overwrite must leave unaffected bucket partitions alone")
   }
+
+  test("upsert merge rejects reserved columns and null keys loudly") {
+    import graft.streaming.UpsertSink
+    val target = Files.createTempDirectory("graft_upsert_guard").toString
+    val events = Tables.events(spark, sfDir).limit(10)
+    // reserved partition column
+    intercept[IllegalArgumentException] {
+      UpsertSink.mergeLatestBatch(
+        events.withColumn("u_bucket", lit(1)), target)
+    }
+    // a null key must fail the batch, not vanish into the
+    // default-partition bucket
+    val withNull = events.select(
+      when(col("event_id") === events.select(col("event_id")).first().getLong(0),
+        lit(null).cast("long")).otherwise(col("user_id")).as("user_id"),
+      col("event_id"), col("ts"), col("event_type"), col("value"))
+    val e = intercept[Exception] {
+      UpsertSink.mergeLatestBatch(withNull, target)
+    }
+    assert(e.getMessage != null)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+  }
 }
