@@ -66,10 +66,23 @@ object Bench {
       "p59_dedup_index_compact", "q62_schema_evolution")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
+    // profiling filters: ONLY/SKIP take comma-separated name prefixes
+    // ("p53,q04" or full names). This is what makes the fresh-JVM
+    // isolated-median protocol (PROFILE_r10/r12) and the
+    // streaming-rows-skipped catalog run one env var instead of a code
+    // fork; unset (the driver's path) selects everything.
+    def parseSet(key: String): Option[Set[String]] =
+      sys.env.get(key).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .filter(_.nonEmpty)
+    val only = parseSet("SPARK_GRAFT_BENCH_ONLY")
+    val skip = parseSet("SPARK_GRAFT_BENCH_SKIP").getOrElse(Set.empty[String])
+    def selected(name: String): Boolean =
+      only.forall(_.exists(name.startsWith)) && !skip.exists(name.startsWith)
     // deterministic name order: per-query timings stay comparable across
     // rounds (hash-map order shuffled with every catalog addition, moving
     // the first-heavy-query JIT cost onto a different victim each round)
-    val allReps = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val allReps = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1)).map { case (name, fn) =>
       val times = (1 to repsFor(name)).iterator.map { _ =>
         if (errors.contains(name)) None
         else {

@@ -56,11 +56,23 @@ object Bucketing {
     * `repartition(n, keys)` hashes exactly like the bucket layout, so
     * each output task holds exactly one bucket and writes exactly one
     * file — and swaps the rewritten table in under the original name.
-    * The drop+rename swap is not atomic (same caveat as any
-    * non-transactional table format; the crash-safe two-name protocol
-    * lives in [[Ledger]]); run it in the maintenance window that also
-    * owns appends. Returns the data file count after compaction. */
-  def compactBucketed(spark: SparkSession, table: String): Int = {
+    *
+    * The swap follows the Ledger two-name protocol (Ledger.scala:29),
+    * adapted to catalog tables: the ORIGINAL is renamed to a backup name
+    * BEFORE the compacted table takes its place, and the backup is
+    * dropped only after the rename-in succeeded — the original's data
+    * files are never destroyed until the new table is live under the
+    * real name (the old drop-then-rename form deleted the managed
+    * table's data first, so a crash in the window lost the index until
+    * a full rebuild). A crash mid-swap leaves at most a one-rename
+    * repair, performed automatically by [[repairCompaction]], which
+    * both this method and any probe-side caller can run first; no
+    * crash point loses data (proved under injected kills in
+    * RecoverySpec). Run it in the maintenance window that also owns
+    * appends. Returns the data file count after compaction. */
+  def compactBucketed(spark: SparkSession, table: String,
+                      injectCrashAtSwapStep: Int = 0): Int = {
+    repairCompaction(spark, table)
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(
@@ -81,17 +93,63 @@ object Bucketing {
     val prevScan = spark.conf.get(scanKey)
     try {
       spark.conf.set(scanKey, "false")
-      spark.table(table)
+      val writer = spark.table(table)
         .repartition(spec.numBuckets,
           keys.map(org.apache.spark.sql.functions.col): _*)
         .write.bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
-        .sortBy(sorts.head, sorts.tail: _*)
+      // a bucketed-but-unsorted spec is legal (never produced by
+      // writeBucketedMulti, but a foreign table may carry one) — skip
+      // sortBy rather than throwing NoSuchElementException on sorts.head
+      (if (sorts.isEmpty) writer else writer.sortBy(sorts.head, sorts.tail: _*))
         .format("parquet")
         .saveAsTable(tmp)
     } finally spark.conf.set(scanKey, prevScan)
-    spark.sql(s"DROP TABLE $table")
+    // two-name swap: original survives under _precompact until the
+    // compacted table is live under the real name.
+    // injectCrashAtSwapStep is a FAILPOINT for RecoverySpec only: 1
+    // kills in the only window where `table` does not resolve (between
+    // the two renames), 2 kills after the swap but before backup
+    // cleanup — the two states repairCompaction must handle
+    def failpoint(step: Int): Unit =
+      if (injectCrashAtSwapStep == step)
+        throw new IllegalStateException(s"injected crash at swap step $step")
+    val backup = s"${table}_precompact"
+    dropTable(spark, backup)
+    spark.sql(s"ALTER TABLE $table RENAME TO $backup")
+    failpoint(1)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    failpoint(2)
+    spark.sql(s"DROP TABLE $backup")
     dataFileCount(spark, table)
+  }
+
+  /** Repair an interrupted [[compactBucketed]] swap so `table` resolves
+    * again. Exactly one of three states can follow a mid-swap crash:
+    * (a) `table` exists — the swap either never started or completed;
+    * drop any stragglers; (b) `table` is gone but the `_precompact`
+    * backup exists (killed between the two renames) — restore the
+    * backup, which is ALWAYS safe because the backup is the complete
+    * pre-compaction table and compaction is an idempotent rewrite;
+    * (c) only the `_compacting` table exists (cannot happen in this
+    * protocol's ordering, but a legacy drop-then-rename crash leaves
+    * it) — promote it, since it was fully written before any rename
+    * began. Returns true if `table` resolves on exit. */
+  def repairCompaction(spark: SparkSession, table: String): Boolean = {
+    val cat = spark.sessionState.catalog
+    def exists(t: String) =
+      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
+    val backup = s"${table}_precompact"
+    val tmp = s"${table}_compacting"
+    if (exists(table)) {
+      if (exists(backup)) dropTable(spark, backup)
+      // a stale _compacting is dropped by the next compaction run
+    } else if (exists(backup)) {
+      spark.sql(s"ALTER TABLE $backup RENAME TO $table")
+      if (exists(tmp)) dropTable(spark, tmp)
+    } else if (exists(tmp)) {
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    }
+    exists(table)
   }
 
   /** Count the data files of a managed table (parquet parts, not logs). */

@@ -286,24 +286,68 @@ object EventsStream {
                         statePartitions: Option[Int] = None)
       : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val spark = ds.sparkSession
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val changelogKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProvider = spark.conf.getOption(providerKey)
-    val prevChangelog = spark.conf.getOption(changelogKey)
-    statePartitions.foreach(n =>
-      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
-    stateStoreProvider.foreach { p =>
-      spark.conf.set(providerKey, p)
-      // checkpoint per-batch DELTAS instead of a full RocksDB snapshot
-      // per store per micro-batch — snapshot upload cost then amortizes
-      // across batches instead of being the per-commit constant
-      // (measured ~20% off q59's cold wall time; like the provider, the
-      // flag is part of the checkpoint contract and must not flip
-      // mid-checkpoint)
-      spark.conf.set(changelogKey, "true")
+    val rocksPrefix = "spark.sql.streaming.stateStore.rocksdb."
+    val confs: Seq[(String, String)] =
+      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
+      stateStoreProvider.toSeq.flatMap { p =>
+        Seq(
+          "spark.sql.streaming.stateStore.providerClass" -> p,
+          // checkpoint per-batch DELTAS instead of a full RocksDB snapshot
+          // per store per micro-batch — snapshot upload cost then
+          // amortizes across batches instead of being the per-commit
+          // constant (like the provider, the flag is part of the
+          // checkpoint contract and must not flip mid-checkpoint).
+          // SPARK_GRAFT_ROCKSDB_CHANGELOG=0 restores full snapshots for
+          // A/B measurement only — never flip it on a live checkpoint
+          rocksPrefix + "changelogCheckpointing.enabled" ->
+            (if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("0"))
+              "false" else "true"),
+          // hard-cap RocksDB NATIVE memory across every state store in
+          // the executor: block cache + write buffers come from one
+          // shared budget instead of per-store defaults that scale with
+          // however many stores (streams x partitions) one JVM hosts.
+          // Without the cap, state-store native memory is open-ended —
+          // invisible to the JVM heap but very visible to the OS — and
+          // a 32-core local run hosting 8 stores per stream can squeeze
+          // the page cache every batch query after it relies on.
+          // Budget is a deliberate capacity decision, env-overridable
+          rocksPrefix + "boundedMemoryUsage" -> "true",
+          rocksPrefix + "maxMemoryUsageMB" ->
+            sys.env.get("SPARK_GRAFT_ROCKSDB_MEM_MB")
+              .flatMap(_.toIntOption).filter(_ >= 64).fold("512")(_.toString))
+      }
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // collect per-batch progress through a listener, NOT q.recentProgress:
+    // recentProgress is a ring buffer capped by
+    // spark.sql.streaming.numRecentProgressUpdates (default 100), so a
+    // run with more micro-batches would silently truncate the history
+    // q60 hash-checks as its metrics contract. Events are filtered by
+    // runId AFTER termination (not inside the callback) because the
+    // first batch of a tiny fixture can complete before start() returns.
+    // Completeness: the listener bus is FIFO per listener and the
+    // terminated event is posted after the last progress event, so once
+    // we have seen OUR terminated event the progress list is provably
+    // the whole run.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val progressEvents =
+      new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]()
+    val terminatedRuns =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        progressEvents.add(e.progress); ()
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        terminatedRuns.add(e.runId); ()
+      }
     }
+    spark.streams.addListener(listener)
     try {
       val q = ds.writeStream
         .outputMode("append")
@@ -313,16 +357,20 @@ object EventsStream {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      q.recentProgress
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!terminatedRuns.contains(q.runId) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+      require(terminatedRuns.contains(q.runId),
+        s"listener never saw termination of run ${q.runId} — progress history incomplete")
+      import scala.jdk.CollectionConverters._
+      progressEvents.iterator().asScala
+        .filter(_.runId == q.runId).toArray
+        .sortBy(_.batchId)
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-      prevChangelog match {
-        case Some(v) => spark.conf.set(changelogKey, v)
-        case None => spark.conf.unset(changelogKey)
+      spark.streams.removeListener(listener)
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
     }
   }

@@ -174,4 +174,63 @@ class RecoverySpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
       "recovered upsert table must equal the batch argmax")
   }
+
+  test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
+    import graft.io.Bucketing
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val tbl = "graft_rec_compact_tbl"
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+    // two append waves -> fragmented buckets, the state compaction fixes
+    Bucketing.writeBucketed(docs.filter(col("doc_id") % 2 === 0), tbl, "doc_id", 4)
+    Bucketing.writeBucketed(docs.filter(col("doc_id") % 2 === 1), tbl, "doc_id", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    // kill in the only window where the table name does not resolve:
+    // between rename-out (original -> _precompact) and rename-in
+    intercept[IllegalStateException] {
+      Bucketing.compactBucketed(spark, tbl, injectCrashAtSwapStep = 1)
+    }
+    assert(!spark.catalog.tableExists(tbl),
+      "failpoint 1 must leave the window state: table name unresolved")
+    // repair: the _precompact backup is the complete original — restore
+    // it; nothing was lost because nothing was dropped before rename-in
+    assert(Bucketing.repairCompaction(spark, tbl), "repair must restore the table")
+    val restored = spark.table(tbl)
+    assert(restored.count() === docs.count())
+    assert(restored.exceptAll(docs).isEmpty && docs.exceptAll(restored).isEmpty,
+      "restored table must be the full pre-compaction content")
+    // compaction is idempotent: re-running after repair completes the job
+    val files = Bucketing.compactBucketed(spark, tbl)
+    assert(files <= 4, s"expected <=1 file per bucket, got $files")
+    val got = spark.table(tbl)
+    assert(got.exceptAll(docs).isEmpty && docs.exceptAll(got).isEmpty)
+    // kill AFTER the swap (before backup cleanup): table is live and
+    // compacted; the next maintenance entry just sweeps the straggler
+    Bucketing.writeBucketed(docs.limit(50), tbl, "doc_id", 4,
+      org.apache.spark.sql.SaveMode.Append)
+    intercept[IllegalStateException] {
+      Bucketing.compactBucketed(spark, tbl, injectCrashAtSwapStep = 2)
+    }
+    assert(spark.catalog.tableExists(tbl) &&
+      spark.catalog.tableExists(s"${tbl}_precompact"))
+    assert(Bucketing.repairCompaction(spark, tbl))
+    assert(!spark.catalog.tableExists(s"${tbl}_precompact"),
+      "repair must sweep the straggler backup")
+    // the index stays probe-able after the whole ordeal: bucket spec
+    // intact and the bucket-key aggregate still plans exchange-free
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).bucketSpec
+    assert(spec.exists(s => s.numBuckets == 4 &&
+      s.bucketColumnNames == Seq("doc_id")), s"bucket spec lost: $spec")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val plan = spark.table(tbl).groupBy(col("doc_id")).count()
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-key groupBy must stay exchange-free after repair:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+  }
 }
