@@ -12,9 +12,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       // keep saveAsTable scratch (q34/p54 bucket layouts) out of the
       // repo root; the graft-warehouse prefix is swept by
-      // TempPaths.sweepStale if a kill strands it
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      // TempPaths.sweepStale if a kill strands it (pid token = live-
+      // owner protection, since the appId doesn't exist yet here)
+      .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.io.TempPaths.cleanupOnExit(
@@ -60,7 +60,7 @@ object Bench {
       "q54_streaming_hourly", "q56_streaming_dedup",
       "q57_streaming_sessionize", "q58_streaming_session_eventtime",
       "q59_streaming_interval_join", "q60_streaming_metrics",
-      "q61_streaming_upsert",
+      "q61_streaming_upsert", "q65_streaming_join_metrics",
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append",
       "p59_dedup_index_compact", "q62_schema_evolution")

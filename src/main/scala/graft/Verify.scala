@@ -17,9 +17,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // keep saveAsTable scratch (q34/p54 bucket layouts) out of the
       // repo root; the graft-warehouse prefix is swept by
-      // TempPaths.sweepStale if a kill strands it
-      .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft-warehouse").toString)
+      // TempPaths.sweepStale if a kill strands it (pid token = live-
+      // owner protection, since the appId doesn't exist yet here)
+      .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.io.TempPaths.cleanupOnExit(

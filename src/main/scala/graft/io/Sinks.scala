@@ -50,6 +50,70 @@ object Sinks {
                  props: java.util.Properties): Unit =
     df.write.mode(SaveMode.Append).jdbc(url, table, props)
 
+  /** Keyed JDBC UPSERT with the same argmax-merge contract as the
+    * streaming parquet sink ([[graft.streaming.UpsertSink]]): after the
+    * call, `table` holds the LATEST row per key, "latest" = highest
+    * `version` (a unique per-key version column, so the winner is
+    * total-order deterministic). This is the reference's actual mart
+    * maintenance surface — keyed rows in MySQL kept current across runs
+    * (reference main.py:282-288) — with the merge made IDEMPOTENT:
+    * re-applying a batch (or applying it against a half-applied prior
+    * attempt) converges to the same table, which is what makes
+    * checkpoint replay through a JDBC sink exactly-once in effect
+    * (JdbcSpec proves idempotence + null-key rejection through Derby).
+    *
+    * Scale notes: a JDBC mart is mart-sized BY DEFINITION (dimensions,
+    * aggregates — the reference's customers/sales marts); the merge
+    * reads the current table once, argmaxes old ∪ new per key, and
+    * rewrites the table in one transaction-per-partition write. Fact-
+    * scale keyed state belongs to the partition-pruned parquet sink,
+    * not here. Null keys / null versions fail loudly (the UpsertSink
+    * guard): a silently dropped or nondeterministic mart row is data
+    * loss. */
+  def upsertLatestJdbc(batch: DataFrame, url: String, table: String,
+                       keys: Seq[String], versionCol: String,
+                       props: java.util.Properties): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val spark = batch.sparkSession
+    val guarded = (keys :+ versionCol).foldLeft(batch)((df, c) =>
+      df.withColumn(c, when(col(c).isNull,
+        raise_error(lit(s"upsert column $c must be non-null")))
+        .otherwise(col(c))))
+    val payload = batch.columns.filterNot(c => keys.contains(c)).toSeq
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy(keys.map(c => col(c)): _*)
+        // the version leads the struct so max() orders by it; remaining
+        // payload rides along (same struct-max device as UpsertSink)
+        .agg(max(struct((versionCol +: payload.filterNot(_ == versionCol))
+          .map(c => col(c)): _*)).as("m"))
+        .select(keys.map(c => col(c)) ++ payload.map(c => col(s"m.$c").as(c)): _*)
+    val current =
+      if (!jdbcTableExists(url, table, props)) None
+      else Some(readJdbc(spark, url, table, props))
+    val merged = latest(current.fold(guarded)(cur =>
+      cur.select(batch.columns.map(c => col(c)).toSeq: _*).unionByName(guarded)))
+    // materialize before overwrite: the plan reads the very JDBC table
+    // the write replaces (the UpsertSink localCheckpoint device)
+    val snap = merged.localCheckpoint()
+    try snap.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
+    finally { snap.unpersist(); () }
+  }
+
+  /** JDBC existence probe via DatabaseMetaData (tries the identifier
+    * as-is and uppercased — Derby/standard SQL folds unquoted names). */
+  def jdbcTableExists(url: String, table: String,
+                      props: java.util.Properties): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      Seq(table, table.toUpperCase(java.util.Locale.ROOT)).exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
+    } finally conn.close()
+  }
+
   /** JDBC table scan (reference database_read.py:6-10). `partitionOn`
     * splits the read into `numPartitions` parallel range queries — the
     * difference between one executor pulling the whole table and a

@@ -48,18 +48,42 @@ object TempPaths {
     out
   }
 
+  /** Warehouse temp dir with the creating PROCESS's pid embedded in the
+    * name. The warehouse must be chosen before the SparkSession exists,
+    * so the appId-ownership convention scratchDir uses is unavailable —
+    * and without any ownership token a live sibling's warehouse was
+    * protected from [[sweepStale]] only by the 2h newest-mtime
+    * heuristic, which fails for a session that built its tables early
+    * and then only READS them (reads do not bump mtimes). The pid token
+    * gives the sweeper a liveness check that outlives any idle window. */
+  def newWarehouseDir(): String =
+    java.nio.file.Files.createTempDirectory(
+      s"graft-warehouse_pid${ProcessHandle.current().pid()}_").toString
+
+  /** Pid embedded by [[newWarehouseDir]], if the name carries one. */
+  private val pidToken = """_pid(\d+)_""".r
+  private def ownerAlive(name: String): Boolean =
+    pidToken.findFirstMatchIn(name).exists { m =>
+      try {
+        val h = ProcessHandle.of(m.group(1).toLong)
+        h.isPresent && h.get.isAlive
+      } catch { case _: SecurityException => true } // can't tell: keep
+    }
+
   /** Best-effort sweep of scratch left behind by PRIOR runs: the exit
     * hook only covers a cleanly-exiting JVM, so a killed driver strands
     * its `graft*` dirs until someone removes them. Only directories that
     * (a) carry one of our scratch prefixes, (b) do NOT belong to
     * `ownAppId` — matched in BOTH its raw and sanitized forms, because
     * q34-style warehouse tables embed `appId.replaceAll("[^a-zA-Z0-9]",
-    * "_")` which never contains the raw id — and (c) have been idle past
-    * `maxAgeMs` are touched. Idleness is the NEWEST mtime found
-    * recursively, not the root dir's: a directory's own mtime does not
-    * update when nested files change, so a live sibling's checkpoint or
-    * warehouse (actively writing deep inside) would look idle at the
-    * root while its leaves are seconds old. */
+    * "_")` which never contains the raw id — (c) do NOT carry a live
+    * process's `_pid<N>_` token (warehouse dirs are created before the
+    * session exists, so they carry pid ownership instead of appId), and
+    * (d) have been idle past `maxAgeMs` are touched. Idleness is the
+    * NEWEST mtime found recursively, not the root dir's: a directory's
+    * own mtime does not update when nested files change, so a live
+    * sibling's checkpoint or warehouse (actively writing deep inside)
+    * would look idle at the root while its leaves are seconds old. */
   def sweepStale(ownAppId: String, roots: Seq[String],
                  maxAgeMs: Long = 2L * 3600 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - maxAgeMs
@@ -76,12 +100,28 @@ object TempPaths {
         val n = f.getName
         if (f.isDirectory && prefixes.exists(n.startsWith) &&
             !n.contains(ownAppId) && !n.contains(sanitizedAppId) &&
-            newestMtime(f) < cutoff) {
+            !ownerAlive(n) && newestMtime(f) < cutoff) {
           try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () }
         }
       }
     }
+  }
+
+  /** Terminal-marker idempotence for multi-step scratch builds (landing
+    * dirs assembled file-by-file, multi-generation writes): a directory
+    * is complete only when the marker exists, and the marker is written
+    * LAST — so a driver killed mid-build re-lands on the next run
+    * instead of silently accepting a partial fixture (which would
+    * surface as an oracle mismatch, not a setup error). The underscore
+    * prefix keeps the marker invisible to Spark's file listing and the
+    * streaming file source (hidden-file filter). */
+  def isComplete(dir: String): Boolean =
+    new java.io.File(dir, "_GRAFT_COMPLETE").isFile
+  def markComplete(dir: String): Unit = {
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_GRAFT_COMPLETE"),
+      Array.emptyByteArray); ()
   }
 
   private val exitCleanupPaths =

@@ -841,6 +841,15 @@ object RecallQueries {
           col("n_exact_orders") <= 0.05).as("within_rel_bound"))
   }
 
+  // `TRUE AS within_rel_bound` is NOT a tautology: DuckDB independently
+  // verifies n_exact_orders (the exact side of the comparison), and the
+  // hash compare then requires Spark's within_rel_bound — computed from
+  // the LIVE HLL estimate — to equal TRUE for every group. If the
+  // merged-sketch estimate ever drifts past the 5% bound, the Spark
+  // side emits FALSE and the row hash-mismatches. Encoding the verdict
+  // rather than the estimate is deliberate: the estimate itself is
+  // implementation-defined (and engine-specific), the bound is the
+  // contract. Same device as q43.
   val sketchRollupSql: String =
     """SELECT l_returnflag,
       |  COUNT(DISTINCT l_orderkey) AS n_exact_orders,

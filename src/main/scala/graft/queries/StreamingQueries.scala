@@ -75,15 +75,17 @@ object StreamingQueries {
   }
 
   /** Land the events fixture split into `nFiles` ts-range part files —
-    * the multi-micro-batch landing for q56. Guarded on the landing dir
-    * already holding parquet (a range-partitioned rewrite generates
-    * fresh task-UUID file names every call; re-landing under new names
-    * would make the file source reprocess everything each rep). */
+    * the multi-micro-batch landing for q56. Guarded on a terminal
+    * marker, not on "any parquet present": a driver killed mid-landing
+    * leaves a partial fixture that an any-file guard would accept
+    * forever, surfacing as an oracle mismatch instead of a re-land
+    * (TempPaths.isComplete). The guard matters doubly here because a
+    * range-partitioned rewrite generates fresh task-UUID file names
+    * every call — re-landing under new names would make the file source
+    * reprocess everything each rep. */
   private def landFixtureSplit(spark: SparkSession, dir: String,
                                landing: String, nFiles: Int): Unit = {
-    val existing = Option(new java.io.File(landing).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!existing) {
+    if (!graft.io.TempPaths.isComplete(landing)) {
       // raw read (ts stays a nanos long) so the landed schema matches
       // what readEventsStream declares
       spark.read.parquet(s"$dir/events.parquet")
@@ -106,6 +108,7 @@ object StreamingQueries {
         require(f.setLastModified(base + i * 10000L),
           s"failed to set mtime on $f — cannot guarantee batch order")
       }
+      graft.io.TempPaths.markComplete(landing)
     }
   }
 
@@ -328,9 +331,9 @@ object StreamingQueries {
     * span (nothing is ever late). */
   private def landFixtureModulo(spark: SparkSession, dir: String,
                                 landing: String, nFiles: Int): Unit = {
-    val existing = Option(new java.io.File(landing).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!existing) {
+    // terminal-marker guard (TempPaths.isComplete): a kill after 2 of 4
+    // moves must re-land, not hand the stream a partial fixture
+    if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
       val staging = java.nio.file.Files.createTempDirectory("graft_q60_stage")
       (0 until nFiles).foreach { i =>
@@ -352,6 +355,7 @@ object StreamingQueries {
         require(f.setLastModified(base + i * 10000L),
           s"failed to set mtime on $f — cannot guarantee batch order")
       }
+      graft.io.TempPaths.markComplete(landing)
     }
   }
 
@@ -376,9 +380,7 @@ object StreamingQueries {
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q60_out", dir)
     val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q60_metrics", dir)
     landFixtureModulo(spark, dir, landing, nFiles = 4)
-    val hasMetrics = Option(new java.io.File(metricsDir).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!hasMetrics) {
+    if (!graft.io.TempPaths.isComplete(metricsDir)) {
       val keyed = EventsStream
         .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
         .withColumn("hour",
@@ -393,6 +395,7 @@ object StreamingQueries {
         .select(col("batch_id"), col("num_input_rows"),
           col("rows_dropped_by_watermark"), col("state_rows_total"))
         .coalesce(1).write.mode("overwrite").parquet(metricsDir)
+      graft.io.TempPaths.markComplete(metricsDir)
     }
     spark.read.parquet(metricsDir)
   }
@@ -441,6 +444,65 @@ object StreamingQueries {
         unix_micros(col("ts")).as("ts_us"), col("value"))
   }
 
+  /** q65 — STREAM-STREAM JOIN STATE metrics as a hash-checked row,
+    * extending q60's device (deterministic event_id % 4 batch split +
+    * oracle-recomputed progress) to the join state an operator actually
+    * alerts on at 100x scale: q59's click→view interval join runs
+    * across four micro-batches and the row emits the engine's per-batch
+    * StreamingQueryProgress numbers. Under the 90-day horizon nothing
+    * is dropped as late and no join state is evicted, so the numbers
+    * are fully determined by the data: batch k's input is the modulo-k
+    * slice, drops are zero, and the symmetric-hash-join state after
+    * batch k holds EXACTLY the click and view rows of slices 0..k
+    * (both sides buffer every input row until the watermark passes its
+    * match window). A mismatch means the join's state accounting — the
+    * number that tells production "your join state stopped being
+    * watermark-bounded" — lies.
+    *
+    * Input accounting fine print the oracle encodes: the click and view
+    * branches are two filtered reads of the SAME file source, and the
+    * engine's numInputRows counts each side's scan — so batch k reports
+    * 2x the slice's row count (verified: 2 x 2500 at sf0.01). An
+    * operator reading this metric on a self-join stream must know that,
+    * which is exactly why the row pins it. */
+  def q65StreamingJoinMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q65_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q65_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q65_out", dir)
+    val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q65_metrics", dir)
+    landFixtureModulo(spark, dir, landing, nFiles = 4)
+    if (!graft.io.TempPaths.isComplete(metricsDir)) {
+      val joined = EventsStream.clickToViewJoin(
+        EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1)),
+        windowMinutes = 10, delay = "90 days")
+      val progress =
+        EventsStream.runAvailableNowTo(joined, ckpt, out, statePartitions)
+      EventsStream.progressSummary(spark, progress.toSeq)
+        .filter(col("num_input_rows") > 0)
+        .select(col("batch_id"), col("num_input_rows"),
+          col("rows_dropped_by_watermark"), col("state_rows_total"))
+        .coalesce(1).write.mode("overwrite").parquet(metricsDir)
+      graft.io.TempPaths.markComplete(metricsDir)
+    }
+    spark.read.parquet(metricsDir)
+  }
+
+  val q65Sql: String =
+    """WITH b AS (
+      |  SELECT CAST(event_id % 4 AS BIGINT) AS batch_id, event_type
+      |  FROM events),
+      |per AS (
+      |  -- the join's two branches each scan the shared source: input
+      |  -- accounting is 2x the slice (see scaladoc)
+      |  SELECT batch_id, CAST(COUNT(*) * 2 AS BIGINT) AS num_input_rows,
+      |    COUNT(*) FILTER (WHERE event_type IN ('click','view')) AS n_cv
+      |  FROM b GROUP BY batch_id)
+      |SELECT p.batch_id, p.num_input_rows,
+      |  CAST(0 AS BIGINT) AS rows_dropped_by_watermark,
+      |  CAST((SELECT SUM(q.n_cv) FROM per q WHERE q.batch_id <= p.batch_id)
+      |    AS BIGINT) AS state_rows_total
+      |FROM per p""".stripMargin
+
   val q61Sql: String =
     """WITH r AS (
       |  SELECT user_id, event_type, event_id, ts, value,
@@ -457,7 +519,8 @@ object StreamingQueries {
     "q58_streaming_session_eventtime" -> (q58StreamingSessionizeEventTime _),
     "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _),
     "q60_streaming_metrics" -> (q60StreamingMetrics _),
-    "q61_streaming_upsert" -> (q61StreamingUpsert _))
+    "q61_streaming_upsert" -> (q61StreamingUpsert _),
+    "q65_streaming_join_metrics" -> (q65StreamingJoinMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
@@ -466,5 +529,6 @@ object StreamingQueries {
     "q58_streaming_session_eventtime" -> q58Sql,
     "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql,
     "q60_streaming_metrics" -> q60Sql,
-    "q61_streaming_upsert" -> q61Sql)
+    "q61_streaming_upsert" -> q61Sql,
+    "q65_streaming_join_metrics" -> q65Sql)
 }

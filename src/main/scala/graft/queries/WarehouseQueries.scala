@@ -298,16 +298,18 @@ object WarehouseQueries {
   def q62SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q62_tbl", dir)
     val docs = Tables.documents(spark, dir)
-    val hasData = Option(new java.io.File(out).listFiles())
-      .exists(_.exists(_.getName.endsWith(".parquet")))
-    if (!hasData) {
+    // terminal marker, written only after BOTH generations landed: an
+    // any-parquet guard would accept a gen-1-only dir left by a kill
+    // between the two writes (TempPaths.isComplete)
+    if (!graft.io.TempPaths.isComplete(out)) {
       docs.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
-        .write.mode("append").parquet(out)
+        .write.mode("overwrite").parquet(out)
       docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id"), length(col("text")).cast("long").as("text_len"),
           col("source"))
         .write.mode("append").parquet(out)
+      graft.io.TempPaths.markComplete(out)
     }
     spark.read.option("mergeSchema", "true").parquet(out)
       .select(col("doc_id"), col("text_len"), col("source"))

@@ -260,6 +260,44 @@ object EventsStream {
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     }
 
+  /** Session confs [[runAvailableNowTo]] pins around every run (and
+    * restores after) — exposed so StreamingSpec can assert the exact
+    * state-store contract the production path ships with:
+    *
+    *  - RocksDB provider (unless env-overridden): state capacity bound
+    *    to local disk, not executor heap.
+    *  - Changelog checkpointing: per-batch DELTAS instead of a full
+    *    RocksDB snapshot per store per micro-batch, so snapshot cost
+    *    amortizes across batches instead of being the per-commit
+    *    constant. Part of the checkpoint contract — must not flip
+    *    mid-checkpoint. `SPARK_GRAFT_ROCKSDB_CHANGELOG=0` restores full
+    *    snapshots for A/B measurement only.
+    *  - Bounded native memory: block cache + write buffers for EVERY
+    *    state store in the JVM come from one shared budget
+    *    (`maxMemoryUsageMB`, default 512, env-overridable via
+    *    `SPARK_GRAFT_ROCKSDB_MEM_MB`) instead of per-store defaults
+    *    that scale with however many stores (streams x partitions) one
+    *    executor hosts. Without the cap, state-store native memory is
+    *    open-ended — invisible to the JVM heap but very visible to the
+    *    OS. The budget is a deliberate capacity decision, like
+    *    statePartitions. */
+  private[graft] def streamingRunConfs(
+      statePartitions: Option[Int]): Seq[(String, String)] = {
+    val rocksPrefix = "spark.sql.streaming.stateStore.rocksdb."
+    statePartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
+      stateStoreProvider.toSeq.flatMap { p =>
+        Seq(
+          "spark.sql.streaming.stateStore.providerClass" -> p,
+          rocksPrefix + "changelogCheckpointing.enabled" ->
+            (if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("0"))
+              "false" else "true"),
+          rocksPrefix + "boundedMemoryUsage" -> "true",
+          rocksPrefix + "maxMemoryUsageMB" ->
+            sys.env.get("SPARK_GRAFT_ROCKSDB_MEM_MB")
+              .flatMap(_.toIntOption).filter(_ >= 64).fold("512")(_.toString))
+      }
+  }
+
   /** Drain any streaming Dataset to a parquet sink under
     * `Trigger.AvailableNow` (append mode) and block until done — the
     * shared exactly-once runner behind q54/q56-q59: the checkpoint's
@@ -286,36 +324,7 @@ object EventsStream {
                         statePartitions: Option[Int] = None)
       : Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
     val spark = ds.sparkSession
-    val rocksPrefix = "spark.sql.streaming.stateStore.rocksdb."
-    val confs: Seq[(String, String)] =
-      statePartitions.map("spark.sql.shuffle.partitions" -> _.toString).toSeq ++
-      stateStoreProvider.toSeq.flatMap { p =>
-        Seq(
-          "spark.sql.streaming.stateStore.providerClass" -> p,
-          // checkpoint per-batch DELTAS instead of a full RocksDB snapshot
-          // per store per micro-batch — snapshot upload cost then
-          // amortizes across batches instead of being the per-commit
-          // constant (like the provider, the flag is part of the
-          // checkpoint contract and must not flip mid-checkpoint).
-          // SPARK_GRAFT_ROCKSDB_CHANGELOG=0 restores full snapshots for
-          // A/B measurement only — never flip it on a live checkpoint
-          rocksPrefix + "changelogCheckpointing.enabled" ->
-            (if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("0"))
-              "false" else "true"),
-          // hard-cap RocksDB NATIVE memory across every state store in
-          // the executor: block cache + write buffers come from one
-          // shared budget instead of per-store defaults that scale with
-          // however many stores (streams x partitions) one JVM hosts.
-          // Without the cap, state-store native memory is open-ended —
-          // invisible to the JVM heap but very visible to the OS — and
-          // a 32-core local run hosting 8 stores per stream can squeeze
-          // the page cache every batch query after it relies on.
-          // Budget is a deliberate capacity decision, env-overridable
-          rocksPrefix + "boundedMemoryUsage" -> "true",
-          rocksPrefix + "maxMemoryUsageMB" ->
-            sys.env.get("SPARK_GRAFT_ROCKSDB_MEM_MB")
-              .flatMap(_.toIntOption).filter(_ >= 64).fold("512")(_.toString))
-      }
+    val confs = streamingRunConfs(statePartitions)
     val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     // collect per-batch progress through a listener, NOT q.recentProgress:

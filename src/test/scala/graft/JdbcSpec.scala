@@ -52,4 +52,47 @@ class JdbcSpec extends SparkSpec {
       Sinks.appendJdbc(bad, url, "customers_data_mart", props)
     }
   }
+
+  test("keyed JDBC upsert: argmax merge is idempotent, null keys rejected") {
+    val t = "mart_upsert"
+    val keys = Seq("user_id", "event_type")
+    def snapshot: Set[(Long, String, Long, Double)] =
+      Sinks.readJdbc(spark, url, t, props)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+    val b1 = Seq(
+      (1L, "click", 10L, 1.0),
+      (1L, "click", 12L, 2.0), // same key, higher version: wins in-batch
+      (2L, "view", 5L, 7.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    Sinks.upsertLatestJdbc(b1, url, t, keys, "event_id", props)
+    assert(snapshot === Set((1L, "click", 12L, 2.0), (2L, "view", 5L, 7.0)))
+    val b2 = Seq(
+      (1L, "click", 11L, 9.9), // STALE vs stored version 12: must lose
+      (2L, "view", 8L, 8.0),   // newer: wins
+      (3L, "click", 1L, 3.0))  // new key: inserted
+      .toDF("user_id", "event_type", "event_id", "value")
+    Sinks.upsertLatestJdbc(b2, url, t, keys, "event_id", props)
+    val s2 = snapshot
+    assert(s2 === Set((1L, "click", 12L, 2.0), (2L, "view", 8L, 8.0),
+      (3L, "click", 1L, 3.0)))
+    // idempotence: re-applying the SAME batch (checkpoint replay after a
+    // crash) must be a no-op — the property that stands in for sink
+    // transactionality on a non-transactional streaming JDBC sink
+    Sinks.upsertLatestJdbc(b2, url, t, keys, "event_id", props)
+    assert(snapshot === s2)
+    // null key / null version fail loudly (silent loss otherwise)
+    val nullKey = Seq((Option.empty[Long], "click", Option(99L), 1.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    intercept[Exception] {
+      Sinks.upsertLatestJdbc(nullKey, url, t, keys, "event_id", props)
+    }
+    val nullVersion = Seq((Option(9L), "click", Option.empty[Long], 1.0))
+      .toDF("user_id", "event_type", "event_id", "value")
+    intercept[Exception] {
+      Sinks.upsertLatestJdbc(nullVersion, url, t, keys, "event_id", props)
+    }
+    // and the failed applies left the table untouched
+    assert(snapshot === s2)
+  }
 }

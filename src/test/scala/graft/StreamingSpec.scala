@@ -272,6 +272,47 @@ class StreamingSpec extends SparkSpec {
       "watermark-free horizon: state must hold every distinct key")
   }
 
+  test("state-store contract: changelog checkpointing engages, native memory bounded") {
+    // (a) the conf surface runAvailableNowTo pins: RocksDB provider,
+    // per-batch changelog deltas, and a HARD native-memory budget shared
+    // by every store in the JVM — the knob that keeps 32-core local runs
+    // (and 100x-state executors) from open-ended off-heap growth
+    val confs = EventsStream.streamingRunConfs(Some(4)).toMap
+    assert(confs("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    assert(confs(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      === "true")
+    assert(confs("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+      === "true")
+    assert(confs("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
+      .toInt >= 64)
+    // (b) the changelog contract ENGAGES through the production runner —
+    // not just a conf string: a multi-batch run must leave per-version
+    // .changelog delta files in the checkpoint's state directory (a
+    // silent fallback to full per-batch snapshots would pass every
+    // output check while re-introducing the per-commit snapshot cost)
+    val landing = Files.createTempDirectory("chlog_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartitionByRange(3, col("ts"))
+      .write.mode("overwrite").parquet(landing)
+    val ckpt = Files.createTempDirectory("chlog_ckpt").toString
+    val out = Files.createTempDirectory("chlog_out").toString
+    val keyed = EventsStream
+      .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+      .withColumn("hour",
+        substring(date_trunc("hour", col("ts")).cast("string"), 1, 13))
+    EventsStream.runAvailableNowTo(
+      EventsStream.dedupEventsByKey(
+        keyed, Seq("hour", "user_id", "event_type"), "90 days")
+        .select(col("hour"), col("user_id"), col("event_type")),
+      ckpt, out)
+    val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+      .filter(p => p.toString.endsWith(".changelog")).count()
+    assert(changelogs > 0,
+      s"multi-batch RocksDB run must checkpoint .changelog deltas under $ckpt")
+  }
+
   test("stream-stream interval join pairs clicks with following views") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
