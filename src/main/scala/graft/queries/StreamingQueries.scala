@@ -503,6 +503,140 @@ object StreamingQueries {
       |    AS BIGINT) AS state_rows_total
       |FROM per p""".stripMargin
 
+  /** Land the events fixture split into `nFiles` part files by
+    * DETERMINISTIC time quartiles — boundaries t_i = min_us +
+    * (span * i) / nFiles in exact integer microsecond arithmetic, so
+    * the oracle can replay the split bit-for-bit (unlike
+    * repartitionByRange's SAMPLED boundaries). File i holds
+    * ts ∈ [t_i, t_{i+1}); ascending modTimes pin batch order = time
+    * order, so each batch advances the watermark past the previous
+    * range and nothing is ever late. */
+  private def landFixtureTimeQuarters(spark: SparkSession, dir: String,
+                                      landing: String, nFiles: Int): Unit = {
+    if (!graft.io.TempPaths.isComplete(landing)) {
+      new java.io.File(landing).mkdirs()
+      val bounds = spark.read.parquet(s"$dir/events.parquet")
+        .agg(min(expr("ts div 1000")).as("mn"), max(expr("ts div 1000")).as("mx"))
+        .collect().head
+      val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
+      val span = mxUs - mnUs + 1
+      def bound(i: Int): Long = mnUs + span * i / nFiles
+      val staging = java.nio.file.Files.createTempDirectory("graft_q66_stage")
+      (0 until nFiles).foreach { i =>
+        val stageDir = staging.resolve(s"part_$i")
+        spark.read.parquet(s"$dir/events.parquet")
+          .filter(expr("ts div 1000") >= bound(i) &&
+            expr("ts div 1000") < bound(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+        val part = Option(stageDir.toFile.listFiles()).get
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      val parts = Option(new java.io.File(landing).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 10000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 10000L),
+          s"failed to set mtime on $f — cannot guarantee batch order")
+      }
+      graft.io.TempPaths.markComplete(landing)
+    }
+  }
+
+  /** q66 — SESSIONIZER STATE metrics as a hash-checked row: the
+    * event-time sessionizer (q58's operator) runs across four
+    * deterministic time-quartile micro-batches and the row emits the
+    * engine's per-batch progress. The oracle recomputes every number
+    * from the data alone:
+    *
+    *  - input: quartile slice counts (integer-arithmetic boundaries,
+    *    replayed exactly in SQL);
+    *  - drops: zero by construction — batches ascend in time, so the
+    *    watermark (prev batches' max minus 30 min) always trails the
+    *    current batch's range;
+    *  - state rows after batch k: users whose OPEN session the
+    *    watermark has not yet proven complete. The reduction that makes
+    *    this SQL-expressible: a user's LAST gap-session ends at their
+    *    max event ts, and sessionizeEventTime keeps a user in state
+    *    exactly while last_end + gap >= watermark (close predicate
+    *    end + gap < wm; timeouts chase the close horizon, so any user
+    *    whose horizon passed is processed — and removed — in that very
+    *    batch). So state_k = #{u seen <= k : max_us(u) + gap >=
+    *    wm_k_us}, wm_k in engine MILLISECOND granularity from batches
+    *    0..k-1.
+    *
+    * Together with q60 (dedup state) and q65 (join state) this
+    * hash-verifies the progress surface for every stateful-operator
+    * family the engine ships. */
+  def q66StreamingSessionMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q66_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q66_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q66_out", dir)
+    val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q66_metrics", dir)
+    landFixtureTimeQuarters(spark, dir, landing, nFiles = 4)
+    if (!graft.io.TempPaths.isComplete(metricsDir)) {
+      val ev = EventsStream
+        .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventsStream.Event]
+      val sessions = EventsStream.sessionizeEventTime(spark, ev,
+        gapMinutes = 30, delayMinutes = 30)
+      val progress =
+        EventsStream.runAvailableNowTo(sessions, ckpt, out, statePartitions)
+      EventsStream.progressSummary(spark, progress.toSeq)
+        .filter(col("num_input_rows") > 0)
+        .select(col("batch_id"), col("num_input_rows"),
+          col("rows_dropped_by_watermark"), col("state_rows_total"))
+        .coalesce(1).write.mode("overwrite").parquet(metricsDir)
+      graft.io.TempPaths.markComplete(metricsDir)
+    }
+    spark.read.parquet(metricsDir)
+  }
+
+  /** Oracle: replays the quartile boundaries in the same integer
+    * arithmetic, then for each batch k counts users whose open-session
+    * horizon (max event ts + 30 min gap) is at-or-beyond the engine
+    * watermark (prev-prefix max, MILLISECOND-truncated, minus 30 min
+    * delay; batch 0 has no watermark yet, so every batch-0 user is in
+    * state). */
+  val q66Sql: String =
+    """WITH bounds AS (
+      |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
+      |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) + 1 AS span
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, epoch_us(e.ts) AS ts_us,
+      |    CAST(CASE
+      |      WHEN epoch_us(e.ts) < mn + span * 1 // 4 THEN 0
+      |      WHEN epoch_us(e.ts) < mn + span * 2 // 4 THEN 1
+      |      WHEN epoch_us(e.ts) < mn + span * 3 // 4 THEN 2
+      |      ELSE 3 END AS BIGINT) AS batch_id
+      |  FROM events e, bounds),
+      |per AS (
+      |  SELECT batch_id, COUNT(*) AS num_input_rows FROM b GROUP BY batch_id),
+      |wm AS (
+      |  SELECT p.batch_id,
+      |    CASE WHEN p.batch_id = 0 THEN -1
+      |      ELSE ((SELECT MAX(ts_us) FROM b WHERE b.batch_id < p.batch_id)
+      |            // 1000 - 1800000) * 1000 END AS wm_us
+      |  FROM per p),
+      |st AS (
+      |  SELECT w.batch_id, COUNT(*) AS state_rows_total FROM wm w,
+      |    LATERAL (
+      |      SELECT user_id, MAX(ts_us) AS mx_us FROM b
+      |      WHERE b.batch_id <= w.batch_id GROUP BY user_id) u
+      |  WHERE u.mx_us + 1800000000 >= w.wm_us
+      |  GROUP BY w.batch_id)
+      |SELECT p.batch_id, p.num_input_rows,
+      |  CAST(0 AS BIGINT) AS rows_dropped_by_watermark,
+      |  s.state_rows_total
+      |FROM per p JOIN st s ON s.batch_id = p.batch_id""".stripMargin
+
   val q61Sql: String =
     """WITH r AS (
       |  SELECT user_id, event_type, event_id, ts, value,
@@ -520,7 +654,8 @@ object StreamingQueries {
     "q59_streaming_interval_join" -> (q59StreamingIntervalJoin _),
     "q60_streaming_metrics" -> (q60StreamingMetrics _),
     "q61_streaming_upsert" -> (q61StreamingUpsert _),
-    "q65_streaming_join_metrics" -> (q65StreamingJoinMetrics _))
+    "q65_streaming_join_metrics" -> (q65StreamingJoinMetrics _),
+    "q66_streaming_session_metrics" -> (q66StreamingSessionMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
@@ -530,5 +665,6 @@ object StreamingQueries {
     "q59_streaming_interval_join" -> PipelineQueries.eventsIntervalJoinSql,
     "q60_streaming_metrics" -> q60Sql,
     "q61_streaming_upsert" -> q61Sql,
-    "q65_streaming_join_metrics" -> q65Sql)
+    "q65_streaming_join_metrics" -> q65Sql,
+    "q66_streaming_session_metrics" -> q66Sql)
 }
