@@ -38,6 +38,30 @@ object Bench {
     graft.io.TempPaths.sweepStale(spark.sparkContext.applicationId,
       Seq(sys.props("java.io.tmpdir"),
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
+    // machine-speed canary: a FIXED reference computation (hash agg over
+    // the lineitem scan) timed before and after the catalog. Round-12
+    // profiling measured the same query at 5.1 s and 8.3 s in isolated
+    // fresh JVMs hours apart on identical code — ambient box throughput
+    // varies ~1.5x, and without a canary that variance is
+    // indistinguishable from a code regression in cross-round totals.
+    // The canary ratio (this round vs last) is the normalization factor;
+    // start+end pair also exposes WITHIN-run drift.
+    def canary(): Double = {
+      val reps = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy(org.apache.spark.sql.functions.col("l_returnflag"),
+            org.apache.spark.sql.functions.col("l_linestatus"))
+          .agg(org.apache.spark.sql.functions.sum("l_extendedprice"),
+            org.apache.spark.sql.functions.avg("l_quantity"),
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      reps.sorted.apply(1)
+    }
+    val canaryStart = canary()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N timing: a single rep cannot tell a regression from a
     // GC/scheduler hiccup on a shared box (round 8 reported a 4x phantom
@@ -141,13 +165,14 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
+    val canaryEnd = canary()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full-precision, full-name, all-reps detail line first — for humans
     // and for arbitrating outliers (which rep was the slow one).
     val qsFull = allReps.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},"queries":$qsFull,"errors":$errFull}"""
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},"canary_start_sec":${num3(canaryStart)},"canary_end_sec":${num3(canaryEnd)},"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
@@ -171,7 +196,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3((canaryStart + canaryEnd) / 2)},"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

@@ -521,7 +521,7 @@ object StreamingQueries {
       val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
       val span = mxUs - mnUs + 1
       def bound(i: Int): Long = mnUs + span * i / nFiles
-      val staging = java.nio.file.Files.createTempDirectory("graft_q66_stage")
+      val staging = java.nio.file.Files.createTempDirectory("graft_quarters_stage")
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/events.parquet")

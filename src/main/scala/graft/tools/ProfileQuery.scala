@@ -13,6 +13,9 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // table-backed rows (p54/p56-p59) must not litter the repo root
+      // with a ./spark-warehouse; same pid-token scratch as Bench
+      .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
