@@ -52,6 +52,92 @@ object TextAnalysis {
         col("c.n_chunk_tokens"))
   }
 
+  /** Line-level corpus deduplication — the C4/RefinedWeb curation step
+    * that REWRITES documents by deleting every text line whose exact
+    * content repeats across the corpus (boilerplate, navigation chrome,
+    * licence blurbs), as opposed to p51 which only *measures* overlap.
+    * The fixture corpus has no newlines, so the line analogue is fixed
+    * non-overlapping `segTokens`-word segments; in production the
+    * segmenter is `split(text, '\n')` and nothing else changes.
+    *
+    * Shape: segment (narrow) → doc-frequency aggregate keyed on the md5
+    * of the segment (the 100 TB shuffle moves 32-byte digests + doc ids,
+    * never segment text; distinct-per-doc first so partial aggregation
+    * stays exact) → hash-join back on the same key (partitioning reused,
+    * segment text rides the segment side only) → regroup by doc_id to
+    * reassemble surviving segments in order. Docs whose every segment was
+    * boilerplate survive as empty strings — silently dropping rows is a
+    * separate policy decision (see Selection), not this operator's.
+    *
+    * Reassembly invariant: segments are space-joined chunks of the
+    * space-split tokens, so a document with nothing removed round-trips
+    * to its exact original text. */
+  def lineDedup(docs: DataFrame, segTokens: Int = 12,
+                maxDocFreq: Int = 1): DataFrame = {
+    require(segTokens > 0, "segment size must be positive")
+    require(maxDocFreq >= 1, "maxDocFreq < 1 would delete every segment")
+    val toks = tokens(col("text"))
+    val nSeg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    val segs = docs.select(
+        col("doc_id"), nSeg.cast("long").as("n_segments"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          k => concat_ws(" ", slice(toks, k * segTokens + 1, lit(segTokens))))))
+      .toDF("doc_id", "n_segments", "seg_idx", "seg")
+      .withColumn("h", md5(col("seg")))
+    // distinct (h, doc_id) BEFORE counting: a segment repeated inside one
+    // document is not corpus boilerplate, and distinct-then-count keeps
+    // the aggregate partial-aggregation-safe (no countDistinct rewrite)
+    val docFreq = segs.select("h", "doc_id").distinct()
+      .groupBy("h").count().withColumnRenamed("count", "df")
+    val rebuilt = segs.join(docFreq, "h")
+      .filter(col("df") <= maxDocFreq)
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg")), " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    docs.select(col("doc_id"), nSeg.cast("long").as("n_segments"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("kept_text"), lit("")).as("text_clean"),
+        col("n_segments"),
+        (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Hashed-feature linear quality classifier — the fastText-shaped
+    * scorer the CCNet/LLaMA curation pipelines gate on: each token is
+    * feature-hashed into a fixed bucket space and the document score is
+    * the sum of the bucket weights. Map-only: score 100 TB with ZERO
+    * shuffles — tokenize, hash, look up, fold, all inside one narrow
+    * projection (higher-order functions, no explode, no join).
+    *
+    * The weight table here is a deterministic function of the bucket id
+    * (second md5) standing in for trained model weights — the plumbing
+    * (hash → lookup → linear fold → threshold gate) is the production
+    * shape; swapping in real weights means broadcasting a weight map
+    * into the same fold. Scores are exact integer sums (weights in
+    * [-(weightMod-1)/2, (weightMod-1)/2]), so the result is
+    * bit-replayable with no float-summation-order caveats. */
+  def hashedLinearQuality(docs: DataFrame, buckets: Int = 4096,
+                          weightMod: Int = 1001): DataFrame = {
+    require(buckets > 0 && buckets <= 65536,
+      "bucket space must fit the 16-bit md5 prefix")
+    require(weightMod > 1 && weightMod % 2 == 1,
+      "odd weightMod keeps the weight range symmetric around zero")
+    val toks = tokens(col("text"))
+    def bucket(w: Column): Column =
+      conv(substring(md5(w), 1, 4), 16, 10).cast("int") % buckets
+    def weight(w: Column): Column =
+      conv(substring(md5(bucket(w).cast("string")), 1, 4), 16, 10)
+        .cast("int") % weightMod - (weightMod - 1) / 2
+    docs.select(col("doc_id"),
+        aggregate(transform(toks, w => weight(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("score_raw"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("keep", col("score_raw") > 0)
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

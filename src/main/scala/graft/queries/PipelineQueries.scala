@@ -621,6 +621,61 @@ object PipelineQueries {
   def docChunking(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.chunkDocuments(Tables.documents(spark, dir))
 
+  /** Line-level corpus dedup: rewrite docs by deleting 12-word segments
+    * that appear in more than one document (the C4 line-dedup shape;
+    * segments stand in for lines — the fixture has no newlines). */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lineDedup(Tables.documents(spark, dir))
+
+  /** The oracle replays the whole rewrite: segmentation, corpus doc
+    * frequency, the df<=1 gate, and in-order reassembly (string_agg
+    * ORDER BY seg_idx ≡ array_join of the seg_idx-sorted collect_list).
+    * It groups on segment TEXT where Spark groups on md5(segment) — equal
+    * absent an md5 collision, the same contract p01 already relies on. */
+  val lineDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_seg
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_seg, k AS seg_idx,
+      |    array_to_string(toks[(k*12+1):(k*12+12)], ' ') AS seg
+      |  FROM t, unnest(range(0, n_seg)) AS u(k)),
+      |f AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+      |r AS (
+      |  SELECT s.doc_id,
+      |    string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS kept_text,
+      |    count(*) AS n_kept
+      |  FROM s JOIN f USING (seg) WHERE f.df <= 1
+      |  GROUP BY s.doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(r.kept_text, '') AS text_clean,
+      |  t.n_seg AS n_segments,
+      |  t.n_seg - coalesce(r.n_kept, 0) AS n_removed
+      |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
+
+  /** Hashed-feature linear quality score: fastText-shaped feature-hash →
+    * weight-lookup → integer linear fold → keep gate, zero shuffles. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedLinearQuality(Tables.documents(spark, dir))
+
+  /** Bucket and weight both come from the first 4 md5 hex chars (the
+    * p21 engine-portable hash idiom); list_sum is HUGEINT in DuckDB so
+    * the sum is cast back to BIGINT for schema parity. */
+  val qualityClassifierSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    [(CAST(('0x' || substring(md5(CAST(
+      |        CAST(('0x' || substring(md5(t), 1, 4)) AS INTEGER) % 4096
+      |      AS VARCHAR)), 1, 4)) AS INTEGER) % 1001) - 500
+      |     for t in string_split(text, ' ')] AS ws,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, CAST(list_sum(ws) AS BIGINT) AS score_raw, n_tokens,
+      |  (list_sum(ws) > 0) AS keep
+      |FROM w""".stripMargin
+
   val docChunkingSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -846,7 +901,9 @@ object PipelineQueries {
     "p52_dedup_incremental" -> (dedupIncremental _),
     "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "p58_dedup_index_append" -> (dedupIndexAppend _),
-    "p59_dedup_index_compact" -> (dedupIndexCompact _))
+    "p59_dedup_index_compact" -> (dedupIndexCompact _),
+    "p60_line_dedup" -> (lineDedup _),
+    "p61_quality_classifier" -> (qualityClassifier _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -876,6 +933,8 @@ object PipelineQueries {
     "p21_train_test_split" -> trainTestSplitSql,
     "p22_quantize_embeddings" -> quantizeReportSql,
     "p52_dedup_incremental" -> dedupIncrementalSql,
+    "p60_line_dedup" -> lineDedupSql,
+    "p61_quality_classifier" -> qualityClassifierSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,
