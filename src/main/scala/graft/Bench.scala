@@ -103,11 +103,23 @@ object Bench {
     val skip = parseSet("SPARK_GRAFT_BENCH_SKIP").getOrElse(Set.empty[String])
     def selected(name: String): Boolean =
       only.forall(_.exists(name.startsWith)) && !skip.exists(name.startsWith)
+    // a filtered run's total is NOT comparable to a full-catalog total;
+    // stamp the filter into both JSON lines so a cross-round comparison
+    // can never mistake one for the other
+    val filtered = only.isDefined || skip.nonEmpty
     // deterministic name order: per-query timings stay comparable across
     // rounds (hash-map order shuffled with every catalog addition, moving
     // the first-heavy-query JIT cost onto a different victim each round)
-    val allReps = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(kv => selected(kv._1)).map { case (name, fn) =>
+    val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => selected(kv._1))
+    // third canary rep at the catalog midpoint: round 12's run drifted
+    // 1.9x between the start and end canaries, so two samples cannot say
+    // WHEN the box changed speed — three bracket the drift well enough
+    // for the median to be a usable normalization divisor
+    val midIdx = sortedQueries.size / 2
+    var canaryMid = canaryStart
+    val allReps = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == midIdx && idx > 0) canaryMid = canary()
       val times = (1 to repsFor(name)).iterator.map { _ =>
         if (errors.contains(name)) None
         else {
@@ -167,12 +179,24 @@ object Bench {
       } + "\""
     val canaryEnd = canary()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // canary-normalized total: total scaled by (reference canary /
+    // this run's median canary). The reference canary is the recorded
+    // round-12 sf0.1 value (0.277 s) — override via
+    // SPARK_GRAFT_REF_CANARY when the fixture or sf changes. A
+    // normalized total answers "how would this run have scored on the
+    // round-12 box" so cross-round deltas are code, not machine.
+    val refCanary = sys.env.get("SPARK_GRAFT_REF_CANARY")
+      .flatMap(_.toDoubleOption).getOrElse(0.277)
+    val canaryMedian = Seq(canaryStart, canaryMid, canaryEnd).sorted.apply(1)
+    val totalNorm = if (canaryMedian > 0) total * (refCanary / canaryMedian) else total
     // Full-precision, full-name, all-reps detail line first — for humans
     // and for arbitrating outliers (which rep was the slow one).
     val qsFull = allReps.map { case (k, ts) =>
       jstr(k) + ":" + ts.mkString("[", ",", "]") }.mkString("{", ",", "}")
     val errFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},"canary_start_sec":${num3(canaryStart)},"canary_end_sec":${num3(canaryEnd)},"queries":$qsFull,"errors":$errFull}"""
+    val filterJson =
+      s""""filtered":$filtered,"only":${only.getOrElse(Set.empty[String]).toSeq.sorted.map(jstr).mkString("[", ",", "]")},"skip":${skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_start_sec":${num3(canaryStart)},"canary_mid_sec":${num3(canaryMid)},"canary_end_sec":${num3(canaryEnd)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
@@ -196,7 +220,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3((canaryStart + canaryEnd) / 2)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

@@ -62,6 +62,18 @@ object Sinks {
     * checkpoint replay through a JDBC sink exactly-once in effect
     * (JdbcSpec proves idempotence + null-key rejection through Derby).
     *
+    * Crash safety is by STAGING SWAP, not in-place overwrite: the
+    * merged snapshot is written to `<table>_stg`, then the live table
+    * is dropped and staging renamed in. The live table is therefore
+    * never partial — a crash during the (long) snapshot write leaves it
+    * untouched, and the only exposed window is the instant between the
+    * two DDL statements, where the COMPLETE snapshot already exists in
+    * staging; the next call detects live-missing-staging-present and
+    * finishes the rename before merging. Replay against ANY
+    * half-applied attempt thus converges to the same table
+    * (exactly-once in effect; JdbcSpec proves idempotence, crash-window
+    * recovery, and null-key rejection through Derby).
+    *
     * Scale notes: a JDBC mart is mart-sized BY DEFINITION (dimensions,
     * aggregates — the reference's customers/sales marts); the merge
     * reads the current table once, argmaxes old ∪ new per key, and
@@ -76,6 +88,13 @@ object Sinks {
     import org.apache.spark.sql.functions._
     require(keys.nonEmpty, "upsert needs at least one key column")
     val spark = batch.sparkSession
+    val staging = table + "_stg"
+    // heal a prior attempt that crashed between drop and rename: the
+    // complete merged snapshot lives ONLY in staging — promote it
+    // before reading "current", or those keys would be lost.
+    if (!jdbcTableExists(url, table, props) &&
+        jdbcTableExists(url, staging, props))
+      renameJdbcTable(url, staging, table, props)
     val guarded = (keys :+ versionCol).foldLeft(batch)((df, c) =>
       df.withColumn(c, when(col(c).isNull,
         raise_error(lit(s"upsert column $c must be non-null")))
@@ -93,15 +112,42 @@ object Sinks {
       else Some(readJdbc(spark, url, table, props))
     val merged = latest(current.fold(guarded)(cur =>
       cur.select(batch.columns.map(c => col(c)).toSeq: _*).unionByName(guarded)))
-    // materialize before overwrite: the plan reads the very JDBC table
-    // the write replaces (the UpsertSink localCheckpoint device)
-    val snap = merged.localCheckpoint()
-    try snap.write.mode(SaveMode.Overwrite).jdbc(url, table, props)
-    finally { snap.unpersist(); () }
+    // the write targets STAGING, so the plan's read of the live table
+    // completes before any DDL touches it — no localCheckpoint needed
+    merged.write.mode(SaveMode.Overwrite).jdbc(url, staging, props)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try {
+        if (jdbcTableExists(url, table, props)) st.executeUpdate(s"DROP TABLE $table")
+        st.executeUpdate(s"RENAME TABLE $staging TO $table")
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** `RENAME TABLE from TO to` (Derby/MySQL), falling back to the
+    * `ALTER TABLE … RENAME TO` spelling (PostgreSQL/SQLite). */
+  private def renameJdbcTable(url: String, from: String, to: String,
+                              props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"RENAME TABLE $from TO $to")
+      catch { case _: java.sql.SQLException =>
+        st.executeUpdate(s"ALTER TABLE $from RENAME TO $to")
+      } finally st.close()
+    } finally conn.close()
   }
 
   /** JDBC existence probe via DatabaseMetaData (tries the identifier
-    * as-is and uppercased — Derby/standard SQL folds unquoted names). */
+    * as-is and uppercased — Derby/standard SQL folds unquoted names).
+    * getTables treats its pattern as a LIKE expression, so
+    * `mart_upsert` also matches `martXupsert` — and escaping via
+    * getSearchStringEscape is NOT portable (Derby returns "", i.e. no
+    * escape exists). The dialect-proof guard: let the pattern match a
+    * superset, then compare each returned TABLE_NAME to the requested
+    * identifier EXACTLY — a false positive here would send the caller
+    * down the read-existing path against a table that does not exist. */
   def jdbcTableExists(url: String, table: String,
                       props: java.util.Properties): Boolean = {
     val conn = java.sql.DriverManager.getConnection(url, props)
@@ -109,7 +155,11 @@ object Sinks {
       val md = conn.getMetaData
       Seq(table, table.toUpperCase(java.util.Locale.ROOT)).exists { t =>
         val rs = md.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
+        try {
+          Iterator.continually(rs)
+            .takeWhile(_.next())
+            .exists(_.getString("TABLE_NAME") == t)
+        } finally rs.close()
       }
     } finally conn.close()
   }

@@ -62,11 +62,32 @@ object TempPaths {
 
   /** Pid embedded by [[newWarehouseDir]], if the name carries one. */
   private val pidToken = """_pid(\d+)_""".r
-  private def ownerAlive(name: String): Boolean =
+
+  /** True iff the pid embedded in `name` belongs to a LIVE process that
+    * was ALREADY RUNNING when the directory was created. The second
+    * check is what defeats pid recycling: after a reboot (or a pid
+    * wraparound on a busy box) an unrelated process can hold the same
+    * pid, and liveness alone would then protect a stale warehouse dir
+    * from [[sweepStale]] forever — unbounded /tmp growth. A process
+    * whose start instant is NEWER than the directory cannot be the
+    * creator, so its liveness is irrelevant. Missing metadata on either
+    * side degrades to the conservative keep. */
+  private def ownerAlive(name: String, dir: java.io.File): Boolean =
     pidToken.findFirstMatchIn(name).exists { m =>
       try {
         val h = ProcessHandle.of(m.group(1).toLong)
-        h.isPresent && h.get.isAlive
+        h.isPresent && h.get.isAlive && {
+          val started = h.get.info().startInstant()
+          val created =
+            try java.nio.file.Files
+              .readAttributes(dir.toPath,
+                classOf[java.nio.file.attribute.BasicFileAttributes])
+              .creationTime().toInstant
+            catch { case _: java.io.IOException => null }
+          // keep unless we can PROVE the live process post-dates the dir
+          started.isEmpty || created == null ||
+            !started.get.isAfter(created)
+        }
       } catch { case _: SecurityException => true } // can't tell: keep
     }
 
@@ -100,7 +121,7 @@ object TempPaths {
         val n = f.getName
         if (f.isDirectory && prefixes.exists(n.startsWith) &&
             !n.contains(ownAppId) && !n.contains(sanitizedAppId) &&
-            !ownerAlive(n) && newestMtime(f) < cutoff) {
+            !ownerAlive(n, f) && newestMtime(f) < cutoff) {
           try org.apache.commons.io.FileUtils.deleteDirectory(f)
           catch { case _: java.io.IOException => () }
         }

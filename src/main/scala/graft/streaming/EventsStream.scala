@@ -281,6 +281,24 @@ object EventsStream {
     *    open-ended — invisible to the JVM heap but very visible to the
     *    OS. The budget is a deliberate capacity decision, like
     *    statePartitions. */
+  /** The shared RocksDB native-memory budget, validated LOUDLY: this is
+    * the exact knob whose silent misconfiguration caused the round-11
+    * bench drift, so an unparsable or sub-64MB override is an error, not
+    * a quiet fall-through to the default — the operator asked for a
+    * specific capacity and must learn they did not get it. */
+  private[graft] def rocksDbMemMb: Int =
+    parseRocksDbMemMb(sys.env.get("SPARK_GRAFT_ROCKSDB_MEM_MB"))
+  private[graft] def parseRocksDbMemMb(raw: Option[String]): Int =
+    raw.fold(512) { r =>
+      val parsed = r.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_ROCKSDB_MEM_MB='$r' is not an integer"))
+      require(parsed >= 64,
+        s"SPARK_GRAFT_ROCKSDB_MEM_MB=$parsed is below the 64 MB floor " +
+          "(a budget that small thrashes every state store in the JVM)")
+      parsed
+    }
+
   private[graft] def streamingRunConfs(
       statePartitions: Option[Int]): Seq[(String, String)] = {
     val rocksPrefix = "spark.sql.streaming.stateStore.rocksdb."
@@ -292,9 +310,7 @@ object EventsStream {
             (if (sys.env.get("SPARK_GRAFT_ROCKSDB_CHANGELOG").contains("0"))
               "false" else "true"),
           rocksPrefix + "boundedMemoryUsage" -> "true",
-          rocksPrefix + "maxMemoryUsageMB" ->
-            sys.env.get("SPARK_GRAFT_ROCKSDB_MEM_MB")
-              .flatMap(_.toIntOption).filter(_ >= 64).fold("512")(_.toString))
+          rocksPrefix + "maxMemoryUsageMB" -> rocksDbMemMb.toString)
       }
   }
 

@@ -30,4 +30,25 @@ class CatalogSpec extends SparkSpec {
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).limit(1).count() === 1L)
   }
+
+  test("documented catalog counts match SparkEntry.queries.size") {
+    // round 12 shipped two operators the docs never learned about —
+    // README/SURVEY kept saying "124" while the catalog held 126. Pin
+    // every number-of-queries claim in the docs to the real count so
+    // the drift cannot recur silently.
+    val n = SparkEntry.queries.size
+    def counts(path: String, re: scala.util.matching.Regex): Seq[Int] = {
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      re.findAllMatchIn(text).map(_.group(1).toInt).toSeq
+    }
+    val readme = counts("README.md", """(\d+) catalog queries""".r)
+    assert(readme.nonEmpty && readme.forall(_ == n),
+      s"README.md claims catalog sizes $readme but SparkEntry has $n")
+    // SURVEY keeps per-round historical headings (92/93, 107/107, …);
+    // only the LATEST (largest) claim must track the live catalog
+    val survey = counts("SURVEY.md", """(\d+)/\d+ catalog queries""".r)
+    assert(survey.nonEmpty && survey.max == n,
+      s"SURVEY.md's latest catalog-size claim ${survey.max} != SparkEntry's $n")
+  }
 }

@@ -95,4 +95,40 @@ class JdbcSpec extends SparkSpec {
     // and the failed applies left the table untouched
     assert(snapshot === s2)
   }
+
+  private def exec(sql: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url, props)
+    try { val st = c.createStatement(); try { st.executeUpdate(sql); () } finally st.close() }
+    finally c.close()
+  }
+
+  test("upsert staging swap: a crash between drop and rename is healed on replay") {
+    val t = "mart_crash"
+    val keys = Seq("user_id")
+    def snapshot: Set[(Long, Long, Double)] =
+      Sinks.readJdbc(spark, url, t, props)
+        .select(col("user_id"), col("event_id"), col("value"))
+        .as[(Long, Long, Double)].collect().toSet
+    val b1 = Seq((1L, 10L, 1.0), (2L, 5L, 7.0)).toDF("user_id", "event_id", "value")
+    Sinks.upsertLatestJdbc(b1, url, t, keys, "event_id", props)
+    assert(snapshot === Set((1L, 10L, 1.0), (2L, 5L, 7.0)))
+    // reproduce the one exposed crash window: the COMPLETE merged
+    // snapshot sits in staging and the live table is already gone
+    // (equivalent state: rename live out to staging)
+    exec(s"RENAME TABLE $t TO ${t}_stg")
+    assert(!Sinks.jdbcTableExists(url, t, props))
+    // replaying the NEXT batch must first promote staging (else key 2,
+    // absent from b2, would be lost forever), then merge normally
+    val b2 = Seq((1L, 12L, 2.0), (3L, 1L, 3.0)).toDF("user_id", "event_id", "value")
+    Sinks.upsertLatestJdbc(b2, url, t, keys, "event_id", props)
+    assert(snapshot === Set((1L, 12L, 2.0), (2L, 5L, 7.0), (3L, 1L, 3.0)))
+  }
+
+  test("jdbcTableExists is not fooled by LIKE wildcards in the table name") {
+    Sinks.appendJdbc(Seq((1, "x")).toDF("a", "b"), url, "wildXprobe", props)
+    assert(Sinks.jdbcTableExists(url, "wildXprobe", props))
+    // '_' is a LIKE wildcard: unescaped, "wild_probe" also matches
+    // "wildXprobe" and the caller would read a nonexistent table
+    assert(!Sinks.jdbcTableExists(url, "wild_probe", props))
+  }
 }

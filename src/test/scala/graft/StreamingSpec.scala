@@ -287,6 +287,17 @@ class StreamingSpec extends SparkSpec {
       === "true")
     assert(confs("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB")
       .toInt >= 64)
+    // the budget override fails LOUDLY on garbage: a silent fall-through
+    // to the default would mask misconfiguration of the exact knob the
+    // round-11 drift was traced to (a deliberate capacity decision)
+    assert(EventsStream.parseRocksDbMemMb(None) === 512)
+    assert(EventsStream.parseRocksDbMemMb(Some("256")) === 256)
+    intercept[IllegalArgumentException] {
+      EventsStream.parseRocksDbMemMb(Some("lots"))
+    }
+    intercept[IllegalArgumentException] {
+      EventsStream.parseRocksDbMemMb(Some("32"))
+    }
     // (b) the changelog contract ENGAGES through the production runner —
     // not just a conf string: a multi-batch run must leave per-version
     // .changelog delta files in the checkpoint's state directory (a
