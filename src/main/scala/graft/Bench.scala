@@ -85,7 +85,7 @@ object Bench {
       "q57_streaming_sessionize", "q58_streaming_session_eventtime",
       "q59_streaming_interval_join", "q60_streaming_metrics",
       "q61_streaming_upsert", "q65_streaming_join_metrics",
-      "q66_streaming_session_metrics",
+      "q66_streaming_session_metrics", "q67_streaming_agg_metrics",
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append",
       "p59_dedup_index_compact", "q62_schema_evolution")

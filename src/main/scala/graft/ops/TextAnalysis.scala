@@ -56,9 +56,14 @@ object TextAnalysis {
     * that REWRITES documents by deleting every text line whose exact
     * content repeats across the corpus (boilerplate, navigation chrome,
     * licence blurbs), as opposed to p51 which only *measures* overlap.
-    * The fixture corpus has no newlines, so the line analogue is fixed
-    * non-overlapping `segTokens`-word segments; in production the
-    * segmenter is `split(text, '\n')` and nothing else changes.
+    * The fixture corpus has no newlines, so the default line analogue is
+    * fixed non-overlapping `segTokens`-word segments; `byLines = true`
+    * selects the production segmenter — `split(text, '\n')` (Spark's
+    * two-arg split keeps trailing empty strings, limit = -1, matching
+    * DuckDB's string_split) — and nothing else changes: same digest
+    * shuffle, same df gate, same in-order reassembly, newline-joined.
+    * The p62 catalog row drives this mode over text assembled in-query
+    * with real newlines (shared header/footer lines + a unique line).
     *
     * Shape: segment (narrow) → doc-frequency aggregate keyed on the md5
     * of the segment (the 100 TB shuffle moves 32-byte digests + doc ids,
@@ -73,15 +78,25 @@ object TextAnalysis {
     * space-split tokens, so a document with nothing removed round-trips
     * to its exact original text. */
   def lineDedup(docs: DataFrame, segTokens: Int = 12,
-                maxDocFreq: Int = 1): DataFrame = {
+                maxDocFreq: Int = 1, byLines: Boolean = false): DataFrame = {
     require(segTokens > 0, "segment size must be positive")
     require(maxDocFreq >= 1, "maxDocFreq < 1 would delete every segment")
-    val toks = tokens(col("text"))
-    val nSeg = ceil(size(toks).cast("double") / segTokens).cast("int")
+    // segment count + segment list per mode; everything downstream is
+    // mode-blind (the digest shuffle never sees which segmenter ran)
+    val (nSeg, segList) =
+      if (byLines) {
+        val lines = split(col("text"), "\n")
+        (size(lines), lines)
+      } else {
+        val toks = tokens(col("text"))
+        val n = ceil(size(toks).cast("double") / segTokens).cast("int")
+        (n, transform(sequence(lit(0), n - 1),
+          k => concat_ws(" ", slice(toks, k * segTokens + 1, lit(segTokens)))))
+      }
+    val joiner = if (byLines) "\n" else " "
     val segs = docs.select(
         col("doc_id"), nSeg.cast("long").as("n_segments"),
-        posexplode(transform(sequence(lit(0), nSeg - 1),
-          k => concat_ws(" ", slice(toks, k * segTokens + 1, lit(segTokens))))))
+        posexplode(segList))
       .toDF("doc_id", "n_segments", "seg_idx", "seg")
       .withColumn("h", md5(col("seg")))
     // distinct (h, doc_id) BEFORE counting: a segment repeated inside one
@@ -95,7 +110,7 @@ object TextAnalysis {
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
-          s => s.getField("seg")), " ").as("kept_text"),
+          s => s.getField("seg")), joiner).as("kept_text"),
         count(lit(1)).as("n_kept"))
     docs.select(col("doc_id"), nSeg.cast("long").as("n_segments"))
       .join(rebuilt, Seq("doc_id"), "left")

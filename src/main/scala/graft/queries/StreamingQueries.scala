@@ -637,6 +637,87 @@ object StreamingQueries {
       |  s.state_rows_total
       |FROM per p JOIN st s ON s.batch_id = p.batch_id""".stripMargin
 
+  /** q67 — WINDOWED-AGGREGATION STATE metrics as a hash-checked row:
+    * q54's operator (watermarked hourly tumbling windows) runs across
+    * four deterministic time-quartile micro-batches and the row emits
+    * the engine's per-batch progress, completing the observability
+    * matrix: q60 covers dedup state, q65 join state, q66 sessionizer
+    * state, and this row the most common production stateful shape of
+    * all. The oracle recomputes every number from the data alone:
+    *
+    *  - input: quartile slice counts (integer-arithmetic boundaries,
+    *    replayed exactly in SQL);
+    *  - drops: zero by construction — batches ascend in time, so the
+    *    watermark always trails the current batch's range;
+    *  - state rows after batch k: OPEN (hour-window, event_type)
+    *    groups. Append mode finalizes (emits + evicts) a window
+    *    exactly when its end falls at-or-below the batch's eviction
+    *    watermark (the boundary StreamingSpec pins for q54), so
+    *    state_k = #{distinct (hour, type) in slices 0..k :
+    *    hour_end_ms > wm_k_ms}, wm_k in engine MILLISECOND granularity
+    *    from batches 0..k-1 (batch 0 has no watermark yet). */
+  def q67StreamingAggMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q67_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q67_ckpt", dir)
+    val out = graft.io.TempPaths.scratchDir(spark, "graft_q67_out", dir)
+    val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q67_metrics", dir)
+    landFixtureTimeQuarters(spark, dir, landing, nFiles = 4)
+    if (!graft.io.TempPaths.isComplete(metricsDir)) {
+      val ev = EventsStream
+        .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+      val agg = EventsStream.hourlyAggregates(ev)
+      val progress =
+        EventsStream.runAvailableNowTo(agg, ckpt, out, statePartitions)
+      EventsStream.progressSummary(spark, progress.toSeq)
+        .filter(col("num_input_rows") > 0)
+        .select(col("batch_id"), col("num_input_rows"),
+          col("rows_dropped_by_watermark"), col("state_rows_total"))
+        .coalesce(1).write.mode("overwrite").parquet(metricsDir)
+      graft.io.TempPaths.markComplete(metricsDir)
+    }
+    spark.read.parquet(metricsDir)
+  }
+
+  /** Oracle: replays the quartile boundaries in the same integer
+    * arithmetic, then for each batch k counts the distinct
+    * (hour-window, type) groups whose window END is strictly beyond
+    * the engine watermark (prev-prefix max ts, MILLISECOND-truncated,
+    * minus the 30 min delay; batch 0 has no watermark, sentinel -1
+    * keeps every group). */
+  val q67Sql: String =
+    """WITH bounds AS (
+      |  SELECT MIN(epoch_us(ts)) AS mn, MAX(epoch_us(ts)) AS mx,
+      |    MAX(epoch_us(ts)) - MIN(epoch_us(ts)) + 1 AS span
+      |  FROM events),
+      |b AS (
+      |  SELECT epoch_ms(date_trunc('hour', e.ts)) AS win_ms, event_type,
+      |    epoch_us(e.ts) AS ts_us,
+      |    CAST(CASE
+      |      WHEN epoch_us(e.ts) < mn + span * 1 // 4 THEN 0
+      |      WHEN epoch_us(e.ts) < mn + span * 2 // 4 THEN 1
+      |      WHEN epoch_us(e.ts) < mn + span * 3 // 4 THEN 2
+      |      ELSE 3 END AS BIGINT) AS batch_id
+      |  FROM events e, bounds),
+      |per AS (
+      |  SELECT batch_id, COUNT(*) AS num_input_rows FROM b GROUP BY batch_id),
+      |wm AS (
+      |  SELECT p.batch_id,
+      |    CASE WHEN p.batch_id = 0 THEN -1
+      |      ELSE (SELECT MAX(ts_us) FROM b WHERE b.batch_id < p.batch_id)
+      |           // 1000 - 1800000 END AS wm_ms
+      |  FROM per p),
+      |st AS (
+      |  SELECT w.batch_id, COUNT(*) AS state_rows_total FROM wm w,
+      |    LATERAL (
+      |      SELECT win_ms, event_type FROM b
+      |      WHERE b.batch_id <= w.batch_id GROUP BY win_ms, event_type) g
+      |  WHERE g.win_ms + 3600000 > w.wm_ms
+      |  GROUP BY w.batch_id)
+      |SELECT p.batch_id, p.num_input_rows,
+      |  CAST(0 AS BIGINT) AS rows_dropped_by_watermark,
+      |  s.state_rows_total
+      |FROM per p JOIN st s ON s.batch_id = p.batch_id""".stripMargin
+
   val q61Sql: String =
     """WITH r AS (
       |  SELECT user_id, event_type, event_id, ts, value,
@@ -655,7 +736,8 @@ object StreamingQueries {
     "q60_streaming_metrics" -> (q60StreamingMetrics _),
     "q61_streaming_upsert" -> (q61StreamingUpsert _),
     "q65_streaming_join_metrics" -> (q65StreamingJoinMetrics _),
-    "q66_streaming_session_metrics" -> (q66StreamingSessionMetrics _))
+    "q66_streaming_session_metrics" -> (q66StreamingSessionMetrics _),
+    "q67_streaming_agg_metrics" -> (q67StreamingAggMetrics _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
@@ -666,5 +748,6 @@ object StreamingQueries {
     "q60_streaming_metrics" -> q60Sql,
     "q61_streaming_upsert" -> q61Sql,
     "q65_streaming_join_metrics" -> q65Sql,
-    "q66_streaming_session_metrics" -> q66Sql)
+    "q66_streaming_session_metrics" -> q66Sql,
+    "q67_streaming_agg_metrics" -> q67Sql)
 }
