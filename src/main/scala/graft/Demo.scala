@@ -18,6 +18,7 @@ object Demo {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -23,15 +23,27 @@ object Tables {
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read as a
-    * timestamp; sessions set spark.sql.legacy.parquet.nanosAsLong=true and
-    * this loader converts the nano-long to a microsecond TimestampType. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  /** events.ts has shipped as TIMESTAMP(NANOS) (Spark reads it as a
+    * nano-long under spark.sql.legacy.parquet.nanosAsLong=true) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (TIMESTAMP_NTZ under
+    * schema inference) in different testdata generations; sessions also
+    * set spark.sql.parquet.inferTimestampNTZ.enabled=false so naive
+    * micros read directly as TimestampType. This normalizer accepts all
+    * three shapes and always yields a UTC-instant TimestampType — every
+    * session pins spark.sql.session.timeZone=UTC, so the NTZ cast is
+    * value-preserving and matches DuckDB's epoch_us over the naive
+    * parquet value. */
+  def normalizeTs(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, timestamp_micros(expr(s"$tsCol div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(load(spark, dir, "events"), "ts")
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -14,6 +14,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       // keep saveAsTable scratch (q34/p54 bucket layouts) out of the
       // repo root; the graft-warehouse prefix is swept by

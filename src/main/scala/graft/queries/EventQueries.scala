@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * (map-side partial aggregation everywhere, shuffles only on user_id /
   * cohort keys); no windows over the full event stream and no
   * per-event state. Counts-only outputs keep the oracles free of
-  * timestamp-precision concerns (events.parquet is TIMESTAMP(NANOS),
-  * Spark reads microseconds).
+  * timestamp-precision concerns (events.ts has shipped as both
+  * TIMESTAMP(NANOS) and naive TIMESTAMP(MICROS) across testdata
+  * generations; Tables.normalizeTs reads either as microseconds).
   */
 object EventQueries {
 

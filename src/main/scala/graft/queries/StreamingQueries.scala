@@ -515,8 +515,14 @@ object StreamingQueries {
                                       landing: String, nFiles: Int): Unit = {
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
-      val bounds = spark.read.parquet(s"$dir/events.parquet")
-        .agg(min(expr("ts div 1000")).as("mn"), max(expr("ts div 1000")).as("mx"))
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      // exact microseconds regardless of the fixture's ts encoding
+      // (nanos-as-long vs timestamp; the oracle replays epoch_us(ts))
+      val tsUs = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp"))
+      }
+      val bounds = raw.agg(min(tsUs).as("mn"), max(tsUs).as("mx"))
         .collect().head
       val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
       val span = mxUs - mnUs + 1
@@ -525,8 +531,7 @@ object StreamingQueries {
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/events.parquet")
-          .filter(expr("ts div 1000") >= bound(i) &&
-            expr("ts div 1000") < bound(i + 1))
+          .filter(tsUs >= bound(i) && tsUs < bound(i + 1))
           .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
         val part = Option(stageDir.toFile.listFiles()).get
           .filter(_.getName.endsWith(".parquet")).head

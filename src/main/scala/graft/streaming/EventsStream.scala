@@ -32,19 +32,18 @@ object EventsStream {
     */
   def readEventsStream(spark: SparkSession, dir: String,
                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.types._
-    // nanos ts arrives as long under nanosAsLong; normalize to timestamp
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // file streams need an explicit schema; take it from a batch read of
+    // the already-landed directory so it tracks whatever ts encoding the
+    // testdata generation shipped (nanos-as-long, naive micros, …) and
+    // let the shared normalizer produce the UTC-instant TimestampType
+    // every downstream watermark/window expects
+    val schema = spark.read.parquet(dir).schema
     val reader = spark.readStream.schema(schema)
     // maxFilesPerTrigger splits an AvailableNow run into MULTIPLE
     // micro-batches — the knob that turns "one big batch" into a real
     // cross-batch state-store exercise (q56)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeTs(reader.parquet(dir), "ts")
   }
 
   /** Watermarked tumbling-window aggregation: hourly event counts and

@@ -13,6 +13,7 @@ object ProfileQuery {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // table-backed rows (p54/p56-p59) must not litter the repo root
       // with a ./spark-warehouse; same pid-token scratch as Bench
       .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())

@@ -11,6 +11,7 @@ object SparkTestBase {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
     .config("spark.ui.enabled", "false")
     .getOrCreate()
