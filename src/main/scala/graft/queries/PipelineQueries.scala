@@ -655,6 +655,64 @@ object PipelineQueries {
       |  t.n_seg - coalesce(r.n_kept, 0) AS n_removed
       |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** Line-level dedup in PRODUCTION mode — the `split(text, '\n')`
+    * segmenter over text that actually contains newlines. The fixture
+    * corpus is newline-free, so the row assembles a realistic page
+    * in-query from existing columns: a corpus-wide header, a per-source
+    * tag line, the document body, an empty line, and a corpus-wide
+    * footer, all '\n'-joined. The df<=1 gate must then strip every
+    * boilerplate line (header/footer/empty shared by all 500 docs, the
+    * tag shared within each source, bodies of exact-duplicate docs) and
+    * keep exactly the unique bodies — both engines replay the identical
+    * construction, so the newline segmentation, empty-segment handling,
+    * and newline-joined reassembly are what is being checked. */
+  def lineDedupNewlines(spark: SparkSession, dir: String): DataFrame = {
+    val aug = Tables.documents(spark, dir).select(col("doc_id"),
+      concat_ws("\n",
+        lit("Subscribe to our newsletter for updates"),
+        concat(lit("source: "), col("source")),
+        col("text"),
+        lit(""),
+        lit("(c) Example Corp. All rights reserved.")).as("text"))
+    TextAnalysis.lineDedup(aug, byLines = true)
+  }
+
+  /** DuckDB replays the same page construction, splits on chr(10)
+    * (string_split keeps empty segments, matching Spark's limit=-1
+    * split), counts corpus doc-frequency per line, and reassembles the
+    * df<=1 survivors in order with chr(10). Groups on line TEXT where
+    * Spark groups on md5(line) — equal absent an md5 collision, the
+    * contract p01/p60 already rely on. */
+  val lineDedupNewlinesSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'Subscribe to our newsletter for updates',
+      |    'source: ' || source,
+      |    text,
+      |    '',
+      |    '(c) Example Corp. All rights reserved.') AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id, string_split(text, chr(10)) AS segs,
+      |    CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_seg
+      |  FROM a),
+      |s AS (
+      |  SELECT doc_id, n_seg, k AS seg_idx, segs[k + 1] AS seg
+      |  FROM t, unnest(range(0, n_seg)) AS u(k)),
+      |f AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+      |r AS (
+      |  SELECT s.doc_id,
+      |    string_agg(s.seg, chr(10) ORDER BY s.seg_idx) AS kept_text,
+      |    count(*) AS n_kept
+      |  FROM s JOIN f USING (seg) WHERE f.df <= 1
+      |  GROUP BY s.doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(r.kept_text, '') AS text_clean,
+      |  t.n_seg AS n_segments,
+      |  t.n_seg - coalesce(r.n_kept, 0) AS n_removed
+      |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
+
   /** Hashed-feature linear quality score: fastText-shaped feature-hash →
     * weight-lookup → integer linear fold → keep gate, zero shuffles. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -903,7 +961,8 @@ object PipelineQueries {
     "p58_dedup_index_append" -> (dedupIndexAppend _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
-    "p61_quality_classifier" -> (qualityClassifier _))
+    "p61_quality_classifier" -> (qualityClassifier _),
+    "p62_line_dedup_newlines" -> (lineDedupNewlines _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -935,6 +994,7 @@ object PipelineQueries {
     "p52_dedup_incremental" -> dedupIncrementalSql,
     "p60_line_dedup" -> lineDedupSql,
     "p61_quality_classifier" -> qualityClassifierSql,
+    "p62_line_dedup_newlines" -> lineDedupNewlinesSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,
