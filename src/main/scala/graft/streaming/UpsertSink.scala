@@ -118,4 +118,29 @@ object UpsertSink {
       .start()
     q.awaitTermination()
   }
+
+  /** Drain an events landing into a KEYED JDBC MART under
+    * `Trigger.AvailableNow` — the reference's end state as a PIPELINE:
+    * a Spark stream keeping a relational mart current (reference
+    * main.py:282-288 appends to MySQL; here each micro-batch flows
+    * through [[graft.io.Sinks.upsertLatestJdbc]]'s argmax staging-swap
+    * merge instead, so the mart holds the latest row per key). The
+    * merge is idempotent and heals its own crash window, so checkpoint
+    * replay of a killed batch converges to the uninterrupted run's
+    * table — exactly-once in effect through a sink with no
+    * transactional coupling to the WAL (RecoverySpec proves it with an
+    * injected mid-batch kill through embedded Derby). */
+  def runUpsertLatestJdbc(events: DataFrame, checkpoint: String,
+                          url: String, table: String, keys: Seq[String],
+                          versionCol: String,
+                          props: java.util.Properties): Unit = {
+    val q = events.writeStream
+      .foreachBatch((b: Dataset[Row], _: Long) =>
+        graft.io.Sinks.upsertLatestJdbc(b.toDF(), url, table, keys,
+          versionCol, props))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }

@@ -175,6 +175,42 @@ class RecoverySpec extends SparkSpec {
       "recovered upsert table must equal the batch argmax")
   }
 
+  test("mid-batch crash + restart: foreachBatch JDBC upsert equals the batch answer") {
+    // the reference's actual flow — a pipeline maintaining a keyed
+    // relational mart (main.py:282-288) — killed mid-batch and resumed:
+    // the checkpoint WAL replays the failed batch into
+    // Sinks.upsertLatestJdbc, whose idempotent staging-swap merge
+    // converges on the same Derby table an uninterrupted run produces
+    val landing = landSplit(3)
+    PoisonGate.markerId = middleFileMarker(landing)
+    val ckpt = tmp("graft_rec_jdbc_ckpt")
+    val url = "jdbc:derby:memory:graftrecdb;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val table = "mart_stream_upsert"
+    def run(): Unit = graft.streaming.UpsertSink.runUpsertLatestJdbc(
+      EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
+        .filter(poison(col("event_id")))
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value")),
+      ckpt, url, table, keys = Seq("user_id", "event_type"),
+      versionCol = "event_id", props)
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] { run() }
+    finally PoisonGate.armed = false
+    run()
+    val got = graft.io.Sinks.readJdbc(spark, url, table, props)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("event_id").desc)
+    val expected = Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    assert(got.count() === expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty,
+      "recovered JDBC mart must equal the batch argmax")
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
