@@ -128,8 +128,21 @@ object Scaling {
     }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
+    // the fixture tables do NOT all grow 10x per sf step (documents and
+    // embeddings are clamped at small sfs), so a slope fit against sf
+    // understates per-row growth for queries driven by those tables;
+    // record the actual row counts so the analysis (SCALING.md) can
+    // refit the last-pair slope against the driving table's row ratio
+    val tableNames = Seq("lineitem", "orders", "customer", "events",
+      "documents", "embeddings")
+    val tableCounts = sfDirs.map { dir =>
+      val counts = tableNames.map { t =>
+        s"""${jstr(t)}:${spark.read.parquet(s"$dir/$t.parquet").count()}"""
+      }.mkString(",")
+      s""""sf${sfOf(dir)}":{$counts}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"reps":$reps,"cpus":$cpus,"sfs":${sfDirs.map(jstr).mkString("[", ",", "]")},"queries":$rows,"errors":$errJson}"""
+      s"""{"reps":$reps,"cpus":$cpus,"sfs":${sfDirs.map(jstr).mkString("[", ",", "]")},"table_rows":$tableCounts,"queries":$rows,"errors":$errJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(s"SCALING $json")
     spark.stop()
