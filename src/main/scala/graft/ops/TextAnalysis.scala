@@ -79,45 +79,107 @@ object TextAnalysis {
     * to its exact original text. */
   def lineDedup(docs: DataFrame, segTokens: Int = 12,
                 maxDocFreq: Int = 1, byLines: Boolean = false): DataFrame = {
-    require(segTokens > 0, "segment size must be positive")
     require(maxDocFreq >= 1, "maxDocFreq < 1 would delete every segment")
-    // segment count + segment list per mode; everything downstream is
-    // mode-blind (the digest shuffle never sees which segmenter ran)
-    val (nSeg, segList) =
-      if (byLines) {
-        val lines = split(col("text"), "\n")
-        (size(lines), lines)
-      } else {
-        val toks = tokens(col("text"))
-        val n = ceil(size(toks).cast("double") / segTokens).cast("int")
-        (n, transform(sequence(lit(0), n - 1),
-          k => concat_ws(" ", slice(toks, k * segTokens + 1, lit(segTokens)))))
-      }
-    val joiner = if (byLines) "\n" else " "
-    val segs = docs.select(
-        col("doc_id"), nSeg.cast("long").as("n_segments"),
-        posexplode(segList))
-      .toDF("doc_id", "n_segments", "seg_idx", "seg")
-      .withColumn("h", md5(col("seg")))
+    val segs = segmented(docs, segTokens, byLines)
     // distinct (h, doc_id) BEFORE counting: a segment repeated inside one
     // document is not corpus boilerplate, and distinct-then-count keeps
     // the aggregate partial-aggregation-safe (no countDistinct rewrite)
     val docFreq = segs.select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df")
-    val rebuilt = segs.join(docFreq, "h")
-      .filter(col("df") <= maxDocFreq)
+    val kept = segs.join(docFreq, "h").filter(col("df") <= maxDocFreq)
+    reassemble(docs, kept, segTokens, byLines)
+  }
+
+  /** Shared segmenter of the line-dedup family: one row per (doc,
+    * segment) with the md5 digest downstream shuffles key on.
+    * Everything after this is mode-blind — the digest shuffle never
+    * sees which segmenter ran. */
+  private def segCols(segTokens: Int, byLines: Boolean): (Column, Column) =
+    if (byLines) {
+      val lines = split(col("text"), "\n")
+      (size(lines), lines)
+    } else {
+      val toks = tokens(col("text"))
+      val n = ceil(size(toks).cast("double") / segTokens).cast("int")
+      (n, transform(sequence(lit(0), n - 1),
+        k => concat_ws(" ", slice(toks, k * segTokens + 1, lit(segTokens)))))
+    }
+
+  private def segmented(docs: DataFrame, segTokens: Int,
+                        byLines: Boolean): DataFrame = {
+    require(segTokens > 0, "segment size must be positive")
+    val (nSeg, segList) = segCols(segTokens, byLines)
+    docs.select(
+        col("doc_id"), nSeg.cast("long").as("n_segments"),
+        posexplode(segList))
+      .toDF("doc_id", "n_segments", "seg_idx", "seg")
+      .withColumn("h", md5(col("seg")))
+  }
+
+  /** Shared reassembly tail: regroup surviving segments per doc in
+    * seg_idx order and re-join with the mode's separator; docs whose
+    * every segment was boilerplate survive as empty strings. The
+    * n_segments side is a NARROW projection of the original docs (no
+    * explode, no shuffle) — only the kept side aggregates. */
+  private def reassemble(docs: DataFrame, kept: DataFrame, segTokens: Int,
+                         byLines: Boolean): DataFrame = {
+    val joiner = if (byLines) "\n" else " "
+    val rebuilt = kept
       .groupBy("doc_id")
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg")), joiner).as("kept_text"),
         count(lit(1)).as("n_kept"))
+    val (nSeg, _) = segCols(segTokens, byLines)
     docs.select(col("doc_id"), nSeg.cast("long").as("n_segments"))
       .join(rebuilt, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("kept_text"), lit("")).as("text_clean"),
         col("n_segments"),
         (col("n_segments") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Persist the corpus side of incremental line dedup: the per-segment
+    * document-frequency table, bucketed on the segment digest. This is
+    * the index a daily-ingest pipeline maintains once for the existing
+    * corpus so each new delta is gated WITHOUT re-counting history —
+    * the line-dedup analogue of Dedup.buildCorpusIndex. Stored rows are
+    * (h, df_corpus) only: 32-byte digests and counts, never segment
+    * text, so at 100 TB the index is a tiny fraction of the corpus and
+    * the probe join below runs exchange-free on the corpus side (bucket
+    * layout on h). */
+  def buildLineDfIndex(corpus: DataFrame, table: String,
+                       segTokens: Int = 12, byLines: Boolean = false,
+                       buckets: Int = 8): Unit = {
+    val df = segmented(corpus, segTokens, byLines)
+      .select("h", "doc_id").distinct()
+      .groupBy("h").count().withColumnRenamed("count", "df_corpus")
+    graft.io.Bucketing.writeBucketed(df, table, "h", buckets)
+  }
+
+  /** Incremental line dedup: rewrite ONLY the freshly-ingested delta
+    * docs, gating each segment on its total document frequency = count
+    * among delta docs + the persisted corpus df from
+    * [[buildLineDfIndex]]. Equals full-corpus [[lineDedup]] restricted
+    * to the delta rows (the equivalence TextAnalysisSpec pins and the
+    * p63 oracle replays), but the work is delta-sized: corpus history
+    * is never re-segmented, and the index side of the probe join is
+    * pre-bucketed on h so only delta digests shuffle. */
+  def lineDedupIncremental(spark: org.apache.spark.sql.SparkSession,
+                           delta: DataFrame, indexTable: String,
+                           segTokens: Int = 12, maxDocFreq: Int = 1,
+                           byLines: Boolean = false): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq < 1 would delete every segment")
+    val segs = segmented(delta, segTokens, byLines)
+    val deltaDf = segs.select("h", "doc_id").distinct()
+      .groupBy("h").count().withColumnRenamed("count", "df_delta")
+    val idx = spark.table(indexTable)
+    val totalDf = deltaDf.join(idx, Seq("h"), "left")
+      .select(col("h"),
+        (col("df_delta") + coalesce(col("df_corpus"), lit(0L))).as("df"))
+    val kept = segs.join(totalDf, "h").filter(col("df") <= maxDocFreq)
+    reassemble(delta, kept, segTokens, byLines)
   }
 
   /** Hashed-feature linear quality classifier — the fastText-shaped

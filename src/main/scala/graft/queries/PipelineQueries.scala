@@ -713,6 +713,63 @@ object PipelineQueries {
       |  t.n_seg - coalesce(r.n_kept, 0) AS n_removed
       |FROM t LEFT JOIN r USING (doc_id)""".stripMargin
 
+  /** p63 — incremental line dedup against the PERSISTED line-df index:
+    * the daily-ingest shape of the C4 line-dedup family. Every fifth
+    * document plays the freshly-ingested delta, the rest the existing
+    * corpus whose per-segment document frequencies are built ONCE as a
+    * bucketed (h, df_corpus) table — 32-byte digests and counts, never
+    * text — and each delta segment is gated on corpus df + delta df.
+    * The oracle is full-corpus line dedup restricted to the delta rows,
+    * so a hash match certifies the incremental path rewrites a new doc
+    * EXACTLY as a from-scratch global pass would, without re-counting
+    * history. Index cached per (application, dir, scratch epoch) like
+    * p54; broadcast disabled around the probe so the bucket layout is
+    * what runs at fixture scale, as it would at 100 TB. */
+  def lineDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p63_linedf", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.buildLineDfIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        idxTbl, buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TextAnalysis.lineDedupIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), idxTbl)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** The oracle replays the GLOBAL rewrite (p60's device: segment →
+    * corpus-wide df → df<=1 gate → in-order reassembly) and keeps only
+    * the delta docs — the equivalence the incremental path must hit. */
+  val lineDedupIncrementalSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_seg
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n_seg, k AS seg_idx,
+      |    array_to_string(toks[(k*12+1):(k*12+12)], ' ') AS seg
+      |  FROM t, unnest(range(0, n_seg)) AS u(k)),
+      |f AS (
+      |  SELECT seg, count(DISTINCT doc_id) AS df FROM s GROUP BY seg),
+      |r AS (
+      |  SELECT s.doc_id,
+      |    string_agg(s.seg, ' ' ORDER BY s.seg_idx) AS kept_text,
+      |    count(*) AS n_kept
+      |  FROM s JOIN f USING (seg) WHERE f.df <= 1 AND s.doc_id % 5 = 0
+      |  GROUP BY s.doc_id)
+      |SELECT t.doc_id,
+      |  coalesce(r.kept_text, '') AS text_clean,
+      |  t.n_seg AS n_segments,
+      |  t.n_seg - coalesce(r.n_kept, 0) AS n_removed
+      |FROM t LEFT JOIN r USING (doc_id)
+      |WHERE t.doc_id % 5 = 0""".stripMargin
+
   /** Hashed-feature linear quality score: fastText-shaped feature-hash →
     * weight-lookup → integer linear fold → keep gate, zero shuffles. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -962,7 +1019,8 @@ object PipelineQueries {
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
-    "p62_line_dedup_newlines" -> (lineDedupNewlines _))
+    "p62_line_dedup_newlines" -> (lineDedupNewlines _),
+    "p63_line_dedup_incremental" -> (lineDedupIncremental _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -995,6 +1053,7 @@ object PipelineQueries {
     "p60_line_dedup" -> lineDedupSql,
     "p61_quality_classifier" -> qualityClassifierSql,
     "p62_line_dedup_newlines" -> lineDedupNewlinesSql,
+    "p63_line_dedup_incremental" -> lineDedupIncrementalSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,

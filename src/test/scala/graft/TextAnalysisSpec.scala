@@ -118,4 +118,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(h(1L) === h(3L))
     assert(h(1L) !== h(2L))
   }
+
+  test("incremental line dedup against the persisted df index equals the global rewrite") {
+    // fixture corpus: two docs sharing a boilerplate line with the delta
+    // (removed via the INDEX), a line repeated inside the delta itself
+    // (removed via delta-side counting), and unique lines that survive
+    val corpus = Seq(
+      (1L, "subscribe now\nreal corpus body one"),
+      (2L, "subscribe now\nreal corpus body two")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "subscribe now\nfresh delta body"),
+      (11L, "dupe in delta\nonly here"),
+      (12L, "dupe in delta\nanother unique")).toDF("doc_id", "text")
+    val tbl = "linedf_idx_spec"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    TextAnalysis.buildLineDfIndex(corpus, tbl, byLines = true, buckets = 4)
+    val got = TextAnalysis.lineDedupIncremental(spark, delta, tbl,
+      byLines = true)
+    // the contract: identical to a from-scratch global pass over
+    // corpus ∪ delta, restricted to the delta rows
+    val want = TextAnalysis.lineDedup(corpus.unionByName(delta),
+        byLines = true)
+      .filter(col("doc_id") >= 10L)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "incremental verdicts must equal the global rewrite on delta docs")
+    val byId = got.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("text_clean"), r.getAs[Long]("n_removed"))).toMap
+    assert(byId(10L) === (("fresh delta body", 1L)))   // index removal
+    assert(byId(11L) === (("only here", 1L)))          // delta-side removal
+    assert(byId(12L) === (("another unique", 1L)))
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
 }
