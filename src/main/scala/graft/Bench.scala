@@ -89,7 +89,8 @@ object Bench {
       "q66_streaming_session_metrics", "q67_streaming_agg_metrics",
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append",
-      "p59_dedup_index_compact", "q62_schema_evolution")
+      "p59_dedup_index_compact", "p63_line_dedup_incremental",
+      "q62_schema_evolution")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
     // profiling filters: ONLY/SKIP take comma-separated name prefixes

@@ -228,6 +228,34 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p63 probe: persisted line-df index is read bucketed, no corpus-side exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_p63spec_linedf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.TextAnalysis.buildLineDfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), tbl, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val verdicts = graft.ops.TextAnalysis.lineDedupIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = planString(verdicts)
+      // the index side must arrive pre-partitioned on h (bucketed read);
+      // a re-shuffle of the corpus df table would defeat the layout
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"line-df index must be read as a bucketed table:\n$plan")
+      assert(plan.linesIterator.exists(_.contains(tbl)),
+        s"expected a scan of $tbl in:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("p56 probe: persisted IVF index replaces the per-run assignment aggregate") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
