@@ -29,6 +29,13 @@ object BloomJoin {
     udf((k: Long) => f.mightContainLong(k)).apply(key)
   }
 
+  /** String-key variant of [[mightContain]] (bloom over text shingles,
+    * URLs, …). */
+  def mightContainString(filter: BloomFilter, key: Column): Column = {
+    val f = filter
+    udf((k: String) => k != null && f.mightContainString(k)).apply(key)
+  }
+
   /** Semi-join `probe` to `build` on the given keys with a bloom
     * pre-filter ahead of the exact semi-join shuffle. Result is EXACTLY
     * the plain left_semi join (the exact join removes false positives).

@@ -348,6 +348,42 @@ object TextAnalysis {
           col("n_grams"), 6).as("contamination_ratio"))
   }
 
+  /** Bloom-gated decontamination — [[decontamination]]'s scale path for
+    * when the benchmark n-gram set outgrows a broadcast hash join but
+    * still fits a Bloom sketch (~10 bits/key at 1% fpp vs ~50+ bytes/key
+    * hashed: a 1e9-gram eval suite is ~1.2 GB of filter vs ~50+ GB of
+    * hash table). The corpus side gates each gram through the broadcast
+    * filter MAP-SIDE, so only |matches| + fpp·|corpus grams| ever reach
+    * the shuffle of the exact confirming join — which then removes the
+    * false positives, making the result bit-identical to the exact path
+    * (p33's oracle is reused verbatim; false negatives cannot occur).
+    * Deliberately NOT broadcasting the confirming join: the whole point
+    * of this variant is the regime where the gram set cannot be a
+    * broadcast hash table, so the exact join runs as a shuffle join over
+    * the bloom survivors. */
+  def decontaminationBloom(docs: DataFrame, benchmarkMod: Int = 10,
+                           n: Int = 8, fpp: Double = 0.01): DataFrame = {
+    val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
+    val benchGrams = docs.filter(isBench)
+      .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
+    val expected = math.max(1L, benchGrams.count())
+    val filter = graft.ops.BloomJoin.buildFilter(benchGrams, "gram", expected, fpp)
+    val train = docs.filter(!isBench)
+    val contaminated = train
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .filter(graft.ops.BloomJoin.mightContainString(filter, col("gram")))
+      .join(benchGrams, Seq("gram")) // exact confirm: false positives die here
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    train.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), n)).cast("long").as("n_grams"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination_ratio"))
+  }
+
   /** PII scrubbing: redact email addresses and US-style phone numbers,
     * reporting match counts per document. Patterns are kept to the regex
     * subset Java and RE2 interpret identically, so the oracle replays

@@ -962,6 +962,15 @@ object PipelineQueries {
   def textDecontamination(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.decontamination(Tables.documents(spark, dir))
 
+  /** p64 — bloom-gated decontamination: same benchmark split and output
+    * as p33, but the corpus grams pass a broadcast Bloom filter map-side
+    * and only survivors reach the (shuffled, not broadcast) confirming
+    * join — the regime where the eval-suite gram set fits a sketch but
+    * not a hash table. Exactness is the contract: it shares p33's oracle
+    * verbatim because the confirming join kills every false positive. */
+  def textDecontaminationBloom(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.decontaminationBloom(Tables.documents(spark, dir))
+
   val textDecontaminationSql: String =
     """WITH g AS (
       |  SELECT doc_id, doc_id % 10 = 0 AS is_bench,
@@ -1020,7 +1029,8 @@ object PipelineQueries {
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
     "p62_line_dedup_newlines" -> (lineDedupNewlines _),
-    "p63_line_dedup_incremental" -> (lineDedupIncremental _))
+    "p63_line_dedup_incremental" -> (lineDedupIncremental _),
+    "p64_decontamination_bloom" -> (textDecontaminationBloom _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -1054,6 +1064,9 @@ object PipelineQueries {
     "p61_quality_classifier" -> qualityClassifierSql,
     "p62_line_dedup_newlines" -> lineDedupNewlinesSql,
     "p63_line_dedup_incremental" -> lineDedupIncrementalSql,
+    // bit-identical to the exact path by construction (bloom FPs are
+    // removed by the confirming join), so the p33 oracle applies as-is
+    "p64_decontamination_bloom" -> textDecontaminationSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,

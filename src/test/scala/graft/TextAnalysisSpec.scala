@@ -149,4 +149,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(12L) === (("another unique", 1L)))
     graft.io.Bucketing.dropTable(spark, tbl)
   }
+
+  test("bloom-gated decontamination is bit-identical to the exact path") {
+    val docs = Tables.documents(spark, sfDir)
+    val exact = TextAnalysis.decontamination(docs)
+    // a high fpp forces real false positives through the gate — the
+    // confirming join must still kill every one of them
+    val bloom = TextAnalysis.decontaminationBloom(docs, fpp = 0.2)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
+      "bloom pre-filter must not change decontamination results")
+  }
 }
