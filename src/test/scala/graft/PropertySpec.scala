@@ -256,6 +256,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: line dedup round-trips untouched docs; incremental ≡ global on any split") {
+    // docs built from a tiny line vocabulary so cross-doc repeats (and
+    // therefore removals) are common, plus one guaranteed-unique line
+    // per doc so no doc collapses to empty in the round-trip half
+    val vocab = Vector("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa")
+    val corpusGen: Gen[List[(Long, String)]] = Gen.listOfN(12,
+      for {
+        nShared <- Gen.choose(0, 3)
+        picks <- Gen.listOfN(nShared, Gen.choose(0, vocab.size - 1))
+      } yield picks.map(vocab)).map(_.zipWithIndex.map { case (shared, i) =>
+        (i.toLong, (shared :+ s"unique line number $i").mkString("\n"))
+      })
+    forAllSeeded(corpusGen) { rows =>
+      locally {
+        val docs = rows.toDF("doc_id", "text")
+        val global = graft.ops.TextAnalysis.lineDedup(docs, byLines = true)
+        // a doc whose every line is globally unique must round-trip
+        // to its exact original text with nothing removed
+        val untouched = global.filter(col("n_removed") === 0L)
+          .join(docs, "doc_id")
+          .filter(col("text_clean") =!= col("text"))
+        assert(untouched.isEmpty,
+          "zero-removal docs must reassemble to their original text")
+        // incremental against the persisted index ≡ global restricted
+        // to the delta, for an arbitrary corpus/delta split
+        val tbl = "linedf_prop_idx"
+        graft.io.Bucketing.dropTable(spark, tbl)
+        graft.ops.TextAnalysis.buildLineDfIndex(
+          docs.filter(col("doc_id") % 3 =!= 0L), tbl, byLines = true,
+          buckets = 2)
+        val inc = graft.ops.TextAnalysis.lineDedupIncremental(spark,
+          docs.filter(col("doc_id") % 3 === 0L), tbl, byLines = true)
+        val want = global.join(
+          docs.filter(col("doc_id") % 3 === 0L).select("doc_id"), "doc_id")
+        assert(inc.exceptAll(want).isEmpty && want.exceptAll(inc).isEmpty,
+          "incremental verdicts must equal the global rewrite on the delta")
+        graft.io.Bucketing.dropTable(spark, tbl)
+      }
+    }
+  }
+
   test("property: normalize always emits the canonical 9-column schema") {
     val extraColsGen = Gen.someOf(Seq("payment_mode", "channel", "note"))
     forAllSeeded(extraColsGen) { extras =>
