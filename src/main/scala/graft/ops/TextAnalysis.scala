@@ -158,6 +158,38 @@ object TextAnalysis {
     graft.io.Bucketing.writeBucketed(df, table, "h", buckets)
   }
 
+  /** Streaming/micro-batch maintenance of the [[buildLineDfIndex]]
+    * table: append ONE batch's partial document frequencies, tagged
+    * with the batch id. Batches must carry disjoint doc sets (each doc
+    * ingested once — the landing contract), so partial counts SUM to
+    * the global df and maintenance is commutative and associative over
+    * batches: any split, any order, same index content. Replay of a
+    * COMMITTED batch (the `foreachBatch` at-least-once window) is a
+    * no-op via the batch_id guard; a crash mid-append leaves a torn
+    * batch like any non-transactional file append — the recovery for
+    * that, as for all index corruption, is the from-scratch builder. */
+  def appendLineDfPartial(spark: org.apache.spark.sql.SparkSession,
+                          batch: DataFrame, table: String, batchId: Long,
+                          segTokens: Int = 12, byLines: Boolean = false,
+                          buckets: Int = 8): Unit = {
+    val partial = segmented(batch, segTokens, byLines)
+      .select("h", "doc_id").distinct()
+      .groupBy("h").count().withColumnRenamed("count", "df_corpus")
+      .withColumn("batch_id", lit(batchId))
+    if (!spark.catalog.tableExists(table))
+      graft.io.Bucketing.writeBucketed(partial, table, "h", buckets)
+    else {
+      // appends run through the micro-batch's CLONED session, so the
+      // caller session's cached relation goes stale — refresh before
+      // the replay guard reads it (a stale listing could only under-
+      // count, but keep the guard exact rather than merely safe)
+      spark.catalog.refreshTable(table)
+      if (spark.table(table).filter(col("batch_id") === batchId).isEmpty)
+        graft.io.Bucketing.writeBucketed(partial, table, "h", buckets,
+          mode = org.apache.spark.sql.SaveMode.Append)
+    }
+  }
+
   /** Incremental line dedup: rewrite ONLY the freshly-ingested delta
     * docs, gating each segment on its total document frequency = count
     * among delta docs + the persisted corpus df from
@@ -165,7 +197,13 @@ object TextAnalysis {
     * to the delta rows (the equivalence TextAnalysisSpec pins and the
     * p63 oracle replays), but the work is delta-sized: corpus history
     * is never re-segmented, and the index side of the probe join is
-    * pre-bucketed on h so only delta digests shuffle. */
+    * pre-bucketed on h so only delta digests shuffle.
+    *
+    * Accepts both index layouts: a monolithic [[buildLineDfIndex]]
+    * table, or a streamed [[appendLineDfPartial]] table whose per-batch
+    * partials are folded back to global dfs first — a groupBy on the
+    * bucket key, so the fold (like the join) runs with no corpus-side
+    * exchange. */
   def lineDedupIncremental(spark: org.apache.spark.sql.SparkSession,
                            delta: DataFrame, indexTable: String,
                            segTokens: Int = 12, maxDocFreq: Int = 1,
@@ -174,7 +212,12 @@ object TextAnalysis {
     val segs = segmented(delta, segTokens, byLines)
     val deltaDf = segs.select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_delta")
-    val idx = spark.table(indexTable)
+    val idxRaw = spark.table(indexTable)
+    val idx =
+      if (idxRaw.columns.contains("batch_id"))
+        idxRaw.groupBy("h")
+          .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+      else idxRaw
     val totalDf = deltaDf.join(idx, Seq("h"), "left")
       .select(col("h"),
         (col("df_delta") + coalesce(col("df_corpus"), lit(0L))).as("df"))

@@ -732,6 +732,90 @@ object StreamingQueries {
       |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** Land the CORPUS side of the line-dedup split (doc_id % 5 != 0, the
+    * p63 convention) into `nFiles` part files keyed on doc_id modulo —
+    * any deterministic DISJOINT split works, because the index the
+    * stream maintains is split-independent (partial dfs sum to the
+    * global df whatever the batching). Ascending mtimes pin batch order
+    * for reproducible batch ids. */
+  private def landDocsCorpusModulo(spark: SparkSession, dir: String,
+                                   landing: String, nFiles: Int): Unit = {
+    if (!graft.io.TempPaths.isComplete(landing)) {
+      new java.io.File(landing).mkdirs()
+      val staging = java.nio.file.Files.createTempDirectory("graft_q68_stage")
+      (0 until nFiles).foreach { i =>
+        val stageDir = staging.resolve(s"part_$i")
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 5 =!= 0 && pmod(col("doc_id"), lit(nFiles)) === i)
+          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+        val part = Option(stageDir.toFile.listFiles()).get
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(landing, f"docs_$i%05d.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
+      val parts = Option(new java.io.File(landing).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val base = System.currentTimeMillis() - parts.length * 10000L
+      parts.zipWithIndex.foreach { case (f, i) =>
+        require(f.setLastModified(base + i * 10000L),
+          s"failed to set mtime on $f — cannot guarantee batch order")
+      }
+      graft.io.TempPaths.markComplete(landing)
+    }
+  }
+
+  /** q68 — STREAMING INDEX MAINTENANCE: the line-df dedup index (p63's
+    * corpus side) built by the STREAMING engine instead of one batch
+    * job. The corpus lands as four files; `foreachBatch` under
+    * `Trigger.AvailableNow` appends each micro-batch's PARTIAL document
+    * frequencies into the bucketed index table, tagged by batch id
+    * (replay of a committed batch is a no-op via the batch_id guard —
+    * the at-least-once window of a non-transactional sink, q61's
+    * device applied to index maintenance). Batches carry disjoint doc
+    * sets, so partial dfs SUM to the global df whatever the batching —
+    * maintenance is commutative and associative over micro-batches.
+    * The row then runs the p63 probe against the streamed index and
+    * shares p63's oracle verbatim: a hash match proves
+    * stream-maintained and batch-built indexes are interchangeable —
+    * the continuous-ingest dedup shape a 100 TB pipeline actually
+    * runs, where the corpus index is kept current by the ingest stream
+    * and every delta is gated against it without ever re-reading
+    * history. */
+  def q68StreamingLineIndex(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q68_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q68_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q68_linedf", dir)
+    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.TextAnalysis.appendLineDfPartial(spark, b.toDF(), idxTbl, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the foreachBatch appends ran through the micro-batch's cloned
+      // session; drop this session's stale cached relation or the probe
+      // sees only the first batch's files
+      spark.catalog.refreshTable(idxTbl)
+    }
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.ops.TextAnalysis.lineDedupIncremental(spark, delta, idxTbl)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
@@ -742,7 +826,8 @@ object StreamingQueries {
     "q61_streaming_upsert" -> (q61StreamingUpsert _),
     "q65_streaming_join_metrics" -> (q65StreamingJoinMetrics _),
     "q66_streaming_session_metrics" -> (q66StreamingSessionMetrics _),
-    "q67_streaming_agg_metrics" -> (q67StreamingAggMetrics _))
+    "q67_streaming_agg_metrics" -> (q67StreamingAggMetrics _),
+    "q68_streaming_line_index" -> (q68StreamingLineIndex _))
 
   val oracles: Map[String, String] = Map(
     "q54_streaming_hourly" -> q54Sql,
@@ -754,5 +839,8 @@ object StreamingQueries {
     "q61_streaming_upsert" -> q61Sql,
     "q65_streaming_join_metrics" -> q65Sql,
     "q66_streaming_session_metrics" -> q66Sql,
-    "q67_streaming_agg_metrics" -> q67Sql)
+    "q67_streaming_agg_metrics" -> q67Sql,
+    // the streamed index must be interchangeable with the batch-built
+    // one, so the row shares p63's global-rewrite-restricted oracle
+    "q68_streaming_line_index" -> PipelineQueries.lineDedupIncrementalSql)
 }

@@ -150,6 +150,32 @@ class TextAnalysisSpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("line-df index: batched appends sum to the global df; committed-batch replay is a no-op") {
+    val corpus = Seq(
+      (1L, "subscribe now\nbody one"),
+      (2L, "subscribe now\nbody two"),
+      (4L, "subscribe now\nbody four")).toDF("doc_id", "text")
+    val tbl = "linedf_append_spec"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    // maintain the index in two disjoint batches, then replay batch 1
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") < 4L), tbl, batchId = 0L, byLines = true)
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") === 4L), tbl, batchId = 1L, byLines = true)
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") === 4L), tbl, batchId = 1L, byLines = true)
+    val folded = spark.table(tbl).groupBy("h")
+      .agg(sum(col("df_corpus")).as("df")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = TextAnalysis.lineDedup(corpus, byLines = true) // just for md5s
+    val subH = corpus.limit(1)
+      .select(md5(lit("subscribe now"))).collect().head.getString(0)
+    assert(folded(subH) === 3L, "shared line must sum to global df across batches")
+    assert(folded.values.sum === 6L, "replayed batch must not double-count")
+    assert(want.count() === 3L)
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("bloom-gated decontamination is bit-identical to the exact path") {
     val docs = Tables.documents(spark, sfDir)
     val exact = TextAnalysis.decontamination(docs)
