@@ -165,9 +165,11 @@ object TextAnalysis {
     * the global df and maintenance is commutative and associative over
     * batches: any split, any order, same index content. Replay of a
     * COMMITTED batch (the `foreachBatch` at-least-once window) is a
-    * no-op via the batch_id guard; a crash mid-append leaves a torn
-    * batch like any non-transactional file append — the recovery for
-    * that, as for all index corruption, is the from-scratch builder. */
+    * no-op via the batch_id guard, and a crash MID-append commits
+    * nothing (FileFormatWriter's job-level commit protocol stages task
+    * output until job commit) — so WAL replay after either failure
+    * converges on the batch-built index, proven under an injected
+    * mid-batch kill in RecoverySpec. */
   def appendLineDfPartial(spark: org.apache.spark.sql.SparkSession,
                           batch: DataFrame, table: String, batchId: Long,
                           segTokens: Int = 12, byLines: Boolean = false,
