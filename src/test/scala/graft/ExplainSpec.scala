@@ -228,6 +228,59 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q68 probe: folding streamed partials groups on the bucket key with no exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_q68spec_linedf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    // two disjoint appends -> a batch_id-tagged index the probe must fold
+    graft.ops.TextAnalysis.appendLineDfPartial(spark,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0), tbl, 0L)
+    graft.ops.TextAnalysis.appendLineDfPartial(spark,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1), tbl, 1L)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val verdicts = graft.ops.TextAnalysis.lineDedupIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = planString(verdicts)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"streamed line-df index must be read as a bucketed table:\n$plan")
+      // the partial-df fold groups on h, the bucket key, so the scan's
+      // partitioning satisfies the aggregate — an exchange between the
+      // index scan and its fold means the layout bought nothing. Walk
+      // the rendered tree's ANCESTORS of the index scan (strictly
+      // decreasing branch-marker columns; a naive "lines above" slice
+      // would wrongly sweep in the delta branch's legitimate exchanges)
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(_.contains(tbl))
+      assert(scanIdx >= 0, s"expected a scan of $tbl in:\n$plan")
+      def markerCol(l: String): Int = {
+        val cands = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)
+        if (cands.isEmpty) -1 else cands.min
+      }
+      val ancestors = scala.collection.mutable.Buffer[String]()
+      var colm = markerCol(lines(scanIdx))
+      var k = scanIdx - 1
+      while (k >= 0 && colm != 0) {
+        val mc = markerCol(lines(k))
+        if (mc >= 0 && (colm < 0 || mc < colm)) { ancestors += lines(k); colm = mc }
+        k -= 1
+      }
+      val foldChain = ancestors.takeWhile(l => !l.contains("Join"))
+      assert(!foldChain.exists(_.contains("Exchange")),
+        s"no exchange may sit between the bucketed index scan and its fold:\n$plan")
+      assert(foldChain.exists(_.contains("HashAggregate")),
+        s"expected the partial-df fold above the index scan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("p63 probe: persisted line-df index is read bucketed, no corpus-side exchange") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
