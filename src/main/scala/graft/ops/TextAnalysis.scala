@@ -429,6 +429,42 @@ object TextAnalysis {
           col("n_grams"), 6).as("contamination_ratio"))
   }
 
+  /** Persist the benchmark side of decontamination: the eval suite's
+    * distinct n-gram set as a table bucketed on the gram — built once
+    * when the eval suite changes, probed by every ingest delta after.
+    * The decontamination analogue of [[buildLineDfIndex]]. */
+  def buildBenchGramIndex(benchDocs: DataFrame, table: String,
+                          n: Int = 8, buckets: Int = 8): Unit = {
+    val grams = benchDocs
+      .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
+    graft.io.Bucketing.writeBucketed(grams, table, "gram", buckets)
+  }
+
+  /** Incremental decontamination: score ONLY the freshly-ingested delta
+    * docs against the persisted benchmark-gram index — the daily-ingest
+    * shape, where the eval suite is fixed and each day's corpus delta is
+    * checked without recomputing the suite's grams. Output schema and
+    * semantics are [[decontamination]]'s, restricted to the delta (the
+    * oracle replays exactly that); the index side of the join arrives
+    * pre-bucketed on gram, so only delta grams shuffle. */
+  def decontaminationAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+                                  delta: DataFrame, indexTable: String,
+                                  n: Int = 8): DataFrame = {
+    val benchGrams = spark.table(indexTable)
+    val contaminated = delta
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
+      .join(benchGrams, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    delta.select(col("doc_id"),
+        size(Dedup.shingles(col("text"), n)).cast("long").as("n_grams"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        round(coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          col("n_grams"), 6).as("contamination_ratio"))
+  }
+
   /** PII scrubbing: redact email addresses and US-style phone numbers,
     * reporting match counts per document. Patterns are kept to the regex
     * subset Java and RE2 interpret identically, so the oracle replays

@@ -770,6 +770,57 @@ object PipelineQueries {
       |FROM t LEFT JOIN r USING (doc_id)
       |WHERE t.doc_id % 5 = 0""".stripMargin
 
+  /** p65 — incremental decontamination against the PERSISTED
+    * benchmark-gram index: the eval suite's distinct 8-grams are built
+    * once as a table bucketed on the gram; the day's corpus delta
+    * (every fourth train doc here) probes it without recomputing the
+    * suite — the last index family (after minhash p54, embeddings p57,
+    * line-df p63/q68) to gain an incremental probe. The oracle is p33's
+    * exact scoring restricted to the delta, so a hash match certifies
+    * the indexed path scores new docs exactly as the from-scratch pass
+    * would. Broadcast disabled for the same reason as p54/p63: at
+    * fixture scale the planner would broadcast the index and skip the
+    * bucket layout the row exists to exercise. */
+  def textDecontaminationIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p65_grams", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.buildBenchGramIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), idxTbl)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) === 1)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TextAnalysis.decontaminationAgainstIndex(spark, delta, idxTbl)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** p33's oracle with the train side restricted to the delta slice. */
+  val textDecontaminationIncrementalSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, doc_id % 10 = 0 AS is_bench,
+      |    list_distinct([array_to_string(toks[i:i+7], ' ')
+      |      for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS grams
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+      |bg AS (SELECT DISTINCT u.gram FROM g, unnest(grams) AS u(gram)
+      |       WHERE is_bench),
+      |tr AS (SELECT doc_id, grams FROM g
+      |       WHERE NOT is_bench AND doc_id % 4 = 1),
+      |hit AS (
+      |  SELECT doc_id, COUNT(*) AS n_contaminated
+      |  FROM tr, unnest(grams) AS u(gram) JOIN bg USING (gram)
+      |  GROUP BY doc_id)
+      |SELECT tr.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+      |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |  round(CAST(coalesce(n_contaminated, 0) AS DOUBLE) / len(grams), 6)
+      |    AS contamination_ratio
+      |FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id""".stripMargin
+
   /** Hashed-feature linear quality score: fastText-shaped feature-hash →
     * weight-lookup → integer linear fold → keep gate, zero shuffles. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
@@ -1030,7 +1081,8 @@ object PipelineQueries {
     "p61_quality_classifier" -> (qualityClassifier _),
     "p62_line_dedup_newlines" -> (lineDedupNewlines _),
     "p63_line_dedup_incremental" -> (lineDedupIncremental _),
-    "p64_decontamination_bloom" -> (textDecontaminationBloom _))
+    "p64_decontamination_bloom" -> (textDecontaminationBloom _),
+    "p65_decontamination_incremental" -> (textDecontaminationIncremental _))
 
   val oracles: Map[String, String] = Map(
     "p27_interval_join" -> eventsIntervalJoinSql,
@@ -1067,6 +1119,7 @@ object PipelineQueries {
     // bit-identical to the exact path by construction (bloom FPs are
     // removed by the confirming join), so the p33 oracle applies as-is
     "p64_decontamination_bloom" -> textDecontaminationSql,
+    "p65_decontamination_incremental" -> textDecontaminationIncrementalSql,
     // same split, same semantics: the persisted-index path must equal
     // the exact all-pairs truth exactly like the inline path
     "p54_dedup_incremental_indexed" -> dedupIncrementalSql,

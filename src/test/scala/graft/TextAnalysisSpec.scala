@@ -185,4 +185,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty,
       "bloom pre-filter must not change decontamination results")
   }
+
+  test("decontamination against the persisted gram index equals the inline scoring") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "bench_gram_idx_spec"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    TextAnalysis.buildBenchGramIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) === 0), tbl)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) === 1)
+    val got = TextAnalysis.decontaminationAgainstIndex(spark, delta, tbl)
+    val want = TextAnalysis.decontamination(docs)
+      .join(delta.select("doc_id"), "doc_id")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "indexed scoring must equal the inline pass on the delta")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
 }
