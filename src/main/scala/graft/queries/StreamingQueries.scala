@@ -788,10 +788,17 @@ object StreamingQueries {
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q68_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q68_linedf", dir)
     landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
-    if (!spark.catalog.tableExists(idxTbl)) {
-      graft.io.Bucketing.dropTable(spark, idxTbl)
-      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    // completion marker, not tableExists: a crashed maintenance stream
+    // leaves a PARTIAL table plus its checkpoint, and the right retry is
+    // to RESUME the stream (WAL skips committed batches, the batch_id
+    // guard makes any replay a no-op — the RecoverySpec-proven path),
+    // not to probe the partial index a tableExists guard would accept
+    if (!graft.io.TempPaths.isComplete(ckpt)) {
+      if (!spark.catalog.tableExists(idxTbl)) {
+        graft.io.Bucketing.dropTable(spark, idxTbl)
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      }
       val schema = spark.read.parquet(landing).schema
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1).parquet(landing)
@@ -807,6 +814,7 @@ object StreamingQueries {
       // session; drop this session's stale cached relation or the probe
       // sees only the first batch's files
       spark.catalog.refreshTable(idxTbl)
+      graft.io.TempPaths.markComplete(ckpt)
     }
     val delta = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
