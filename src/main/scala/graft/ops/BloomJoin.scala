@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -23,17 +23,25 @@ object BloomJoin {
                   fpp: Double = 0.01): BloomFilter =
     build.stat.bloomFilter(key, expectedItems, fpp)
 
-  /** Probe-side membership predicate for a prebuilt filter. */
+  /** Probe-side membership predicate for a prebuilt filter.
+    *
+    * The filter is shipped via `SparkContext.broadcast`, NOT captured in
+    * the UDF closure: closures are serialized into every task, while a
+    * broadcast variable moves once per executor over the torrent
+    * protocol. At the ~GB filter sizes a 100 TB decontamination corpus
+    * implies, per-task closure serialization would dominate task launch
+    * and can exceed RPC frame limits.
+    */
   def mightContain(filter: BloomFilter, key: Column): Column = {
-    val f = filter // serialized once into the closure, broadcast with the task
-    udf((k: Long) => f.mightContainLong(k)).apply(key)
+    val bf = SparkSession.active.sparkContext.broadcast(filter)
+    udf((k: Long) => bf.value.mightContainLong(k)).apply(key)
   }
 
   /** String-key variant of [[mightContain]] (bloom over text shingles,
     * URLs, …). */
   def mightContainString(filter: BloomFilter, key: Column): Column = {
-    val f = filter
-    udf((k: String) => k != null && f.mightContainString(k)).apply(key)
+    val bf = SparkSession.active.sparkContext.broadcast(filter)
+    udf((k: String) => k != null && bf.value.mightContainString(k)).apply(key)
   }
 
   /** Semi-join `probe` to `build` on the given keys with a bloom

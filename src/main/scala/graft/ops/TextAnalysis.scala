@@ -404,8 +404,11 @@ object TextAnalysis {
     * (p33's oracle is reused verbatim; false negatives cannot occur).
     * Deliberately NOT broadcasting the confirming join: the whole point
     * of this variant is the regime where the gram set cannot be a
-    * broadcast hash table, so the exact join runs as a shuffle join over
-    * the bloom survivors. */
+    * broadcast hash table, so the exact join carries a `shuffle_hash`
+    * hint — pinned in the plan itself rather than via session conf, so
+    * the shuffled regime holds at fixture scale too (where the planner
+    * would otherwise broadcast) and survives lazy evaluation
+    * (ExplainSpec asserts no BroadcastHashJoin in the confirm). */
   def decontaminationBloom(docs: DataFrame, benchmarkMod: Int = 10,
                            n: Int = 8, fpp: Double = 0.01): DataFrame = {
     val isBench = pmod(col("doc_id"), lit(benchmarkMod)) === 0
@@ -417,7 +420,9 @@ object TextAnalysis {
     val contaminated = train
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
       .filter(graft.ops.BloomJoin.mightContainString(filter, col("gram")))
-      .join(benchGrams, Seq("gram")) // exact confirm: false positives die here
+      // exact confirm: false positives die here; shuffle_hash keeps it a
+      // shuffled join even when the fixture-scale gram set would broadcast
+      .join(benchGrams.hint("shuffle_hash"), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contaminated"))
     train.select(col("doc_id"),

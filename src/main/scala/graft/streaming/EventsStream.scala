@@ -36,8 +36,18 @@ object EventsStream {
     // the already-landed directory so it tracks whatever ts encoding the
     // testdata generation shipped (nanos-as-long, naive micros, …) and
     // let the shared normalizer produce the UTC-instant TimestampType
-    // every downstream watermark/window expects
-    val schema = spark.read.parquet(dir).schema
+    // every downstream watermark/window expects. If NO file has landed
+    // yet (a stream defined ahead of its producer), parquet inference
+    // throws — fall back to the canonical Event schema, which the shared
+    // normalizer passes through unchanged.
+    val schema =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") ||
+               e.getMessage.contains("Path does not exist") =>
+          org.apache.spark.sql.Encoders.product[Event].schema
+      }
     val reader = spark.readStream.schema(schema)
     // maxFilesPerTrigger splits an AvailableNow run into MULTIPLE
     // micro-batches — the knob that turns "one big batch" into a real

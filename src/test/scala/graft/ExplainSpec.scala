@@ -474,6 +474,17 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p64 bloom confirm join is shuffled, never broadcast — even at fixture scale") {
+    // the row exists to exercise the regime where the eval-gram set fits
+    // a bloom sketch but NOT a broadcast hash table; the shuffle_hash
+    // hint pins that in the plan itself, so this must hold at default
+    // conf where the planner would otherwise broadcast the tiny fixture
+    val plan = planString(graft.ops.TextAnalysis.decontaminationBloom(
+      Tables.documents(spark, sfDir)))
+    assert(plan.contains("ShuffledHashJoin"),
+      s"bloom-gated confirm must run as a shuffled hash join:\n$plan")
+  }
+
   test("p44 RRF fusion: no cartesian product, windows partitioned by query") {
     val emb = Tables.embeddings(spark, sfDir)
     val plan = planString(graft.ops.Similarity.rrfFuseTopK(Seq(

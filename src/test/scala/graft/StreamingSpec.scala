@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("readEventsStream defined BEFORE any file lands: schema falls back, stream still processes") {
+    val landing = Files.createTempDirectory("stream_empty_in")
+    // no parquet landed yet — inference would throw; the canonical Event
+    // schema fallback must let the consumer be defined ahead of its
+    // producer (the declare-stream-then-deploy-producer order)
+    val stream = EventsStream.readEventsStream(spark, landing.toString)
+    assert(stream.schema.fieldNames.toSet ===
+      Set("event_id", "ts", "user_id", "event_type", "value"))
+    // producer comes online afterwards, writing the canonical schema
+    Seq(Event(1, ts("2024-01-01 10:05:00"), 1, "click", 2.0),
+        Event(2, ts("2024-01-01 10:20:00"), 1, "click", 3.0))
+      .toDF().write.mode("append").parquet(landing.toString)
+    val q = EventsStream.hourlyAggregates(stream)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("late_landing_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("late_landing_test").collect()
+      assert(got.length === 1 && got.head.getAs[Long]("n_events") === 2L)
+    } finally q.stop()
+  }
+
   test("runAvailableNow processes the events dir exactly once per checkpoint") {
     val out = Files.createTempDirectory("stream_out").toString
     val ckpt = Files.createTempDirectory("stream_ckpt").toString
