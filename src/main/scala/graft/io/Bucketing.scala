@@ -45,6 +45,45 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Partitioned + bucketed layout: directory-partition on `partKey`
+    * (a low-cardinality maintenance key — batch id, ingest day) AND
+    * bucket on `key` within every partition. The partition column makes
+    * per-batch maintenance a DIRECTORY operation (overwrite one
+    * partition, prune to one directory) while the bucket layout keeps
+    * the probe-side joins/aggregations on `key` exchange-free — Spark's
+    * bucketed scan folds bucket i's files ACROSS partitions into task i,
+    * so the hash distribution on `key` survives any number of partition
+    * directories. */
+  def writePartitionedBucketed(df: DataFrame, table: String, partKey: String,
+                               key: String, buckets: Int,
+                               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .partitionBy(partKey)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Overwrite EXACTLY the partitions present in `df` (dynamic partition
+    * overwrite), leaving every other partition untouched. This is the
+    * idempotent-replay primitive for per-batch index maintenance: a
+    * replayed batch rewrites its own partition with identical content,
+    * and a TORN partition (a crash during the previous attempt's job
+    * commit — FileFormatWriter moves task files one by one, so a partial
+    * batch CAN persist) is healed by the rewrite rather than trusted by
+    * a presence check. Runs under the DataFrame's OWN session (inside
+    * foreachBatch that is the micro-batch's cloned session, whose conf
+    * is what the insert actually reads). */
+  def overwritePartitions(df: DataFrame, table: String): Unit = {
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = conf.get(key)
+    try {
+      conf.set(key, "dynamic")
+      df.write.mode(SaveMode.Overwrite).insertInto(table)
+    } finally conf.set(key, prev)
+  }
+
   /** Compact a BUCKETED table back to one file per bucket, preserving
     * the bucket spec — the maintenance companion to append-mode
     * ingestion: every [[writeBucketedMulti]] append lands one more file

@@ -159,17 +159,27 @@ object TextAnalysis {
   }
 
   /** Streaming/micro-batch maintenance of the [[buildLineDfIndex]]
-    * table: append ONE batch's partial document frequencies, tagged
-    * with the batch id. Batches must carry disjoint doc sets (each doc
-    * ingested once — the landing contract), so partial counts SUM to
-    * the global df and maintenance is commutative and associative over
-    * batches: any split, any order, same index content. Replay of a
-    * COMMITTED batch (the `foreachBatch` at-least-once window) is a
-    * no-op via the batch_id guard, and a crash MID-append commits
-    * nothing (FileFormatWriter's job-level commit protocol stages task
-    * output until job commit) — so WAL replay after either failure
-    * converges on the batch-built index, proven under an injected
-    * mid-batch kill in RecoverySpec. */
+    * table: land ONE batch's partial document frequencies as the
+    * `batch_id=<id>` PARTITION of a partitioned+bucketed table
+    * (directory per batch, bucketed on `h` within it — the bucketed
+    * scan folds bucket i across partitions, so probe joins/folds on `h`
+    * stay exchange-free whatever the batch count). Batches must carry
+    * disjoint doc sets (each doc ingested once — the landing contract),
+    * so partial counts SUM to the global df and maintenance is
+    * commutative and associative over batches: any split, any order,
+    * same index content.
+    *
+    * Replay (the `foreachBatch` at-least-once window) is IDEMPOTENT,
+    * not presence-gated: each (re)attempt dynamic-partition-overwrites
+    * exactly its own batch's partition. A committed batch is rewritten
+    * with identical content; a TORN batch — a crash DURING the previous
+    * attempt's job commit, which renames task files one by one and so
+    * CAN persist a partial partition — is healed by the overwrite
+    * instead of being trusted by an existence check. No per-batch scan
+    * of the ever-growing index, no replay window: maintenance cost
+    * tracks the batch, never the corpus. Proven under an injected
+    * mid-batch kill in RecoverySpec and a simulated torn commit in
+    * TextAnalysisSpec. */
   def appendLineDfPartial(spark: org.apache.spark.sql.SparkSession,
                           batch: DataFrame, table: String, batchId: Long,
                           segTokens: Int = 12, byLines: Boolean = false,
@@ -178,17 +188,19 @@ object TextAnalysis {
       .select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_corpus")
       .withColumn("batch_id", lit(batchId))
-    if (!spark.catalog.tableExists(table))
-      graft.io.Bucketing.writeBucketed(partial, table, "h", buckets)
-    else {
+    if (!spark.catalog.tableExists(table)) {
+      // a crash during the CREATE leaves staged files but no catalog
+      // entry; sweep the orphaned location so the retry's saveAsTable
+      // cannot die on LOCATION_ALREADY_EXISTS
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "h", buckets)
+    } else {
       // appends run through the micro-batch's CLONED session, so the
       // caller session's cached relation goes stale — refresh before
-      // the replay guard reads it (a stale listing could only under-
-      // count, but keep the guard exact rather than merely safe)
+      // resolving the insert target
       spark.catalog.refreshTable(table)
-      if (spark.table(table).filter(col("batch_id") === batchId).isEmpty)
-        graft.io.Bucketing.writeBucketed(partial, table, "h", buckets,
-          mode = org.apache.spark.sql.SaveMode.Append)
+      graft.io.Bucketing.overwritePartitions(partial, table)
     }
   }
 

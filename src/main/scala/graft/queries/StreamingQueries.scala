@@ -769,11 +769,12 @@ object StreamingQueries {
   /** q68 — STREAMING INDEX MAINTENANCE: the line-df dedup index (p63's
     * corpus side) built by the STREAMING engine instead of one batch
     * job. The corpus lands as four files; `foreachBatch` under
-    * `Trigger.AvailableNow` appends each micro-batch's PARTIAL document
-    * frequencies into the bucketed index table, tagged by batch id
-    * (replay of a committed batch is a no-op via the batch_id guard —
-    * the at-least-once window of a non-transactional sink, q61's
-    * device applied to index maintenance). Batches carry disjoint doc
+    * `Trigger.AvailableNow` lands each micro-batch's PARTIAL document
+    * frequencies as its own batch_id partition of the bucketed index
+    * table (replay — the at-least-once window of a non-transactional
+    * sink, q61's device applied to index maintenance — is IDEMPOTENT:
+    * each attempt dynamic-partition-overwrites exactly its own
+    * partition, healing even a torn job commit). Batches carry disjoint doc
     * sets, so partial dfs SUM to the global df whatever the batching —
     * maintenance is commutative and associative over micro-batches.
     * The row then runs the p63 probe against the streamed index and
@@ -790,9 +791,10 @@ object StreamingQueries {
     landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
     // completion marker, not tableExists: a crashed maintenance stream
     // leaves a PARTIAL table plus its checkpoint, and the right retry is
-    // to RESUME the stream (WAL skips committed batches, the batch_id
-    // guard makes any replay a no-op — the RecoverySpec-proven path),
-    // not to probe the partial index a tableExists guard would accept
+    // to RESUME the stream (WAL skips committed batches, and any replay
+    // idempotently overwrites its own batch_id partition — the
+    // RecoverySpec-proven path), not to probe the partial index a
+    // tableExists guard would accept
     if (!graft.io.TempPaths.isComplete(ckpt)) {
       if (!spark.catalog.tableExists(idxTbl)) {
         graft.io.Bucketing.dropTable(spark, idxTbl)

@@ -173,7 +173,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(folded(subH) === 3L, "shared line must sum to global df across batches")
     assert(folded.values.sum === 6L, "replayed batch must not double-count")
     assert(want.count() === 3L)
+    // the maintenance key is a PARTITION column: the replay overwrite and
+    // any torn-batch repair are directory operations, never index scans
+    assert(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      .partitionColumnNames === Seq("batch_id"),
+      "streamed line-df index must be partitioned by batch_id")
     graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
+  test("line-df index: a TORN batch commit is healed by replay, not trusted") {
+    // the at-least-once window ADVICE r13 flagged: FileFormatWriter's job
+    // commit renames task files one by one, so a crash DURING commit can
+    // persist a PARTIAL batch; a presence-gated guard would then skip the
+    // replay and permanently under-count dfs. Simulate the torn commit by
+    // landing only a subset of batch 1 under its batch_id, then replay
+    // the full batch — the partition overwrite must replace the torn
+    // content, converging on the batch-built index.
+    val corpus = Seq(
+      (1L, "subscribe now\nbody one"),
+      (2L, "subscribe now\nbody two"),
+      (4L, "subscribe now\nbody four\nextra line")).toDF("doc_id", "text")
+    val tbl = "linedf_torn_spec"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") < 4L), tbl, batchId = 0L, byLines = true)
+    // torn attempt: only ONE of doc 4's three lines reaches the table
+    val torn = Seq((4L, "body four")).toDF("doc_id", "text")
+    TextAnalysis.appendLineDfPartial(spark, torn, tbl, batchId = 1L,
+      byLines = true)
+    // WAL replay re-runs the full batch under the same id
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") === 4L), tbl, batchId = 1L, byLines = true)
+    val batchTbl = "linedf_torn_batch"
+    graft.io.Bucketing.dropTable(spark, batchTbl)
+    TextAnalysis.buildLineDfIndex(corpus, batchTbl, byLines = true)
+    val folded = spark.table(tbl).groupBy("h")
+      .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+    val wantIdx = spark.table(batchTbl)
+    assert(folded.exceptAll(wantIdx).isEmpty && wantIdx.exceptAll(folded).isEmpty,
+      "healed streamed index must fold to the batch-built dfs")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.io.Bucketing.dropTable(spark, batchTbl)
   }
 
   test("bloom-gated decontamination is bit-identical to the exact path") {
