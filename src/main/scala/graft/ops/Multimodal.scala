@@ -3,94 +3,172 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media payloads as opaque `binary` columns
-  * with typed metadata, decoded/feature-extracted per partition.
+/** Multimodal-column pipeline: media payloads as opaque `binary` columns
+  * with typed metadata, decoded / transformed per partition.
   *
-  * The Spark-side shape is real — binary column, explicit feature schema,
-  * partition-iterator decode (the Scala analogue of a batched
-  * mapInPandas/mapInArrow pipeline: one decoder instantiation per
-  * partition, streaming over rows, never materializing the partition).
-  * The actual image/audio codec is STUBBED (`FakeCodec`): this container
-  * ships no media libraries, so decode is a deterministic function of the
-  * bytes, clearly marked, with the same signature a real codec would have.
+  * The codec is REAL: images are encoded and decoded as actual PNG
+  * containers through `javax.imageio` (pure JVM, headless-safe, zero
+  * external deps), and every pixel statistic below is read from the
+  * DECODED raster — not from the payload bytes. The testdata ships no
+  * media, so the image CONTENT is generated deterministically from
+  * `doc_id` ([[ImageCodec.pixelRgb]]); the oracle replays that generator
+  * arithmetic, so a hash match proves the full encode → PNG bytes →
+  * decode → raster path recovered exactly the pixels that were written
+  * (PNG is lossless — any codec defect breaks the match).
   *
-  * Scale notes: feature extraction is embarrassingly parallel; the only
-  * schema contract is `MediaFeature`. Binary payloads stay in the
-  * partition where they were read — no shuffle, no driver collect.
+  * Spark-side shape: binary column, explicit feature schema, and
+  * iterator-to-iterator `mapPartitions` decode — one codec context per
+  * partition, streaming over rows, never materializing the partition
+  * (the Scala analogue of a batched mapInPandas/mapInArrow pipeline).
+  * Feature extraction is embarrassingly parallel; payloads stay in the
+  * partition where they were produced — no shuffle, no driver collect.
   */
 object Multimodal {
 
-  /** Typed feature row produced by the decode stage. */
-  case class MediaFeature(doc_id: Long, n_bytes: Long, fake_width: Int,
-                          fake_height: Int, checksum: String)
+  /** Real PNG codec + the deterministic test-pattern generator. */
+  object ImageCodec {
 
-  /** STUB codec — deterministic fake standing in for a real image/audio
-    * decoder (none available in this environment). A real implementation
-    * would parse the container format here; everything around it (schema,
-    * batching, partitioning) is production-shaped.
-    */
-  object FakeCodec {
-    /** "Decode" dimensions from the payload deterministically. */
-    def decodeDims(bytes: Array[Byte]): (Int, Int) =
-      ((bytes.length % 64) + 1, ((bytes.length / 64) % 64) + 1)
+    /** Image dimensions for a doc: 4–16 × 3–9 px test patterns. */
+    def dims(docId: Long): (Int, Int) =
+      (((docId % 13) + 4).toInt, ((docId % 7) + 3).toInt)
 
-    def md5Hex(bytes: Array[Byte]): String =
-      java.security.MessageDigest.getInstance("MD5").digest(bytes)
-        .map("%02x".format(_)).mkString
+    /** The generator arithmetic the oracle replays: channel values as a
+      * function of (x, y, doc_id). All terms non-negative, so `%` agrees
+      * between Java and SQL. */
+    def pixelRgb(docId: Long, x: Int, y: Int): (Int, Int, Int) =
+      (((x * 7L + y * 13L + docId) % 256).toInt,
+       ((x * 3L + y * 5L + docId * 11L) % 256).toInt,
+       ((x * 17L + y * 2L + docId * 3L) % 256).toInt)
 
-    /** "Resize": deterministic downsample of the payload bytes. */
-    def resize(bytes: Array[Byte], factor: Int): Array[Byte] = {
-      require(factor > 0)
-      bytes.zipWithIndex.collect { case (b, i) if i % factor == 0 => b }
+    /** Render the doc's test pattern and encode it as a real PNG. */
+    def encodePng(docId: Long): Array[Byte] = {
+      val (w, h) = dims(docId)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, b) = pixelRgb(docId, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      require(javax.imageio.ImageIO.write(img, "png", out),
+        "no PNG writer available in this JVM")
+      out.toByteArray
     }
 
-    /** "Frame-sample": split payload into frames of `frameSize` bytes and
-      * keep every `stride`-th frame. */
-    def sampleFrames(bytes: Array[Byte], frameSize: Int, stride: Int): Seq[Array[Byte]] =
-      bytes.grouped(frameSize).zipWithIndex
-        .collect { case (f, i) if i % stride == 0 => f }.toSeq
+    /** Decode a PNG payload back to its raster. */
+    def decodePng(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "payload is not a decodable image")
+      img
+    }
+
+    /** Per-channel pixel sums of a decoded raster, via the packed-RGB
+      * accessor so the result is independent of the decoder's internal
+      * band order (ImageIO returns BGR byte rasters for RGB PNGs). */
+    def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      (sr, sg, sb)
+    }
+
+    /** Stride-2 spatial subsample — a real downsample performed on the
+      * decoded raster: out(x, y) = in(2x, 2y), output ceil(w/2) ×
+      * ceil(h/2). Exactly replayable arithmetic (unlike interpolating
+      * resamplers, whose rounding is implementation-defined). */
+    def subsample2(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage = {
+      val (rw, rh) = ((img.getWidth + 1) / 2, (img.getHeight + 1) / 2)
+      val out = new java.awt.image.BufferedImage(
+        rw, rh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < rh) {
+        var x = 0
+        while (x < rw) {
+          out.setRGB(x, y, img.getRGB(2 * x, 2 * y))
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
-  /** documents.text re-encoded as a binary media payload — the fixture
-    * for the binary-column pipeline (no real media in the testdata). */
-  def asBinaryPayloads(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+  /** Synthetic image payloads: one real PNG per document, rendered and
+    * encoded executor-side (iterator-to-iterator, no shuffle). The
+    * binary-column fixture for the decode rows below. */
+  def syntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        // a real pipeline opens shared encoder state here, once per partition
+        ids.map(id => (id, ImageCodec.encodePng(id)))
+      }
+      .toDF("doc_id", "payload")
+  }
 
-  /** Typed output row of the transform stage. */
-  case class MediaTransform(doc_id: Long, n_bytes: Long, n_resized_bytes: Long,
-                            n_frames_sampled: Long, resized_checksum: String)
+  /** Typed feature row produced by the decode stage. */
+  case class ImageFeature(doc_id: Long, width: Long, height: Long,
+                          n_channels: Long, sum_r: Long, sum_g: Long,
+                          sum_b: Long)
 
-  /** Partition-streamed media transforms: resize + frame-sample each
-    * payload through the (stub) codec. Same iterator-to-iterator batch
-    * shape as extractFeatures; byte counts are verifiable arithmetic,
-    * the checksum pins the actual transformed bytes. */
-  def transformMedia(spark: SparkSession, payloads: DataFrame, resizeFactor: Int = 4,
-                     frameSize: Int = 32, frameStride: Int = 2): Dataset[MediaTransform] = {
+  /** Partition-streamed decode: PNG payloads → typed features, every
+    * value read from the DECODED raster (dims from the container header,
+    * channel count from the color model, sums from the pixels). */
+  def extractImageFeatures(spark: SparkSession, payloads: DataFrame): Dataset[ImageFeature] = {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val resized = FakeCodec.resize(bytes, resizeFactor)
-          val frames = FakeCodec.sampleFrames(bytes, frameSize, frameStride)
-          MediaTransform(id, bytes.length.toLong, resized.length.toLong,
-            frames.size.toLong, FakeCodec.md5Hex(resized))
+          val img = ImageCodec.decodePng(bytes)
+          val (sr, sg, sb) = ImageCodec.channelSums(img)
+          ImageFeature(id, img.getWidth.toLong, img.getHeight.toLong,
+            img.getColorModel.getNumComponents.toLong, sr, sg, sb)
         }
       }
   }
 
-  /** Partition-streamed decode: binary payloads -> typed features.
-    * Iterator-to-iterator (no per-partition materialization), one codec
-    * context per partition — the mapInPandas batch shape in Scala. */
-  def extractFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
+  /** Typed output row of the transform stage. */
+  case class ImageTransform(doc_id: Long, width: Long, height: Long,
+                            resized_width: Long, resized_height: Long,
+                            sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Partition-streamed transform: decode → stride-2 downsample →
+    * RE-encode to PNG → decode again → stats. The double round trip is
+    * deliberate: the reported sums come from the re-decoded resized
+    * image, so they certify the write path (encode of a transformed
+    * raster) as well as the read path. */
+  def transformImages(spark: SparkSession, payloads: DataFrame): Dataset[ImageTransform] = {
     import spark.implicits._
     payloads.select(col("doc_id").cast("long"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // real codecs would open shared decode state here, once per partition
         rows.map { case (id, bytes) =>
-          val (w, h) = FakeCodec.decodeDims(bytes)
-          MediaFeature(id, bytes.length.toLong, w, h, FakeCodec.md5Hex(bytes))
+          val img = ImageCodec.decodePng(bytes)
+          val resizedPng = {
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(ImageCodec.subsample2(img), "png", out)
+            out.toByteArray
+          }
+          val resized = ImageCodec.decodePng(resizedPng)
+          val (sr, sg, sb) = ImageCodec.channelSums(resized)
+          ImageTransform(id, img.getWidth.toLong, img.getHeight.toLong,
+            resized.getWidth.toLong, resized.getHeight.toLong, sr, sg, sb)
         }
       }
   }

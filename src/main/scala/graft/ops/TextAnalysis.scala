@@ -227,6 +227,13 @@ object TextAnalysis {
     val deltaDf = segs.select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_delta")
     val idxRaw = spark.table(indexTable)
+    // loud layout guard: accept exactly the two shapes this module
+    // writes — a wrong table silently joined here would "dedup" against
+    // garbage dfs, the worst possible failure mode for a curation gate
+    require(Set("h", "df_corpus").subsetOf(idxRaw.columns.toSet),
+      s"$indexTable is not a line-df index: expected columns (h, df_corpus" +
+        s"[, batch_id]) from buildLineDfIndex/appendLineDfPartial, got " +
+        idxRaw.columns.mkString("(", ", ", ")"))
     val idx =
       if (idxRaw.columns.contains("batch_id"))
         idxRaw.groupBy("h")

@@ -461,33 +461,51 @@ object PipelineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sid""".stripMargin
 
+  /** p14 — REAL image decode: per-doc PNG test patterns (pixel values a
+    * documented function of (x, y, doc_id)) are encoded with
+    * javax.imageio executor-side, then decoded back and measured FROM
+    * THE RASTER. The oracle replays only the generator arithmetic, so a
+    * hash match proves the encode → PNG container → decode path
+    * recovered exactly the written pixels (PNG is lossless; any codec
+    * defect breaks the sums). */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.extractFeatures(spark,
-      Multimodal.asBinaryPayloads(Tables.documents(spark, dir))).toDF()
+    Multimodal.extractImageFeatures(spark,
+      Multimodal.syntheticImages(spark, Tables.documents(spark, dir))).toDF()
 
   val multimodalFeaturesSql: String =
-    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST((strlen(text) % 64) + 1 AS INTEGER) AS fake_width,
-      |  CAST(((strlen(text) // 64) % 64) + 1 AS INTEGER) AS fake_height,
-      |  md5(text) AS checksum
-      |FROM documents""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS width, doc_id % 7 + 3 AS height
+      |  FROM documents)
+      |SELECT doc_id, width, height, CAST(3 AS BIGINT) AS n_channels,
+      |  CAST(SUM((x.v*7  + y.v*13 + doc_id)    % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((x.v*3  + y.v*5  + doc_id*11) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((x.v*17 + y.v*2  + doc_id*3)  % 256) AS BIGINT) AS sum_b
+      |FROM d, unnest(range(width)) AS x(v), unnest(range(height)) AS y(v)
+      |GROUP BY doc_id, width, height""".stripMargin
 
-  /** Resize + frame-sample through the codec path. The oracle checks the
-    * byte arithmetic (documents are ASCII, so chars == bytes): resize
-    * keeps every 4th byte -> ceil(n/4); frames of 32 bytes (last partial
-    * counts) strided by 2 -> ceil(ceil(n/32)/2). The resized checksum is
-    * engine-side evidence the transform ran on real bytes. */
+  /** p17 — real image TRANSFORM: decode → stride-2 downsample on the
+    * raster (out(x,y) = in(2x,2y), the one resampler with exactly
+    * replayable arithmetic) → re-encode → decode again → sums. The
+    * reported stats come from the re-decoded resized PNG, certifying
+    * the write path as well as the read path. Oracle: the generator
+    * arithmetic sampled at even coordinates. */
   def multimodalTransform(spark: SparkSession, dir: String): DataFrame =
-    Multimodal.transformMedia(spark,
-      Multimodal.asBinaryPayloads(Tables.documents(spark, dir))).toDF()
-      .drop("resized_checksum") // not SQL-reproducible cheaply; dropped from compare
+    Multimodal.transformImages(spark,
+      Multimodal.syntheticImages(spark, Tables.documents(spark, dir))).toDF()
 
   val multimodalTransformSql: String =
-    """SELECT doc_id,
-      |  CAST(strlen(text) AS BIGINT) AS n_bytes,
-      |  CAST((strlen(text) + 3) // 4 AS BIGINT) AS n_resized_bytes,
-      |  CAST(((strlen(text) + 31) // 32 + 1) // 2 AS BIGINT) AS n_frames_sampled
-      |FROM documents""".stripMargin
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS width, doc_id % 7 + 3 AS height,
+      |    (doc_id % 13 + 4 + 1) // 2 AS resized_width,
+      |    (doc_id % 7 + 3 + 1) // 2 AS resized_height
+      |  FROM documents)
+      |SELECT doc_id, width, height, resized_width, resized_height,
+      |  CAST(SUM((2*x.v*7  + 2*y.v*13 + doc_id)    % 256) AS BIGINT) AS sum_r,
+      |  CAST(SUM((2*x.v*3  + 2*y.v*5  + doc_id*11) % 256) AS BIGINT) AS sum_g,
+      |  CAST(SUM((2*x.v*17 + 2*y.v*2  + doc_id*3)  % 256) AS BIGINT) AS sum_b
+      |FROM d, unnest(range(resized_width)) AS x(v),
+      |  unnest(range(resized_height)) AS y(v)
+      |GROUP BY doc_id, width, height, resized_width, resized_height""".stripMargin
 
   /** As-of join: each click enriched with the same user's nearest prior
     * view. Oracle is DuckDB's native ASOF LEFT JOIN — our composed

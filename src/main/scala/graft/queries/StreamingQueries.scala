@@ -742,7 +742,11 @@ object StreamingQueries {
                                    landing: String, nFiles: Int): Unit = {
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
-      val staging = java.nio.file.Files.createTempDirectory("graft_q68_stage")
+      // staging through TempPaths: owned by this app (sweepStale can
+      // reclaim it if we crash mid-landing) and removed on exit
+      val staging = java.nio.file.Paths.get(
+        graft.io.TempPaths.scratchDir(spark, "graft_q68_stage", dir))
+      java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/documents.parquet")

@@ -1,35 +1,69 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.FakeCodec
+import graft.ops.Multimodal.ImageCodec
 
-/** Binary-column plumbing: schema, determinism, partition-stream decode. */
+/** Real-codec binary-column pipeline: PNG round trip, raster-read stats,
+  * partition-stream plan shape. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("extractFeatures: typed schema, deterministic checksums, no shuffle") {
-    val docs = Seq((1L, "hello world"), (2L, "a" * 200)).toDF("doc_id", "text")
-    val feats = Multimodal.extractFeatures(spark, Multimodal.asBinaryPayloads(docs))
+  test("PNG round trip: decode recovers exactly the generated pixels") {
+    val id = 42L
+    val (w, h) = ImageCodec.dims(id)
+    val img = ImageCodec.decodePng(ImageCodec.encodePng(id))
+    assert(img.getWidth === w && img.getHeight === h)
+    // every pixel, not just sums: the container really is lossless
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = ImageCodec.pixelRgb(id, x, y)
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff) === ((r, g, b)),
+        s"pixel ($x,$y) of doc $id corrupted by the codec round trip")
+    }
+  }
+
+  test("extractImageFeatures: raster-read dims/sums match the generator, no shuffle") {
+    val docs = Seq((3L, "x"), (17L, "y")).toDF("doc_id", "text")
+    val feats = Multimodal.extractImageFeatures(spark,
+      Multimodal.syntheticImages(spark, docs))
     val byId = feats.collect().map(f => f.doc_id -> f).toMap
-    assert(byId(1L).n_bytes === 11L)
-    assert(byId(1L).checksum === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
-    assert(byId(2L).fake_width === (200 % 64) + 1)
-    assert(byId(2L).fake_height === ((200 / 64) % 64) + 1)
-    // plan stays shuffle-free: payload -> features is a single narrow stage
+    for (id <- Seq(3L, 17L)) {
+      val (w, h) = ImageCodec.dims(id)
+      val want = (for (y <- 0 until h; x <- 0 until w)
+        yield ImageCodec.pixelRgb(id, x, y))
+        .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (r, g, bl)) =>
+          (a + r, b + g, c + bl) }
+      val f = byId(id)
+      assert((f.width, f.height) === ((w.toLong, h.toLong)))
+      assert(f.n_channels === 3L)
+      assert((f.sum_r, f.sum_g, f.sum_b) === want)
+    }
+    // encode -> decode -> stats is a single narrow stage
     val plan = feats.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
 
-  test("FakeCodec.resize keeps every factor-th byte, deterministic") {
-    val bytes = (0 until 100).map(_.toByte).toArray
-    val r = FakeCodec.resize(bytes, 10)
-    assert(r.length === 10 && r(1) === 10.toByte)
+  test("subsample2 keeps even-coordinate pixels at ceil(half) dims") {
+    val img = ImageCodec.decodePng(ImageCodec.encodePng(7L))
+    val half = ImageCodec.subsample2(img)
+    assert(half.getWidth === (img.getWidth + 1) / 2)
+    assert(half.getHeight === (img.getHeight + 1) / 2)
+    for (y <- 0 until half.getHeight; x <- 0 until half.getWidth)
+      assert(half.getRGB(x, y) === img.getRGB(2 * x, 2 * y))
   }
 
-  test("FakeCodec.sampleFrames strides frames of fixed size") {
-    val bytes = (0 until 100).map(_.toByte).toArray
-    val frames = FakeCodec.sampleFrames(bytes, frameSize = 10, stride = 2)
-    assert(frames.size === 5 && frames.head.length === 10)
-    assert(frames(1)(0) === 20.toByte)
+  test("transformImages: resized stats survive the re-encode round trip") {
+    val docs = Seq((9L, "z")).toDF("doc_id", "text")
+    val t = Multimodal.transformImages(spark,
+      Multimodal.syntheticImages(spark, docs)).collect().head
+    val (w, h) = ImageCodec.dims(9L)
+    assert((t.width, t.height) === ((w.toLong, h.toLong)))
+    assert((t.resized_width, t.resized_height) ===
+      (((w + 1) / 2).toLong, ((h + 1) / 2).toLong))
+    val want = (for (y <- 0 until (h + 1) / 2; x <- 0 until (w + 1) / 2)
+      yield ImageCodec.pixelRgb(9L, 2 * x, 2 * y))
+      .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (r, g, bl)) =>
+        (a + r, b + g, c + bl) }
+    assert((t.sum_r, t.sum_g, t.sum_b) === want)
   }
 }
