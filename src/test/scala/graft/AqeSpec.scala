@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
+
+/** The persisted-index probe contracts re-checked under AQE.
+  *
+  * ExplainSpec pins `spark.sql.adaptive.enabled=false` in the
+  * bucketed-probe tests so its static exchange-count assertions can't be
+  * rewrapped by runtime re-planning — but at 100 TB these plans RUN
+  * under AQE (coalescing, skew-split, runtime join demotion). This suite
+  * asserts the contracts that make the persisted-index economics real —
+  * bucketed scan survives, the only exchange is the delta's, the
+  * partial-df fold sits directly on the bucketed scan — on the FINAL
+  * adaptive plan, after AQE has re-planned. The q32–q35/q48 exchange
+  * rows need no twin here: their plan tests (BucketingSpec/ExplainSpec)
+  * already run at the session default, which is AQE-on.
+  */
+class AqeSpec extends SparkSpec {
+
+  /** Final (post-AQE) physical plan, forced by executing the query. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def withAqeNoBroadcast[A](body: => A): A = {
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // broadcast off for the same reason as the static probes: at
+      // fixture scale the planner (or AQE's runtime re-plan) would
+      // broadcast and skip the layout under test; AQE explicitly ON
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      body
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
+  test("p54 probe under AQE: bucketed scan + single delta exchange survive re-planning") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val bandsTbl = "graft_aqe_p54_bands"
+    val sigsTbl = "graft_aqe_p54_sigs"
+    graft.io.Bucketing.dropTable(spark, bandsTbl)
+    graft.io.Bucketing.dropTable(spark, sigsTbl)
+    graft.ops.Dedup.buildCorpusIndex(corpus, bandsTbl, sigsTbl,
+      bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 4)
+    try withAqeNoBroadcast {
+      val dSig = graft.ops.Dedup.sigFrame(delta, 128, 3)
+      val probe = graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      val plan = finalPlan(probe)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the corpus index:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"AQE re-planning must not add a corpus-side exchange:\n$plan")
+      // semantics under AQE == the statically-planned verdicts
+      val indexed = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+        spark, delta, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      val inline = graft.ops.Dedup.incrementalMinhashVerdicts(corpus, delta,
+        bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+      assert(indexed.exceptAll(inline).isEmpty && inline.exceptAll(indexed).isEmpty,
+        "indexed verdicts under AQE must equal the inline path")
+    } finally {
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+    }
+  }
+
+  test("p63 probe under AQE: line-df index stays a bucketed read, verdicts unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_aqe_p63_linedf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.TextAnalysis.buildLineDfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), tbl, buckets = 4)
+    try withAqeNoBroadcast {
+      val verdicts = graft.ops.TextAnalysis.lineDedupIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = finalPlan(verdicts)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the line-df index:\n$plan")
+      assert(plan.linesIterator.exists(_.contains(tbl)),
+        s"expected a scan of $tbl in:\n$plan")
+      // and the full-rewrite equivalence holds on the adaptive plan
+      val want = graft.ops.TextAnalysis.lineDedup(docs)
+        .filter(col("doc_id") % 5 === 0)
+      assert(verdicts.exceptAll(want).isEmpty && want.exceptAll(verdicts).isEmpty,
+        "incremental verdicts under AQE must equal the global rewrite")
+    } finally graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
+  test("q68 fold under AQE: no exchange between the bucketed index scan and the partial-df fold") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_aqe_q68_linedf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.TextAnalysis.appendLineDfPartial(spark,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 0), tbl, 0L)
+    graft.ops.TextAnalysis.appendLineDfPartial(spark,
+      docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 2 === 1), tbl, 1L)
+    try withAqeNoBroadcast {
+      val verdicts = graft.ops.TextAnalysis.lineDedupIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = finalPlan(verdicts)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the streamed index:\n$plan")
+      // walk the rendered tree's ancestors of the index scan (strictly
+      // decreasing branch-marker columns — same device as ExplainSpec's
+      // static q68 probe) and require the fold chain exchange-free
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(_.contains(tbl))
+      assert(scanIdx >= 0, s"expected a scan of $tbl in:\n$plan")
+      def markerCol(l: String): Int = {
+        val cands = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)
+        if (cands.isEmpty) -1 else cands.min
+      }
+      val ancestors = scala.collection.mutable.Buffer[String]()
+      var colm = markerCol(lines(scanIdx))
+      var k = scanIdx - 1
+      while (k >= 0 && colm != 0) {
+        val mc = markerCol(lines(k))
+        if (mc >= 0 && (colm < 0 || mc < colm)) { ancestors += lines(k); colm = mc }
+        k -= 1
+      }
+      val foldChain = ancestors.takeWhile(l => !l.contains("Join"))
+      assert(!foldChain.exists(_.contains("Exchange")),
+        s"AQE must not slip an exchange between the index scan and its fold:\n$plan")
+      assert(foldChain.exists(_.contains("HashAggregate")),
+        s"expected the partial-df fold above the index scan:\n$plan")
+    } finally graft.io.Bucketing.dropTable(spark, tbl)
+  }
+}
