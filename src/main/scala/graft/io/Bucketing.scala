@@ -16,8 +16,25 @@ object Bucketing {
   /** Drop a managed table AND its leftover warehouse directory. A fresh
     * metastore with a stale warehouse dir (prior JVM wrote the files, this
     * one never registered the table) makes plain DROP TABLE a no-op while
-    * saveAsTable still fails with LOCATION_ALREADY_EXISTS. */
+    * saveAsTable still fails with LOCATION_ALREADY_EXISTS.
+    *
+    * Partitioned tables get their partition entries dropped METADATA-ONLY
+    * first (`retainData = true`): after an ALTER TABLE RENAME the
+    * catalog's per-partition locations still point at the PRE-rename
+    * directory, and a plain DROP follows those stale pointers — deleting
+    * whatever lives there NOW (in the compaction swap, the freshly
+    * compacted live table; caught by ChaosSpec). The table's real data
+    * sits under its own location and is removed with the table itself. */
   def dropTable(spark: SparkSession, table: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (cat.tableExists(ident) &&
+        cat.getTableMetadata(ident).partitionColumnNames.nonEmpty) {
+      val specs = cat.listPartitions(ident).map(_.spec)
+      if (specs.nonEmpty)
+        cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
+          purge = false, retainData = true)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val loc = new org.apache.hadoop.fs.Path(s"$wh/$table")
@@ -132,10 +149,19 @@ object Bucketing {
     val prevScan = spark.conf.get(scanKey)
     try {
       spark.conf.set(scanKey, "false")
-      val writer = spark.table(table)
+      // preserve a partition layout too (the streamed line-df index is
+      // partitionBy(batch_id) + bucketBy(h)): a rewrite that silently
+      // dropped the partition columns would not just lose directory
+      // pruning — the NEXT dynamic-partition-overwrite append would see
+      // an unpartitioned target and truncate the whole index
+      val partCols = meta.partitionColumnNames
+      val writerBase = spark.table(table)
         .repartition(spec.numBuckets,
           keys.map(org.apache.spark.sql.functions.col): _*)
-        .write.bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
+        .write
+      val writer =
+        (if (partCols.isEmpty) writerBase else writerBase.partitionBy(partCols: _*))
+          .bucketBy(spec.numBuckets, keys.head, keys.tail: _*)
       // a bucketed-but-unsorted spec is legal (never produced by
       // writeBucketedMulti, but a foreign table may carry one) — skip
       // sortBy rather than throwing NoSuchElementException on sorts.head
@@ -157,9 +183,28 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $table RENAME TO $backup")
     failpoint(1)
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    // renaming a managed PARTITIONED table moves its directory but the
+    // catalog's per-partition locations still point at the old path —
+    // the table resolves yet every scan comes back empty. Re-sync them
+    // from the filesystem. (A crash between the rename and this recover
+    // is healed by repairCompaction, which recovers unconditionally.)
+    recoverPartitionsIfPartitioned(spark, table)
     failpoint(2)
-    spark.sql(s"DROP TABLE $backup")
+    dropTable(spark, backup) // partition-safe drop: never follows stale paths
     dataFileCount(spark, table)
+  }
+
+  /** Re-register a partitioned table's partition locations from the
+    * filesystem (no-op for unpartitioned tables). Needed after any
+    * ALTER TABLE RENAME of a managed partitioned table: the catalog
+    * keeps the old per-partition paths. */
+  def recoverPartitionsIfPartitioned(spark: SparkSession, table: String): Unit = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    if (meta.partitionColumnNames.nonEmpty) {
+      spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+      spark.catalog.refreshTable(table)
+    }
   }
 
   /** Repair an interrupted [[compactBucketed]] swap so `table` resolves
@@ -181,23 +226,34 @@ object Bucketing {
     val tmp = s"${table}_compacting"
     if (exists(table)) {
       if (exists(backup)) dropTable(spark, backup)
-      // a stale _compacting is dropped by the next compaction run
+      // a stale _compacting is dropped by the next compaction run; and a
+      // crash between rename-in and partition recovery leaves a live
+      // table with stale partition paths — recover unconditionally
+      recoverPartitionsIfPartitioned(spark, table)
     } else if (exists(backup)) {
       spark.sql(s"ALTER TABLE $backup RENAME TO $table")
       if (exists(tmp)) dropTable(spark, tmp)
+      recoverPartitionsIfPartitioned(spark, table)
     } else if (exists(tmp)) {
       spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      recoverPartitionsIfPartitioned(spark, table)
     }
     exists(table)
   }
 
-  /** Count the data files of a managed table (parquet parts, not logs). */
+  /** Count the data files of a managed table (parquet parts, not logs),
+    * recursing through partition directories. */
   def dataFileCount(spark: SparkSession, table: String): Int = {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    def walk(p: org.apache.hadoop.fs.Path): Int =
+      fs.listStatus(p).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) 1 else 0
+      }.sum
+    walk(loc)
   }
 
   /** Join two tables bucketed on the same key with the same bucket count:

@@ -188,6 +188,11 @@ object TextAnalysis {
       .select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_corpus")
       .withColumn("batch_id", lit(batchId))
+    // a compaction swap killed mid-rename leaves the index resolvable
+    // only under its backup name; repair BEFORE the existence check, or
+    // the create branch would start a fresh index and the eventual
+    // repair would drop the backup holding every earlier batch
+    graft.io.Bucketing.repairCompaction(spark, table)
     if (!spark.catalog.tableExists(table)) {
       // a crash during the CREATE leaves staged files but no catalog
       // entry; sweep the orphaned location so the retry's saveAsTable
@@ -223,6 +228,9 @@ object TextAnalysis {
                            segTokens: Int = 12, maxDocFreq: Int = 1,
                            byLines: Boolean = false): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq < 1 would delete every segment")
+    // probe-side crash repair: a maintenance compaction killed mid-swap
+    // leaves the index under its backup name; restore before resolving
+    graft.io.Bucketing.repairCompaction(spark, indexTable)
     val segs = segmented(delta, segTokens, byLines)
     val deltaDf = segs.select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_delta")

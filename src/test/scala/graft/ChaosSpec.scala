@@ -1,0 +1,150 @@
+package graft
+
+import graft.io.Bucketing
+import graft.ops.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Randomized multi-kill chaos over one streamed-index lifecycle.
+  *
+  * RecoverySpec proves each failure mode in isolation (one kill, one
+  * recovery); this suite composes them: across a full
+  * build → append → compact → probe lifecycle of the line-df index, a
+  * seeded RNG schedules torn batch commits (a strict subset of the
+  * batch persisted under its batch_id — the partial-job-commit window),
+  * compaction swaps killed at either failpoint, repairs that sometimes
+  * run promptly and sometimes are left for the NEXT maintenance entry
+  * to perform, and batch splits that change every seed. Whatever the
+  * schedule, the surviving index must fold to exactly the
+  * monolithically-built document frequencies — the invariant every
+  * individual recovery path claims to preserve, here checked under
+  * their interleavings. Seeds are fixed (0 until N) and each assertion
+  * carries its seed, so any failure is replayable verbatim.
+  *
+  * This is the test that catches cross-step interactions single-kill
+  * tests can't: e.g. a compaction rewrite that silently dropped the
+  * batch_id partition layout would make the next append's
+  * dynamic-partition-overwrite truncate the whole index, and an append
+  * entering while the index sits under its _precompact backup name
+  * would re-create a fresh index and orphan every earlier batch —
+  * both now guarded in the production code and exercised here.
+  */
+class ChaosSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Seeds = 24
+
+  // small corpus with deliberate line overlap: shared boilerplate lines
+  // (df > 1 across docs and batches) plus per-doc unique lines
+  private lazy val corpus = (1L to 20L).map { id =>
+    val shared = s"shared boilerplate ${id % 3}"
+    val also = if (id % 2 == 0) "even docs carry this line\n" else ""
+    (id, s"$shared\n${also}unique line of doc $id")
+  }.toDF("doc_id", "text")
+
+  private lazy val delta = Seq(
+    (100L, "shared boilerplate 1\nfresh delta line"),
+    (101L, "even docs carry this line\nanother delta line"),
+    (102L, "all mine\nnothing shared")).toDF("doc_id", "text")
+
+  test(s"$Seeds seeded multi-kill lifecycles all converge on the batch-built index") {
+    val refTbl = "chaos_ref_linedf"
+    Bucketing.dropTable(spark, refTbl)
+    TextAnalysis.buildLineDfIndex(corpus, refTbl, byLines = true, buckets = 2)
+    val want = spark.table(refTbl)
+    val wantProbe = TextAnalysis.lineDedup(corpus.unionByName(delta),
+      byLines = true).filter(col("doc_id") >= 100L)
+
+    val ids = (1L to 20L).toVector
+    for (seed <- 0 until Seeds) {
+      val rnd = new scala.util.Random(seed)
+      val tbl = s"chaos_linedf_s$seed"
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+
+      // seed-dependent disjoint batch split (1–4 batches, random sizes)
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+
+      def append(docIds: Vector[Long], bid: Long): Unit =
+        TextAnalysis.appendLineDfPartial(spark,
+          corpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          byLines = true, buckets = 2)
+
+      def maybeCompact(): Unit = if (rnd.nextDouble() < 0.35) {
+        val crashStep = rnd.nextInt(3) // 0 = clean compact, 1/2 = failpoints
+        if (crashStep == 0) Bucketing.compactBucketed(spark, tbl)
+        else {
+          intercept[IllegalStateException] {
+            Bucketing.compactBucketed(spark, tbl, injectCrashAtSwapStep = crashStep)
+          }
+          // sometimes repair promptly, sometimes leave the torn swap for
+          // the next maintenance/append/probe entry to repair
+          if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, tbl)
+        }
+      }
+
+      for ((b, bid) <- batches.zipWithIndex) {
+        // torn commit first, with some probability: a strict subset of
+        // the batch persists under its batch_id (docs dropped, and for
+        // some seeds a doc's line set truncated by reading only part of
+        // the text — approximated here at doc granularity)
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong)
+        }
+        append(b, bid.toLong) // the WAL replay / real attempt
+        maybeCompact()
+      }
+
+      withClue(s"seed=$seed batches=${batches.map(_.size)}: ") {
+        // probe-side entry self-repairs any torn swap left dangling
+        val got = TextAnalysis.lineDedupIncremental(spark, delta, tbl,
+          byLines = true)
+        assert(got.exceptAll(wantProbe).isEmpty && wantProbe.exceptAll(got).isEmpty,
+          "probe after chaos must equal the global rewrite")
+        val folded = spark.table(tbl).groupBy("h")
+          .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+        assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+          "surviving index must fold to the batch-built dfs")
+      }
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Bucketing.dropTable(spark, refTbl)
+  }
+
+  test("compacting a partitioned+bucketed index preserves BOTH layouts") {
+    val tbl = "chaos_part_compact"
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") <= 10L), tbl, 0L, byLines = true, buckets = 2)
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") > 10L), tbl, 1L, byLines = true, buckets = 2)
+    val before = spark.table(tbl)
+      .groupBy("h").agg(sum(col("df_corpus")).cast("long").as("df")).collect().toSet
+    Bucketing.compactBucketed(spark, tbl)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+    assert(meta.partitionColumnNames === Seq("batch_id"),
+      "compaction must keep the batch_id partition layout")
+    assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("h")),
+      "compaction must keep the bucket spec")
+    val after = spark.table(tbl)
+      .groupBy("h").agg(sum(col("df_corpus")).cast("long").as("df")).collect().toSet
+    assert(after === before, "compaction must not change any df")
+    // and the NEXT append still lands as a partition overwrite, not a
+    // table truncation (the failure a dropped partition layout causes)
+    TextAnalysis.appendLineDfPartial(spark,
+      delta.select(col("doc_id"), col("text")), tbl, 2L,
+      byLines = true, buckets = 2)
+    assert(spark.table(tbl).select("batch_id").distinct().count() === 3L,
+      "append after compaction must add its partition, not truncate")
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+  }
+}
