@@ -40,13 +40,18 @@ object Bench {
       Seq(sys.props("java.io.tmpdir"),
         spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")))
     // machine-speed canary: a FIXED reference computation (hash agg over
-    // the lineitem scan) timed before and after the catalog. Round-12
-    // profiling measured the same query at 5.1 s and 8.3 s in isolated
-    // fresh JVMs hours apart on identical code — ambient box throughput
-    // varies ~1.5x, and without a canary that variance is
+    // the lineitem scan) timed at interleaved points through the catalog.
+    // Round-12 profiling measured the same query at 5.1 s and 8.3 s in
+    // isolated fresh JVMs hours apart on identical code — ambient box
+    // throughput varies ~1.5x, and without a canary that variance is
     // indistinguishable from a code regression in cross-round totals.
-    // The canary ratio (this round vs last) is the normalization factor;
-    // start+end pair also exposes WITHIN-run drift.
+    // Round 13 showed THREE samples aren't enough either: the canary
+    // swung 2x WITHIN one run (0.365/0.235/0.178), so a single median
+    // divisor normalized the whole catalog by whichever speed regime it
+    // happened to sample. Now a canary rep runs every ~20 catalog rows
+    // and each row is normalized by its own SEGMENT's bracketing
+    // samples, with the samples' dispersion (canary_cv) reported next to
+    // the normalized total as its error bar.
     def canary(): Double = {
       val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -62,7 +67,11 @@ object Bench {
       }
       reps.sorted.apply(1)
     }
-    val canaryStart = canary()
+    val canaryEvery = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt)
+    // (catalog row index the sample precedes, median-of-3 canary seconds)
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    canarySamples += 0 -> canary()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N timing: a single rep cannot tell a regression from a
     // GC/scheduler hiccup on a shared box (round 8 reported a 4x phantom
@@ -115,14 +124,8 @@ object Bench {
     // the first-heavy-query JIT cost onto a different victim each round)
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1))
-    // third canary rep at the catalog midpoint: round 12's run drifted
-    // 1.9x between the start and end canaries, so two samples cannot say
-    // WHEN the box changed speed — three bracket the drift well enough
-    // for the median to be a usable normalization divisor
-    val midIdx = sortedQueries.size / 2
-    var canaryMid = canaryStart
     val allReps = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == midIdx && idx > 0) canaryMid = canary()
+      if (idx > 0 && idx % canaryEvery == 0) canarySamples += idx -> canary()
       val times = (1 to repsFor(name)).iterator.map { _ =>
         if (errors.contains(name)) None
         else {
@@ -180,18 +183,38 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val canaryEnd = canary()
+    canarySamples += sortedQueries.size -> canary()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // canary-normalized total: total scaled by (reference canary /
-    // this run's median canary). The reference canary is the recorded
-    // round-12 sf0.1 value (0.277 s) — override via
-    // SPARK_GRAFT_REF_CANARY when the fixture or sf changes. A
-    // normalized total answers "how would this run have scored on the
-    // round-12 box" so cross-round deltas are code, not machine.
+    // canary-normalized total: each row scaled by (reference canary /
+    // its SEGMENT's machine speed), where a segment's speed is the mean
+    // of the two canary samples bracketing that row — so a box that ran
+    // 2x fast for the first half and 2x slow for the second normalizes
+    // each half by what the box was doing THEN, not by one global
+    // median. The reference canary is the recorded round-12 sf0.1 value
+    // (0.277 s) — override via SPARK_GRAFT_REF_CANARY when the fixture
+    // or sf changes. A normalized total answers "how would this run have
+    // scored on the round-12 box" so cross-round deltas are code, not
+    // machine; canary_cv is its error bar.
     val refCanary = sys.env.get("SPARK_GRAFT_REF_CANARY")
       .flatMap(_.toDoubleOption).getOrElse(0.277)
-    val canaryMedian = Seq(canaryStart, canaryMid, canaryEnd).sorted.apply(1)
-    val totalNorm = if (canaryMedian > 0) total * (refCanary / canaryMedian) else total
+    val canaryVals = canarySamples.map(_._2).toSeq
+    val canaryMedian = canaryVals.sorted.apply(canaryVals.size / 2)
+    val canaryMean = canaryVals.sum / canaryVals.size
+    val canaryCv = if (canaryMean > 0)
+      math.sqrt(canaryVals.map(v => (v - canaryMean) * (v - canaryMean)).sum /
+        canaryVals.size) / canaryMean
+    else 0.0
+    def segSpeed(idx: Int): Double = {
+      val before = canarySamples.takeWhile(_._1 <= idx).lastOption
+        .map(_._2).getOrElse(canaryMedian)
+      val after = canarySamples.find(_._1 > idx).map(_._2).getOrElse(before)
+      (before + after) / 2
+    }
+    val rowIdx = sortedQueries.map(_._1).zipWithIndex.toMap
+    val totalNorm = results.map { case (name, t) =>
+      val s = segSpeed(rowIdx(name))
+      if (s > 0) t * (refCanary / s) else t
+    }.sum
     // Full-precision, full-name, all-reps detail line first — for humans
     // and for arbitrating outliers (which rep was the slow one).
     val qsFull = allReps.map { case (k, ts) =>
@@ -199,7 +222,9 @@ object Bench {
     val errFull = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val filterJson =
       s""""filtered":$filtered,"only":${only.getOrElse(Set.empty[String]).toSeq.sorted.map(jstr).mkString("[", ",", "]")},"skip":${skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_start_sec":${num3(canaryStart)},"canary_mid_sec":${num3(canaryMid)},"canary_end_sec":${num3(canaryEnd)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
+    val canaryJson = canarySamples
+      .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
@@ -223,7 +248,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }
