@@ -1,0 +1,166 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measure O(|delta|) probe cost for the persisted-index families.
+  *
+  * SCALING.md measures whole-row slopes (build + probe together); this
+  * tool isolates the claim those rows leave unmeasured: with the DELTA
+  * FIXED, growing the corpus/index 100× should leave probe wall-time
+  * nearly flat, because the probe's shuffle moves only delta rows and
+  * the index side arrives bucketed (scan-only, no exchange). For each
+  * family the index is built (untimed) from the sf0.001 / sf0.01 /
+  * sf0.1 corpus slice, the probe is timed `reps` times against the SAME
+  * sf0.01-sized delta, and the fitted log-log slope of median probe
+  * time vs index row count is reported. slope 0 = perfectly flat;
+  * slope 1 = probe cost growing like the corpus (the index bought
+  * nothing).
+  *
+  * Usage: runMain graft.tools.ProbeScaling [outPath] [reps]
+  */
+object ProbeScaling {
+
+  def main(args: Array[String]): Unit = {
+    val out = args.lift(0).getOrElse("PROBE_SCALING_DATA.json")
+    val reps = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.io.TempPaths.cleanupOnExit(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    def docs(sf: String) =
+      spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+    def emb(sf: String) =
+      spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+    // the FIXED deltas: the sf0.01 catalog-row slices, identical at
+    // every index size so only the corpus varies
+    val deltaDocs = docs("sf0.01").filter(col("doc_id") % 5 === 0)
+      .localCheckpoint()
+    val deltaEmb = emb("sf0.01").filter(col("vec_id") % 5 === 0)
+      .localCheckpoint()
+    val deltaTrain = docs("sf0.01")
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+        pmod(col("doc_id"), lit(4)) === 1).localCheckpoint()
+    val queryEmb = emb("sf0.01").localCheckpoint() // p56 derives queries by stride
+
+    // the localCheckpoint'd deltas live in the block manager; sweep only
+    // RDDs a probe itself persisted, never the fixture deltas
+    val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
+    def timeProbe(mk: () => DataFrame): Seq[Double] = {
+      mk().queryExecution.toRdd.count() // untimed warmup rep (JIT, IO)
+      (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        mk().queryExecution.toRdd.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs
+          .filterNot { case (id, _) => baselineRdds.contains(id) }
+          .values.foreach(_.unpersist(false))
+        dt
+      }
+    }
+
+    // family name -> (per-sf: build index, return (indexRows, probe thunk))
+    case class Family(name: String,
+                      setup: String => (Long, () => DataFrame),
+                      teardown: () => Unit)
+    val drops = scala.collection.mutable.Buffer.empty[String]
+    def tbl(s: String): String = { drops += s; s }
+
+    val families = Seq(
+      Family("p54_minhash_band_probe", { sf =>
+        val bands = tbl(s"ps_p54_bands"); val sigs = tbl(s"ps_p54_sigs")
+        Seq(bands, sigs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        graft.ops.Dedup.buildCorpusIndex(docs(sf).filter(col("doc_id") % 5 =!= 0),
+          bands, sigs, bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 8)
+        (spark.table(sigs).count(), () =>
+          graft.ops.Dedup.incrementalVerdictsAgainstIndex(spark, deltaDocs,
+            bands, sigs, bands = 16, rowsPerBand = 8, shingleN = 3,
+            threshold = 0.7))
+      }, () => ()),
+      Family("p56_ivf_assignment_probe", { sf =>
+        val t = tbl("ps_p56_ivf")
+        graft.io.Bucketing.dropTable(spark, t)
+        graft.ops.Similarity.buildIvfIndex(emb(sf), t, nCentroids = 16, buckets = 8)
+        (spark.table(t).count(), () =>
+          graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t))
+      }, () => ()),
+      Family("p57_vector_index_probe", { sf =>
+        val bands = tbl("ps_p57_bands"); val vecs = tbl("ps_p57_vecs")
+        Seq(bands, vecs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        val bits = graft.ops.Similarity.buildVectorIndex(
+          emb(sf).filter(col("vec_id") % 5 =!= 0), bands, vecs, buckets = 8)
+        (spark.table(vecs).count(), () =>
+          graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+            deltaEmb, bands, vecs, threshold = 0.45, bitsPerTable = bits))
+      }, () => ()),
+      Family("p63_linedf_probe", { sf =>
+        val t = tbl("ps_p63_linedf")
+        graft.io.Bucketing.dropTable(spark, t)
+        graft.ops.TextAnalysis.buildLineDfIndex(
+          docs(sf).filter(col("doc_id") % 5 =!= 0), t, buckets = 8)
+        (spark.table(t).count(), () =>
+          graft.ops.TextAnalysis.lineDedupIncremental(spark, deltaDocs, t))
+      }, () => ()),
+      Family("p65_gram_index_probe", { sf =>
+        val t = tbl("ps_p65_grams")
+        graft.io.Bucketing.dropTable(spark, t)
+        graft.ops.TextAnalysis.buildBenchGramIndex(
+          docs(sf).filter(pmod(col("doc_id"), lit(10)) === 0), t)
+        (spark.table(t).count(), () =>
+          graft.ops.TextAnalysis.decontaminationAgainstIndex(spark, deltaTrain, t))
+      }, () => ()),
+      Family("q68_streamed_linedf_probe", { sf =>
+        val t = tbl("ps_q68_linedf")
+        graft.io.Bucketing.dropTable(spark, t)
+        // streamed layout: 4 disjoint batch_id partitions, probe folds
+        val corpus = docs(sf).filter(col("doc_id") % 5 =!= 0)
+        (0 until 4).foreach { b =>
+          graft.ops.TextAnalysis.appendLineDfPartial(spark,
+            corpus.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong)
+        }
+        (spark.table(t).count(), () =>
+          graft.ops.TextAnalysis.lineDedupIncremental(spark, deltaDocs, t))
+      }, () => ()))
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rows = try families.map { fam =>
+      val per = sfs.map { sf =>
+        val (idxRows, probe) = fam.setup(sf)
+        val times = timeProbe(probe)
+        val med = times.sorted.apply(times.size / 2)
+        println(s"PROBE ${fam.name} $sf index_rows=$idxRows median=${num(med)} " +
+          times.map(num).mkString("[", ",", "]"))
+        (sf, idxRows, med, times)
+      }
+      // least-squares slope of log(t) vs log(indexRows)
+      val xs = per.map(p => math.log(math.max(1L, p._2).toDouble))
+      val ys = per.map(p => math.log(p._3))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+        math.max(1e-12, xs.map(x => (x - mx) * (x - mx)).sum)
+      println(s"PROBE ${fam.name} slope=${num(slope)}")
+      val perJson = per.map { case (sf, n, med, ts) =>
+        s"""{"sf":"$sf","index_rows":$n,"median_sec":${num(med)},"reps_sec":${ts.map(num).mkString("[", ",", "]")}}"""
+      }.mkString("[", ",", "]")
+      s"""{"family":"${fam.name}","slope":${num(slope)},"points":$perJson}"""
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      drops.distinct.foreach(graft.io.Bucketing.dropTable(spark, _))
+    }
+    val json = s"""{"reps":$reps,"delta":"fixed sf0.01 slices","families":${rows.mkString("[", ",", "]")}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    println(s"PROBE_SCALING written to $out")
+    spark.stop()
+  }
+}
