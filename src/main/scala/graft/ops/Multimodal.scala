@@ -28,6 +28,12 @@ object Multimodal {
   /** Real PNG codec + the deterministic test-pattern generator. */
   object ImageCodec {
 
+    // ImageIO's default stream cache is DISK-backed: every encode/decode
+    // creates and deletes a temp file, which at 4 round trips per doc
+    // cost ~10x the actual codec work (measured 0.25 -> 2.8 s on the
+    // p17 row). Memory-backed streams for byte-array payloads.
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Image dimensions for a doc: 4–16 × 3–9 px test patterns. */
     def dims(docId: Long): (Int, Int) =
       (((docId % 13) + 4).toInt, ((docId % 7) + 3).toInt)
