@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
 
 /** The persisted-index probe contracts re-checked under AQE.
   *
@@ -42,6 +42,38 @@ class AqeSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("AQE skew-join splits a pathological key at runtime (the complement to q32's salting)") {
+    import spark.implicits._
+    // q32 salts by hand because salting works on ANY Spark; at 100 TB
+    // under AQE the engine also self-heals skew by splitting oversized
+    // shuffle partitions at runtime. Demonstrate the plans we ship
+    // reach that path: a 90%-one-key join, thresholds scaled to
+    // fixture bytes, must plan a skew=true sort-merge join.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16k")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = spark.range(0, 100000)
+        .select(when(col("id") % 10 =!= 0, lit(7L))
+          .otherwise(pmod(col("id"), lit(64))).as("k"),
+          concat(lit("x" * 64), col("id")).as("payload"))
+      val small = spark.range(0, 64).select(col("id").as("k"),
+        col("id").cast("string").as("name"))
+      val joined = big.join(small, "k")
+      val plan = finalPlan(joined)
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"skew demo must run a shuffled join:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the skewed join split at runtime:\n$plan")
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
   test("p54 probe under AQE: bucketed scan + single delta exchange survive re-planning") {
