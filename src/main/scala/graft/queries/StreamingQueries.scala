@@ -335,7 +335,12 @@ object StreamingQueries {
     // moves must re-land, not hand the stream a partial fixture
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
-      val staging = java.nio.file.Files.createTempDirectory("graft_q60_stage")
+      // TempPaths-owned staging (appId in the name + exit-hook cleanup):
+      // a bare createTempDirectory here strands an anonymous dir on a
+      // mid-land kill that only the 2h idle sweep can reclaim
+      val staging = java.nio.file.Paths.get(
+        graft.io.TempPaths.scratchDir(spark, "graft_q60_stage", landing))
+      java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/events.parquet")
@@ -527,7 +532,10 @@ object StreamingQueries {
       val (mnUs, mxUs) = (bounds.getLong(0), bounds.getLong(1))
       val span = mxUs - mnUs + 1
       def bound(i: Int): Long = mnUs + span * i / nFiles
-      val staging = java.nio.file.Files.createTempDirectory("graft_quarters_stage")
+      // TempPaths-owned staging — same rationale as landFixtureModulo
+      val staging = java.nio.file.Paths.get(
+        graft.io.TempPaths.scratchDir(spark, "graft_quarters_stage", landing))
+      java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/events.parquet")
