@@ -1,0 +1,179 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Audio-column pipeline: waveform payloads as opaque `binary` columns,
+  * decoded / resampled per partition — the audio sibling of
+  * [[Multimodal]] (reference repo has no media path; this is part of the
+  * training-data extension surface).
+  *
+  * The codec is REAL: payloads are actual RIFF/WAVE containers written
+  * and parsed by `javax.sound.sampled.AudioSystem` (pure JVM,
+  * device-free — file I/O only, no mixer is ever opened), and every
+  * statistic below is computed from the DECODED sample stream, not from
+  * the payload bytes. The testdata ships no media, so the waveform
+  * CONTENT is generated deterministically from `doc_id`
+  * ([[AudioCodec.sample]]); the oracle replays that generator
+  * arithmetic, so a hash match proves the full PCM → WAV bytes → decode
+  * → samples path recovered exactly the waveform that was written
+  * (16-bit PCM in WAV is lossless — any codec defect breaks the match).
+  *
+  * Spark-side shape mirrors the image rows: binary column, typed
+  * output, iterator-to-iterator `mapPartitions` — one codec context per
+  * partition, streaming over rows, no shuffle, no driver collect.
+  */
+object Audio {
+
+  /** Real WAV codec + the deterministic waveform generator. */
+  object AudioCodec {
+
+    /** Sample rate for a doc: 8000 / 12000 / 16000 Hz. */
+    def sampleRate(docId: Long): Int = (8000 + (docId % 3) * 4000).toInt
+
+    /** Clip length for a doc: 160–400 samples (short fixed-size clips —
+      * the fixture analogue of audio-chunk rows in a real corpus). */
+    def nSamples(docId: Long): Int = (160 + (docId % 7) * 40).toInt
+
+    /** The generator arithmetic the oracle replays: a signed 16-bit
+      * sample as a function of (i, doc_id). All terms non-negative
+      * before the mod, so `%` agrees between Java and SQL; the result
+      * spans the full [-32768, 32767] range (peaks and sign changes are
+      * data-dependent, not degenerate). */
+    def sample(docId: Long, i: Int): Int =
+      (((i.toLong * i * 31 + i.toLong * 17 + docId * 101) % 65536) - 32768).toInt
+
+    private def pcmFormat(rate: Int): javax.sound.sampled.AudioFormat =
+      new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 1, 2, rate.toFloat, /*bigEndian=*/ false)
+
+    /** Encode signed 16-bit mono samples as a real WAV container. */
+    def encodeWav(samples: Array[Int], rate: Int): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), pcmFormat(rate), samples.length.toLong)
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV payload: (sample rate, signed 16-bit samples), both
+      * read from the container — rate from the parsed format chunk,
+      * samples from the decoded frame stream. */
+    def decodeWav(bytes: Array[Byte]): (Int, Array[Int]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"payload is not 16-bit mono PCM: $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 2
+      val samples = new Array[Int](n)
+      var i = 0
+      if (fmt.isBigEndian)
+        while (i < n) { samples(i) = ((pcm(2 * i) << 8) | (pcm(2 * i + 1) & 0xff)).toShort.toInt; i += 1 }
+      else
+        while (i < n) { samples(i) = (((pcm(2 * i + 1) & 0xff) << 8) | (pcm(2 * i) & 0xff)).toShort.toInt; i += 1 }
+      (fmt.getSampleRate.round, samples)
+    }
+
+    /** Decimate by 2: out(i) = in(2i), ceil(n/2) samples — the one
+      * resampler with exactly replayable arithmetic (no interpolation,
+      * no filter kernel whose rounding is implementation-defined). The
+      * audio analogue of [[Multimodal.ImageCodec.subsample2]]. */
+    def decimate2(samples: Array[Int]): Array[Int] = {
+      val out = new Array[Int]((samples.length + 1) / 2)
+      var i = 0
+      while (i < out.length) { out(i) = samples(2 * i); i += 1 }
+      out
+    }
+  }
+
+  /** Synthetic audio payloads: one real WAV clip per document, rendered
+    * and encoded executor-side (iterator-to-iterator, no shuffle). */
+  def syntheticAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = AudioCodec.nSamples(id)
+          val samples = Array.tabulate(n)(AudioCodec.sample(id, _))
+          (id, AudioCodec.encodeWav(samples, AudioCodec.sampleRate(id)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed feature row produced by the decode stage. Crossings count
+    * strict sign changes between consecutive samples (zeros break a
+    * run — the common zcr definition with exact integer semantics). */
+  case class AudioFeature(doc_id: Long, sample_rate: Long, n_samples: Long,
+                          sum_abs: Long, peak: Long, zero_crossings: Long)
+
+  /** Partition-streamed decode: WAV payloads → typed features, every
+    * value read from the DECODED container (rate from the format chunk,
+    * stats from the sample stream). */
+  def extractAudioFeatures(spark: SparkSession, payloads: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, s) = AudioCodec.decodeWav(bytes)
+          var (sumAbs, peak, zc) = (0L, 0L, 0L)
+          var i = 0
+          while (i < s.length) {
+            val a = math.abs(s(i).toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            if (i > 0 && s(i - 1).toLong * s(i) < 0) zc += 1
+            i += 1
+          }
+          AudioFeature(id, rate.toLong, s.length.toLong, sumAbs, peak, zc)
+        }
+      }
+  }
+
+  /** Typed output row of the resample stage. */
+  case class AudioTransform(doc_id: Long, sample_rate: Long, out_rate: Long,
+                            n_samples: Long, out_samples: Long,
+                            sum_abs: Long, peak: Long)
+
+  /** Partition-streamed transform: decode → decimate by 2 → RE-encode
+    * as WAV at the halved rate → decode again → stats. As with the
+    * image transform, the double round trip is deliberate: the reported
+    * stats come from the re-decoded resampled clip, certifying the
+    * write path as well as the read path. */
+  def transformAudio(spark: SparkSession, payloads: DataFrame): Dataset[AudioTransform] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, s) = AudioCodec.decodeWav(bytes)
+          val resampled = AudioCodec.encodeWav(AudioCodec.decimate2(s), rate / 2)
+          val (outRate, o) = AudioCodec.decodeWav(resampled)
+          var (sumAbs, peak) = (0L, 0L)
+          var i = 0
+          while (i < o.length) {
+            val a = math.abs(o(i).toLong)
+            sumAbs += a
+            if (a > peak) peak = a
+            i += 1
+          }
+          AudioTransform(id, rate.toLong, outRate.toLong,
+            s.length.toLong, o.length.toLong, sumAbs, peak)
+        }
+      }
+  }
+}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Audio, Dedup, Multimodal, Quantize, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -506,6 +506,67 @@ object PipelineQueries {
       |FROM d, unnest(range(resized_width)) AS x(v),
       |  unnest(range(resized_height)) AS y(v)
       |GROUP BY doc_id, width, height, resized_width, resized_height""".stripMargin
+
+  /** p66 — real audio DECODE: deterministic 16-bit PCM clips encoded as
+    * actual WAV containers executor-side, decoded back through
+    * javax.sound.sampled, stats (abs-sum, peak, zero crossings) computed
+    * from the decoded sample stream. Oracle replays the waveform
+    * generator arithmetic — a hash match proves the container round
+    * trip recovered every sample exactly. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    Audio.extractAudioFeatures(spark,
+      Audio.syntheticAudio(spark, Tables.documents(spark, dir))).toDF()
+
+  val audioFeaturesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+      |    160 + (doc_id % 7) * 40 AS n_samples
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sample_rate, n_samples, x.v AS i,
+      |    (x.v*x.v*31 + x.v*17 + doc_id*101) % 65536 - 32768 AS samp
+      |  FROM d, unnest(range(n_samples)) AS x(v)),
+      |l AS (
+      |  SELECT *, LAG(samp) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+      |  FROM s)
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(SUM(ABS(samp)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(samp)) AS BIGINT) AS peak,
+      |  CAST(SUM(CASE WHEN prev * samp < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS zero_crossings
+      |FROM l GROUP BY doc_id, sample_rate, n_samples""".stripMargin
+
+  /** p67 — real audio TRANSFORM: decode → decimate by 2 (out(i) =
+    * in(2i), the one resampler with exactly replayable arithmetic) →
+    * re-encode WAV at the halved rate → decode again → stats. The
+    * reported stats come from the re-decoded resampled clip, certifying
+    * the write path as well as the read path. Oracle: the generator
+    * sampled at even indices. */
+  def audioTransform(spark: SparkSession, dir: String): DataFrame =
+    Audio.transformAudio(spark,
+      Audio.syntheticAudio(spark, Tables.documents(spark, dir))).toDF()
+
+  val audioTransformSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+      |    (8000 + (doc_id % 3) * 4000) // 2 AS out_rate,
+      |    160 + (doc_id % 7) * 40 AS n_samples,
+      |    (160 + (doc_id % 7) * 40 + 1) // 2 AS out_samples
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sample_rate, out_rate, n_samples, out_samples,
+      |    (4*x.v*x.v*31 + 2*x.v*17 + doc_id*101) % 65536 - 32768 AS samp
+      |  FROM d, unnest(range(out_samples)) AS x(v))
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(out_rate AS BIGINT) AS out_rate,
+      |  CAST(n_samples AS BIGINT) AS n_samples,
+      |  CAST(out_samples AS BIGINT) AS out_samples,
+      |  CAST(SUM(ABS(samp)) AS BIGINT) AS sum_abs,
+      |  CAST(MAX(ABS(samp)) AS BIGINT) AS peak
+      |FROM s
+      |GROUP BY doc_id, sample_rate, out_rate, n_samples, out_samples"""
+      .stripMargin
 
   /** As-of join: each click enriched with the same user's nearest prior
     * view. Oracle is DuckDB's native ASOF LEFT JOIN — our composed
@@ -1086,6 +1147,8 @@ object PipelineQueries {
     "p16_ann_ivf_topk" -> (annIvfTopK _),
     "p56_ann_ivf_indexed" -> (annIvfTopKIndexed _),
     "p17_multimodal_transform" -> (multimodalTransform _),
+    "p66_audio_features" -> (audioFeatures _),
+    "p67_audio_transform" -> (audioTransform _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1125,6 +1188,8 @@ object PipelineQueries {
     "p14_multimodal_features" -> multimodalFeaturesSql,
     "p15_sessionize" -> eventsSessionizeSql,
     "p17_multimodal_transform" -> multimodalTransformSql,
+    "p66_audio_features" -> audioFeaturesSql,
+    "p67_audio_transform" -> audioTransformSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

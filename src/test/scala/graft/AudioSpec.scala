@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.Audio
+import graft.ops.Audio.AudioCodec
+
+/** Real-codec audio pipeline: WAV round trip, decoded-stream stats,
+  * partition-stream plan shape — the audio sibling of MultimodalSpec. */
+class AudioSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WAV round trip: decode recovers exactly the generated samples") {
+    for (id <- Seq(0L, 5L, 42L)) {
+      val n = AudioCodec.nSamples(id)
+      val rate = AudioCodec.sampleRate(id)
+      val want = Array.tabulate(n)(AudioCodec.sample(id, _))
+      val (gotRate, got) = AudioCodec.decodeWav(AudioCodec.encodeWav(want, rate))
+      assert(gotRate === rate)
+      assert(got.length === n)
+      // every sample, not just aggregates: the container really is lossless
+      assert(got.toSeq === want.toSeq,
+        s"doc $id waveform corrupted by the codec round trip")
+    }
+  }
+
+  test("generator exercises the full signed range and both signs") {
+    val s = (0L to 20L).flatMap(id =>
+      Array.tabulate(AudioCodec.nSamples(id))(AudioCodec.sample(id, _)))
+    assert(s.min < -30000 && s.max > 30000)
+    assert(s.count(_ < 0) > 0 && s.count(_ > 0) > 0)
+  }
+
+  test("extractAudioFeatures: stats match the generator, no shuffle") {
+    val docs = Seq((3L, "x"), (17L, "y")).toDF("doc_id", "text")
+    val feats = Audio.extractAudioFeatures(spark,
+      Audio.syntheticAudio(spark, docs))
+    val byId = feats.collect().map(f => f.doc_id -> f).toMap
+    for (id <- Seq(3L, 17L)) {
+      val n = AudioCodec.nSamples(id)
+      val s = Array.tabulate(n)(AudioCodec.sample(id, _))
+      val f = byId(id)
+      assert(f.sample_rate === AudioCodec.sampleRate(id).toLong)
+      assert(f.n_samples === n.toLong)
+      assert(f.sum_abs === s.map(v => math.abs(v.toLong)).sum)
+      assert(f.peak === s.map(v => math.abs(v.toLong)).max)
+      assert(f.zero_crossings ===
+        s.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
+    }
+    // encode -> decode -> stats is a single narrow stage
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  test("transformAudio: resampled stats survive the re-encode round trip") {
+    val docs = Seq((9L, "z")).toDF("doc_id", "text")
+    val t = Audio.transformAudio(spark,
+      Audio.syntheticAudio(spark, docs)).collect().head
+    val n = AudioCodec.nSamples(9L)
+    val even = Array.tabulate((n + 1) / 2)(k => AudioCodec.sample(9L, 2 * k))
+    assert(t.sample_rate === AudioCodec.sampleRate(9L).toLong)
+    assert(t.out_rate === AudioCodec.sampleRate(9L).toLong / 2)
+    assert(t.n_samples === n.toLong)
+    assert(t.out_samples === ((n + 1) / 2).toLong)
+    assert(t.sum_abs === even.map(v => math.abs(v.toLong)).sum)
+    assert(t.peak === even.map(v => math.abs(v.toLong)).max)
+  }
+}
