@@ -114,6 +114,99 @@ object Multimodal {
     }
   }
 
+  /** Real multi-frame video codec: clips are actual animated GIF
+    * containers written and read through `javax.imageio`'s sequence
+    * API. GIF is the one multi-frame format the stock JVM can both
+    * write and read, and for INDEXED images it is lossless — frames
+    * use an explicit 256-entry grayscale palette, so every decoded
+    * pixel equals the generated one exactly and the oracle can replay
+    * the generator arithmetic (any codec or frame-ordering defect
+    * breaks the hash). */
+  object VideoCodec {
+
+    /** Clip geometry for a doc: 3–6 frames of 4–12 × 3–7 px. */
+    def nFrames(docId: Long): Int = (3 + docId % 4).toInt
+    def frameDims(docId: Long): (Int, Int) =
+      (((docId % 9) + 4).toInt, ((docId % 5) + 3).toInt)
+
+    /** The generator arithmetic the oracle replays: gray value as a
+      * function of (x, y, frame, doc_id); non-negative terms so `%`
+      * agrees between Java and SQL. */
+    def pixelGray(docId: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 7L + y * 13L + f * 29L + docId) % 256).toInt
+
+    private val grayPalette: java.awt.image.IndexColorModel = {
+      val g = Array.tabulate[Byte](256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, g, g, g)
+    }
+
+    /** Render the doc's frames and encode one real animated GIF.
+      *
+      * Frames are written PROGRESSIVE (interlaceFlag=FALSE, set through
+      * per-frame metadata): the JDK's GIF writer interlaces by default,
+      * and its reader de-interlaces frames shorter than the 8-row pass
+      * structure incorrectly (h=4 frames came back with rows permuted
+      * and one row dropped — caught by the sum oracle, which is exactly
+      * the class of silent codec defect these rows exist to catch). */
+    def encodeGif(docId: Long): Array[Byte] = {
+      val (w, h) = frameDims(docId)
+      val out = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames(docId)) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { raster.setSample(x, y, 0, pixelGray(docId, f, x, y)); x += 1 }
+            y += 1
+          }
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          val fmt = "javax_imageio_gif_image_1.0"
+          val root = meta.getAsTree(fmt)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          root.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            .setAttribute("interlaceFlag", "FALSE")
+          meta.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      out.toByteArray
+    }
+
+    /** Decode a GIF payload: frame count + a frame accessor. Callers
+      * MUST `dispose()` the returned reader when done. */
+    def openGif(bytes: Array[Byte]): javax.imageio.ImageReader = {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      reader
+    }
+
+    /** Gray-sum of a decoded indexed frame, read through the packed-RGB
+      * accessor (palette gray ⇒ all three channels equal the index). */
+    def graySum(img: java.awt.image.BufferedImage): Long = {
+      var sum = 0L
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+        y += 1
+      }
+      sum
+    }
+  }
+
   /** Synthetic image payloads: one real PNG per document, rendered and
     * encoded executor-side (iterator-to-iterator, no shuffle). The
     * binary-column fixture for the decode rows below. */
@@ -175,6 +268,45 @@ object Multimodal {
           val (sr, sg, sb) = ImageCodec.channelSums(resized)
           ImageTransform(id, img.getWidth.toLong, img.getHeight.toLong,
             resized.getWidth.toLong, resized.getHeight.toLong, sr, sg, sb)
+        }
+      }
+  }
+
+  /** Synthetic video payloads: one real animated GIF per document. */
+  def syntheticVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, VideoCodec.encodeGif(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** One output row per SAMPLED frame. */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, n_frames: Long,
+                        width: Long, height: Long, sum_gray: Long)
+
+  /** Partition-streamed frame sampling: decode the multi-frame
+    * container, keep every `stride`-th frame, stats from each decoded
+    * frame's raster. The canonical video preprocessing shape — a 100 TB
+    * corpus of clips is frame-sampled exactly like this, with the
+    * decoder opened per payload inside a streaming partition iterator
+    * and only the (tiny) per-frame features ever leaving the stage. */
+  def sampleVideoFrames(spark: SparkSession, payloads: DataFrame,
+                        stride: Int = 2): Dataset[VideoFrame] = {
+    require(stride >= 1, "frame-sampling stride must be >= 1")
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val reader = VideoCodec.openGif(bytes)
+          try {
+            val n = reader.getNumImages(true)
+            (0 until n by stride).map { f =>
+              val img = reader.read(f)
+              VideoFrame(id, f.toLong, n.toLong, img.getWidth.toLong,
+                img.getHeight.toLong, VideoCodec.graySum(img))
+            }
+          } finally reader.dispose()
         }
       }
   }

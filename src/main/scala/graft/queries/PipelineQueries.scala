@@ -568,6 +568,33 @@ object PipelineQueries {
       |GROUP BY doc_id, sample_rate, out_rate, n_samples, out_samples"""
       .stripMargin
 
+  /** p68 — real VIDEO frame sampling: deterministic 3–6-frame clips
+    * encoded as actual animated GIF containers (indexed 256-gray
+    * palette ⇒ lossless), decoded through javax.imageio's sequence
+    * reader, every 2nd frame kept, per-frame gray sums read from the
+    * decoded rasters. One row per sampled frame. Oracle replays the
+    * frame generator arithmetic — a hash match proves frame COUNT,
+    * frame ORDER and every pixel survived the container round trip. */
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleVideoFrames(spark,
+      Multimodal.syntheticVideos(spark, Tables.documents(spark, dir))).toDF()
+
+  val videoFramesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 3 + doc_id % 4 AS n_frames,
+      |    4 + doc_id % 9 AS width, 3 + doc_id % 5 AS height
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, fr.v AS frame_idx, n_frames, width, height
+      |  FROM d, unnest(range(0, n_frames, 2)) AS fr(v))
+      |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(SUM((x.v*7 + y.v*13 + frame_idx*29 + doc_id) % 256) AS BIGINT)
+      |    AS sum_gray
+      |FROM f, unnest(range(width)) AS x(v), unnest(range(height)) AS y(v)
+      |GROUP BY doc_id, frame_idx, n_frames, width, height""".stripMargin
+
   /** As-of join: each click enriched with the same user's nearest prior
     * view. Oracle is DuckDB's native ASOF LEFT JOIN — our composed
     * range-join + argmax must agree with a purpose-built implementation. */
@@ -1149,6 +1176,7 @@ object PipelineQueries {
     "p17_multimodal_transform" -> (multimodalTransform _),
     "p66_audio_features" -> (audioFeatures _),
     "p67_audio_transform" -> (audioTransform _),
+    "p68_video_frames" -> (videoFrames _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1190,6 +1218,7 @@ object PipelineQueries {
     "p17_multimodal_transform" -> multimodalTransformSql,
     "p66_audio_features" -> audioFeaturesSql,
     "p67_audio_transform" -> audioTransformSql,
+    "p68_video_frames" -> videoFramesSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.ops.Multimodal
-import graft.ops.Multimodal.ImageCodec
+import graft.ops.Multimodal.{ImageCodec, VideoCodec}
 
 /** Real-codec binary-column pipeline: PNG round trip, raster-read stats,
   * partition-stream plan shape. */
@@ -65,5 +65,45 @@ class MultimodalSpec extends SparkSpec {
       .foldLeft((0L, 0L, 0L)) { case ((a, b, c), (r, g, bl)) =>
         (a + r, b + g, c + bl) }
     assert((t.sum_r, t.sum_g, t.sum_b) === want)
+  }
+
+  test("GIF round trip: every frame, every pixel, in order, at every height") {
+    // ids 10-14 cover all five frame heights (3-7 px); the h=4 case is
+    // what exposed the JDK writer's default interlacing defect
+    for (id <- 10L to 14L) {
+      val (w, h) = VideoCodec.frameDims(id)
+      val reader = VideoCodec.openGif(VideoCodec.encodeGif(id))
+      try {
+        assert(reader.getNumImages(true) === VideoCodec.nFrames(id))
+        for (f <- 0 until VideoCodec.nFrames(id)) {
+          val img = reader.read(f)
+          assert(img.getWidth === w && img.getHeight === h)
+          for (y <- 0 until h; x <- 0 until w)
+            assert((img.getRGB(x, y) & 0xff) === VideoCodec.pixelGray(id, f, x, y),
+              s"pixel ($x,$y) of frame $f, doc $id corrupted by the GIF round trip")
+        }
+      } finally reader.dispose()
+    }
+  }
+
+  test("sampleVideoFrames: stride-2 sampling, generator-exact sums, no shuffle") {
+    val docs = Seq((2L, "a"), (11L, "b")).toDF("doc_id", "text")
+    val frames = Multimodal.sampleVideoFrames(spark,
+      Multimodal.syntheticVideos(spark, docs))
+    val got = frames.collect().groupBy(_.doc_id)
+    for (id <- Seq(2L, 11L)) {
+      val n = VideoCodec.nFrames(id)
+      val (w, h) = VideoCodec.frameDims(id)
+      val rows = got(id).sortBy(_.frame_idx)
+      assert(rows.map(_.frame_idx).toSeq === (0 until n by 2).map(_.toLong))
+      for (r <- rows) {
+        assert((r.n_frames, r.width, r.height) === ((n.toLong, w.toLong, h.toLong)))
+        val want = (for (y <- 0 until h; x <- 0 until w)
+          yield VideoCodec.pixelGray(id, r.frame_idx.toInt, x, y).toLong).sum
+        assert(r.sum_gray === want)
+      }
+    }
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
   }
 }
