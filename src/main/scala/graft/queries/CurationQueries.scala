@@ -1,9 +1,9 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{Clustering, Packing, Sampling, TextAnalysis}
+import graft.ops.{Clustering, Packing, Sampling, TextAnalysis, Urls}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, count, lit, min, upper, when}
 
 /** Corpus-curation catalog: repetition quality metrics, boilerplate
   * gating, sequence packing, and embedding-space clustering — the
@@ -262,7 +262,73 @@ object CurationQueries {
       |  CAST(bucket AS DOUBLE) / 10000.0 < quality_score AS is_kept
       |FROM b""".stripMargin
 
+  /** p69 — URL canonicalization + canonical-URL dedup (`ops/Urls`).
+    * The fixture ships no URLs, so messy ones are synthesized in-query
+    * from (doc_id, source) with every normalization hazard the
+    * canonicalizer handles: scheme case + http/https variance, WWW.
+    * prefix, host case, explicit :port, trailing slash, utm_* tracking
+    * params AROUND a real param, fragment. The operator then genuinely
+    * PARSES the messy string back apart with native regexp/array
+    * functions (no UDF — the whole pass is one narrow projection) and
+    * groups by canonical URL. The oracle reconstructs the canonical
+    * form from first principles (generator arithmetic, never parsing),
+    * so a hash match proves the parser recovered exactly the canonical
+    * identity every messy variant encodes.
+    *
+    * The canonical identity (source, tld, path id, query) is a function
+    * of doc_id mod 180 = lcm(20 sources, 9 path ids, 4 query presence,
+    * 3 query ids) with the tld riding on the source — so at ≥360 docs
+    * every canonical URL collapses 2+ messy variants and the groupBy is
+    * a REAL dedup (n_docs > 1), hash-checked per group, not a
+    * 1:1 rename of doc_ids. */
+  def urlCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    val idm = (n: Int) => col("doc_id") % n
+    // non-canonical hazards use moduli COPRIME to the 180-cycle of the
+    // canonical identity, so members of one canonical group really are
+    // DIFFERENT messy strings (scheme/www/case/port/slash/fragment all
+    // vary within a group) that only canonicalization can merge
+    val messy = Tables.documents(spark, dir).select(col("doc_id"), concat(
+      when(idm(7) < 4, lit("https")).otherwise(lit("HTTP")), lit("://"),
+      when(idm(11) === 0, lit("WWW.")).otherwise(lit("")),
+      when(idm(13) === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example."),
+      when(org.apache.spark.sql.functions.length(col("source")) === 4,
+        lit("org")).otherwise(lit("net")),
+      when(idm(17) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/articles/"), idm(9),
+      when(idm(19) === 0, lit("/")).otherwise(lit("")),
+      when(idm(4) === 0, concat(lit("?utm_source=feed&id="), idm(3),
+          lit("&utm_medium=rss")))
+        .when(idm(4) === 1, concat(lit("?id="), idm(3)))
+        .otherwise(lit("")),
+      when(idm(23) === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+    messy
+      .select(col("doc_id"), Urls.canonicalize(col("url")).as("canonical_url"),
+        Urls.registeredDomain(col("url")).as("registered_domain"))
+      .groupBy("canonical_url", "registered_domain")
+      .agg(count("*").as("n_docs"), min("doc_id").cast("long").as("rep_doc_id"))
+  }
+
+  val urlCanonicalizeSql: String =
+    """WITH c AS (
+      |  SELECT doc_id,
+      |    'https://' || lower(source) || '.example.' ||
+      |      CASE WHEN length(source) = 4 THEN 'org' ELSE 'net' END ||
+      |      '/articles/' || CAST(doc_id % 9 AS VARCHAR) ||
+      |      CASE WHEN doc_id % 4 IN (0, 1)
+      |        THEN '?id=' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END
+      |      AS canonical_url,
+      |    'example.' ||
+      |      CASE WHEN length(source) = 4 THEN 'org' ELSE 'net' END
+      |      AS registered_domain
+      |  FROM documents)
+      |SELECT canonical_url, registered_domain,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(MIN(doc_id) AS BIGINT) AS rep_doc_id
+      |FROM c GROUP BY canonical_url, registered_domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p69_url_canonicalize" -> (urlCanonicalize _),
     "p34_repetition_quality" -> (repetition _),
     "p45_centroid_outliers" -> (centroidOutliers _),
     "p46_bpe_pair_stats" -> (bpePairs _),
@@ -274,6 +340,7 @@ object CurationQueries {
     "q42_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "p69_url_canonicalize" -> urlCanonicalizeSql,
     "p34_repetition_quality" -> repetitionSql,
     "p45_centroid_outliers" -> centroidOutliersSql,
     "p46_bpe_pair_stats" -> bpePairsSql,

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Urls
+import org.apache.spark.sql.functions.col
+
+/** Edge cases of the native-function URL canonicalizer — parsed forms
+  * checked directly, beyond what the p69 generator exercises. */
+class UrlsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[(String, String)] = {
+    urls.toDF("url")
+      .select(Urls.canonicalize(col("url")), Urls.registeredDomain(col("url")))
+      .as[(String, String)].collect().toSeq
+  }
+
+  test("scheme, case, www, port, slash, fragment all normalize away") {
+    val variants = Seq(
+      "https://news.example.org/a/b",
+      "HTTP://news.example.org/a/b",
+      "https://WWW.News.EXAMPLE.org/a/b",
+      "http://news.example.org:8080/a/b",
+      "https://news.example.org/a/b/",
+      "https://news.example.org/a/b//",
+      "https://news.example.org/a/b#frag")
+    val got = canon(variants: _*)
+    assert(got.toSet === Set(("https://news.example.org/a/b", "example.org")))
+  }
+
+  test("utm_* params drop; real params keep their order") {
+    val got = canon(
+      "https://h.example.net/p?utm_source=x&b=2&utm_medium=y&a=1&utm_campaign=z",
+      "https://h.example.net/p?b=2&a=1",
+      "https://h.example.net/p?a=1&b=2")
+    assert(got(0)._1 === "https://h.example.net/p?b=2&a=1")
+    assert(got(1)._1 === "https://h.example.net/p?b=2&a=1")
+    // order is identity-bearing: a=1&b=2 is a DIFFERENT canonical URL
+    assert(got(2)._1 === "https://h.example.net/p?a=1&b=2")
+  }
+
+  test("all-tracking query collapses to no query at all") {
+    val got = canon("https://h.example.net/p?utm_source=x&utm_medium=y")
+    assert(got.head._1 === "https://h.example.net/p")
+  }
+
+  test("registered domain is the last two labels of the canonical host") {
+    val got = canon(
+      "https://a.b.c.example.org/x",
+      "https://example.org/x",
+      "https://WWW.example.org/x")
+    assert(got.map(_._2) === Seq("example.org", "example.org", "example.org"))
+  }
+}
