@@ -134,6 +134,19 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"expected join-free scoring:\n$plan")
   }
 
+  test("p69 URL canonicalization: one narrow pass + one aggregate exchange, no UDF") {
+    // the canonicalizer is composed native functions; a UDF (or a
+    // second exchange) here means the pass stopped being a pure scan
+    // coefficient and the groupBy stopped being map-side combined
+    val plan = planString(
+      graft.queries.CurationQueries.urlCanonicalize(spark, sfDir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected UDF-free canonicalization:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly one exchange (the groupBy):\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+  }
+
   test("p49 per-group cap is an aggregate, not a per-group window sort") {
     val docs = Tables.documents(spark, sfDir)
     val scored = graft.ops.TextAnalysis.qualityScore(docs)
