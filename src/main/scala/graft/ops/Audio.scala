@@ -103,7 +103,10 @@ object Audio {
     * and encoded executor-side (iterator-to-iterator, no shuffle). */
   def syntheticAudio(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    // bare-id repartition before rendering — the fixture arrives as one
+    // parquet split, which would serialize the codec onto one core; the
+    // exchange moves 8 bytes/row (see Multimodal.syntheticImages)
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
           val n = AudioCodec.nSamples(id)

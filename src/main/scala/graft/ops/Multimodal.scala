@@ -124,6 +124,11 @@ object Multimodal {
     * breaks the hash). */
   object VideoCodec {
 
+    // same disk-backed-stream trap as ImageCodec (whose initializer may
+    // never run on a video-only path): without this every encode/decode
+    // creates and deletes a temp FILE per stream
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Clip geometry for a doc: 3–6 frames of 4–12 × 3–7 px. */
     def nFrames(docId: Long): Int = (3 + docId % 4).toInt
     def frameDims(docId: Long): (Int, Int) =
@@ -156,6 +161,11 @@ object Multimodal {
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        // one metadata object serves every frame: all frames of a doc
+        // share dims/palette, and the writer only READS it (verified
+        // bytes-identical to per-frame construction) — building the
+        // tree per frame was ~40% of encode cost
+        var meta: javax.imageio.metadata.IIOMetadata = null
         var f = 0
         while (f < nFrames(docId)) {
           val img = new java.awt.image.BufferedImage(
@@ -167,15 +177,17 @@ object Multimodal {
             while (x < w) { raster.setSample(x, y, 0, pixelGray(docId, f, x, y)); x += 1 }
             y += 1
           }
-          val meta = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
-          val fmt = "javax_imageio_gif_image_1.0"
-          val root = meta.getAsTree(fmt)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          root.getElementsByTagName("ImageDescriptor").item(0)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-            .setAttribute("interlaceFlag", "FALSE")
-          meta.setFromTree(fmt, root)
+          if (meta == null) {
+            meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+            val fmt = "javax_imageio_gif_image_1.0"
+            val root = meta.getAsTree(fmt)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            root.getElementsByTagName("ImageDescriptor").item(0)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+              .setAttribute("interlaceFlag", "FALSE")
+            meta.setFromTree(fmt, root)
+          }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
           f += 1
         }
@@ -212,7 +224,12 @@ object Multimodal {
     * binary-column fixture for the decode rows below. */
   def syntheticImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    // repartition the BARE ids before rendering: the fixture tables
+    // arrive as a single small parquet split, which would serialize all
+    // codec work onto one core — the exchange moves 8 bytes/row, the
+    // stage it unlocks does all the CPU work. (Payloads themselves
+    // never shuffle; a real corpus arrives already spread.)
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
       .mapPartitions { ids =>
         // a real pipeline opens shared encoder state here, once per partition
         ids.map(id => (id, ImageCodec.encodePng(id)))
@@ -272,10 +289,13 @@ object Multimodal {
       }
   }
 
-  /** Synthetic video payloads: one real animated GIF per document. */
+  /** Synthetic video payloads: one real animated GIF per document
+    * (ids repartitioned first — same rationale as [[syntheticImages]],
+    * and it matters most here: GIF sequence encode is the costliest
+    * codec in the catalog). */
   def syntheticVideos(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
       .mapPartitions(ids => ids.map(id => (id, VideoCodec.encodeGif(id))))
       .toDF("doc_id", "payload")
   }

@@ -8,6 +8,15 @@ import graft.ops.Audio.AudioCodec
 class AudioSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Final (post-AQE) physical plan only — the AdaptiveSparkPlan
+    * toString repeats nodes in its Initial Plan section. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+
   test("WAV round trip: decode recovers exactly the generated samples") {
     for (id <- Seq(0L, 5L, 42L)) {
       val n = AudioCodec.nSamples(id)
@@ -45,9 +54,11 @@ class AudioSpec extends SparkSpec {
       assert(f.zero_crossings ===
         s.sliding(2).count(p => p(0).toLong * p(1) < 0).toLong)
     }
-    // encode -> decode -> stats is a single narrow stage
-    val plan = feats.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"))
+    // exactly ONE exchange — the bare-id spread BEFORE rendering;
+    // payloads themselves never shuffle (encode -> decode -> stats is
+    // one narrow stage after it)
+    val plan = finalPlan(feats.toDF())
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 
   test("transformAudio: resampled stats survive the re-encode round trip") {

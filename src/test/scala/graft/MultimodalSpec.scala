@@ -8,6 +8,15 @@ import graft.ops.Multimodal.{ImageCodec, VideoCodec}
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Final (post-AQE) physical plan only — the AdaptiveSparkPlan
+    * toString repeats nodes in its Initial Plan section. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+
   test("PNG round trip: decode recovers exactly the generated pixels") {
     val id = 42L
     val (w, h) = ImageCodec.dims(id)
@@ -38,9 +47,11 @@ class MultimodalSpec extends SparkSpec {
       assert(f.n_channels === 3L)
       assert((f.sum_r, f.sum_g, f.sum_b) === want)
     }
-    // encode -> decode -> stats is a single narrow stage
-    val plan = feats.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"))
+    // exactly ONE exchange — the bare-id spread BEFORE rendering;
+    // payloads themselves never shuffle (encode -> decode -> stats is
+    // one narrow stage after it)
+    val plan = finalPlan(feats.toDF())
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 
   test("subsample2 keeps even-coordinate pixels at ceil(half) dims") {
@@ -103,7 +114,8 @@ class MultimodalSpec extends SparkSpec {
         assert(r.sum_gray === want)
       }
     }
-    val plan = frames.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"))
+    // one id-spread exchange pre-encode; payloads never shuffle
+    val plan = finalPlan(frames.toDF())
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 }
