@@ -514,6 +514,59 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Exact duplicated-passage REMOVAL — the rewrite step of
+    * exact-substring dedup (the "dedup makes LMs better" recipe:
+    * find verbatim k-token spans that occur more than once in the
+    * corpus, keep the FIRST occurrence, cut every other one out of its
+    * document). [[substringOverlapPairs]] only *measures* overlap; this
+    * operator rewrites the text.
+    *
+    * Semantics (all exactly replayable): tokens are the space-split
+    * words; every stride-1 window of `k` tokens is an occurrence
+    * (doc_id, pos); a window STRING with ≥2 occurrences globally is
+    * duplicated; its canonical occurrence is the global minimum
+    * (doc_id, pos); every token covered by any NON-canonical duplicated
+    * occurrence is removed; the cleaned text is the surviving tokens
+    * rejoined. Docs shorter than k tokens have no windows and pass
+    * through untouched.
+    *
+    * Scale shape: the occurrence frame shuffles ONCE on the 64-bit
+    * window hash — (doc_id, pos, h) rows, never window text — and both
+    * the doc-frequency count and the keep-first argmin ride that same
+    * exchange as window functions (the p51 single-exchange device).
+    * Removal starts aggregate per doc (bounded by windows/doc), and the
+    * rewrite is one narrow higher-order-function pass — no UDF, no
+    * per-token join. The hash is a shuffle accelerator only: the oracle
+    * replays on window STRINGS, so a hash match also certifies no
+    * collision artifact reached the output. */
+  def substringRemove(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val occ = toks
+      .select(col("doc_id"), posexplode(
+        when(size(col("w")) >= k, expr(
+          s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))"))
+          .otherwise(expr("array()").cast("array<string>"))))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val removals = occ
+      .withColumn("df", count(lit(1)).over(byHash))
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(col("df") >= 2 && !(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    toks.join(removals, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), expr("array()").cast("array<int>")))
+      .withColumn("kept", expr(
+        s"filter(transform(w, (t, j) -> struct(t AS t, j AS j)), " +
+          s"s -> NOT exists(starts, st -> st <= s.j AND s.j < st + $k))"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(expr("transform(kept, s -> s.t)"), " ").as("cleaned_text"))
+  }
+
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify
     * primitive exposed as its own oracle-checkable operator (character
     * n-grams here; word shingles feed the MinHash path). */

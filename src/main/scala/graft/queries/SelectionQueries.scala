@@ -113,13 +113,53 @@ object SelectionQueries {
       |SELECT left_id, right_id, COUNT(*) AS n_shared_windows
       |FROM p GROUP BY left_id, right_id""".stripMargin
 
+  /** p70 — exact duplicated-passage removal (Dedup.substringRemove):
+    * the REWRITE step p51 stops short of. Verbatim 8-token spans with
+    * ≥2 occurrences keep their global-first copy; every other
+    * occurrence is cut and the text rejoined. The oracle replays window
+    * extraction, keep-first ranking, interval coverage and the rejoin
+    * on the window STRINGS (the Spark side shuffles only 64-bit
+    * hashes), so the hash match certifies both the rewrite arithmetic
+    * and the absence of hash-collision artifacts — cleaned_text is
+    * compared verbatim, the strongest possible contract for a rewrite
+    * operator. */
+  def substringRemoval(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringRemove(Tables.documents(spark, dir), k = 8)
+
+  val substringRemovalSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |o AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      |      FROM t, unnest(range(1, len(w) - 6)) AS r(i) WHERE len(w) >= 8),
+      |m AS (SELECT doc_id, pos,
+      |        COUNT(*) OVER (PARTITION BY gram) AS df,
+      |        ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |      FROM o),
+      |rem AS (SELECT doc_id, pos FROM m WHERE df >= 2 AND rn > 1),
+      |tok AS (SELECT doc_id, j - 1 AS j, w[j] AS tk
+      |        FROM t, unnest(range(1, len(w) + 1)) AS r(j)),
+      |tr AS (SELECT DISTINCT tok.doc_id, tok.j FROM tok
+      |       JOIN rem ON tok.doc_id = rem.doc_id
+      |        AND rem.pos <= tok.j AND tok.j < rem.pos + 8),
+      |kept AS (SELECT tok.doc_id, tok.j, tok.tk FROM tok
+      |         LEFT JOIN tr ON tok.doc_id = tr.doc_id AND tok.j = tr.j
+      |         WHERE tr.j IS NULL),
+      |a AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |        string_agg(tk, ' ' ORDER BY j) AS cleaned
+      |      FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p49_source_capped_sample" -> (sourceCappedSample _),
     "p50_token_budget_select" -> (tokenBudgetSelect _),
-    "p51_substring_overlap" -> (substringOverlap _))
+    "p51_substring_overlap" -> (substringOverlap _),
+    "p70_substring_removal" -> (substringRemoval _))
 
   val oracles: Map[String, String] = Map(
     "p49_source_capped_sample" -> sourceCappedSampleSql,
     "p50_token_budget_select" -> tokenBudgetSelectSql,
-    "p51_substring_overlap" -> substringOverlapSql)
+    "p51_substring_overlap" -> substringOverlapSql,
+    "p70_substring_removal" -> substringRemovalSql)
 }

@@ -136,4 +136,32 @@ class DedupSpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(got === Seq(0.5, 0.0, 1.0, 0.0))
   }
+
+  test("substringRemove: keep-first passage removal, cross-doc and self-repeat") {
+    val d = Seq(
+      (1L, "a b c d e f g h x"),                     // canonical holder
+      (2L, "z a b c d e f g h y"),                   // loses the shared span
+      (3L, "p q r"),                                 // shorter than k: untouched
+      (4L, "m n o p q r s t m n o p q r s t")        // self-repeat at pos 8
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRemove(d, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // doc 1 holds the global-first occurrence of "a b c d e f g h": kept whole
+    assert(got(1L) === ((9L, 0L, "a b c d e f g h x")))
+    // doc 2's copy at pos 1 is non-canonical: tokens 1-8 cut
+    assert(got(2L) === ((10L, 8L, "z y")))
+    // doc 3 has no 8-token window
+    assert(got(3L) === ((3L, 0L, "p q r")))
+    // doc 4 repeats its own first 8 tokens at pos 8: second copy cut
+    assert(got(4L) === ((16L, 8L, "m n o p q r s t")))
+  }
+
+  test("substringRemove: removing nothing reproduces the token-joined text") {
+    val d = Seq((7L, "all tokens here are unique so nothing repeats anywhere at all today"))
+      .toDF("doc_id", "text")
+    val r = Dedup.substringRemove(d, k = 8).collect().head
+    assert(r.getLong(2) === 0L)
+    assert(r.getString(3) === "all tokens here are unique so nothing repeats anywhere at all today")
+  }
 }
