@@ -539,22 +539,26 @@ object Dedup {
     * per-token join. The hash is a shuffle accelerator only: the oracle
     * replays on window STRINGS, so a hash match also certifies no
     * collision artifact reached the output. */
-  def substringRemove(docs: DataFrame, k: Int = 8): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
-    val occ = toks
+  /** Space-split token arrays — the passage-removal working frame. */
+  private def passageTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+
+  /** One (doc_id, pos, h) row per stride-1 k-token window occurrence;
+    * h is the 64-bit hash of the window string (shuffle key — window
+    * text never leaves the stage). */
+  private def windowOccurrences(toks: DataFrame, k: Int): DataFrame =
+    toks
       .select(col("doc_id"), posexplode(
         when(size(col("w")) >= k, expr(
           s"transform(sequence(0, size(w) - $k), i -> array_join(slice(w, i + 1, $k), ' '))"))
           .otherwise(expr("array()").cast("array<string>"))))
       .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("h"))
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val removals = occ
-      .withColumn("df", count(lit(1)).over(byHash))
-      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
-      .filter(col("df") >= 2 && !(col("doc_id") === col("first.doc_id") &&
-        col("pos") === col("first.pos")))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+
+  /** Cut every token covered by a removal start and rejoin — one narrow
+    * higher-order-function pass, no UDF. `removals` is
+    * (doc_id, starts: array<int>). */
+  private def applyPassageRemovals(toks: DataFrame, removals: DataFrame,
+                                   k: Int): DataFrame =
     toks.join(removals, Seq("doc_id"), "left")
       .withColumn("starts",
         coalesce(col("starts"), expr("array()").cast("array<int>")))
@@ -565,6 +569,70 @@ object Dedup {
         size(col("w")).cast("long").as("n_tokens"),
         (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(expr("transform(kept, s -> s.t)"), " ").as("cleaned_text"))
+
+  def substringRemove(docs: DataFrame, k: Int = 8): DataFrame = {
+    val toks = passageTokens(docs)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val removals = windowOccurrences(toks, k)
+      .withColumn("df", count(lit(1)).over(byHash))
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(col("df") >= 2 && !(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    applyPassageRemovals(toks, removals, k)
+  }
+
+  /** Persist the corpus side of incremental passage removal: per-window
+    * occurrence counts bucketed on the window hash — the passage-dedup
+    * analogue of TextAnalysis.buildLineDfIndex. Stored rows are
+    * (h, df_corpus) only: 8-byte hashes and counts, never window text,
+    * so at 100 TB the index is a tiny fraction of the corpus and the
+    * probe join runs exchange-free on the corpus side. */
+  def buildWindowDfIndex(docs: DataFrame, table: String, k: Int = 8,
+                         buckets: Int = 8): Unit = {
+    val idx = windowOccurrences(passageTokens(docs), k)
+      .groupBy("h").agg(count(lit(1)).cast("long").as("df_corpus"))
+    graft.io.Bucketing.writeBucketed(idx, table, "h", buckets)
+  }
+
+  /** Incremental passage removal — the daily-ingest shape of
+    * [[substringRemove]]: the already-ingested corpus's window counts
+    * live in a PERSISTED bucketed index, and only the delta is
+    * rewritten. Ingest-order priority (the incremental semantic): a
+    * delta occurrence is cut when its window exists ANYWHERE in the
+    * corpus (the corpus copy was kept when IT was ingested), or when an
+    * earlier delta occurrence holds the same window (keep-first within
+    * the batch).
+    *
+    * Scale shape: the index arrives bucketed on `h` and is never
+    * re-partitioned; the delta occurrence frame is the ONLY side that
+    * shuffles, and the within-delta keep-first window function reuses
+    * the join's hash partitioning — one delta-side exchange total,
+    * probe cost tracks |delta| (the p54/p63 contract; asserted in
+    * ExplainSpec). */
+  def substringRemoveIncremental(spark: org.apache.spark.sql.SparkSession,
+                                 delta: DataFrame, indexTable: String,
+                                 k: Int = 8): DataFrame = {
+    val idxRaw = spark.table(indexTable)
+    // loud layout guard (the lineDedupIncremental device): a wrong
+    // table silently joined here would "dedup" the delta against
+    // garbage counts — the worst failure mode for a destructive rewrite
+    require(Set("h", "df_corpus").subsetOf(idxRaw.columns.toSet),
+      s"$indexTable is not a window-df index: expected columns " +
+        s"(h, df_corpus) from buildWindowDfIndex, got " +
+        idxRaw.columns.mkString("(", ", ", ")"))
+    val toks = passageTokens(delta)
+    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val removals = windowOccurrences(toks, k)
+      .join(idxRaw.select(col("h"), col("df_corpus")), Seq("h"), "left")
+      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+      .filter(col("df_corpus").isNotNull ||
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    applyPassageRemovals(toks, removals, k)
   }
 
   /** Exact n-gram Jaccard for consecutive doc-id pairs — the verify

@@ -151,15 +151,75 @@ object SelectionQueries {
       |  COALESCE(a.cleaned, '') AS cleaned_text
       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id""".stripMargin
 
+  /** p71 — incremental passage removal against the PERSISTED window-df
+    * index (Dedup.buildWindowDfIndex / substringRemoveIncremental):
+    * the daily-ingest shape of p70, completing the persisted-index
+    * symmetry for the passage-dedup family (p54 minhash, p56/p57
+    * embeddings, p63 line df, now window df). Corpus = doc_id % 5 != 0
+    * (indexed once per session/input), delta = doc_id % 5 == 0
+    * (rewritten on probe). Ingest-order priority: a delta span is cut
+    * when its window exists anywhere in the corpus or earlier in the
+    * delta. Broadcast disabled so the row exercises the bucketed
+    * no-corpus-exchange join it documents. Oracle replays the same
+    * two-phase rule on window STRINGS and compares cleaned_text
+    * verbatim. */
+  def substringRemovalIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p71_windf", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      Dedup.buildWindowDfIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        idxTbl, k = 8, buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.substringRemoveIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), idxTbl, k = 8)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  val substringRemovalIncrementalSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |o AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
+      |      FROM t, unnest(range(1, len(w) - 6)) AS r(i) WHERE len(w) >= 8),
+      |corp AS (SELECT DISTINCT gram FROM o WHERE doc_id % 5 <> 0),
+      |d AS (SELECT doc_id, pos, gram,
+      |        ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+      |      FROM o WHERE doc_id % 5 = 0),
+      |rem AS (SELECT d.doc_id, d.pos FROM d LEFT JOIN corp USING (gram)
+      |        WHERE corp.gram IS NOT NULL OR d.rn > 1),
+      |tok AS (SELECT doc_id, j - 1 AS j, w[j] AS tk
+      |        FROM t, unnest(range(1, len(w) + 1)) AS r(j)
+      |        WHERE doc_id % 5 = 0),
+      |tr AS (SELECT DISTINCT tok.doc_id, tok.j FROM tok
+      |       JOIN rem ON tok.doc_id = rem.doc_id
+      |        AND rem.pos <= tok.j AND tok.j < rem.pos + 8),
+      |kept AS (SELECT tok.doc_id, tok.j, tok.tk FROM tok
+      |         LEFT JOIN tr ON tok.doc_id = tr.doc_id AND tok.j = tr.j
+      |         WHERE tr.j IS NULL),
+      |a AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |        string_agg(tk, ' ' ORDER BY j) AS cleaned
+      |      FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+      |  COALESCE(a.cleaned, '') AS cleaned_text
+      |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
+      |WHERE t.doc_id % 5 = 0""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p49_source_capped_sample" -> (sourceCappedSample _),
     "p50_token_budget_select" -> (tokenBudgetSelect _),
     "p51_substring_overlap" -> (substringOverlap _),
-    "p70_substring_removal" -> (substringRemoval _))
+    "p70_substring_removal" -> (substringRemoval _),
+    "p71_substring_removal_incr" -> (substringRemovalIncremental _))
 
   val oracles: Map[String, String] = Map(
     "p49_source_capped_sample" -> sourceCappedSampleSql,
     "p50_token_budget_select" -> tokenBudgetSelectSql,
     "p51_substring_overlap" -> substringOverlapSql,
-    "p70_substring_removal" -> substringRemovalSql)
+    "p70_substring_removal" -> substringRemovalSql,
+    "p71_substring_removal_incr" -> substringRemovalIncrementalSql)
 }

@@ -164,4 +164,38 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(2) === 0L)
     assert(r.getString(3) === "all tokens here are unique so nothing repeats anywhere at all today")
   }
+
+  test("substringRemoveIncremental: corpus-priority + within-delta keep-first") {
+    val corpus = Seq((1L, "a b c d e f g h x")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "z a b c d e f g h y"),          // span exists in corpus: cut
+      (11L, "q w e r t y u i o p"),          // all windows novel: untouched
+      (12L, "k l m n o p q r s"),            // delta-first holder: kept whole
+      (13L, "j k l m n o p q r s")           // repeats doc 12's windows: cut
+    ).toDF("doc_id", "text")
+    val tbl = graft.io.TempPaths.scratchTableName(spark, "graft_windf_spec", "t1")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Dedup.buildWindowDfIndex(corpus, tbl, k = 8, buckets = 4)
+    val got = Dedup.substringRemoveIncremental(spark, delta, tbl, k = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(10L) === ((10L, 8L, "z y")))
+    assert(got(11L) === ((10L, 0L, "q w e r t y u i o p")))
+    assert(got(12L) === ((9L, 0L, "k l m n o p q r s")))
+    assert(got(13L) === ((10L, 9L, "j")))
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
+  test("substringRemoveIncremental refuses a wrong-layout table") {
+    val tbl = graft.io.TempPaths.scratchTableName(spark, "graft_windf_bad", "t1")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq((1L, 2L)).toDF("a", "b").write.saveAsTable(tbl)
+    val delta = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringRemoveIncremental(spark, delta, tbl)
+    }
+    assert(e.getMessage.contains("not a window-df index"))
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
 }

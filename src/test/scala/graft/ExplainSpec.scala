@@ -322,6 +322,42 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p71 probe: window-df index read bucketed; one delta-side exchange before the rewrite") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_p71spec_windf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.Dedup.buildWindowDfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), tbl, k = 8, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.ops.Dedup.substringRemoveIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl, k = 8)
+      val plan = planString(out)
+      // corpus index arrives pre-partitioned on h — bucketed scan, no
+      // corpus-side re-shuffle
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"window-df index must be read as a bucketed table:\n$plan")
+      assert(plan.linesIterator.exists(_.contains(tbl)),
+        s"expected a scan of $tbl in:\n$plan")
+      // the within-delta keep-first window must REUSE the probe join's
+      // hash partitioning on h, not add its own exchange: exactly one
+      // exchange on h in the whole plan (the delta side of the join)
+      val hashExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning"))
+        .filter(_.contains("h#")).size
+      assert(hashExchanges == 1,
+        s"expected exactly one delta-side exchange on h, got $hashExchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("p56 probe: persisted IVF index replaces the per-run assignment aggregate") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sfDir)
