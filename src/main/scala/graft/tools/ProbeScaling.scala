@@ -117,6 +117,14 @@ object ProbeScaling {
         (spark.table(t).count(), () =>
           graft.ops.TextAnalysis.decontaminationAgainstIndex(spark, deltaTrain, t))
       }, () => ()),
+      Family("p71_window_df_probe", { sf =>
+        val t = tbl("ps_p71_windf")
+        graft.io.Bucketing.dropTable(spark, t)
+        graft.ops.Dedup.buildWindowDfIndex(
+          docs(sf).filter(col("doc_id") % 5 =!= 0), t, k = 8, buckets = 8)
+        (spark.table(t).count(), () =>
+          graft.ops.Dedup.substringRemoveIncremental(spark, deltaDocs, t, k = 8))
+      }, () => ()),
       Family("q68_streamed_linedf_probe", { sf =>
         val t = tbl("ps_q68_linedf")
         graft.io.Bucketing.dropTable(spark, t)
