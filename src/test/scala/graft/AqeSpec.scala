@@ -134,6 +134,41 @@ class AqeSpec extends SparkSpec {
     } finally graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("p71 probe under AQE: window-df index stays a bucketed read, rewrite plan-independent") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_aqe_p71_windf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.Dedup.buildWindowDfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), tbl, k = 8, buckets = 4)
+    try {
+      val aqeOn = withAqeNoBroadcast {
+        val out = graft.ops.Dedup.substringRemoveIncremental(spark,
+          docs.filter(col("doc_id") % 5 === 0), tbl, k = 8)
+        val plan = finalPlan(out)
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"AQE must keep the bucketed read of the window-df index:\n$plan")
+        assert(plan.linesIterator.exists(_.contains(tbl)),
+          s"expected a scan of $tbl in:\n$plan")
+        out.collect().toSet
+      }
+      // a destructive rewrite must not depend on the physical plan:
+      // AQE-on output equals the AQE-off output row for row
+      val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      val aqeOff = try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        graft.ops.Dedup.substringRemoveIncremental(spark,
+          docs.filter(col("doc_id") % 5 === 0), tbl, k = 8).collect().toSet
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+      assert(aqeOn === aqeOff,
+        "p71 rewrite must be identical with and without AQE re-planning")
+    } finally graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("q68 fold under AQE: no exchange between the bucketed index scan and the partial-df fold") {
     val docs = Tables.documents(spark, sfDir)
     val tbl = "graft_aqe_q68_linedf"
