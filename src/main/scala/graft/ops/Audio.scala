@@ -87,6 +87,59 @@ object Audio {
       (fmt.getSampleRate.round, samples)
     }
 
+    /** Right-channel generator for stereo clips — a different
+      * coefficient set so the channels are genuinely distinct (their
+      * dot product exercises sign mixing). */
+    def sampleRight(docId: Long, i: Int): Int =
+      (((i.toLong * i * 13 + i.toLong * 29 + docId * 211) % 65536) - 32768).toInt
+
+    /** Encode interleaved L/R signed 16-bit samples as a real stereo
+      * WAV (frame = 4 bytes: L little-endian, then R). */
+    def encodeWavStereo(left: Array[Int], right: Array[Int], rate: Int): Array[Byte] = {
+      require(left.length == right.length, "stereo channels must align")
+      val pcm = new Array[Byte](left.length * 4)
+      var i = 0
+      while (i < left.length) {
+        val l = left(i); val r = right(i)
+        pcm(4 * i) = (l & 0xff).toByte
+        pcm(4 * i + 1) = ((l >> 8) & 0xff).toByte
+        pcm(4 * i + 2) = (r & 0xff).toByte
+        pcm(4 * i + 3) = ((r >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate.toFloat, 16, 2, 4, rate.toFloat, /*bigEndian=*/ false)
+      val out = new java.io.ByteArrayOutputStream()
+      val in = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, left.length.toLong)
+      javax.sound.sampled.AudioSystem.write(
+        in, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a stereo WAV payload: (rate, left channel, right channel),
+      * deinterleaved from the decoded frame stream. */
+    def decodeWavStereo(bytes: Array[Byte]): (Int, Array[Int], Array[Int]) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 2 &&
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        !fmt.isBigEndian,
+        s"payload is not 16-bit little-endian stereo PCM: $fmt")
+      val pcm = in.readAllBytes()
+      val n = pcm.length / 4
+      val l = new Array[Int](n); val r = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        l(i) = (((pcm(4 * i + 1) & 0xff) << 8) | (pcm(4 * i) & 0xff)).toShort.toInt
+        r(i) = (((pcm(4 * i + 3) & 0xff) << 8) | (pcm(4 * i + 2) & 0xff)).toShort.toInt
+        i += 1
+      }
+      (fmt.getSampleRate.round, l, r)
+    }
+
     /** Decimate by 2: out(i) = in(2i), ceil(n/2) samples — the one
       * resampler with exactly replayable arithmetic (no interpolation,
       * no filter kernel whose rounding is implementation-defined). The
@@ -143,6 +196,56 @@ object Audio {
             i += 1
           }
           AudioFeature(id, rate.toLong, s.length.toLong, sumAbs, peak, zc)
+        }
+      }
+  }
+
+  /** Synthetic STEREO payloads: one real 2-channel WAV per document
+    * (left = [[AudioCodec.sample]], right = [[AudioCodec.sampleRight]],
+    * interleaved into 4-byte frames). */
+  def syntheticStereo(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = AudioCodec.nSamples(id)
+          (id, AudioCodec.encodeWavStereo(
+            Array.tabulate(n)(AudioCodec.sample(id, _)),
+            Array.tabulate(n)(AudioCodec.sampleRight(id, _)),
+            AudioCodec.sampleRate(id)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed per-channel feature row; dot_lr is the exact integer dot
+    * product of the two decoded channels (bounded by n·2³⁰ < 2⁴⁰ —
+    * no overflow at clip lengths) — the channel-mixing statistic that
+    * catches any deinterleave defect a per-channel sum would miss. */
+  case class StereoFeature(doc_id: Long, sample_rate: Long, n_frames: Long,
+                           sum_abs_l: Long, sum_abs_r: Long,
+                           peak_l: Long, peak_r: Long, dot_lr: Long)
+
+  /** Partition-streamed stereo decode: deinterleave the frame stream,
+    * per-channel stats + the cross-channel dot product. */
+  def extractStereoFeatures(spark: SparkSession, payloads: DataFrame): Dataset[StereoFeature] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, l, r) = AudioCodec.decodeWavStereo(bytes)
+          var (sl, sr, pl, pr, dot) = (0L, 0L, 0L, 0L, 0L)
+          var i = 0
+          while (i < l.length) {
+            val a = math.abs(l(i).toLong); val b = math.abs(r(i).toLong)
+            sl += a; sr += b
+            if (a > pl) pl = a
+            if (b > pr) pr = b
+            dot += l(i).toLong * r(i)
+            i += 1
+          }
+          StereoFeature(id, rate.toLong, l.length.toLong, sl, sr, pl, pr, dot)
         }
       }
   }

@@ -106,4 +106,36 @@ object Selection {
       .withColumn("is_selected", col("cum_weight") <= budget)
       .drop("sel_bucket", "bucket_offset", "sel_ord", "sel_w")
   }
+
+  /** Deterministic seeded global shuffle + sharding — the data-ORDERING
+    * stage between selection/packing and training export: every
+    * training run wants the corpus in a pseudo-random order that is (a)
+    * reproducible bit-for-bit, (b) engine-independent (the order must
+    * survive a rerun, a different cluster, or a different engine
+    * entirely), and (c) computable without a global sort.
+    *
+    * Each row's shuffle key is the 60-bit prefix of
+    * `md5("<salt>:<doc_id>")` — exact integer arithmetic any engine can
+    * replay (the p03/p09 md5 device); its low bits pick the shard and
+    * rows sort by key WITHIN each shard. Reshuffling between epochs is
+    * a salt change, not a data move decision.
+    *
+    * Scale shape: ONE exchange (hash on shard) + per-shard local sort —
+    * the window partitions by shard, so there is no single-partition
+    * global window (the q44 trap) and no global sort; at 100 TB shards
+    * are thousands of independently-sorted, independently-consumable
+    * partitions. md5 keys are uniform, so shard skew is 1/sqrt(n/S). */
+  def shardShuffle(docs: DataFrame, shards: Int = 8,
+                   salt: String = "shuf1"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val key = conv(substring(md5(
+      concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col("doc_id"))
+    docs.select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard", col("shuffle_key") % shards)
+      .withColumn("position", row_number().over(w).cast("long"))
+      .select(col("shard"), col("position"), col("doc_id"), col("shuffle_key"))
+  }
 }

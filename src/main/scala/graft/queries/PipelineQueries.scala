@@ -568,6 +568,35 @@ object PipelineQueries {
       |GROUP BY doc_id, sample_rate, out_rate, n_samples, out_samples"""
       .stripMargin
 
+  /** p73 — STEREO audio decode: 2-channel WAV containers with
+    * interleaved 4-byte frames, deinterleaved from the decoded stream;
+    * per-channel stats plus the exact integer cross-channel dot
+    * product — the statistic that catches a deinterleave defect
+    * (swapped or shifted channels) that per-channel sums would miss.
+    * Oracle replays both channel generators. */
+  def audioStereoFeatures(spark: SparkSession, dir: String): DataFrame =
+    Audio.extractStereoFeatures(spark,
+      Audio.syntheticStereo(spark, Tables.documents(spark, dir))).toDF()
+
+  val audioStereoFeaturesSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sample_rate,
+      |    160 + (doc_id % 7) * 40 AS n_frames
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, sample_rate, n_frames,
+      |    (x.v*x.v*31 + x.v*17 + doc_id*101) % 65536 - 32768 AS l,
+      |    (x.v*x.v*13 + x.v*29 + doc_id*211) % 65536 - 32768 AS r
+      |  FROM d, unnest(range(n_frames)) AS x(v))
+      |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(SUM(ABS(l)) AS BIGINT) AS sum_abs_l,
+      |  CAST(SUM(ABS(r)) AS BIGINT) AS sum_abs_r,
+      |  CAST(MAX(ABS(l)) AS BIGINT) AS peak_l,
+      |  CAST(MAX(ABS(r)) AS BIGINT) AS peak_r,
+      |  CAST(SUM(l * r) AS BIGINT) AS dot_lr
+      |FROM s GROUP BY doc_id, sample_rate, n_frames""".stripMargin
+
   /** p68 — real VIDEO frame sampling: deterministic 3–6-frame clips
     * encoded as actual animated GIF containers (indexed 256-gray
     * palette ⇒ lossless), decoded through javax.imageio's sequence
@@ -1177,6 +1206,7 @@ object PipelineQueries {
     "p66_audio_features" -> (audioFeatures _),
     "p67_audio_transform" -> (audioTransform _),
     "p68_video_frames" -> (videoFrames _),
+    "p73_audio_stereo" -> (audioStereoFeatures _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1219,6 +1249,7 @@ object PipelineQueries {
     "p66_audio_features" -> audioFeaturesSql,
     "p67_audio_transform" -> audioTransformSql,
     "p68_video_frames" -> videoFramesSql,
+    "p73_audio_stereo" -> audioStereoFeaturesSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

@@ -209,7 +209,31 @@ object SelectionQueries {
       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id
       |WHERE t.doc_id % 5 = 0""".stripMargin
 
+  /** p72 — deterministic seeded shuffle + sharding
+    * (Selection.shardShuffle): the training-export ordering stage. The
+    * 60-bit md5 shuffle key is engine-independent arithmetic, so the
+    * oracle recomputes the ENTIRE permutation — shard assignment and
+    * within-shard positions — from scratch in DuckDB and the hash
+    * match proves the order is reproducible bit-for-bit outside Spark
+    * (the property a training pipeline actually needs from "seeded"). */
+  def shardShuffle(spark: SparkSession, dir: String): DataFrame =
+    Selection.shardShuffle(Tables.documents(spark, dir), shards = 8,
+      salt = "shuf1")
+
+  val shardShuffleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5('shuf1:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS shuffle_key
+      |  FROM documents)
+      |SELECT shuffle_key % 8 AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+      |                     ORDER BY shuffle_key, doc_id) AS position,
+      |  doc_id, shuffle_key
+      |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p72_shard_shuffle" -> (shardShuffle _),
     "p49_source_capped_sample" -> (sourceCappedSample _),
     "p50_token_budget_select" -> (tokenBudgetSelect _),
     "p51_substring_overlap" -> (substringOverlap _),
@@ -221,5 +245,6 @@ object SelectionQueries {
     "p50_token_budget_select" -> tokenBudgetSelectSql,
     "p51_substring_overlap" -> substringOverlapSql,
     "p70_substring_removal" -> substringRemovalSql,
-    "p71_substring_removal_incr" -> substringRemovalIncrementalSql)
+    "p71_substring_removal_incr" -> substringRemovalIncrementalSql,
+    "p72_shard_shuffle" -> shardShuffleSql)
 }

@@ -74,4 +74,32 @@ class AudioSpec extends SparkSpec {
     assert(t.sum_abs === even.map(v => math.abs(v.toLong)).sum)
     assert(t.peak === even.map(v => math.abs(v.toLong)).max)
   }
+
+  test("stereo WAV round trip: both channels recovered exactly, in their lanes") {
+    for (id <- Seq(1L, 8L)) {
+      val n = AudioCodec.nSamples(id)
+      val l = Array.tabulate(n)(AudioCodec.sample(id, _))
+      val r = Array.tabulate(n)(AudioCodec.sampleRight(id, _))
+      val (rate, gl, gr) = AudioCodec.decodeWavStereo(
+        AudioCodec.encodeWavStereo(l, r, AudioCodec.sampleRate(id)))
+      assert(rate === AudioCodec.sampleRate(id))
+      assert(gl.toSeq === l.toSeq, s"doc $id left channel corrupted")
+      assert(gr.toSeq === r.toSeq, s"doc $id right channel corrupted")
+    }
+  }
+
+  test("extractStereoFeatures: per-channel stats + cross-channel dot match the generators") {
+    val docs = Seq((5L, "s")).toDF("doc_id", "text")
+    val f = Audio.extractStereoFeatures(spark,
+      Audio.syntheticStereo(spark, docs)).collect().head
+    val n = AudioCodec.nSamples(5L)
+    val l = Array.tabulate(n)(AudioCodec.sample(5L, _))
+    val r = Array.tabulate(n)(AudioCodec.sampleRight(5L, _))
+    assert(f.n_frames === n.toLong)
+    assert(f.sum_abs_l === l.map(v => math.abs(v.toLong)).sum)
+    assert(f.sum_abs_r === r.map(v => math.abs(v.toLong)).sum)
+    assert(f.peak_l === l.map(v => math.abs(v.toLong)).max)
+    assert(f.peak_r === r.map(v => math.abs(v.toLong)).max)
+    assert(f.dot_lr === l.zip(r).map { case (a, b) => a.toLong * b }.sum)
+  }
 }

@@ -207,4 +207,28 @@ class SelectionSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === Set((1L, 2L, 1L)))
   }
+
+  test("shardShuffle: deterministic permutation, dense per-shard positions, salt changes order") {
+    import org.apache.spark.sql.functions.col
+    val docs = (0L until 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = graft.ops.Selection.shardShuffle(docs, shards = 8).collect()
+    val b = graft.ops.Selection.shardShuffle(docs, shards = 8).collect()
+    // reproducible bit-for-bit
+    assert(a.map(_.toSeq).toSet === b.map(_.toSeq).toSet)
+    // every doc exactly once; positions dense 1..n within each shard
+    assert(a.map(_.getLong(2)).toSet === (0L until 200L).toSet)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // a different salt is a different permutation (shard+position map)
+    val c = graft.ops.Selection.shardShuffle(docs, shards = 8, salt = "shuf2")
+      .collect()
+    val posA = a.map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    val posC = c.map(r => r.getLong(2) -> ((r.getLong(0), r.getLong(1)))).toMap
+    assert((0L until 200L).count(d => posA(d) != posC(d)) > 150)
+    // one exchange on shard, no single-partition global window
+    val plan = graft.ops.Selection.shardShuffle(docs, shards = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }
