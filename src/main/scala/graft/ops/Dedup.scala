@@ -596,6 +596,34 @@ object Dedup {
     graft.io.Bucketing.writeBucketed(idx, table, "h", buckets)
   }
 
+  /** Streaming/micro-batch maintenance of the [[buildWindowDfIndex]]
+    * table — the window-df twin of TextAnalysis.appendLineDfPartial,
+    * with the same contracts: one batch's partial window counts land as
+    * the `batch_id=<id>` PARTITION of a partitioned+bucketed table
+    * (bucketed on `h` within each partition, so probe joins/folds stay
+    * exchange-free on the corpus side whatever the batch count);
+    * batches carry disjoint doc sets, so partials SUM to the global
+    * count; replay is IDEMPOTENT — each (re)attempt dynamic-partition-
+    * overwrites exactly its own batch's partition, healing a torn
+    * commit instead of trusting an existence check; and maintenance
+    * cost tracks the batch, never the corpus. */
+  def appendWindowDfPartial(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, table: String, batchId: Long,
+                            k: Int = 8, buckets: Int = 8): Unit = {
+    val partial = windowOccurrences(passageTokens(batch), k)
+      .groupBy("h").agg(count(lit(1)).cast("long").as("df_corpus"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "h", buckets)
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
   /** Incremental passage removal — the daily-ingest shape of
     * [[substringRemove]]: the already-ingested corpus's window counts
     * live in a PERSISTED bucketed index, and only the delta is
@@ -614,18 +642,30 @@ object Dedup {
   def substringRemoveIncremental(spark: org.apache.spark.sql.SparkSession,
                                  delta: DataFrame, indexTable: String,
                                  k: Int = 8): DataFrame = {
+    // probe-side crash repair: a maintenance compaction killed mid-swap
+    // leaves the index under its backup name; restore before resolving
+    graft.io.Bucketing.repairCompaction(spark, indexTable)
     val idxRaw = spark.table(indexTable)
     // loud layout guard (the lineDedupIncremental device): a wrong
     // table silently joined here would "dedup" the delta against
     // garbage counts — the worst failure mode for a destructive rewrite
     require(Set("h", "df_corpus").subsetOf(idxRaw.columns.toSet),
       s"$indexTable is not a window-df index: expected columns " +
-        s"(h, df_corpus) from buildWindowDfIndex, got " +
+        s"(h, df_corpus[, batch_id]) from buildWindowDfIndex/" +
+        s"appendWindowDfPartial, got " +
         idxRaw.columns.mkString("(", ", ", ")"))
+    // a streamed (batch_id-partitioned) layout folds its per-batch
+    // partials back to global counts first — a groupBy on the bucket
+    // key, so the fold (like the join) has no corpus-side exchange
+    val idx =
+      if (idxRaw.columns.contains("batch_id"))
+        idxRaw.groupBy("h")
+          .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+      else idxRaw
     val toks = passageTokens(delta)
     val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     val removals = windowOccurrences(toks, k)
-      .join(idxRaw.select(col("h"), col("df_corpus")), Seq("h"), "left")
+      .join(idx.select(col("h"), col("df_corpus")), Seq("h"), "left")
       .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
       .filter(col("df_corpus").isNotNull ||
         !(col("doc_id") === col("first.doc_id") &&

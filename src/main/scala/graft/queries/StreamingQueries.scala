@@ -838,7 +838,55 @@ object StreamingQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** q69 — STREAMING INDEX MAINTENANCE for the window-df (passage
+    * removal) family: q68's device applied to p71's index. The corpus
+    * lands as four files; `foreachBatch` under `Trigger.AvailableNow`
+    * lands each micro-batch's PARTIAL window counts as its own
+    * batch_id partition (idempotent replay — each attempt overwrites
+    * exactly its own partition, healing torn commits); partials SUM to
+    * the global counts because batches carry disjoint docs. The row
+    * then runs the p71 probe against the streamed index and shares
+    * p71's oracle verbatim: a hash match proves stream-maintained and
+    * batch-built window-df indexes are interchangeable — so the
+    * passage-removal gate, like the line-dedup gate, can ride a
+    * continuously-ingesting corpus without ever re-reading history. */
+  def q69StreamingWindowIndex(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q69_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q69_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q69_windf", dir)
+    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
+    // completion marker, not tableExists — same rationale as q68: a
+    // crashed maintenance stream must RESUME, not probe a partial index
+    if (!graft.io.TempPaths.isComplete(ckpt)) {
+      if (!spark.catalog.tableExists(idxTbl)) {
+        graft.io.Bucketing.dropTable(spark, idxTbl)
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      }
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.Dedup.appendWindowDfPartial(spark, b.toDF(), idxTbl, id, k = 8))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.catalog.refreshTable(idxTbl)
+      graft.io.TempPaths.markComplete(ckpt)
+    }
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      graft.ops.Dedup.substringRemoveIncremental(spark, delta, idxTbl, k = 8)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_streaming_window_index" -> (q69StreamingWindowIndex _),
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
     "q57_streaming_sessionize" -> (q57StreamingSessionize _),
@@ -864,5 +912,8 @@ object StreamingQueries {
     "q67_streaming_agg_metrics" -> q67Sql,
     // the streamed index must be interchangeable with the batch-built
     // one, so the row shares p63's global-rewrite-restricted oracle
-    "q68_streaming_line_index" -> PipelineQueries.lineDedupIncrementalSql)
+    "q68_streaming_line_index" -> PipelineQueries.lineDedupIncrementalSql,
+    // streamed and batch-built window-df indexes must be
+    // interchangeable: q69 shares p71's oracle verbatim
+    "q69_streaming_window_index" -> SelectionQueries.substringRemovalIncrementalSql)
 }

@@ -198,4 +198,51 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("not a window-df index"))
     graft.io.Bucketing.dropTable(spark, tbl)
   }
+
+  test("appendWindowDfPartial: disjoint batches fold to the monolithic index; probe agrees") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h x"),
+      (2L, "z a b c d e f g h y"),
+      (3L, "m n o p q r s t u v")).toDF("doc_id", "text")
+    val streamed = "windf_stream_spec"
+    val mono = "windf_mono_spec"
+    Seq(streamed, mono).foreach(graft.io.Bucketing.dropTable(spark, _))
+    // three disjoint single-doc batches, out of order
+    Dedup.appendWindowDfPartial(spark, corpus.filter(col("doc_id") === 2L), streamed, 0L, k = 8)
+    Dedup.appendWindowDfPartial(spark, corpus.filter(col("doc_id") === 1L), streamed, 1L, k = 8)
+    Dedup.appendWindowDfPartial(spark, corpus.filter(col("doc_id") === 3L), streamed, 2L, k = 8)
+    Dedup.buildWindowDfIndex(corpus, mono, k = 8)
+    val folded = spark.table(streamed).groupBy("h")
+      .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+    val want = spark.table(mono)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+      "streamed partials must fold to the batch-built window dfs")
+    // the probe accepts both layouts and rewrites identically
+    val delta = Seq((10L, "q a b c d e f g h w")).toDF("doc_id", "text")
+    val viaStream = Dedup.substringRemoveIncremental(spark, delta, streamed, k = 8).collect().toSet
+    val viaMono = Dedup.substringRemoveIncremental(spark, delta, mono, k = 8).collect().toSet
+    assert(viaStream === viaMono)
+    assert(viaStream.head.getString(3) === "q w")
+    Seq(streamed, mono).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
+  test("window-df index: a TORN batch commit is healed by replay, not trusted") {
+    val doc = Seq((4L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val tbl = "windf_torn_spec"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    // torn attempt: only the doc's first 8 tokens reach batch 0
+    Dedup.appendWindowDfPartial(spark,
+      Seq((4L, "a b c d e f g h")).toDF("doc_id", "text"), tbl, 0L, k = 8)
+    // replay lands the FULL batch under the same id: overwrite must heal
+    Dedup.appendWindowDfPartial(spark, doc, tbl, 0L, k = 8)
+    val mono = "windf_torn_mono"
+    graft.io.Bucketing.dropTable(spark, mono)
+    Dedup.buildWindowDfIndex(doc, mono, k = 8)
+    val folded = spark.table(tbl).groupBy("h")
+      .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+    val want = spark.table(mono)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+      "healed streamed window index must equal the batch-built one")
+    Seq(tbl, mono).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
 }
