@@ -264,6 +264,57 @@ class RecoverySpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, batchTbl)
   }
 
+  test("mid-batch crash + restart: streamed window-df index equals the batch-built one") {
+    // q69's maintenance claim under the same failure: kill the stream
+    // mid-batch, resume from the checkpoint, and the recovered
+    // window-count index must fold to a one-shot batch build
+    val landing = Files.createTempDirectory("graft_rec_windf_in").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    PoisonGate.markerId = spark.read.parquet(parts(1).getAbsolutePath)
+      .select(col("doc_id")).collect().last.getLong(0)
+    val ckpt = tmp("graft_rec_windf_ckpt")
+    val streamedTbl = "rec_q69_streamed"
+    val batchTbl = "rec_q69_batch"
+    graft.io.Bucketing.dropTable(spark, streamedTbl)
+    graft.io.Bucketing.dropTable(spark, batchTbl)
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .filter(poison(col("doc_id")))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.Dedup.appendWindowDfPartial(spark, b.toDF(),
+            streamedTbl, id, k = 8))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] { run() }
+    finally PoisonGate.armed = false
+    run()
+    spark.catalog.refreshTable(streamedTbl)
+    graft.ops.Dedup.buildWindowDfIndex(docs, batchTbl, k = 8)
+    val folded = spark.table(streamedTbl).groupBy("h")
+      .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+    val want = spark.table(batchTbl)
+    assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+      "recovered streamed window index must fold to the batch-built counts")
+    graft.io.Bucketing.dropTable(spark, streamedTbl)
+    graft.io.Bucketing.dropTable(spark, batchTbl)
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
