@@ -125,6 +125,17 @@ object ProbeScaling {
         (spark.table(t).count(), () =>
           graft.ops.Dedup.substringRemoveIncremental(spark, deltaDocs, t, k = 8))
       }, () => ()),
+      Family("q69_streamed_windf_probe", { sf =>
+        val t = tbl("ps_q69_windf")
+        graft.io.Bucketing.dropTable(spark, t)
+        val corpus = docs(sf).filter(col("doc_id") % 5 =!= 0)
+        (0 until 4).foreach { b =>
+          graft.ops.Dedup.appendWindowDfPartial(spark,
+            corpus.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong, k = 8)
+        }
+        (spark.table(t).count(), () =>
+          graft.ops.Dedup.substringRemoveIncremental(spark, deltaDocs, t, k = 8))
+      }, () => ()),
       Family("q68_streamed_linedf_probe", { sf =>
         val t = tbl("ps_q68_linedf")
         graft.io.Bucketing.dropTable(spark, t)
@@ -140,9 +151,15 @@ object ProbeScaling {
 
     def num(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    // SPARK_GRAFT_PROBE_ONLY: comma-separated family-name prefixes, for
+    // re-measuring a single family without paying the full sweep
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).filter(_.nonEmpty)
+    val selected = families.filter(f =>
+      only.forall(_.exists(f.name.startsWith)))
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    val rows = try families.map { fam =>
+    val rows = try selected.map { fam =>
       val per = sfs.map { sf =>
         val (idxRows, probe) = fam.setup(sf)
         val times = timeProbe(probe)
