@@ -117,6 +117,81 @@ class ChaosSpec extends SparkSpec {
     Bucketing.dropTable(spark, refTbl)
   }
 
+  // window-df twin of the corpus: every doc opens with one of three
+  // shared 8-token spans (duplicated across docs and batches) and closes
+  // with unique tokens, so removals span batch boundaries
+  private lazy val wCorpus = (1L to 20L).map { id =>
+    val s = id % 3
+    (id, s"common span number s$s alpha beta gamma delta unique$id tail$id")
+  }.toDF("doc_id", "text")
+
+  private lazy val wDelta = Seq(
+    (100L, "common span number s1 alpha beta gamma delta fresh delta tokens"),
+    (101L, "all novel words here nothing shared with anyone at all"),
+    (102L, "common span number s0 alpha beta gamma delta more new ones"))
+    .toDF("doc_id", "text")
+
+  test("12 seeded multi-kill lifecycles converge for the window-df index too") {
+    val refTbl = "chaos_ref_windf"
+    Bucketing.dropTable(spark, refTbl)
+    graft.ops.Dedup.buildWindowDfIndex(wCorpus, refTbl, k = 8, buckets = 2)
+    val want = spark.table(refTbl)
+    val wantProbe = graft.ops.Dedup.substringRemoveIncremental(
+      spark, wDelta, refTbl, k = 8)
+
+    val ids = (1L to 20L).toVector
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val tbl = s"chaos_windf_s$seed"
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+
+      def append(docIds: Vector[Long], bid: Long): Unit =
+        graft.ops.Dedup.appendWindowDfPartial(spark,
+          wCorpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          k = 8, buckets = 2)
+
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong)
+        }
+        append(b, bid.toLong)
+        if (rnd.nextDouble() < 0.35) {
+          val crashStep = rnd.nextInt(3)
+          if (crashStep == 0) Bucketing.compactBucketed(spark, tbl)
+          else {
+            intercept[IllegalStateException] {
+              Bucketing.compactBucketed(spark, tbl,
+                injectCrashAtSwapStep = crashStep)
+            }
+            if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, tbl)
+          }
+        }
+      }
+
+      withClue(s"seed=${1000 + seed} batches=${batches.map(_.size)}: ") {
+        val got = graft.ops.Dedup.substringRemoveIncremental(
+          spark, wDelta, tbl, k = 8)
+        assert(got.exceptAll(wantProbe).isEmpty && wantProbe.exceptAll(got).isEmpty,
+          "window-df probe after chaos must equal the batch-indexed probe")
+        val folded = spark.table(tbl).groupBy("h")
+          .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+        assert(folded.exceptAll(want).isEmpty && want.exceptAll(folded).isEmpty,
+          "surviving window index must fold to the batch-built counts")
+      }
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Bucketing.dropTable(spark, refTbl)
+  }
+
   test("compacting a partitioned+bucketed index preserves BOTH layouts") {
     val tbl = "chaos_part_compact"
     Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
