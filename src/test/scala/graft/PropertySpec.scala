@@ -313,4 +313,61 @@ class PropertySpec extends SparkSpec {
       else assert(add === extras.zipWithIndex.map { case (_, i) => s"v$i" }.mkString(", "))
     }
   }
+
+  // random small-vocab docs: heavy window duplication by construction
+  private val passageGen: Gen[List[(Long, String)]] = Gen.listOfN(12,
+    Gen.choose(8, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e")).map(_.mkString(" "))))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("property: passage removal preserves order and keeps every canonical occurrence") {
+    forAllSeeded(passageGen) { rows =>
+      val k = 8
+      val docs = rows.toDF("doc_id", "text")
+      val got = graft.ops.Dedup.substringRemove(docs, k = k).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      val toks = rows.toMap.view.mapValues(_.split(" ", -1).toVector).toMap
+      // global keep-first replay in plain Scala
+      val occ = rows.flatMap { case (id, _) =>
+        val w = toks(id)
+        if (w.size < k) Nil
+        else (0 to w.size - k).map(p => (w.slice(p, p + k).mkString(" "), id, p))
+      }
+      val removed = occ.groupBy(_._1).values.flatMap { os =>
+        if (os.size < 2) Nil else os.sortBy(o => (o._2, o._3)).tail
+      }.toSeq
+      val removedByDoc = removed.groupBy(_._2).view
+        .mapValues(_.map(_._3).toSet).toMap
+      for ((id, w) <- toks) {
+        val starts = removedByDoc.getOrElse(id, Set.empty)
+        val kept = w.indices.filterNot(j =>
+          starts.exists(s => s <= j && j < s + k)).map(w)
+        val (nTok, nRem, cleaned) = got(id)
+        assert(nTok === w.size.toLong)
+        assert(cleaned === kept.mkString(" "),
+          s"doc $id rewrite mismatch")
+        assert(nRem === (w.size - kept.size).toLong)
+        // cleaned text is an order-preserving subsequence of the tokens
+        val it = w.iterator
+        assert(kept.forall(t => it.contains(t)),
+          s"doc $id cleaned text is not a subsequence")
+      }
+      // every duplicated window's canonical (first) occurrence survives
+      // in the doc that holds it UNLESS an overlapping removed span from
+      // ANOTHER duplicated window covered it; spot-check the global
+      // minimum occurrence of each window with no overlapping removals
+      val safe = occ.groupBy(_._1).values.flatMap { os =>
+        val first = os.minBy(o => (o._2, o._3))
+        val starts = removedByDoc.getOrElse(first._2, Set.empty)
+        val covered = (first._3 until first._3 + k)
+          .exists(j => starts.exists(s => s <= j && j < s + k))
+        if (covered) None else Some(first)
+      }
+      safe.foreach { case (gram, id, _) =>
+        assert(got(id)._3.contains(gram.split(" ").head),
+          s"canonical occurrence of '$gram' lost from doc $id")
+      }
+    }
+  }
 }
