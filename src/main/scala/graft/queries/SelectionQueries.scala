@@ -6,10 +6,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-selection catalog rows: per-source caps, global token
-  * budgets, exact substring overlap — the operators that decide what
-  * actually ships in a training set once scoring and dedup are done.
-  * All three carry full DuckDB hash oracles; the quality formula is the
-  * p07/p48 one, replayed verbatim in SQL. */
+  * budgets, exact substring overlap and its removal/incremental forms,
+  * and the seeded training shuffle — the operators that decide what
+  * ships in a training set once scoring and dedup are done, and in
+  * what order. Every row carries a full DuckDB hash oracle; the
+  * quality formula is the p07/p48 one, replayed verbatim in SQL. */
 object SelectionQueries {
 
   // the p07 quality score replayed in SQL (same CTEs as p48's oracle),
