@@ -125,6 +125,26 @@ object Selection {
     * global window (the q44 trap) and no global sort; at 100 TB shards
     * are thousands of independently-sorted, independently-consumable
     * partitions. md5 keys are uniform, so shard skew is 1/sqrt(n/S). */
+  /** Deterministic EXACT-size uniform sample: order by a seeded 60-bit
+    * md5 key and keep the first `n` — every row equally likely under
+    * the hash, sample size exactly n (rand() < p only hits n in
+    * expectation), reproducible and engine-independent like
+    * [[shardShuffle]]. The plan matters as much as the semantics: a
+    * naive ORDER BY random() LIMIT n is a GLOBAL SORT of the corpus;
+    * sorted-limit compiles to TakeOrderedAndProject — each partition
+    * keeps its local top-n and only n·partitions candidate rows ever
+    * move — bounded memory, no global sort, asserted in ExplainSpec. */
+  def uniformSampleExact(docs: DataFrame, n: Int,
+                         salt: String = "sample1"): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    val key = conv(substring(md5(
+      concat(lit(salt + ":"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    docs.select(col("doc_id"), key.as("sample_key"))
+      .orderBy(col("sample_key"), col("doc_id"))
+      .limit(n)
+  }
+
   def shardShuffle(docs: DataFrame, shards: Int = 8,
                    salt: String = "shuf1"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")

@@ -233,8 +233,27 @@ object SelectionQueries {
       |  doc_id, shuffle_key
       |FROM k""".stripMargin
 
+  /** p74 — exact-N uniform sample (Selection.uniformSampleExact): the
+    * seeded-hash order-and-take that replaces ORDER BY random() LIMIT n
+    * (a global sort) with TakeOrderedAndProject (per-partition top-n,
+    * bounded movement). Oracle recomputes the same keyed order in
+    * DuckDB — reproducibility outside Spark is the point of seeding. */
+  def uniformSample(spark: SparkSession, dir: String): DataFrame =
+    Selection.uniformSampleExact(Tables.documents(spark, dir), n = 100,
+      salt = "sample1")
+
+  val uniformSampleSql: String =
+    """WITH k AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5('sample1:' || CAST(doc_id AS VARCHAR)),
+      |      1, 15)) AS BIGINT) AS sample_key
+      |  FROM documents)
+      |SELECT doc_id, sample_key FROM k
+      |ORDER BY sample_key, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p72_shard_shuffle" -> (shardShuffle _),
+    "p74_uniform_sample_exact" -> (uniformSample _),
     "p49_source_capped_sample" -> (sourceCappedSample _),
     "p50_token_budget_select" -> (tokenBudgetSelect _),
     "p51_substring_overlap" -> (substringOverlap _),
@@ -247,5 +266,6 @@ object SelectionQueries {
     "p51_substring_overlap" -> substringOverlapSql,
     "p70_substring_removal" -> substringRemovalSql,
     "p71_substring_removal_incr" -> substringRemovalIncrementalSql,
-    "p72_shard_shuffle" -> shardShuffleSql)
+    "p72_shard_shuffle" -> shardShuffleSql,
+    "p74_uniform_sample_exact" -> uniformSampleSql)
 }

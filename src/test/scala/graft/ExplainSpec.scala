@@ -147,6 +147,16 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
   }
 
+  test("p74 exact sample compiles to TakeOrderedAndProject, not a global sort") {
+    // ORDER BY key LIMIT n must become per-partition top-n + merge; a
+    // Sort node here means the sample pays a full corpus sort at 100 TB
+    val plan = planString(graft.ops.Selection.uniformSampleExact(
+      Tables.documents(spark, sfDir), n = 100))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("Sort "), s"expected no global sort:\n$plan")
+  }
+
   test("p49 per-group cap is an aggregate, not a per-group window sort") {
     val docs = Tables.documents(spark, sfDir)
     val scored = graft.ops.TextAnalysis.qualityScore(docs)
