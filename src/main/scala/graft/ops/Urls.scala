@@ -25,10 +25,15 @@ object Urls {
   private def afterScheme(url: Column): Column =
     regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
 
-  /** Lowercased host with `www.` prefix and `:port` stripped. */
+  /** Lowercased host with userinfo (`user:pass@`), `www.` prefix and
+    * `:port` stripped — userinfo must go FIRST, or `user@host` would
+    * corrupt the registered domain and split one page across canonical
+    * identities. */
   def canonicalHost(url: Column): Column =
     regexp_replace(
-      regexp_replace(lower(regexp_extract(afterScheme(url), "^([^/?#]*)", 1)),
+      regexp_replace(
+        lower(regexp_replace(
+          regexp_extract(afterScheme(url), "^([^/?#]*)", 1), "^[^/@]*@", "")),
         ":\\d+$", ""),
       "^www\\.", "")
 
