@@ -289,6 +289,85 @@ object Multimodal {
       }
   }
 
+  /** Typed perceptual-hash row: the 64-bit average-hash split into two
+    * longs (bit k of the 8×8 grid lives in `lo` for k<32, else in `hi`
+    * at k−32 — a single long cannot hold bit 63 without sign games the
+    * SQL oracle would have to mirror). */
+  case class ImageHash(doc_id: Long, ahash_lo: Long, ahash_hi: Long)
+
+  /** Perceptual average-hash (aHash) over the DECODED raster — the
+    * image near-dup signal: two images whose pixels differ by small
+    * shifts land at small hamming distance. Every step is EXACT integer
+    * arithmetic so the oracle can replay it bit for bit: integer-weight
+    * luma ((299r + 587g + 114b) div 1000), 8×8 stride sampling at
+    * (i·w div 8, j·h div 8), threshold at the integer mean of the 64
+    * samples (no float DCT — pHash's rounding is codec-defined, aHash's
+    * is not). Partition-streamed decode like every media row. */
+  def imageAHash(spark: SparkSession, payloads: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = ImageCodec.decodePng(bytes)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = new Array[Long](64)
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val rgb = img.getRGB(i * w / 8, j * h / 8)
+              g(j * 8 + i) = (((rgb >> 16) & 0xff) * 299L +
+                ((rgb >> 8) & 0xff) * 587L + (rgb & 0xff) * 114L) / 1000L
+              i += 1
+            }
+            j += 1
+          }
+          val mean = g.sum / 64L
+          var (lo, hi) = (0L, 0L)
+          var k = 0
+          while (k < 64) {
+            if (g(k) > mean) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          ImageHash(id, lo, hi)
+        }
+      }
+  }
+
+  /** Near-duplicate image pairs from the aHashes, at 100 TB scale
+    * shape: the 64-bit hash splits into four 16-bit bands; hamming ≤ 3
+    * guarantees (pigeonhole) at least one band identical, so candidates
+    * come from a self-equi-join on (band, value) — never all pairs —
+    * and only candidates pay the exact popcount verify. The oracle
+    * computes ALL pairs directly (fixture-sized), so a hash match
+    * proves the banding lost nothing the guarantee promises. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 x 16-bit bands only guarantee recall for hamming <= 3")
+    val banded = hashes.select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        explode(array((0 until 4).map { b =>
+          val src = if (b < 2) col("ahash_lo") else col("ahash_hi")
+          struct(lit(b).as("band"),
+            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
+        }: _*)).as("bv"))
+      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
+        col("bv.band"), col("bv.v"))
+    val l = banded.select(col("band"), col("v"), col("doc_id").as("left_id"),
+      col("ahash_lo").as("llo"), col("ahash_hi").as("lhi"))
+    val r = banded.select(col("band"), col("v"), col("doc_id").as("right_id"),
+      col("ahash_lo").as("rlo"), col("ahash_hi").as("rhi"))
+    l.join(r, Seq("band", "v")).filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (bit_count(col("llo").bitwiseXOR(col("rlo"))) +
+          bit_count(col("lhi").bitwiseXOR(col("rhi")))).cast("long")
+          .as("hamming"))
+      .distinct() // a close pair collides in several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Synthetic video payloads: one real animated GIF per document
     * (ids repartitioned first — same rationale as [[syntheticImages]],
     * and it matters most here: GIF sequence encode is the costliest

@@ -568,6 +568,69 @@ object PipelineQueries {
       |GROUP BY doc_id, sample_rate, out_rate, n_samples, out_samples"""
       .stripMargin
 
+  /** p75 — image perceptual hash (aHash) from the DECODED rasters:
+    * exact-integer luma, 8×8 stride sampling, integer-mean threshold —
+    * the image near-dup signal, split into two longs so the oracle can
+    * replay all 64 bits without signed-shift games. */
+  def imageAHash(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, Tables.documents(spark, dir))).toDF()
+
+  val imageAHashSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, j.v * 8 + i.v AS k,
+      |    (((i.v * w) // 8 * 7  + (j.v * h) // 8 * 13 + doc_id)      % 256 * 299
+      |   + ((i.v * w) // 8 * 3  + (j.v * h) // 8 * 5  + doc_id * 11) % 256 * 587
+      |   + ((i.v * w) // 8 * 17 + (j.v * h) // 8 * 2  + doc_id * 3)  % 256 * 114)
+      |      // 1000 AS g
+      |  FROM d, unnest(range(8)) AS i(v), unnest(range(8)) AS j(v)),
+      |m AS (SELECT *, SUM(g) OVER (PARTITION BY doc_id) // 64 AS mean FROM s)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN g > mean AND k < 32
+      |    THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS ahash_lo,
+      |  CAST(SUM(CASE WHEN g > mean AND k >= 32
+      |    THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS ahash_hi
+      |FROM m GROUP BY doc_id""".stripMargin
+
+  /** p76 — image near-dup pairs from the aHashes: Spark runs the
+    * banded (4×16-bit pigeonhole) self-join — candidates only, never
+    * all pairs — while the oracle computes EVERY pair directly, so the
+    * hash match proves the banding lost nothing its ≤3-hamming
+    * guarantee promises. The fixture genuinely contains near-dups:
+    * docs 91 apart share dims and differ by a constant channel shift. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, Tables.documents(spark, dir))).toDF())
+
+  val imageNearDupsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, j.v * 8 + i.v AS k,
+      |    (((i.v * w) // 8 * 7  + (j.v * h) // 8 * 13 + doc_id)      % 256 * 299
+      |   + ((i.v * w) // 8 * 3  + (j.v * h) // 8 * 5  + doc_id * 11) % 256 * 587
+      |   + ((i.v * w) // 8 * 17 + (j.v * h) // 8 * 2  + doc_id * 3)  % 256 * 114)
+      |      // 1000 AS g
+      |  FROM d, unnest(range(8)) AS i(v), unnest(range(8)) AS j(v)),
+      |m AS (SELECT *, SUM(g) OVER (PARTITION BY doc_id) // 64 AS mean FROM s),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN g > mean AND k < 32
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN g > mean AND k >= 32
+      |      THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM m GROUP BY doc_id)
+      |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |    AS BIGINT) AS hamming
+      |FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+      .stripMargin
+
   /** p73 — STEREO audio decode: 2-channel WAV containers with
     * interleaved 4-byte frames, deinterleaved from the decoded stream;
     * per-channel stats plus the exact integer cross-channel dot
@@ -1207,6 +1270,8 @@ object PipelineQueries {
     "p67_audio_transform" -> (audioTransform _),
     "p68_video_frames" -> (videoFrames _),
     "p73_audio_stereo" -> (audioStereoFeatures _),
+    "p75_image_ahash" -> (imageAHash _),
+    "p76_image_near_dups" -> (imageNearDups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1250,6 +1315,8 @@ object PipelineQueries {
     "p67_audio_transform" -> audioTransformSql,
     "p68_video_frames" -> videoFramesSql,
     "p73_audio_stereo" -> audioStereoFeaturesSql,
+    "p75_image_ahash" -> imageAHashSql,
+    "p76_image_near_dups" -> imageNearDupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

@@ -118,4 +118,44 @@ class MultimodalSpec extends SparkSpec {
     val plan = finalPlan(frames.toDF())
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
+
+  test("imageAHash: exact-integer replay of luma, sampling, mean, bits") {
+    val docs = Seq((3L, "a"), (94L, "b")).toDF("doc_id", "text")
+    val got = Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, docs)).collect()
+      .map(h => h.doc_id -> ((h.ahash_lo, h.ahash_hi))).toMap
+    for (id <- Seq(3L, 94L)) {
+      val (w, h) = ImageCodec.dims(id)
+      val g = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val (r, gg, b) = ImageCodec.pixelRgb(id, i * w / 8, j * h / 8)
+        (r * 299L + gg * 587L + b * 114L) / 1000L
+      }
+      val mean = g.sum / 64L
+      var (lo, hi) = (0L, 0L)
+      for (k <- 0 until 64 if g(k) > mean)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      assert(got(id) === ((lo, hi)), s"doc $id ahash mismatch")
+    }
+  }
+
+  test("imageNearDupPairs: banded candidates equal the brute-force pairs") {
+    // ids spanning several dim classes, including the 91-apart
+    // constant-shift near-dups the generator plants
+    val ids = (Seq(3L, 94L, 185L) ++ (10L to 30L)).distinct
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val hashes = Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, docs)).toDF()
+    val got = Multimodal.imageNearDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = hashes.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want, "banding must find exactly the brute-force pairs")
+    assert(want.exists(p => p._1 == 3L && p._2 == 94L),
+      "the planted 91-apart near-dup must surface")
+  }
 }
