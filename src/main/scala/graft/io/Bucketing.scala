@@ -42,6 +42,38 @@ object Bucketing {
     if (fs.exists(loc)) fs.delete(loc, true)
   }
 
+  /** Table-property key distinguishing persisted index FAMILIES that
+    * share a column layout. The line-df index (md5 segment digests) and
+    * the window-df index (xxhash64 window hashes) are both
+    * `(h, df_corpus[, batch_id])`, so a column-set guard alone cannot
+    * tell them apart — and probing a destructive rewrite against the
+    * wrong family's counts is precisely the failure the guards exist
+    * to prevent. Builders stamp their kind at create time; probes
+    * check it with [[requireKind]]. */
+  val KindProperty = "graft.index.kind"
+
+  /** Stamp the index-family kind on a table (idempotent). */
+  def stampKind(spark: SparkSession, table: String, kind: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$KindProperty' = '$kind')")
+
+  def tableKind(spark: SparkSession, table: String): Option[String] =
+    spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(KindProperty)
+
+  /** Fail loudly when `table` is stamped as a DIFFERENT index family.
+    * An unstamped table (foreign, or predating the stamp) falls through
+    * to the caller's column-layout guard — the stamp narrows the
+    * guard's blind spot (same-schema families) without rejecting
+    * legacy tables. */
+  def requireKind(spark: SparkSession, table: String, expected: String): Unit =
+    tableKind(spark, table).foreach { kind =>
+      require(kind == expected,
+        s"$table is a '$kind' index, not the '$expected' index this probe " +
+          "expects — same column layout, different hash family; joining it " +
+          "would silently resolve against unrelated hashes")
+    }
+
   /** Write `df` as a bucketed, sorted table on `key`. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     mode: SaveMode = SaveMode.Overwrite): Unit =
@@ -168,6 +200,14 @@ object Bucketing {
       (if (sorts.isEmpty) writer else writer.sortBy(sorts.head, sorts.tail: _*))
         .format("parquet")
         .saveAsTable(tmp)
+      // carry graft.* table properties (the index-kind stamp) through
+      // the rewrite — saveAsTable starts from a blank property map, and
+      // losing the stamp would re-open requireKind's blind spot after
+      // every compaction
+      meta.properties.filter(_._1.startsWith("graft."))
+        .foreach { case (k, v) =>
+          spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$k' = '$v')")
+        }
     } finally spark.conf.set(scanKey, prevScan)
     // two-name swap: original survives under _precompact until the
     // compacted table is live under the real name.

@@ -48,6 +48,28 @@ object TempPaths {
     out
   }
 
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** [[scratchDir]] plus a per-call uniqueness token (thread id + a
+    * process-wide counter). For short-lived STAGING directories: the
+    * deterministic scratchDir name is the right ownership story for
+    * resumable state (checkpoints, landed fixtures), but a staging dir
+    * is written-then-deleted within one call — two CONCURRENT landings
+    * of the same (prefix, discriminator) in one app would share the
+    * deterministic name and clobber each other's part files mid-build
+    * (the collision-freedom the old bare createTempDirectory had, kept
+    * here WITH the appId ownership + exit-hook cleanup). */
+  def uniqueScratchDir(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, discriminator: String): String = {
+    val tag = java.lang.Integer.toHexString(discriminator.hashCode)
+    val unique = s"t${Thread.currentThread().getId}n${scratchSeq.incrementAndGet()}"
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${spark.sparkContext.applicationId}_${tag}_$unique$epochTag")
+      .getAbsolutePath
+    cleanupOnExit(out)
+    out
+  }
+
   /** Warehouse temp dir with the creating PROCESS's pid embedded in the
     * name. The warehouse must be chosen before the SparkSession exists,
     * so the appId-ownership convention scratchDir uses is unavailable —

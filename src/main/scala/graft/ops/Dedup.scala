@@ -594,6 +594,7 @@ object Dedup {
     val idx = windowOccurrences(passageTokens(docs), k)
       .groupBy("h").agg(count(lit(1)).cast("long").as("df_corpus"))
     graft.io.Bucketing.writeBucketed(idx, table, "h", buckets)
+    graft.io.Bucketing.stampKind(docs.sparkSession, table, "window-df")
   }
 
   /** Streaming/micro-batch maintenance of the [[buildWindowDfIndex]]
@@ -618,6 +619,7 @@ object Dedup {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "window-df")
     } else {
       spark.catalog.refreshTable(table)
       graft.io.Bucketing.overwritePartitions(partial, table)
@@ -645,6 +647,10 @@ object Dedup {
     // probe-side crash repair: a maintenance compaction killed mid-swap
     // leaves the index under its backup name; restore before resolving
     graft.io.Bucketing.repairCompaction(spark, indexTable)
+    // family stamp first: the line-df index shares this exact column
+    // layout (md5 digests vs xxhash64 window hashes), so the column
+    // guard below cannot catch the most plausible wrong table
+    graft.io.Bucketing.requireKind(spark, indexTable, "window-df")
     val idxRaw = spark.table(indexTable)
     // loud layout guard (the lineDedupIncremental device): a wrong
     // table silently joined here would "dedup" the delta against

@@ -156,6 +156,7 @@ object TextAnalysis {
       .select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_corpus")
     graft.io.Bucketing.writeBucketed(df, table, "h", buckets)
+    graft.io.Bucketing.stampKind(corpus.sparkSession, table, "line-df")
   }
 
   /** Streaming/micro-batch maintenance of the [[buildLineDfIndex]]
@@ -200,6 +201,7 @@ object TextAnalysis {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "line-df")
     } else {
       // appends run through the micro-batch's CLONED session, so the
       // caller session's cached relation goes stale — refresh before
@@ -231,6 +233,9 @@ object TextAnalysis {
     // probe-side crash repair: a maintenance compaction killed mid-swap
     // leaves the index under its backup name; restore before resolving
     graft.io.Bucketing.repairCompaction(spark, indexTable)
+    // family stamp first: the window-df index shares this exact column
+    // layout, so the column guard below cannot catch it
+    graft.io.Bucketing.requireKind(spark, indexTable, "line-df")
     val segs = segmented(delta, segTokens, byLines)
     val deltaDf = segs.select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_delta")

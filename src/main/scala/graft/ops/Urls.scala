@@ -28,14 +28,18 @@ object Urls {
   /** Lowercased host with userinfo (`user:pass@`), `www.` prefix and
     * `:port` stripped — userinfo must go FIRST, or `user@host` would
     * corrupt the registered domain and split one page across canonical
-    * identities. */
+    * identities. The `www.` strip is guarded by a lookahead requiring
+    * two more labels: for `www.ck` (a REAL registrable domain — the
+    * PSL exception `!www.ck`) or `www.com`, `www` is the domain label
+    * itself, and an unconditional strip would collapse the site to a
+    * bare TLD. */
   def canonicalHost(url: Column): Column =
     regexp_replace(
       regexp_replace(
         lower(regexp_replace(
           regexp_extract(afterScheme(url), "^([^/?#]*)", 1), "^[^/@]*@", "")),
         ":\\d+$", ""),
-      "^www\\.", "")
+      "^www\\.(?=[^.]+\\.)", "")
 
   /** Path with trailing slashes stripped (query/fragment excluded). */
   def canonicalPath(url: Column): Column =
@@ -45,21 +49,69 @@ object Urls {
       "/+$", "")
 
   /** Query string with `utm_*` params dropped, order preserved, no
-    * leading `?`; empty when nothing survives. */
+    * leading `?`; empty when nothing survives. The tracking test is a
+    * literal-prefix `startsWith`, NOT a SQL LIKE — `_` is LIKE's
+    * single-char wildcard, so `like("utm_%")` would also swallow
+    * unrelated params named `utm` plus any one character (`utma=`,
+    * `utms=`), silently merging distinct canonical URLs. */
   def canonicalQuery(url: Column): Column = {
     val raw = regexp_extract(url, "\\?([^#]*)", 1)
     val kept = array_join(
-      filter(split(raw, "&"), p => !p.like("utm_%") && length(p) > 0), "&")
+      filter(split(raw, "&"), p => !p.startsWith("utm_") && length(p) > 0),
+      "&")
     kept
   }
 
-  /** Registered domain: the last two labels of the canonical host.
-    * (A real crawl pipeline consults the public-suffix list; the
-    * two-label rule is the exact-arithmetic stand-in with the same
-    * plumbing — still a narrow projection.) */
+  /** The last `k` labels of the host joined with dots — empty when the
+    * host has fewer than `k` labels (negative-start `slice` degrades to
+    * an empty array rather than throwing, so this is ANSI-safe with no
+    * size guard). */
+  private def lastLabels(labels: Column, k: Int): Column =
+    array_join(slice(labels, -k, k), ".")
+
+  private def suffixIn(labels: Column, k: Int, rules: Seq[String]): Column =
+    if (rules.isEmpty) lit(false)
+    else lastLabels(labels, k).isin(rules: _*)
+
+  /** Registered domain under the pinned [[PublicSuffixes]] snapshot —
+    * public suffix plus one label, with full PSL rule semantics:
+    * exception rules prevail, then the longest matching rule, then the
+    * implicit `*` (last label). `bbc.co.uk` → `bbc.co.uk` (not the old
+    * two-label `co.uk`, which merged every `.co.uk` site into one
+    * "domain" for per-domain caps and mixtures); `user.github.io` →
+    * `user.github.io`; `a.b.ck` → `a.b.ck` (wildcard `*.ck`);
+    * `sub.www.ck` → `www.ck` (exception `!www.ck`).
+    *
+    * Still one narrow native projection: the membership tests compile
+    * to `InSet` over string literals, so canonicalizing 100 TB of URLs
+    * stays a scan coefficient — no UDF, no join, no shuffle. A host
+    * that IS a public suffix (e.g. `co.uk` itself) has no registrable
+    * part and degrades to the host unchanged. */
   def registeredDomain(url: Column): Column = {
-    val labels = split(canonicalHost(url), "\\.")
-    concat_ws(".", element_at(labels, -2), element_at(labels, -1))
+    val host = canonicalHost(url)
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    import PublicSuffixes._
+    // public-suffix label count at this host. Exceptions first (they
+    // prevail over any other matching rule); otherwise the LONGEST
+    // match among plain and wildcard rules (`greatest` skips the
+    // null branches of unmatched depths); otherwise the default `*`.
+    val exceptionLen =
+      when(suffixIn(labels, 3, exception3), lit(2))
+        .when(suffixIn(labels, 2, exception2), lit(1))
+    val plainLen =
+      when(suffixIn(labels, 4, plain4), lit(4))
+        .when(suffixIn(labels, 3, plain3), lit(3))
+        .when(suffixIn(labels, 2, plain2), lit(2))
+    // `*.base` makes <label>.base a public suffix — one deeper than the
+    // base, and only when such a label exists
+    val wildLen =
+      when(suffixIn(labels, 2, wildcard2) && n >= 3, lit(3))
+        .when(suffixIn(labels, 1, wildcard1) && n >= 2, lit(2))
+    val psLen = coalesce(exceptionLen, greatest(plainLen, wildLen, lit(1)))
+    when(n > psLen,
+      array_join(slice(labels, (psLen + lit(1)) * -1, psLen + lit(1)), "."))
+      .otherwise(host)
   }
 
   /** The full canonical URL. */

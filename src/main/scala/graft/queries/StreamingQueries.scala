@@ -339,7 +339,7 @@ object StreamingQueries {
       // a bare createTempDirectory here strands an anonymous dir on a
       // mid-land kill that only the 2h idle sweep can reclaim
       val staging = java.nio.file.Paths.get(
-        graft.io.TempPaths.scratchDir(spark, "graft_q60_stage", landing))
+        graft.io.TempPaths.uniqueScratchDir(spark, "graft_q60_stage", landing))
       java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
@@ -534,7 +534,7 @@ object StreamingQueries {
       def bound(i: Int): Long = mnUs + span * i / nFiles
       // TempPaths-owned staging — same rationale as landFixtureModulo
       val staging = java.nio.file.Paths.get(
-        graft.io.TempPaths.scratchDir(spark, "graft_quarters_stage", landing))
+        graft.io.TempPaths.uniqueScratchDir(spark, "graft_quarters_stage", landing))
       java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
@@ -753,7 +753,7 @@ object StreamingQueries {
       // staging through TempPaths: owned by this app (sweepStale can
       // reclaim it if we crash mid-landing) and removed on exit
       val staging = java.nio.file.Paths.get(
-        graft.io.TempPaths.scratchDir(spark, "graft_q68_stage", dir))
+        graft.io.TempPaths.uniqueScratchDir(spark, "graft_q68_stage", dir))
       java.nio.file.Files.createDirectories(staging)
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{avg, col, count, lit, sum}
+
+/** Fresh-JVM mover arbitration (dev utility) — the PROFILE_r14
+  * protocol in one tool: interleave the Bench machine-speed canary
+  * (median-of-3 lineitem hash agg) with isolated reps of ONE catalog
+  * query, so each rep can be read against the box's speed at that
+  * moment and ratioed to the recorded reference canary.
+  *
+  * runMain graft.tools.ProfileArb <sfDir> <name> [reps=7] [refCanary=0.277]
+  */
+object ProfileArb {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val name = args(1)
+    val reps = args.lift(2).map(_.toInt).getOrElse(7)
+    val refCanary = args.lift(3).map(_.toDouble).getOrElse(0.277)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.warehouse.dir", graft.io.TempPaths.newWarehouseDir())
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def canary(): Double = {
+      val samples = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum("l_extendedprice"), avg("l_quantity"), count(lit(1)))
+          .queryExecution.toRdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
+    }
+
+    val fn = graft.SparkEntry.queries(name)
+    val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    canaries += canary()
+    println(f"ARB canary0 ${canaries.last}%7.3f s")
+    (1 to reps).foreach { i =>
+      graft.io.TempPaths.bumpEpoch()
+      val t0 = System.nanoTime()
+      val n = fn(spark, dir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      times += sec
+      println(f"ARB $name rep$i $sec%8.3f s rows=$n")
+      spark.catalog.clearCache()
+      if (i % 2 == 0 || i == reps) {
+        canaries += canary()
+        println(f"ARB canary ${canaries.last}%7.3f s")
+      }
+    }
+    // steady state excludes rep 1 (fresh-JVM codegen/IO warmup)
+    val steady = times.drop(1).sorted
+    val med = steady(steady.size / 2)
+    val canMed = canaries.sorted.apply(canaries.size / 2)
+    println(f"ARB SUMMARY $name steady_median=$med%.3f s " +
+      f"canary_median=$canMed%.3f s ref_canary=$refCanary%.3f " +
+      f"normalized=${med * refCanary / canMed}%.3f s " +
+      f"(canary range ${canaries.min}%.3f-${canaries.max}%.3f)")
+    spark.stop()
+  }
+}

@@ -199,6 +199,29 @@ class DedupSpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("substringRemoveIncremental refuses the SAME-LAYOUT line-df index") {
+    // the most plausible wrong table: buildLineDfIndex emits exactly
+    // (h, df_corpus) too, so the column guard alone cannot catch it —
+    // the graft.index.kind table property must
+    val tbl = graft.io.TempPaths.scratchTableName(spark, "graft_linedf_x", "t1")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.TextAnalysis.buildLineDfIndex(
+      Seq((1L, "some corpus line here")).toDF("doc_id", "text"), tbl)
+    val delta = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.substringRemoveIncremental(spark, delta, tbl)
+    }
+    assert(e.getMessage.contains("line-df"))
+    // and the stamp survives a compaction rewrite of the table
+    val tbl2 = graft.io.TempPaths.scratchTableName(spark, "graft_windf_c", "t1")
+    graft.io.Bucketing.dropTable(spark, tbl2)
+    Dedup.buildWindowDfIndex(
+      Seq((1L, "a b c d e f g h i")).toDF("doc_id", "text"), tbl2, k = 8)
+    graft.io.Bucketing.compactBucketed(spark, tbl2)
+    assert(graft.io.Bucketing.tableKind(spark, tbl2) === Some("window-df"))
+    Seq(tbl, tbl2).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("appendWindowDfPartial: disjoint batches fold to the monolithic index; probe agrees") {
     val corpus = Seq(
       (1L, "a b c d e f g h x"),

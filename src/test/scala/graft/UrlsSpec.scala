@@ -43,6 +43,16 @@ class UrlsSpec extends SparkSpec {
     assert(got.head._1 === "https://h.example.net/p")
   }
 
+  test("utm_ match is a literal prefix, not a LIKE pattern — utma/utms survive") {
+    // `_` is SQL LIKE's single-char wildcard: like("utm_%") would also
+    // drop utma=1 and utms=x, wrongly merging distinct canonical URLs
+    val got = canon(
+      "https://h.example.net/p?utma=1&utm_source=x&utms=2",
+      "https://h.example.net/p?utma=1&utms=2")
+    assert(got(0)._1 === "https://h.example.net/p?utma=1&utms=2")
+    assert(got(1)._1 === "https://h.example.net/p?utma=1&utms=2")
+  }
+
   test("userinfo strips before the host — credentials never reach canonical identity") {
     val got = canon(
       "https://alice@news.example.org/a",
@@ -52,11 +62,45 @@ class UrlsSpec extends SparkSpec {
     assert(got.toSet === Set(("https://news.example.org/a", "example.org")))
   }
 
-  test("registered domain is the last two labels of the canonical host") {
+  test("registered domain: plain TLD is public suffix + one label") {
     val got = canon(
       "https://a.b.c.example.org/x",
       "https://example.org/x",
       "https://WWW.example.org/x")
     assert(got.map(_._2) === Seq("example.org", "example.org", "example.org"))
+  }
+
+  test("registered domain: PSL longest match beats the two-label fallback") {
+    val got = canon(
+      "https://www.bbc.co.uk/news",        // co.uk is a public suffix
+      "https://news.bbc.co.uk/x",          // deeper host, same domain
+      "https://shop.example.com.au/x",     // com.au
+      "https://alice.github.io/blog",      // PRIVATE-section suffix
+      "https://school.pvt.k12.ma.us/x",    // 4-label plain rule
+      "https://x.school.pvt.k12.ma.us/x")  // one deeper, same domain
+    assert(got.map(_._2) === Seq(
+      "bbc.co.uk", "bbc.co.uk", "example.com.au", "alice.github.io",
+      "school.pvt.k12.ma.us", "school.pvt.k12.ma.us"))
+  }
+
+  test("registered domain: wildcard and exception rules") {
+    val got = canon(
+      "https://app.web1.ck/x",      // *.ck → web1.ck is a public suffix
+      "https://deep.app.web1.ck/x", // same registered domain
+      "https://www.ck/x",           // !www.ck → www.ck IS registrable
+      "https://sub.www.ck/x",       // exception prevails over *.ck
+      "https://x.ward1.kawasaki.jp/x", // *.kawasaki.jp
+      "https://foo.city.kawasaki.jp/x") // !city.kawasaki.jp
+    assert(got.map(_._2) === Seq(
+      "app.web1.ck", "app.web1.ck", "www.ck", "www.ck",
+      "x.ward1.kawasaki.jp", "city.kawasaki.jp"))
+  }
+
+  test("registered domain degrades gracefully at the boundary") {
+    val got = canon(
+      "https://localhost/x",  // single label — no registrable part
+      "https://co.uk/x",      // host IS a public suffix
+      "https://web1.ck/x")    // host IS a wildcard-made public suffix
+    assert(got.map(_._2) === Seq("localhost", "co.uk", "web1.ck"))
   }
 }
