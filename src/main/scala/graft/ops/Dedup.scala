@@ -493,7 +493,8 @@ object Dedup {
     * contribute their whole text as the single window (CharNgrams
     * clipping), so short exact dups are still caught. */
   def substringOverlapPairs(docs: DataFrame, k: Int = 30,
-                            maxDocFreq: Int = 50): DataFrame = {
+                            maxDocFreq: Int = 50,
+                            skewSafe: Boolean = false): DataFrame = {
     // distinct windows per doc (CharNgrams dedups), hashed: one
     // (doc, window-hash) row per distinct window
     val grams = docs.select(col("doc_id"),
@@ -501,11 +502,23 @@ object Dedup {
           .as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
     // grams is distinct per (doc_id, h), so the partition count IS the
-    // doc freq
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val kept = grams.withColumn("df", count(lit(1)).over(w))
-      .filter(col("df") >= 2 && col("df") <= maxDocFreq)
-      .select(col("h"), col("doc_id"))
+    // doc freq. Two df devices — see [[substringRemove]] for the regime
+    // boundary: the window form reuses one exchange (4x cheaper at
+    // uniform df); the skew-safe form partial-aggregates a hot
+    // boilerplate hash map-side and applies the maxDocFreq cap BEFORE
+    // any per-occurrence rows concentrate in one task, so a super-hot
+    // window is killed by the cap without ever being materialized hot.
+    val kept =
+      if (!skewSafe) {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+        grams.withColumn("df", count(lit(1)).over(w))
+          .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+          .select(col("h"), col("doc_id"))
+      } else {
+        val dfs = grams.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= maxDocFreq)
+        grams.join(dfs, Seq("h")).select(col("h"), col("doc_id"))
+      }
     val l = kept.select(col("h"), col("doc_id").as("left_id"))
     val r = kept.select(col("h"), col("doc_id").as("right_id"))
     l.join(r, Seq("h")).filter(col("left_id") < col("right_id"))
@@ -570,12 +583,53 @@ object Dedup {
         (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
         array_join(expr("transform(kept, s -> s.t)"), " ").as("cleaned_text"))
 
-  def substringRemove(docs: DataFrame, k: Int = 8): DataFrame = {
+  /** Flag every non-canonical duplicated occurrence with its window's
+    * doc frequency and global argmin — the df device both removal
+    * operators share, in two forms:
+    *
+    *  - **window form** (`skewSafe = false`, default): `count`/`min`
+    *    ride `Window.partitionBy(h)` on the occurrence frame's one
+    *    exchange — measured 4x cheaper than aggregate+join-back at
+    *    uniform dfs because the gram frame is computed and shuffled
+    *    once. Its 100 TB regime boundary: a window function cannot
+    *    partial-aggregate, so ALL occurrences of one hot hash land in
+    *    ONE task's sort buffer, and AQE's skew handling does not split
+    *    window partitions. Safe while the hottest window's occurrence
+    *    count fits a task comfortably — ≈ 10^7 rows (low hundreds of
+    *    MB) as the rule of thumb.
+    *  - **aggregate form** (`skewSafe = true`): df and argmin via
+    *    `groupBy(h)` — partial aggregation collapses a hot key to one
+    *    row PER MAP PARTITION before the shuffle, so the aggregate
+    *    never concentrates — then one join back to the occurrence
+    *    frame. The join also hashes on `h`, but a join task streams
+    *    its probe rows against a one-row build side (no sort buffer)
+    *    and, unlike a window partition, a skewed join partition IS
+    *    split by AQE (`spark.sql.adaptive.skewJoin`). Costs a second
+    *    shuffle of the (df>=2-filtered, per-h) aggregate frame.
+    *
+    * Use skewSafe on boilerplate-heavy crawls — one k-token license
+    * header or nav bar in half the docs is exactly a hot hash. The two
+    * forms are semantically identical (DedupSpec pins them equal under
+    * a planted heavy hitter occupying half the corpus). */
+  private def flagOccurrences(occ: DataFrame, skewSafe: Boolean): DataFrame =
+    if (!skewSafe) {
+      val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+      occ.withColumn("df", count(lit(1)).over(byHash))
+        .withColumn("first",
+          min(struct(col("doc_id"), col("pos"))).over(byHash))
+    } else {
+      val agg = occ.groupBy("h").agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+        .filter(col("df") >= 2)
+      // inner join ≡ the df >= 2 filter: single-occurrence windows
+      // (the vast majority) never rejoin, shrinking the probe output
+      occ.join(agg, Seq("h"))
+    }
+
+  def substringRemove(docs: DataFrame, k: Int = 8,
+                      skewSafe: Boolean = false): DataFrame = {
     val toks = passageTokens(docs)
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val removals = windowOccurrences(toks, k)
-      .withColumn("df", count(lit(1)).over(byHash))
-      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
+    val removals = flagOccurrences(windowOccurrences(toks, k), skewSafe)
       .filter(col("df") >= 2 && !(col("doc_id") === col("first.doc_id") &&
         col("pos") === col("first.pos")))
       .groupBy("doc_id")
@@ -643,7 +697,8 @@ object Dedup {
     * ExplainSpec). */
   def substringRemoveIncremental(spark: org.apache.spark.sql.SparkSession,
                                  delta: DataFrame, indexTable: String,
-                                 k: Int = 8): DataFrame = {
+                                 k: Int = 8,
+                                 skewSafe: Boolean = false): DataFrame = {
     // probe-side crash repair: a maintenance compaction killed mid-swap
     // leaves the index under its backup name; restore before resolving
     graft.io.Bucketing.repairCompaction(spark, indexTable)
@@ -669,10 +724,23 @@ object Dedup {
           .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
       else idxRaw
     val toks = passageTokens(delta)
-    val byHash = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val removals = windowOccurrences(toks, k)
+    val occ = windowOccurrences(toks, k)
+    // within-delta keep-first: window form rides the probe join's
+    // exchange; skew-safe form (a hot window in the DELTA — e.g. one
+    // boilerplate span across a whole day's crawl) partial-aggregates
+    // the argmin and joins back, same trade as [[substringRemove]]
+    val withFirst =
+      if (!skewSafe) {
+        val byHash =
+          org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+        occ.withColumn("first",
+          min(struct(col("doc_id"), col("pos"))).over(byHash))
+      } else {
+        occ.join(occ.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first")), Seq("h"))
+      }
+    val removals = withFirst
       .join(idx.select(col("h"), col("df_corpus")), Seq("h"), "left")
-      .withColumn("first", min(struct(col("doc_id"), col("pos"))).over(byHash))
       .filter(col("df_corpus").isNotNull ||
         !(col("doc_id") === col("first.doc_id") &&
           col("pos") === col("first.pos")))

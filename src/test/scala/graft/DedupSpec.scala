@@ -249,6 +249,60 @@ class DedupSpec extends SparkSpec {
     Seq(streamed, mono).foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
+  test("planted heavy hitter: skew-safe aggregate form ≡ window form") {
+    // one 9-token boilerplate span planted in HALF the corpus — the
+    // key distribution a license-header-laden crawl produces, and the
+    // one regime where Window.partitionBy(h) concentrates O(corpus)
+    // occurrence rows in a single un-splittable task
+    val hot = "copyright two thousand all rights reserved by example corp"
+    val docs = (0L until 40L).map { i =>
+      val tail = s"doc$i ua$i ub$i uc$i ud$i ue$i uf$i ug$i uh$i"
+      (i, if (i % 2 == 0) s"$hot $tail" else tail)
+    }.toDF("doc_id", "text")
+
+    // removal: identical rewrite either way (keep-first at doc 0)
+    val remW = Dedup.substringRemove(docs, k = 8).collect().toSet
+    val remA = Dedup.substringRemove(docs, k = 8, skewSafe = true)
+      .collect().toSet
+    assert(remA === remW)
+    assert(remA.count(_.getLong(2) > 0) === 19,
+      "every hot doc except the canonical holder must be cut")
+
+    // overlap pairs: same 20-choose-2 hot pairs either way
+    val prW = Dedup.substringOverlapPairs(docs, k = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prA = Dedup.substringOverlapPairs(docs, k = 30, skewSafe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(prA === prW)
+    assert(prA.size === 190)
+
+    // incremental: hot window already in the corpus index, delta holds
+    // the other half — every delta copy is cut under both forms
+    val tbl = graft.io.TempPaths.scratchTableName(spark, "graft_windf_hot", "t")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Dedup.buildWindowDfIndex(docs.filter(col("doc_id") % 2 === 0), tbl, k = 8)
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("text", concat(lit(hot), lit(" "), col("text")))
+    val incW = Dedup.substringRemoveIncremental(spark, delta, tbl, k = 8)
+      .collect().toSet
+    val incA = Dedup.substringRemoveIncremental(spark, delta, tbl, k = 8,
+      skewSafe = true).collect().toSet
+    assert(incA === incW)
+    assert(incA.forall(_.getLong(2) >= 9),
+      "every delta doc repeats the corpus-held hot span and must be cut")
+    graft.io.Bucketing.dropTable(spark, tbl)
+
+    // the structural guarantee: the skew-safe plan has NO Window node
+    // (df and argmin run as partial-aggregating HashAggregates + an
+    // AQE-splittable join), the default form has one
+    val planA = Dedup.substringRemove(docs, k = 8, skewSafe = true)
+      .queryExecution.executedPlan.toString
+    val planW = Dedup.substringRemove(docs, k = 8)
+      .queryExecution.executedPlan.toString
+    assert(!planA.contains("Window"), "skew-safe form must not window")
+    assert(planW.contains("Window"))
+  }
+
   test("window-df index: a TORN batch commit is healed by replay, not trusted") {
     val doc = Seq((4L, "a b c d e f g h i j")).toDF("doc_id", "text")
     val tbl = "windf_torn_spec"
