@@ -150,6 +150,62 @@ object Audio {
       while (i < out.length) { out(i) = samples(2 * i); i += 1 }
       out
     }
+
+    /** 64-bit perceptual fingerprint over decoded PCM — the
+      * Shazam-shape device with exact integer semantics: the clip is
+      * cut into 65 frames (sample i lands in frame `i·65 div n` — the
+      * frame map IS the definition, so there is no boundary rounding
+      * to disagree on), each frame's energy is the sum of |sample|,
+      * and bit f (0..63) is set when E(f+1) > E(f). Sign-of-energy-
+      * delta survives level shifts and mild noise, which is what makes
+      * it a NEAR-dup signal rather than an exact hash; every step is
+      * integer, so the SQL oracle replays it bit for bit. Returns
+      * (lo, hi): bit k in lo for k<32, else hi at k−32 (the
+      * [[Multimodal.ImageHash]] split). */
+    def fingerprint(samples: Array[Int]): (Long, Long) = {
+      val n = samples.length
+      require(n >= 65, s"fingerprint needs >= 65 samples, got $n")
+      val e = new Array[Long](65)
+      var i = 0
+      while (i < n) {
+        e((i.toLong * 65 / n).toInt) += math.abs(samples(i).toLong)
+        i += 1
+      }
+      var (lo, hi) = (0L, 0L)
+      var f = 0
+      while (f < 64) {
+        if (e(f + 1) > e(f)) {
+          if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+        }
+        f += 1
+      }
+      (lo, hi)
+    }
+
+    /** Base waveform of a near-dup GROUP — unlike [[sample]], the
+      * group id modulates the quadratic and linear coefficients, not
+      * just the phase: two different groups get genuinely different
+      * waveform SHAPES, so their energy-delta fingerprints decorrelate
+      * (with the shared-shape generator, 4% of all unrelated pairs
+      * landed within hamming 3 — a fixture artifact that would swamp
+      * the planted pairs). */
+    def pairSample(grp: Long, i: Int): Int =
+      (((i.toLong * i * (31 + grp % 29) + i.toLong * (17 + grp % 19) +
+        grp * 101) % 65536) - 32768).toInt
+
+    /** Near-dup variant generator: docs pair up (group = doc_id div 2);
+      * the even doc carries the group's base waveform, the odd doc the
+      * SAME waveform with its first four samples wrapped by +7 in
+      * 16-bit space (`((s+32768+7) mod 65536) − 32768` — range-safe,
+      * sign-safe, and an exact-arithmetic stand-in for the level
+      * shift/noise a re-encoded copy picks up). Only frames 0–1 can
+      * change, so only fingerprint bits 0–1 can flip: every planted
+      * pair lands at hamming ≤ 2, inside the banded-join guarantee. */
+    def variantSample(docId: Long, i: Int): Int = {
+      val base = pairSample(docId / 2, i)
+      if (docId % 2 == 1 && i < 4) ((base + 32768 + 7) % 65536) - 32768
+      else base
+    }
   }
 
   /** Synthetic audio payloads: one real WAV clip per document, rendered
@@ -249,6 +305,53 @@ object Audio {
         }
       }
   }
+
+  /** Synthetic near-dup audio payloads: real WAV clips where each
+    * doc-id PAIR shares one waveform up to the variant perturbation
+    * ([[AudioCodec.variantSample]]) — the fixture for the perceptual
+    * near-dup family. Rate/length ride the GROUP id so a pair's clips
+    * align frame for frame. */
+  def syntheticAudioVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = AudioCodec.nSamples(id / 2)
+          val samples = Array.tabulate(n)(AudioCodec.variantSample(id, _))
+          (id, AudioCodec.encodeWav(samples, AudioCodec.sampleRate(id / 2)))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed fingerprint row — 64 energy-delta sign bits split across
+    * two longs (the [[Multimodal.ImageHash]] convention). */
+  case class AudioFingerprint(doc_id: Long, fp_lo: Long, fp_hi: Long)
+
+  /** Partition-streamed perceptual fingerprinting: WAV payloads →
+    * decoded PCM → [[AudioCodec.fingerprint]]. Same scale shape as
+    * every media row: one codec context per partition, only 24 bytes
+    * per clip leave the stage. */
+  def audioFingerprints(spark: SparkSession, payloads: DataFrame): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (_, s) = AudioCodec.decodeWav(bytes)
+          val (lo, hi) = AudioCodec.fingerprint(s)
+          AudioFingerprint(id, lo, hi)
+        }
+      }
+  }
+
+  /** Near-duplicate clip pairs from the fingerprints — the shared
+    * [[BandedHamming]] device (4×16-bit pigeonhole banding): candidate
+    * pairs from a (band, value) self-equi-join, exact popcount verify
+    * on candidates only, never all pairs. */
+  def audioNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    BandedHamming.pairs(fps.select(col("doc_id"),
+      col("fp_lo").as("lo"), col("fp_hi").as("hi")), maxHamming)
 
   /** Typed output row of the resample stage. */
   case class AudioTransform(doc_id: Long, sample_rate: Long, out_rate: Long,

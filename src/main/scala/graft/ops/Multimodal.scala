@@ -337,36 +337,14 @@ object Multimodal {
       }
   }
 
-  /** Near-duplicate image pairs from the aHashes, at 100 TB scale
-    * shape: the 64-bit hash splits into four 16-bit bands; hamming ≤ 3
-    * guarantees (pigeonhole) at least one band identical, so candidates
-    * come from a self-equi-join on (band, value) — never all pairs —
-    * and only candidates pay the exact popcount verify. The oracle
-    * computes ALL pairs directly (fixture-sized), so a hash match
-    * proves the banding lost nothing the guarantee promises. */
-  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3,
-      "4 x 16-bit bands only guarantee recall for hamming <= 3")
-    val banded = hashes.select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
-        explode(array((0 until 4).map { b =>
-          val src = if (b < 2) col("ahash_lo") else col("ahash_hi")
-          struct(lit(b).as("band"),
-            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
-        }: _*)).as("bv"))
-      .select(col("doc_id"), col("ahash_lo"), col("ahash_hi"),
-        col("bv.band"), col("bv.v"))
-    val l = banded.select(col("band"), col("v"), col("doc_id").as("left_id"),
-      col("ahash_lo").as("llo"), col("ahash_hi").as("lhi"))
-    val r = banded.select(col("band"), col("v"), col("doc_id").as("right_id"),
-      col("ahash_lo").as("rlo"), col("ahash_hi").as("rhi"))
-    l.join(r, Seq("band", "v")).filter(col("left_id") < col("right_id"))
-      .select(col("left_id"), col("right_id"),
-        (bit_count(col("llo").bitwiseXOR(col("rlo"))) +
-          bit_count(col("lhi").bitwiseXOR(col("rhi")))).cast("long")
-          .as("hamming"))
-      .distinct() // a close pair collides in several bands
-      .filter(col("hamming") <= maxHamming)
-  }
+  /** Near-duplicate image pairs from the aHashes — the shared
+    * [[BandedHamming]] device (4×16-bit pigeonhole banding, candidates
+    * only, never all pairs). The oracle computes ALL pairs directly
+    * (fixture-sized), so a hash match proves the banding lost nothing
+    * the ≤3-hamming guarantee promises. */
+  def imageNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    BandedHamming.pairs(hashes.select(col("doc_id"),
+      col("ahash_lo").as("lo"), col("ahash_hi").as("hi")), maxHamming)
 
   /** Synthetic video payloads: one real animated GIF per document
     * (ids repartitioned first — same rationale as [[syntheticImages]],

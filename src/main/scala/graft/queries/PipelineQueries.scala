@@ -660,6 +660,70 @@ object PipelineQueries {
       |  CAST(SUM(l * r) AS BIGINT) AS dot_lr
       |FROM s GROUP BY doc_id, sample_rate, n_frames""".stripMargin
 
+  /** p78 — audio perceptual fingerprint from the DECODED PCM: the
+    * Shazam-shape energy-delta sign device with exact integer
+    * semantics (65 frames by `i·65 div n`, |sample| energies, bit f =
+    * E(f+1) > E(f)) over the near-dup VARIANT fixture — doc pairs
+    * share one waveform up to a 4-sample wrap perturbation, the
+    * replayable stand-in for a level-shifted re-encoded copy. Oracle
+    * replays generator, framing, energies and bits in SQL; a hash
+    * match certifies the whole decode → frame → delta-sign path. */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Audio.audioFingerprints(spark,
+      Audio.syntheticAudioVariants(spark, Tables.documents(spark, dir))).toDF()
+
+  private val audioFpCtes: String =
+    """WITH p AS (
+      |  SELECT doc_id, doc_id // 2 AS grp,
+      |    160 + ((doc_id // 2) % 7) * 40 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n, x.v AS i,
+      |    CASE WHEN doc_id % 2 = 1 AND x.v < 4
+      |      THEN (((x.v*x.v*(31 + grp % 29) + x.v*(17 + grp % 19)
+      |              + grp*101) % 65536 - 32768) + 32775) % 65536 - 32768
+      |      ELSE (x.v*x.v*(31 + grp % 29) + x.v*(17 + grp % 19)
+      |            + grp*101) % 65536 - 32768
+      |    END AS samp,
+      |    (x.v * 65) // n AS f
+      |  FROM p, unnest(range(n)) AS x(v)),
+      |e AS (
+      |  SELECT doc_id, f, SUM(ABS(samp)) AS energy
+      |  FROM s GROUP BY doc_id, f),
+      |lg AS (
+      |  SELECT doc_id, f, energy,
+      |    LEAD(energy) OVER (PARTITION BY doc_id ORDER BY f) AS nexte
+      |  FROM e),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN nexte > energy AND f < 32
+      |      THEN (CAST(1 AS BIGINT) << f) END), 0) AS BIGINT) AS fp_lo,
+      |    CAST(COALESCE(SUM(CASE WHEN nexte > energy AND f >= 32 AND f < 64
+      |      THEN (CAST(1 AS BIGINT) << (f - 32)) END), 0) AS BIGINT) AS fp_hi
+      |  FROM lg GROUP BY doc_id)""".stripMargin
+
+  val audioFingerprintSql: String =
+    audioFpCtes + "\nSELECT doc_id, fp_lo, fp_hi FROM fp"
+
+  /** p79 — audio near-dup pairs from the fingerprints: Spark runs the
+    * shared banded (4×16-bit pigeonhole) self-join — candidates only —
+    * while the oracle computes EVERY pair directly, so the hash match
+    * proves the banding lost nothing its ≤3-hamming guarantee
+    * promises. The variant fixture plants each doc pair at hamming ≤ 2
+    * structurally (only frames 0–1 can differ). */
+  def audioNearDups(spark: SparkSession, dir: String): DataFrame =
+    Audio.audioNearDupPairs(Audio.audioFingerprints(spark,
+      Audio.syntheticAudioVariants(spark, Tables.documents(spark, dir))).toDF())
+
+  val audioNearDupsSql: String =
+    audioFpCtes + """
+      |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      |  CAST(bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |       bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |      bit_count(xor(a.fp_hi, b.fp_hi)) <= 3""".stripMargin
+
   /** p68 — real VIDEO frame sampling: deterministic 3–6-frame clips
     * encoded as actual animated GIF containers (indexed 256-gray
     * palette ⇒ lossless), decoded through javax.imageio's sequence
@@ -1272,6 +1336,8 @@ object PipelineQueries {
     "p73_audio_stereo" -> (audioStereoFeatures _),
     "p75_image_ahash" -> (imageAHash _),
     "p76_image_near_dups" -> (imageNearDups _),
+    "p78_audio_fingerprint" -> (audioFingerprint _),
+    "p79_audio_near_dups" -> (audioNearDups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1317,6 +1383,8 @@ object PipelineQueries {
     "p73_audio_stereo" -> audioStereoFeaturesSql,
     "p75_image_ahash" -> imageAHashSql,
     "p76_image_near_dups" -> imageNearDupsSql,
+    "p78_audio_fingerprint" -> audioFingerprintSql,
+    "p79_audio_near_dups" -> audioNearDupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

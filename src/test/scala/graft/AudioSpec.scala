@@ -102,4 +102,55 @@ class AudioSpec extends SparkSpec {
     assert(f.peak_r === r.map(v => math.abs(v.toLong)).max)
     assert(f.dot_lr === l.zip(r).map { case (a, b) => a.toLong * b }.sum)
   }
+
+  test("fingerprint: exact replay of framing, energies and delta-sign bits") {
+    for (id <- Seq(0L, 7L, 42L)) {
+      val n = AudioCodec.nSamples(id / 2)
+      val s = Array.tabulate(n)(AudioCodec.variantSample(id, _))
+      // reference computation, independently written
+      val e = new Array[Long](65)
+      for (i <- 0 until n) e((i.toLong * 65 / n).toInt) += math.abs(s(i).toLong)
+      var (lo, hi) = (0L, 0L)
+      for (f <- 0 until 64 if e(f + 1) > e(f))
+        if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+      assert(AudioCodec.fingerprint(s) === ((lo, hi)), s"doc $id")
+    }
+  }
+
+  test("planted variant pair flips at most bits 0-1: hamming <= 2 structurally") {
+    for (g <- 0L until 30L) {
+      val n = AudioCodec.nSamples(g)
+      val base = AudioCodec.fingerprint(
+        Array.tabulate(n)(AudioCodec.variantSample(2 * g, _)))
+      val varnt = AudioCodec.fingerprint(
+        Array.tabulate(n)(AudioCodec.variantSample(2 * g + 1, _)))
+      val d = java.lang.Long.bitCount(base._1 ^ varnt._1) +
+        java.lang.Long.bitCount(base._2 ^ varnt._2)
+      assert(d <= 2, s"group $g planted pair at hamming $d")
+      assert((base._1 ^ varnt._1) >> 2 === 0L && (base._2 ^ varnt._2) === 0L,
+        s"group $g: only bits 0-1 may differ")
+    }
+  }
+
+  test("audioNearDupPairs: banded candidates equal the brute-force pairs") {
+    val ids = (0L until 36L)
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val fps = Audio.audioFingerprints(spark,
+      Audio.syntheticAudioVariants(spark, docs)).toDF()
+    val got = Audio.audioNearDupPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs = fps.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want, "banding must find exactly the brute-force pairs")
+    // every planted even/odd pair surfaces
+    for (g <- 0L until 18L)
+      assert(want.exists(p => p._1 == 2 * g && p._2 == 2 * g + 1),
+        s"planted pair of group $g must surface")
+  }
 }
