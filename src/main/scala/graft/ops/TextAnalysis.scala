@@ -400,6 +400,70 @@ object TextAnalysis {
       .select(col("pair"), col("n_occurrences"))
   }
 
+  /** The learned merge TABLE: [[bpePairStats]]' top-`n` pairs in rank
+    * order (count desc, pair asc — the deterministic tie-break). The
+    * collect is the merge table itself — a tokenizer vocabulary is
+    * O(vocab), broadcast-by-value into the encode expressions, never
+    * corpus-sized. */
+  def bpeLearnMerges(docs: DataFrame, n: Int = 10): Seq[String] =
+    bpePairStats(docs, n)
+      .orderBy(col("n_occurrences").desc, col("pair").asc)
+      .collect().map(_.getString(0)).toSeq
+
+  private val BpeOpen = "\u0001"
+  private val BpeClose = "\u0002"
+
+  /** BPE tokenizer APPLICATION — the encode step a training pipeline
+    * actually ships, as a chain of NATIVE string expressions (no UDF):
+    * each token's characters are individually bracketed
+    * (`⟨c⟩⟨c⟩…`, brackets = /), then each merge rule
+    * `(a,b)` is one `replace("⟨a⟩⟨b⟩" → "⟨ab⟩")` pass. The bracket
+    * wrapping makes plain string replace EXACTLY symbol-space greedy
+    * left-to-right BPE: adjacent occurrences share no characters (so
+    * one pass merges every non-overlapping occurrence in order), a
+    * partial symbol can never false-match (the brackets anchor both
+    * ends), and an overlapping run like `aaaaa` under rule `(a,a)`
+    * resolves to `aa aa a` — the canonical greedy answer
+    * (TextAnalysisSpec pins equality with an independent plain-Scala
+    * encoder). Rules apply in rank order, one pass each — equivalent
+    * to priority-order application because every rule here pairs BASE
+    * characters, so no rule can create another rule's pair.
+    *
+    * Scale shape: encoding is a map-only narrow projection — `n`
+    * chained codegen'd `StringReplace`s over each token — so encoding
+    * 100 TB is a scan coefficient; the merge table is the only shared
+    * state (driver-collected, O(vocab), embedded as literals).
+    * Returns one row per (doc_id, pos, enc_tok). */
+  def bpeEncodeTokens(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val toks = docs.select(col("doc_id"), posexplode(tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+    val wrapped = regexp_replace(col("tok"), "(?s)(.)",
+      BpeOpen + "$1" + BpeClose)
+    val encoded = merges.foldLeft(wrapped) { (s, m) =>
+      require(m.length == 2, s"merge rules must be char pairs, got '$m'")
+      replace(s,
+        lit(BpeOpen + m.charAt(0) + BpeClose + BpeOpen + m.charAt(1) + BpeClose),
+        lit(BpeOpen + m + BpeClose))
+    }
+    // ⟨p1⟩⟨p2⟩… → "p1 p2 …": boundaries to spaces, brackets dropped
+    val spaced = replace(replace(replace(encoded,
+      lit(BpeClose + BpeOpen), lit(" ")), lit(BpeOpen)), lit(BpeClose))
+    toks.select(col("doc_id"), col("pos"), spaced.as("enc_tok"))
+  }
+
+  /** Per-document encode summary over [[bpeEncodeTokens]]: token and
+    * piece counts plus an md5 fingerprint of the full encoded document
+    * (pieces space-joined per token, tokens newline-joined in order) —
+    * scalar columns only, replayable in SQL. */
+  def bpeEncode(docs: DataFrame, merges: Seq[String]): DataFrame =
+    bpeEncodeTokens(docs, merges)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(size(split(col("enc_tok"), " "))).cast("long").as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("enc_tok")))),
+          s => s.getField("enc_tok")), "\n")).as("encoded_md5"))
+
   /** Benchmark decontamination: flag training documents sharing any word
     * 8-gram with a holdout/benchmark subset. The benchmark gram set is
     * distinct + broadcast (benchmarks are small by definition); the

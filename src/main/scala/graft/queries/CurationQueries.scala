@@ -223,6 +223,58 @@ object CurationQueries {
       |  FROM c)
       |SELECT pair, n_occurrences FROM r WHERE rn <= 20""".stripMargin
 
+  /** p80 — BPE tokenizer APPLICATION: learn the top-10 merges from the
+    * corpus (p46's ranking) and ENCODE every document with them — the
+    * step a training pipeline actually ships. Spark applies the merge
+    * table as 10 chained native `replace` passes over bracket-wrapped
+    * character sequences (exact symbol-space greedy BPE —
+    * `ops/TextAnalysis.bpeEncodeTokens`); the oracle learns the same
+    * table in SQL and replays the encode as a RECURSIVE CTE, one merge
+    * rule per recursion step, on the same bracket device. Output is
+    * per-doc scalar counts + an md5 of the full encoded text, so a
+    * hash match certifies every piece boundary of every token. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextAnalysis.bpeEncode(docs, TextAnalysis.bpeLearnMerges(docs, 10))
+  }
+
+  val bpeEncodeSql: String =
+    """WITH RECURSIVE mtok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |mp AS (
+      |  SELECT unnest([substring(t, i, 2) for i in range(1, len(t))]) AS pair
+      |  FROM mtok WHERE len(t) >= 2),
+      |mc AS (SELECT pair, COUNT(*) AS n FROM mp GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rn
+      |  FROM mc QUALIFY rn <= 10),
+      |tok AS (
+      |  SELECT doc_id, i.v AS pos, string_split(text, ' ')[i.v + 1] AS tok
+      |  FROM documents,
+      |    unnest(range(len(string_split(text, ' ')))) i(v)),
+      |enc AS (
+      |  SELECT doc_id, pos, 0 AS step,
+      |    regexp_replace(tok, '(?s)(.)', chr(1) || '\1' || chr(2), 'g') AS s
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT e.doc_id, e.pos, e.step + 1,
+      |    replace(e.s,
+      |      chr(1) || substring(m.pair, 1, 1) || chr(2) ||
+      |      chr(1) || substring(m.pair, 2, 1) || chr(2),
+      |      chr(1) || m.pair || chr(2))
+      |  FROM enc e JOIN merges m ON m.rn = e.step + 1),
+      |fin AS (
+      |  SELECT doc_id, pos,
+      |    replace(replace(replace(s, chr(2) || chr(1), ' '),
+      |      chr(1), ''), chr(2), '') AS enc_tok
+      |  FROM enc WHERE step = 10)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(len(string_split(enc_tok, ' '))) AS BIGINT) AS n_pieces,
+      |  md5(array_to_string(list(enc_tok ORDER BY pos), chr(10)))
+      |    AS encoded_md5
+      |FROM fin GROUP BY doc_id""".stripMargin
+
   /** p48 — quality-weighted sampling: keep probability = the p07 quality
     * score, membership content-keyed (md5 bucket / 10000 < score) — the
     * soft alternative to hard quality thresholds, deterministic across
@@ -400,6 +452,7 @@ object CurationQueries {
     "p34_repetition_quality" -> (repetition _),
     "p45_centroid_outliers" -> (centroidOutliers _),
     "p46_bpe_pair_stats" -> (bpePairs _),
+    "p80_bpe_encode" -> (bpeEncode _),
     "p48_quality_weighted_sample" -> (qualitySample _),
     "p35_seq_packing" -> (seqPacking _),
     "p36_boilerplate_filter" -> (boilerplate _),
@@ -413,6 +466,7 @@ object CurationQueries {
     "p34_repetition_quality" -> repetitionSql,
     "p45_centroid_outliers" -> centroidOutliersSql,
     "p46_bpe_pair_stats" -> bpePairsSql,
+    "p80_bpe_encode" -> bpeEncodeSql,
     "p48_quality_weighted_sample" -> qualitySampleSql,
     "p35_seq_packing" -> seqPackingSql,
     "p36_boilerplate_filter" -> boilerplateSql,

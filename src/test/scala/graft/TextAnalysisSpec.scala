@@ -242,4 +242,66 @@ class TextAnalysisSpec extends SparkSpec {
       "indexed scoring must equal the inline pass on the delta")
     graft.io.Bucketing.dropTable(spark, tbl)
   }
+
+  /** Independent plain-Scala BPE encoder: symbol-space greedy
+    * left-to-right, one pass per rule in rank order — the canonical
+    * semantics bpeEncodeTokens' bracket-replace device must reproduce. */
+  private def refBpeEncode(tok: String, merges: Seq[String]): Seq[String] = {
+    var syms = tok.map(_.toString).toVector
+    for (m <- merges) {
+      val (a, b) = (m.substring(0, 1), m.substring(1, 2))
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += m; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  test("bpeEncodeTokens: bracket-replace device equals the plain-Scala greedy encoder") {
+    // adversarial shapes: overlapping runs (odd and even), alternations,
+    // rule-created adjacency, multi-rule interaction, plus word-like text
+    val merges = Seq("aa", "ab", "th", "he", "er")
+    val texts = Seq(
+      "aaaaa aaaa aaa ababab abab ths",
+      "the theory there aether bathe",
+      "xaby aabb aaab abba baaa",
+      "t h e single chars only",
+      "weather thermal heathen")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeTokens(docs, merges).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    for ((t, d) <- texts.zipWithIndex; (tok, p) <- t.split(" ").zipWithIndex)
+      assert(got((d.toLong, p)) === refBpeEncode(tok, merges).mkString(" "),
+        s"doc $d token '$tok'")
+    // the canonical greedy answers, pinned explicitly
+    assert(got((0L, 0)) === "aa aa a")       // odd overlap run
+    assert(got((0L, 3)) === "ab ab ab")      // alternation, every pair merges
+    assert(got((1L, 0)) === "th e")          // th wins over he (rank order)
+    assert(got((2L, 1)) === "aa b b")        // aa (rank 1) blocks ab at pos 1
+  }
+
+  test("bpeEncode summary: learned merges applied corpus-wide, scalar outputs") {
+    val docs = Tables.documents(spark, sfDir).limit(50)
+    val merges = TextAnalysis.bpeLearnMerges(docs, 10)
+    assert(merges.size === 10 && merges.forall(_.length == 2))
+    val out = TextAnalysis.bpeEncode(docs, merges)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "n_pieces", "encoded_md5"))
+    val rows = out.collect()
+    assert(rows.length === 50)
+    // merging can only shrink piece counts, never below token count
+    val toks = TextAnalysis.bpeEncodeTokens(docs, merges)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      assert(r.getLong(2) >= r.getLong(1), "pieces >= tokens")
+      assert(toks(r.getLong(0)) === r.getLong(1))
+    }
+  }
 }
