@@ -48,6 +48,22 @@ object TempPaths {
     out
   }
 
+  /** [[scratchDir]] WITHOUT the epoch tag — for deterministic FIXTURE
+    * payloads (content a pure function of the input dir) that should
+    * land once per application and be reused across bench reps: the
+    * epoch bump exists to force operator STATE cold per rep, and
+    * re-synthesizing an identical fixture per rep only times the
+    * generator, not the operator (the p68 GIF payloads were the
+    * costliest example). Pair with isComplete/markComplete. */
+  def stableScratchDir(spark: org.apache.spark.sql.SparkSession,
+                       prefix: String, discriminator: String): String = {
+    val tag = java.lang.Integer.toHexString(discriminator.hashCode)
+    val out = new java.io.File(sys.props("java.io.tmpdir"),
+      s"${prefix}_${spark.sparkContext.applicationId}_$tag").getAbsolutePath
+    cleanupOnExit(out)
+    out
+  }
+
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** [[scratchDir]] plus a per-call uniqueness token (thread id + a

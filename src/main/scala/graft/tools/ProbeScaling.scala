@@ -35,21 +35,27 @@ object ProbeScaling {
     graft.io.TempPaths.cleanupOnExit(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
 
-    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
-    def docs(sf: String) =
-      spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
-    def emb(sf: String) =
-      spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+    // SPARK_GRAFT_PROBE_SFDIRS: comma-separated corpus dirs to build the
+    // indexes from, smallest first — defaults to the three testdata SFs;
+    // append an Amplify-derived scratch dir (e.g. sf0.8 = 8x sf0.1) to
+    // extend the fixed-delta measurement past the fixture ceiling
+    val sfs = sys.env.getOrElse("SPARK_GRAFT_PROBE_SFDIRS",
+      "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def docs(dir: String) =
+      spark.read.parquet(s"$dir/documents.parquet")
+    def emb(dir: String) =
+      spark.read.parquet(s"$dir/embeddings.parquet")
     // the FIXED deltas: the sf0.01 catalog-row slices, identical at
     // every index size so only the corpus varies
-    val deltaDocs = docs("sf0.01").filter(col("doc_id") % 5 === 0)
+    val deltaDocs = docs("/root/testdata/sf0.01").filter(col("doc_id") % 5 === 0)
       .localCheckpoint()
-    val deltaEmb = emb("sf0.01").filter(col("vec_id") % 5 === 0)
+    val deltaEmb = emb("/root/testdata/sf0.01").filter(col("vec_id") % 5 === 0)
       .localCheckpoint()
-    val deltaTrain = docs("sf0.01")
+    val deltaTrain = docs("/root/testdata/sf0.01")
       .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
         pmod(col("doc_id"), lit(4)) === 1).localCheckpoint()
-    val queryEmb = emb("sf0.01").localCheckpoint() // p56 derives queries by stride
+    val queryEmb = emb("/root/testdata/sf0.01").localCheckpoint() // p56 derives queries by stride
 
     // the localCheckpoint'd deltas live in the block manager; sweep only
     // RDDs a probe itself persisted, never the fixture deltas
