@@ -42,4 +42,49 @@ object BandedHamming {
       .distinct() // a close pair collides in several bands
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** The SCALE PATH when signature mass concentrates — boilerplate
+    * images (logos, icons, tracking pixels) and template audio give a
+    * perceptual-hash distribution where many items share one exact
+    * signature, and [[pairs]]' doc-level output is then inherently
+    * quadratic in the hot signatures' multiplicity (the sf0.8 amplified
+    * sweep measured the image fixture at 8.6M doc-pairs from 7 299
+    * distinct hashes — slope 1.46, all of it OUTPUT volume). This
+    * variant dedups to DISTINCT signatures first (hash groupBy:
+    * representative = min doc_id, multiplicity = count), bands over
+    * the distinct signatures only, and emits one row per near
+    * signature PAIR with the doc-pair count carried as
+    * `n_pairs = n_left · n_right` — candidate volume quadratic in
+    * distinct-bucket occupancy, output linear in distinct near pairs.
+    * Same-signature (hamming-0 within a group) doc pairs are the exact
+    * dedup groups and deliberately not re-emitted here — that is
+    * `count per signature`, one aggregate. */
+  def distinctPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4 x 16-bit bands only guarantee recall for hamming <= 3")
+    val reps = sigs.groupBy(col("lo"), col("hi"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).cast("long").as("n_docs"))
+    val banded = reps.select(col("rep_id"), col("n_docs"), col("lo"),
+        col("hi"),
+        explode(array((0 until 4).map { b =>
+          val src = if (b < 2) col("lo") else col("hi")
+          struct(lit(b).as("band"),
+            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
+        }: _*)).as("bv"))
+      .select(col("rep_id"), col("n_docs"), col("lo"), col("hi"),
+        col("bv.band"), col("bv.v"))
+    val l = banded.select(col("band"), col("v"), col("rep_id").as("left_id"),
+      col("n_docs").as("ln"), col("lo").as("llo"), col("hi").as("lhi"))
+    val r = banded.select(col("band"), col("v"), col("rep_id").as("right_id"),
+      col("n_docs").as("rn"), col("lo").as("rlo"), col("hi").as("rhi"))
+    l.join(r, Seq("band", "v")).filter(col("left_id") < col("right_id"))
+      .select(col("left_id"), col("right_id"),
+        (bit_count(col("llo").bitwiseXOR(col("rlo"))) +
+          bit_count(col("lhi").bitwiseXOR(col("rhi")))).cast("long")
+          .as("hamming"),
+        (col("ln") * col("rn")).as("n_pairs"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

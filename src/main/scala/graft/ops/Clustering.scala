@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.VectorFunctions.{vec_dot, vec_norm, vec_sum}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding-space clustering for corpus curation (topic balancing,
@@ -18,11 +18,25 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Knuth multiplicative scramble for deterministic pseudo-random
+    * centroid/seed sampling, OVERFLOW-SAFE: the id is domain-reduced to
+    * 2²⁰ before the 2654435761 multiply, capping the product at ~2.8e15
+    * (a raw `vec_id * 2654435761` overflows Long — an ANSI runtime
+    * error — once ids pass ~3.4e9, exactly the range id-shifted
+    * multi-shard corpora live in; caught by the sf0.8 amplified sweep,
+    * SCALING.md). For ids below 2²⁰ the value is bit-identical to the
+    * unreduced form, so every oracle replay is unchanged; above it the
+    * scramble still samples uniformly within each 2²⁰ residue class,
+    * which is all a seed-picking permutation needs. Oracles mirror the
+    * same `% 1048576` reduction. */
+  def knuthScramble(id: Column): Column =
+    pmod(pmod(id, lit(1048576L)) * lit(2654435761L), lit(4294967296L))
+
   /** Assign every vector to its max-cosine centroid (ties broken toward
     * the higher centroid id, matching max-struct semantics). Returns one
     * row per vector: (vec_id, cell, cos, comp_sum). */
   def assign(embeddings: DataFrame, k: Int): DataFrame = {
-    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val scramble = knuthScramble(col("vec_id"))
     val cents = embeddings
       .orderBy(scramble.asc, col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
@@ -163,7 +177,7 @@ object Clustering {
     val emb = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
       .localCheckpoint()
-    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val scramble = Clustering.knuthScramble(col("vec_id"))
     var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
     var asg = assignTo(emb, cents).localCheckpoint()
@@ -202,7 +216,7 @@ object Clustering {
     val emb = embeddings.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
       .localCheckpoint()
-    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val scramble = Clustering.knuthScramble(col("vec_id"))
     var cents = emb.orderBy(scramble.asc, col("vec_id").asc).limit(k)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"))
       .localCheckpoint()

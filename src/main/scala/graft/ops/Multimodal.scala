@@ -346,6 +346,15 @@ object Multimodal {
     BandedHamming.pairs(hashes.select(col("doc_id"),
       col("ahash_lo").as("lo"), col("ahash_hi").as("hi")), maxHamming)
 
+  /** Distinct-signature near-dup pairs with multiplicities — the scale
+    * path ([[BandedHamming.distinctPairs]]) for logo/icon-heavy corpora
+    * where many images share one exact aHash and doc-level pair output
+    * goes quadratic in the hot signatures' multiplicity. */
+  def imageNearDupDistinctPairs(hashes: DataFrame,
+                                maxHamming: Int = 3): DataFrame =
+    BandedHamming.distinctPairs(hashes.select(col("doc_id"),
+      col("ahash_lo").as("lo"), col("ahash_hi").as("hi")), maxHamming)
+
   /** Synthetic video payloads: one real animated GIF per document
     * (ids repartitioned first — same rationale as [[syntheticImages]],
     * and it matters most here: GIF sequence encode is the costliest

@@ -249,7 +249,7 @@ object Similarity {
     * with its nProbe nearest cells. */
   private[graft] def ivfParts(embeddings: DataFrame, queryStride: Int,
                               nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
-    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val scramble = Clustering.knuthScramble(col("vec_id"))
     val centroids = embeddings
       .orderBy(scramble.asc, col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
@@ -299,7 +299,7 @@ object Similarity {
                 subspaces: Int = 4, codebookSize: Int = 8,
                 dim: Int = 64): DataFrame = {
     require(dim % subspaces == 0, "dim must divide evenly into subspaces")
-    val scramble = pmod(col("vec_id") * lit(2654435761L), lit(4294967296L))
+    val scramble = Clustering.knuthScramble(col("vec_id"))
     def subVecs(df: DataFrame, idAs: String, embAs: String): DataFrame =
       df.select(col("vec_id").as(idAs),
         posexplode(graft.functions.VectorFunctions

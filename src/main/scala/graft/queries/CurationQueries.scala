@@ -92,7 +92,7 @@ object CurationQueries {
     import RecallQueries.{cosSql => _, dotSql, normSql}
     s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
        |  FROM embeddings
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |  ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 8),
        |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |    ${dotSql("e.embedding", "c.cent_emb")} /
        |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos

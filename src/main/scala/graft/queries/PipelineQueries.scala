@@ -631,6 +631,50 @@ object PipelineQueries {
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
       .stripMargin
 
+  /** p81 — image near-dup pairs over DISTINCT signatures: the scale
+    * path the sf0.8 amplified sweep prescribed for signature-
+    * concentrated corpora (7 299 distinct hashes carried 40 000 images
+    * there; doc-level pair output went quadratic — slope 1.46, all of
+    * it output volume). Dedup to distinct aHashes first (rep = min
+    * doc_id, multiplicity), band over distinct signatures only, emit
+    * one row per near signature pair with `n_pairs` = the doc-pair
+    * count it stands for. Oracle computes every distinct-signature
+    * pair directly. */
+  def imageNearDupGroups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupDistinctPairs(Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, Tables.documents(spark, dir))).toDF())
+
+  val imageNearDupGroupsSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, j.v * 8 + i.v AS k,
+      |    (((i.v * w) // 8 * 7  + (j.v * h) // 8 * 13 + doc_id)      % 256 * 299
+      |   + ((i.v * w) // 8 * 3  + (j.v * h) // 8 * 5  + doc_id * 11) % 256 * 587
+      |   + ((i.v * w) // 8 * 17 + (j.v * h) // 8 * 2  + doc_id * 3)  % 256 * 114)
+      |      // 1000 AS g
+      |  FROM d, unnest(range(8)) AS i(v), unnest(range(8)) AS j(v)),
+      |m AS (SELECT *, SUM(g) OVER (PARTITION BY doc_id) // 64 AS mean FROM s),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN g > mean AND k < 32
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN g > mean AND k >= 32
+      |      THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM m GROUP BY doc_id),
+      |grp AS (
+      |  SELECT lo, hi, CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM hsh GROUP BY lo, hi)
+      |SELECT a.rep_id AS left_id, b.rep_id AS right_id,
+      |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi))
+      |    AS BIGINT) AS hamming,
+      |  a.n_docs * b.n_docs AS n_pairs
+      |FROM grp a JOIN grp b ON a.rep_id < b.rep_id
+      |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
+      .stripMargin
+
   /** p73 — STEREO audio decode: 2-channel WAV containers with
     * interleaved 4-byte frames, deinterleaved from the decoded stream;
     * per-channel stats plus the exact integer cross-channel dot
@@ -1354,6 +1398,7 @@ object PipelineQueries {
     "p75_image_ahash" -> (imageAHash _),
     "p76_image_near_dups" -> (imageNearDups _),
     "p78_audio_fingerprint" -> (audioFingerprint _),
+    "p81_image_neardup_groups" -> (imageNearDupGroups _),
     "p79_audio_near_dups" -> (audioNearDups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
@@ -1401,6 +1446,7 @@ object PipelineQueries {
     "p75_image_ahash" -> imageAHashSql,
     "p76_image_near_dups" -> imageNearDupsSql,
     "p78_audio_fingerprint" -> audioFingerprintSql,
+    "p81_image_neardup_groups" -> imageNearDupGroupsSql,
     "p79_audio_near_dups" -> audioNearDupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,

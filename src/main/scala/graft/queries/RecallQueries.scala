@@ -314,7 +314,7 @@ object RecallQueries {
     * oracle can emit it. */
   private lazy val ivfCtes: String =
     s"""cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+       |  ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 16),
        |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |    ${dotSql("e.embedding", "c.cent_emb")} /
        |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cent_cos
@@ -492,7 +492,7 @@ object RecallQueries {
   val annIvfPqTopKSql: String =
     s"""WITH $ivfCtes,
        |pqc AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |  ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 8),
        |cb AS (SELECT cent_id, s, cent_emb[s*16+1 : (s+1)*16] AS ce
        |  FROM pqc, range(4) t(s)),
        |vs AS (SELECT vec_id, s, embedding[s*16+1 : (s+1)*16] AS ve
@@ -702,7 +702,7 @@ object RecallQueries {
        |  FROM embeddings),
        |cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM (
        |    SELECT vec_id, embedding, row_number() OVER (
-       |      ORDER BY (vec_id * 2654435761) % 4294967296, vec_id) AS rn
+       |      ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id) AS rn
        |    FROM embeddings)
        |  WHERE rn <= (SELECT k FROM cnt)),
        |sc AS (SELECT e.vec_id, e.embedding, c.cent_id,
@@ -741,7 +741,7 @@ object RecallQueries {
 
   val kmeansLloydSql: String =
     s"""WITH c0 AS (SELECT vec_id AS cent_id, embedding AS cent_emb FROM embeddings
-       |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+       |  ORDER BY ((vec_id % 1048576) * 2654435761) % 4294967296, vec_id LIMIT 8),
        |s0 AS (SELECT e.vec_id, e.embedding, c.cent_id,
        |    ${dotSql("e.embedding", "c.cent_emb")} /
        |      (${normSql("e.embedding")} * ${normSql("c.cent_emb")}) AS cos

@@ -157,5 +157,17 @@ class MultimodalSpec extends SparkSpec {
     assert(got === want, "banding must find exactly the brute-force pairs")
     assert(want.exists(p => p._1 == 3L && p._2 == 94L),
       "the planted 91-apart near-dup must surface")
+    // the distinct-signature scale path reconciles exactly with the
+    // doc-level pairs: cross-signature multiplicities plus the exact
+    // (hamming-0, same-signature) groups account for every pair
+    val distinctRows = Multimodal.imageNearDupDistinctPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sigCounts = hs.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val withinGroupPairs = sigCounts.values.map(n => n * (n - 1) / 2).sum
+    val crossPairs = distinctRows.map(_._4).sum
+    assert(crossPairs + withinGroupPairs === want.size.toLong,
+      "distinct-pair multiplicities + exact groups must cover all pairs")
+    // distinct rows carry representative ids and positive multiplicities
+    assert(distinctRows.forall(r => r._4 >= 1 && r._1 < r._2))
   }
 }
