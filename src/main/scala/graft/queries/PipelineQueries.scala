@@ -675,6 +675,53 @@ object PipelineQueries {
       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3"""
       .stripMargin
 
+  /** p82 — transitive image dedup groups: the media half of the dedup
+    * loop closed the way the text side closes it (p19/p23/p43) —
+    * connected components over the p76 hamming-≤3 edges via the
+    * hybrid driver-union-find / distributed label-propagation device,
+    * one keeper per component. If image A ≈ B and B ≈ C, pairwise
+    * keep-first would retain both A and C; components collapse the
+    * whole cluster. Oracle: the same recursive min-label CTE as the
+    * p19 oracle, over the exact all-pairs ≤3 edge set from the p75
+    * hash replay. */
+  def imageDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val hashes = Multimodal.imageAHash(spark,
+      Multimodal.syntheticImages(spark, docs)).toDF()
+    Dedup.dedupGroups(docs, Multimodal.imageNearDupPairs(hashes))
+  }
+
+  val imageDedupGroupsSql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 7 + 3 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, j.v * 8 + i.v AS k,
+      |    (((i.v * w) // 8 * 7  + (j.v * h) // 8 * 13 + doc_id)      % 256 * 299
+      |   + ((i.v * w) // 8 * 3  + (j.v * h) // 8 * 5  + doc_id * 11) % 256 * 587
+      |   + ((i.v * w) // 8 * 17 + (j.v * h) // 8 * 2  + doc_id * 3)  % 256 * 114)
+      |      // 1000 AS g
+      |  FROM d, unnest(range(8)) AS i(v), unnest(range(8)) AS j(v)),
+      |m AS (SELECT *, SUM(g) OVER (PARTITION BY doc_id) // 64 AS mean FROM s),
+      |hsh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN g > mean AND k < 32
+      |      THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS lo,
+      |    CAST(SUM(CASE WHEN g > mean AND k >= 32
+      |      THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT) AS hi
+      |  FROM m GROUP BY doc_id),
+      |e AS (
+      |  SELECT a.doc_id AS x, b.doc_id AS y
+      |  FROM hsh a JOIN hsh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3),
+      |es AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e),
+      |reach(id, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT es.y, reach.root FROM reach JOIN es ON es.x = reach.id)
+      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
+
   /** p73 — STEREO audio decode: 2-channel WAV containers with
     * interleaved 4-byte frames, deinterleaved from the decoded stream;
     * per-channel stats plus the exact integer cross-channel dot
@@ -1399,6 +1446,7 @@ object PipelineQueries {
     "p76_image_near_dups" -> (imageNearDups _),
     "p78_audio_fingerprint" -> (audioFingerprint _),
     "p81_image_neardup_groups" -> (imageNearDupGroups _),
+    "p82_image_dedup_groups" -> (imageDedupGroups _),
     "p79_audio_near_dups" -> (audioNearDups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
@@ -1447,6 +1495,7 @@ object PipelineQueries {
     "p76_image_near_dups" -> imageNearDupsSql,
     "p78_audio_fingerprint" -> audioFingerprintSql,
     "p81_image_neardup_groups" -> imageNearDupGroupsSql,
+    "p82_image_dedup_groups" -> imageDedupGroupsSql,
     "p79_audio_near_dups" -> audioNearDupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
