@@ -127,6 +127,17 @@ object SelectionQueries {
   def substringRemoval(spark: SparkSession, dir: String): DataFrame =
     Dedup.substringRemove(Tables.documents(spark, dir), k = 8)
 
+  /** p83 — p70's rewrite through the SKEW-SAFE aggregate df form
+    * (groupBy + join-back instead of Window.partitionBy(h) — the
+    * boilerplate-heavy-crawl path, see Dedup.substringRemove). The
+    * oracle is p70's VERBATIM: the two forms are semantically
+    * identical, and running both as hash-checked catalog rows keeps
+    * that equivalence under the driver's oracle gate, not just the
+    * planted-skew spec. */
+  def substringRemovalSkewSafe(spark: SparkSession, dir: String): DataFrame =
+    Dedup.substringRemove(Tables.documents(spark, dir), k = 8,
+      skewSafe = true)
+
   val substringRemovalSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |o AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
@@ -258,6 +269,7 @@ object SelectionQueries {
     "p50_token_budget_select" -> (tokenBudgetSelect _),
     "p51_substring_overlap" -> (substringOverlap _),
     "p70_substring_removal" -> (substringRemoval _),
+    "p83_substring_removal_skewsafe" -> (substringRemovalSkewSafe _),
     "p71_substring_removal_incr" -> (substringRemovalIncremental _))
 
   val oracles: Map[String, String] = Map(
@@ -265,6 +277,7 @@ object SelectionQueries {
     "p50_token_budget_select" -> tokenBudgetSelectSql,
     "p51_substring_overlap" -> substringOverlapSql,
     "p70_substring_removal" -> substringRemovalSql,
+    "p83_substring_removal_skewsafe" -> substringRemovalSql,
     "p71_substring_removal_incr" -> substringRemovalIncrementalSql,
     "p72_shard_shuffle" -> shardShuffleSql,
     "p74_uniform_sample_exact" -> uniformSampleSql)
