@@ -517,7 +517,8 @@ object Dedup {
       } else {
         val dfs = grams.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") >= 2 && col("df") <= maxDocFreq)
-        grams.join(dfs, Seq("h")).select(col("h"), col("doc_id"))
+        grams.join(isolateForSkewSplit(dfs), Seq("h"))
+          .select(col("h"), col("doc_id"))
       }
     val l = kept.select(col("h"), col("doc_id").as("left_id"))
     val r = kept.select(col("h"), col("doc_id").as("right_id"))
@@ -604,8 +605,11 @@ object Dedup {
     *    frame. The join also hashes on `h`, but a join task streams
     *    its probe rows against a one-row build side (no sort buffer)
     *    and, unlike a window partition, a skewed join partition IS
-    *    split by AQE (`spark.sql.adaptive.skewJoin`). Costs a second
-    *    shuffle of the (df>=2-filtered, per-h) aggregate frame.
+    *    split by AQE (`spark.sql.adaptive.skewJoin`) — made real by
+    *    [[isolateForSkewSplit]], which keeps the build side a bare
+    *    shuffle stage the rule can pattern-match (AqeSpec pins the
+    *    `skew=true` split under a planted hot key). Costs extra
+    *    shuffles of the (df>=2-filtered, per-h) aggregate frame.
     *
     * Use skewSafe on boilerplate-heavy crawls — one k-token license
     * header or nav bar in half the docs is exactly a hot hash. The two
@@ -623,8 +627,23 @@ object Dedup {
         .filter(col("df") >= 2)
       // inner join ≡ the df >= 2 filter: single-occurrence windows
       // (the vast majority) never rejoin, shrinking the probe output
-      occ.join(agg, Seq("h"))
+      occ.join(isolateForSkewSplit(agg), Seq("h"))
     }
+
+  /** Present a join's build side as a BARE ensure-requirements shuffle
+    * so AQE's skew split can actually fire on the probe side:
+    * `OptimizeSkewedJoin` pattern-matches only SMJ/SHJ whose children
+    * are (Sort over) a bare ENSURE_REQUIREMENTS shuffle stage — when
+    * the build side's FINAL aggregate rides the join's own exchange
+    * (the default fused plan), the pattern never matches and a hot
+    * probe partition stays un-split (verified against the rule's
+    * bytecode and pinned in AqeSpec). The round-robin repartition
+    * breaks the fusion: EnsureRequirements then inserts a fresh hash
+    * exchange on the join key above it, which IS the bare stage the
+    * rule needs. Costs one extra exchange of the (small, per-key
+    * deduplicated) build frame — the documented skew-safe trade. */
+  private def isolateForSkewSplit(build: DataFrame): DataFrame =
+    build.repartition(build.sparkSession.sessionState.conf.numShufflePartitions)
 
   def substringRemove(docs: DataFrame, k: Int = 8,
                       skewSafe: Boolean = false): DataFrame = {
@@ -736,8 +755,8 @@ object Dedup {
         occ.withColumn("first",
           min(struct(col("doc_id"), col("pos"))).over(byHash))
       } else {
-        occ.join(occ.groupBy("h")
-          .agg(min(struct(col("doc_id"), col("pos"))).as("first")), Seq("h"))
+        occ.join(isolateForSkewSplit(occ.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("pos"))).as("first"))), Seq("h"))
       }
     val removals = withFirst
       .join(idx.select(col("h"), col("df_corpus")), Seq("h"), "left")

@@ -76,6 +76,40 @@ class AqeSpec extends SparkSpec {
     } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("skew-safe df form under AQE: the planted hot window key splits at runtime") {
+    import spark.implicits._
+    // the regime claim on Dedup.substringRemove, asserted: the
+    // skew-safe form's join-back CAN be split by AQE when one window
+    // hash goes hot, where a Window partition cannot. 90% of 20000 docs
+    // ARE one 8-token span (exactly one window, one hash) — the
+    // occurrence shuffle puts ~18000 rows under a single key while the
+    // median partition holds ~500; thresholds scaled to fixture bytes.
+    val hot = "copyright two thousand all rights reserved by example"
+    val docs = (0L until 20000L).map { i =>
+      (i, if (i % 10 != 0) hot
+          else s"d$i a$i b$i c$i e$i f$i g$i h$i")
+    }.toDF("doc_id", "text").localCheckpoint()
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "512b")
+    val prev = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = finalPlan(
+        graft.ops.Dedup.substringRemove(docs, k = 8, skewSafe = true))
+      assert(plan.contains("skew=true"),
+        s"AQE must split the hot window hash in the skew-safe join:\n$plan")
+      // the default form keeps its Window — the partition AQE cannot
+      // split, which is exactly why the skew-safe form exists
+      val planW = finalPlan(graft.ops.Dedup.substringRemove(docs, k = 8))
+      assert(planW.contains("Window") && !planW.contains("skew=true"), planW)
+    } finally prev.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("p54 probe under AQE: bucketed scan + single delta exchange survive re-planning") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
