@@ -722,6 +722,36 @@ object PipelineQueries {
       |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
       |FROM reach GROUP BY id""".stripMargin
 
+  /** p84 — transitive AUDIO dedup groups: p82's device on the p78/p79
+    * family — connected components over the audio fingerprint
+    * hamming-≤3 edges, one keeper per component. The variant fixture
+    * makes the truth legible: each even/odd doc pair sits at hamming
+    * ≤ 2 by construction, so components are (at least) the planted
+    * pairs plus whatever accidental near-fingerprints link them.
+    * Oracle: recursive min-label CTE over the exact all-pairs edge set
+    * from the p78 fingerprint replay. */
+  def audioDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fps = Audio.audioFingerprints(spark,
+      Audio.syntheticAudioVariants(spark, docs)).toDF()
+    Dedup.dedupGroups(docs, Audio.audioNearDupPairs(fps))
+  }
+
+  val audioDedupGroupsSql: String =
+    "WITH RECURSIVE " + audioFpCtes.stripPrefix("WITH ") + """,
+      |ed AS (
+      |  SELECT a.doc_id AS x, b.doc_id AS y
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |        bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+      |eds AS (SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed),
+      |reach(id, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT eds.y, reach.root FROM reach JOIN eds ON eds.x = reach.id)
+      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
+
   /** p73 — STEREO audio decode: 2-channel WAV containers with
     * interleaved 4-byte frames, deinterleaved from the decoded stream;
     * per-channel stats plus the exact integer cross-channel dot
@@ -763,7 +793,9 @@ object PipelineQueries {
     Audio.audioFingerprints(spark,
       Audio.syntheticAudioVariants(spark, Tables.documents(spark, dir))).toDF()
 
-  private val audioFpCtes: String =
+  // lazy: referenced by audioDedupGroupsSql, which is declared earlier
+  // in the object than this definition
+  private lazy val audioFpCtes: String =
     """WITH p AS (
       |  SELECT doc_id, doc_id // 2 AS grp,
       |    160 + ((doc_id // 2) % 7) * 40 AS n
@@ -1447,6 +1479,7 @@ object PipelineQueries {
     "p78_audio_fingerprint" -> (audioFingerprint _),
     "p81_image_neardup_groups" -> (imageNearDupGroups _),
     "p82_image_dedup_groups" -> (imageDedupGroups _),
+    "p84_audio_dedup_groups" -> (audioDedupGroups _),
     "p79_audio_near_dups" -> (audioNearDups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
@@ -1496,6 +1529,7 @@ object PipelineQueries {
     "p78_audio_fingerprint" -> audioFingerprintSql,
     "p81_image_neardup_groups" -> imageNearDupGroupsSql,
     "p82_image_dedup_groups" -> imageDedupGroupsSql,
+    "p84_audio_dedup_groups" -> audioDedupGroupsSql,
     "p79_audio_near_dups" -> audioNearDupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
