@@ -91,6 +91,11 @@ object Urls {
     val host = canonicalHost(url)
     val labels = split(host, "\\.")
     val n = size(labels)
+    // IP literals have no registrable domain — a real crawl is full of
+    // them, and the label rules would happily call 192.168.0.1's
+    // domain "0.1" (or shred a bracketed IPv6). Degrade to the host.
+    val isIpLiteral =
+      host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || host.contains("[")
     import PublicSuffixes._
     // public-suffix label count at this host. Exceptions first (they
     // prevail over any other matching rule); otherwise the LONGEST
@@ -109,8 +114,9 @@ object Urls {
       when(suffixIn(labels, 2, wildcard2) && n >= 3, lit(3))
         .when(suffixIn(labels, 1, wildcard1) && n >= 2, lit(2))
     val psLen = coalesce(exceptionLen, greatest(plainLen, wildLen, lit(1)))
-    when(n > psLen,
-      array_join(slice(labels, (psLen + lit(1)) * -1, psLen + lit(1)), "."))
+    when(isIpLiteral, host)
+      .when(n > psLen,
+        array_join(slice(labels, (psLen + lit(1)) * -1, psLen + lit(1)), "."))
       .otherwise(host)
   }
 

@@ -103,4 +103,28 @@ class BucketingSpec extends SparkSpec {
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     assert(salted.exceptAll(direct).isEmpty && direct.exceptAll(salted).isEmpty)
   }
+
+  test("index-kind stamp: set, read, enforce; unstamped tables pass through") {
+    import spark.implicits._
+    val tbl = graft.io.TempPaths.scratchTableName(spark, "graft_kind_spec", "t")
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq((1L, 2L)).toDF("h", "df_corpus").write.saveAsTable(tbl)
+    // unstamped: requireKind is a no-op either way (legacy/foreign table
+    // falls through to the caller's column guard)
+    assert(graft.io.Bucketing.tableKind(spark, tbl).isEmpty)
+    graft.io.Bucketing.requireKind(spark, tbl, "window-df")
+    graft.io.Bucketing.requireKind(spark, tbl, "line-df")
+    // stamped: matching kind passes, the other family fails loudly
+    graft.io.Bucketing.stampKind(spark, tbl, "window-df")
+    assert(graft.io.Bucketing.tableKind(spark, tbl) === Some("window-df"))
+    graft.io.Bucketing.requireKind(spark, tbl, "window-df")
+    val e = intercept[IllegalArgumentException] {
+      graft.io.Bucketing.requireKind(spark, tbl, "line-df")
+    }
+    assert(e.getMessage.contains("window-df"))
+    // restamping is idempotent overwrite, not append
+    graft.io.Bucketing.stampKind(spark, tbl, "line-df")
+    assert(graft.io.Bucketing.tableKind(spark, tbl) === Some("line-df"))
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
 }

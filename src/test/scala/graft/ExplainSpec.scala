@@ -147,6 +147,51 @@ class ExplainSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
   }
 
+  test("p77 PSL registered domain: still one narrow pass + one aggregate exchange, no UDF") {
+    // the longest-match lookup is InSet membership over label suffixes —
+    // a UDF or a join here means the PSL upgrade broke the scan-only
+    // contract p69 established
+    val plan = planString(
+      graft.queries.CurationQueries.registeredDomains(spark, sfDir))
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"expected UDF-free PSL lookup:\n$plan")
+    assert(!plan.contains("Join"), s"expected join-free PSL lookup:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected exactly one exchange (the groupBy):\n$plan")
+  }
+
+  test("p80 BPE encode is map-only up to the doc aggregate; no UDF") {
+    // the merge table is embedded as literals in chained StringReplace
+    // expressions: the per-token encode must plan as a pure projection
+    val merges = Seq("th", "he", "in", "er", "an")
+    val plan = planString(graft.ops.TextAnalysis.bpeEncodeTokens(
+      Tables.documents(spark, sfDir), merges))
+    assert(!plan.contains("Exchange"), s"expected shuffle-free encode:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"expected UDF-free encode:\n$plan")
+    // and the summary adds exactly the one doc-level aggregate exchange
+    val full = planString(graft.ops.TextAnalysis.bpeEncode(
+      Tables.documents(spark, sfDir), merges))
+    assert("Exchange".r.findAllIn(full).size == 1,
+      s"expected exactly one exchange (the doc aggregate):\n$full")
+  }
+
+  test("p79/p81 banded hamming joins: keyed equi-joins, never cartesian") {
+    val fps = graft.ops.Audio.audioFingerprints(spark,
+      graft.ops.Audio.syntheticAudioVariants(
+        spark, Tables.documents(spark, sfDir))).toDF()
+    val pairPlan = planString(graft.ops.Audio.audioNearDupPairs(fps))
+    assert(!pairPlan.contains("CartesianProduct") &&
+      !pairPlan.contains("BroadcastNestedLoopJoin"),
+      s"banded pairs must join on (band, value):\n$pairPlan")
+    val sigs = fps.select(fps("doc_id"), fps("fp_lo").as("lo"),
+      fps("fp_hi").as("hi"))
+    val distinctPlan = planString(
+      graft.ops.BandedHamming.distinctPairs(sigs))
+    assert(!distinctPlan.contains("CartesianProduct") &&
+      !distinctPlan.contains("BroadcastNestedLoopJoin"),
+      s"distinct-signature pairs must stay banded:\n$distinctPlan")
+  }
+
   test("p74 exact sample compiles to TakeOrderedAndProject, not a global sort") {
     // ORDER BY key LIMIT n must become per-partition top-n + merge; a
     // Sort node here means the sample pays a full corpus sort at 100 TB

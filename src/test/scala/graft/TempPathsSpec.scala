@@ -73,6 +73,41 @@ class TempPathsSpec extends AnyFunSuite {
     assert(name.contains(s"_pid${ProcessHandle.current().pid()}_"))
   }
 
+  test("uniqueScratchDir never collides for the same (prefix, discriminator)") {
+    val spark = SparkTestBase.session
+    // concurrent landings of ONE fixture must get distinct staging dirs
+    // (the clobber window ADVICE r14 flagged on the deterministic name);
+    // uniqueness rides a process-wide counter, so it holds from any mix
+    // of threads — including several calls on one thread
+    val threads = (1 to 4).map { _ =>
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val t = new Thread(() => (1 to 2).foreach { _ =>
+        out.add(TempPaths.uniqueScratchDir(spark, "graft_stage_spec",
+          "same-landing")); ()
+      })
+      t.start(); (t, out)
+    }
+    val names = threads.flatMap { case (t, out) =>
+      t.join(); scala.jdk.CollectionConverters.CollectionHasAsScala(out)
+        .asScala
+    }.toSet
+    assert(names.size === 8, s"staging names collided: $names")
+    // while the deterministic variant is shared by design
+    val a = TempPaths.scratchDir(spark, "graft_det_spec", "x")
+    assert(a === TempPaths.scratchDir(spark, "graft_det_spec", "x"))
+  }
+
+  test("stableScratchDir is epoch-independent (fixture payloads persist across reps)") {
+    val spark = SparkTestBase.session
+    val before = TempPaths.stableScratchDir(spark, "graft_stable_spec", "d")
+    val scratchBefore = TempPaths.scratchDir(spark, "graft_det_spec", "x")
+    TempPaths.bumpEpoch() // monotonic by design; nothing to restore
+    val after = TempPaths.stableScratchDir(spark, "graft_stable_spec", "d")
+    assert(before === after, "epoch bump must not move a stable fixture dir")
+    // ...whereas the epoch-aware scratch DOES move (state must go cold)
+    assert(TempPaths.scratchDir(spark, "graft_det_spec", "x") != scratchBefore)
+  }
+
   test("scratchTableName is catalog-safe and collision-resistant") {
     val spark = SparkTestBase.session
     val a = TempPaths.scratchTableName(spark, "t", "bucketed|16|by-h")

@@ -96,6 +96,15 @@ class UrlsSpec extends SparkSpec {
       "x.ward1.kawasaki.jp", "city.kawasaki.jp"))
   }
 
+  test("IP-literal hosts have no registrable domain — degrade to the host") {
+    val got = canon(
+      "https://192.168.0.1:8080/admin",  // the label rules would say "0.1"
+      "http://10.0.0.1/x",
+      "http://[2001:db8::1]:443/x")      // bracketed IPv6
+    assert(got.map(_._2) ===
+      Seq("192.168.0.1", "10.0.0.1", "[2001:db8::1]"))
+  }
+
   test("registered domain degrades gracefully at the boundary") {
     val got = canon(
       "https://localhost/x",  // single label — no registrable part
