@@ -15,6 +15,22 @@ import org.apache.spark.sql.functions._
   */
 object BandedHamming {
 
+  /** One row per (input row, band): the input's columns plus
+    * (band, v) — the 4×16-bit band decomposition every caller joins
+    * on. Shared by [[pairs]], [[distinctPairs]] and the occupancy
+    * analysis tooling so the banding scheme has exactly one
+    * definition. */
+  private[graft] def bandedFrame(sigs: DataFrame): DataFrame = {
+    val carried = sigs.columns.map(col).toSeq
+    sigs.select(carried :+
+        explode(array((0 until 4).map { b =>
+          val src = if (b < 2) col("lo") else col("hi")
+          struct(lit(b).as("band"),
+            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
+        }: _*)).as("bv"): _*)
+      .select(carried ++ Seq(col("bv.band"), col("bv.v")): _*)
+  }
+
   /** `sigs` must carry (doc_id, lo, hi) — the 64-bit signature split
     * into two longs (bit k in `lo` for k<32, else `hi` at k−32).
     * Returns (left_id, right_id, hamming) for every unordered pair at
@@ -22,14 +38,7 @@ object BandedHamming {
   def pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 x 16-bit bands only guarantee recall for hamming <= 3")
-    val banded = sigs.select(col("doc_id"), col("lo"), col("hi"),
-        explode(array((0 until 4).map { b =>
-          val src = if (b < 2) col("lo") else col("hi")
-          struct(lit(b).as("band"),
-            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
-        }: _*)).as("bv"))
-      .select(col("doc_id"), col("lo"), col("hi"),
-        col("bv.band"), col("bv.v"))
+    val banded = bandedFrame(sigs.select("doc_id", "lo", "hi"))
     val l = banded.select(col("band"), col("v"), col("doc_id").as("left_id"),
       col("lo").as("llo"), col("hi").as("lhi"))
     val r = banded.select(col("band"), col("v"), col("doc_id").as("right_id"),
@@ -39,8 +48,10 @@ object BandedHamming {
         (bit_count(col("llo").bitwiseXOR(col("rlo"))) +
           bit_count(col("lhi").bitwiseXOR(col("rhi")))).cast("long")
           .as("hamming"))
-      .distinct() // a close pair collides in several bands
+      // cheap popcount gate BEFORE the dedup shuffle: far-apart
+      // candidates (the vast majority) never reach the distinct
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a close pair collides in several bands
   }
 
   /** The SCALE PATH when signature mass concentrates — boilerplate
@@ -65,15 +76,7 @@ object BandedHamming {
     val reps = sigs.groupBy(col("lo"), col("hi"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).cast("long").as("n_docs"))
-    val banded = reps.select(col("rep_id"), col("n_docs"), col("lo"),
-        col("hi"),
-        explode(array((0 until 4).map { b =>
-          val src = if (b < 2) col("lo") else col("hi")
-          struct(lit(b).as("band"),
-            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
-        }: _*)).as("bv"))
-      .select(col("rep_id"), col("n_docs"), col("lo"), col("hi"),
-        col("bv.band"), col("bv.v"))
+    val banded = bandedFrame(reps)
     val l = banded.select(col("band"), col("v"), col("rep_id").as("left_id"),
       col("n_docs").as("ln"), col("lo").as("llo"), col("hi").as("lhi"))
     val r = banded.select(col("band"), col("v"), col("rep_id").as("right_id"),
@@ -84,7 +87,7 @@ object BandedHamming {
           bit_count(col("lhi").bitwiseXOR(col("rhi")))).cast("long")
           .as("hamming"),
         (col("ln") * col("rn")).as("n_pairs"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

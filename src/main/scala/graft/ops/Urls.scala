@@ -25,21 +25,61 @@ object Urls {
   private def afterScheme(url: Column): Column =
     regexp_replace(url, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
 
+  /** Public-suffix label count of a pre-split host (the PSL rule
+    * engine shared by [[registeredDomain]] and the `www.` strip
+    * guard): exception rules prevail, then the LONGEST match among
+    * plain and wildcard rules (`greatest` skips the null branches of
+    * unmatched depths), then the implicit `*` (last label). All
+    * membership tests compile to `InSet` over string literals —
+    * native, no UDF. */
+  private def publicSuffixLen(labels: Column, n: Column): Column = {
+    import PublicSuffixes._
+    val exceptionLen =
+      when(suffixIn(labels, 3, exception3), lit(2))
+        .when(suffixIn(labels, 2, exception2), lit(1))
+    val plainLen =
+      when(suffixIn(labels, 4, plain4), lit(4))
+        .when(suffixIn(labels, 3, plain3), lit(3))
+        .when(suffixIn(labels, 2, plain2), lit(2))
+    // `*.base` makes <label>.base a public suffix — one deeper than the
+    // base, and only when such a label exists
+    val wildLen =
+      when(suffixIn(labels, 2, wildcard2) && n >= 3, lit(3))
+        .when(suffixIn(labels, 1, wildcard1) && n >= 2, lit(2))
+    coalesce(exceptionLen, greatest(plainLen, wildLen, lit(1)))
+  }
+
+  /** True when the host IS a public suffix under the pinned snapshot —
+    * such a name has no registrable part, so e.g. a `www.` strip that
+    * would LAND on one must not happen. */
+  private def isPublicSuffix(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    publicSuffixLen(labels, n) >= n
+  }
+
   /** Lowercased host with userinfo (`user:pass@`), `www.` prefix and
     * `:port` stripped — userinfo must go FIRST, or `user@host` would
     * corrupt the registered domain and split one page across canonical
-    * identities. The `www.` strip is guarded by a lookahead requiring
-    * two more labels: for `www.ck` (a REAL registrable domain — the
-    * PSL exception `!www.ck`) or `www.com`, `www` is the domain label
-    * itself, and an unconditional strip would collapse the site to a
-    * bare TLD. */
-  def canonicalHost(url: Column): Column =
-    regexp_replace(
+    * identities. The `www.` strip is DOUBLY guarded: a lookahead
+    * requires two more labels (for `www.ck` — the PSL exception
+    * `!www.ck` — or `www.com`, `www` is the domain label itself, and an
+    * unconditional strip collapses the site to a bare TLD), and the
+    * stripped remainder must not itself be a public suffix — otherwise
+    * `www.github.io` or `www.co.uk`, where `www` sits directly on a
+    * multi-label suffix and IS the registrable label, would collapse
+    * into the suffix bucket, the exact merge the PSL upgrade exists to
+    * prevent. */
+  def canonicalHost(url: Column): Column = {
+    val base =
       regexp_replace(
         lower(regexp_replace(
           regexp_extract(afterScheme(url), "^([^/?#]*)", 1), "^[^/@]*@", "")),
-        ":\\d+$", ""),
-      "^www\\.(?=[^.]+\\.)", "")
+        ":\\d+$", "")
+    val stripped = regexp_replace(base, "^www\\.(?=[^.]+\\.)", "")
+    when(stripped =!= base && isPublicSuffix(stripped), base)
+      .otherwise(stripped)
+  }
 
   /** Path with trailing slashes stripped (query/fragment excluded). */
   def canonicalPath(url: Column): Column =
@@ -74,9 +114,8 @@ object Urls {
     else lastLabels(labels, k).isin(rules: _*)
 
   /** Registered domain under the pinned [[PublicSuffixes]] snapshot —
-    * public suffix plus one label, with full PSL rule semantics:
-    * exception rules prevail, then the longest matching rule, then the
-    * implicit `*` (last label). `bbc.co.uk` → `bbc.co.uk` (not the old
+    * public suffix plus one label, with full PSL rule semantics
+    * ([[publicSuffixLen]]). `bbc.co.uk` → `bbc.co.uk` (not the old
     * two-label `co.uk`, which merged every `.co.uk` site into one
     * "domain" for per-domain caps and mixtures); `user.github.io` →
     * `user.github.io`; `a.b.ck` → `a.b.ck` (wildcard `*.ck`);
@@ -86,7 +125,7 @@ object Urls {
     * to `InSet` over string literals, so canonicalizing 100 TB of URLs
     * stays a scan coefficient — no UDF, no join, no shuffle. A host
     * that IS a public suffix (e.g. `co.uk` itself) has no registrable
-    * part and degrades to the host unchanged. */
+    * part and degrades to the host unchanged, as do IP literals. */
   def registeredDomain(url: Column): Column = {
     val host = canonicalHost(url)
     val labels = split(host, "\\.")
@@ -96,24 +135,7 @@ object Urls {
     // domain "0.1" (or shred a bracketed IPv6). Degrade to the host.
     val isIpLiteral =
       host.rlike("^\\d{1,3}(\\.\\d{1,3}){3}$") || host.contains("[")
-    import PublicSuffixes._
-    // public-suffix label count at this host. Exceptions first (they
-    // prevail over any other matching rule); otherwise the LONGEST
-    // match among plain and wildcard rules (`greatest` skips the
-    // null branches of unmatched depths); otherwise the default `*`.
-    val exceptionLen =
-      when(suffixIn(labels, 3, exception3), lit(2))
-        .when(suffixIn(labels, 2, exception2), lit(1))
-    val plainLen =
-      when(suffixIn(labels, 4, plain4), lit(4))
-        .when(suffixIn(labels, 3, plain3), lit(3))
-        .when(suffixIn(labels, 2, plain2), lit(2))
-    // `*.base` makes <label>.base a public suffix — one deeper than the
-    // base, and only when such a label exists
-    val wildLen =
-      when(suffixIn(labels, 2, wildcard2) && n >= 3, lit(3))
-        .when(suffixIn(labels, 1, wildcard1) && n >= 2, lit(2))
-    val psLen = coalesce(exceptionLen, greatest(plainLen, wildLen, lit(1)))
+    val psLen = publicSuffixLen(labels, n)
     when(isIpLiteral, host)
       .when(n > psLen,
         array_join(slice(labels, (psLen + lit(1)) * -1, psLen + lit(1)), "."))

@@ -49,12 +49,16 @@ object Amplify {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     copies(docs) { (d, i) =>
+      val text = when(lit(i) === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"~$i"))), " "))
       d.select(
         (col("doc_id") + lit(i * idStride)).as("doc_id"),
-        when(lit(i) === 0, col("text")).otherwise(
-          array_join(transform(split(col("text"), " "),
-            t => concat(t, lit(s"~$i"))), " ")).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        text.as("text"),
+        col("lang"), col("source"),
+        // the token suffixes lengthen the text; keep the fixture
+        // invariant n_chars = length(text) true in every copy
+        length(text).cast("long").as("n_chars"))
     }.repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val embs = spark.read.parquet(s"$src/embeddings.parquet")

@@ -17,14 +17,11 @@ object P76Probe {
         .localCheckpoint()
       val n = hashes.count()
       val nd = hashes.select("ahash_lo", "ahash_hi").distinct().count()
-      // band-bucket occupancy -> candidate pair volume
-      val banded = hashes.select(col("doc_id"),
-        explode(array((0 until 4).map { b =>
-          val src = if (b < 2) col("ahash_lo") else col("ahash_hi")
-          struct(lit(b).as("band"),
-            shiftright(src, (b % 2) * 16).bitwiseAND(lit(0xffffL)).as("v"))
-        }: _*)).as("bv"))
-      val occ = banded.groupBy("bv.band", "bv.v").count()
+      // band-bucket occupancy -> candidate pair volume (the operator's
+      // own band decomposition, so this analysis cannot diverge from it)
+      val banded = graft.ops.BandedHamming.bandedFrame(hashes.select(
+        col("doc_id"), col("ahash_lo").as("lo"), col("ahash_hi").as("hi")))
+      val occ = banded.groupBy("band", "v").count()
       val cand = occ.agg(sum(col("count") * (col("count") - 1)).cast("long")).first.getLong(0) / 2
       val pairs = graft.ops.Multimodal.imageNearDupPairs(hashes).count()
       println(s"P76 $dir images=$n distinct_hashes=$nd candidates=$cand pairs_le3=$pairs")

@@ -56,8 +56,9 @@ object ProfileArb {
         println(f"ARB canary ${canaries.last}%7.3f s")
       }
     }
-    // steady state excludes rep 1 (fresh-JVM codegen/IO warmup)
-    val steady = times.drop(1).sorted
+    // steady state excludes rep 1 (fresh-JVM codegen/IO warmup) —
+    // unless there IS only one rep
+    val steady = (if (times.size > 1) times.drop(1) else times).sorted
     val med = steady(steady.size / 2)
     val canMed = canaries.sorted.apply(canaries.size / 2)
     println(f"ARB SUMMARY $name steady_median=$med%.3f s " +

@@ -96,6 +96,19 @@ class UrlsSpec extends SparkSpec {
       "x.ward1.kawasaki.jp", "city.kawasaki.jp"))
   }
 
+  test("www directly on a multi-label public suffix is the registrable label — never stripped") {
+    val got = canon(
+      "https://www.github.io/blog",     // www IS the user site here
+      "https://WWW.co.uk/x",            // www registrable under co.uk
+      "https://www.example.com/x",      // ordinary www: stripped
+      "https://www.bbc.co.uk/news")     // ordinary www above a real domain
+    assert(got.map(_._1) === Seq(
+      "https://www.github.io/blog", "https://www.co.uk/x",
+      "https://example.com/x", "https://bbc.co.uk/news"))
+    assert(got.map(_._2) === Seq(
+      "www.github.io", "www.co.uk", "example.com", "bbc.co.uk"))
+  }
+
   test("IP-literal hosts have no registrable domain — degrade to the host") {
     val got = canon(
       "https://192.168.0.1:8080/admin",  // the label rules would say "0.1"
