@@ -31,7 +31,7 @@ object PublicSuffixes {
     * are the implicit default rule `*` and need no listing). */
   val plain2: Seq[String] = Seq(
     // uk
-    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk",
     "ac.uk", "gov.uk", "nhs.uk", "police.uk",
     // au
     "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
@@ -80,14 +80,14 @@ object PublicSuffixes {
     "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
     "appspot.com", "netlify.app", "pages.dev", "web.app",
     "firebaseapp.com", "azurewebsites.net", "cloudfront.net",
-    "vercel.app", "fastly.net", "wordpress.com", "tumblr.com")
+    "vercel.app")
 
   val plain3: Seq[String] = Seq(
     // us K-12 / community-college per state
     "k12.ca.us", "k12.ny.us", "k12.tx.us", "k12.ma.us", "k12.wa.us",
     "k12.fl.us", "k12.ak.us", "cc.ca.us", "cc.ny.us", "lib.ca.us",
     // private-section three-label suffixes
-    "s3.amazonaws.com", "compute.amazonaws.com", "elb.amazonaws.com")
+    "s3.amazonaws.com", "elb.amazonaws.com")
 
   val plain4: Seq[String] = Seq(
     // the PSL's deepest plain shape: private K-12 per state
@@ -101,7 +101,10 @@ object PublicSuffixes {
 
   val wildcard2: Seq[String] = Seq(
     "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp", "sapporo.jp",
-    "sendai.jp", "yokohama.jp")
+    "sendai.jp", "yokohama.jp",
+    // *.sch.uk: schools are <school>.<la>.sch.uk, so the LA label is
+    // itself a public suffix (the list's rule is a wildcard, not plain)
+    "sch.uk")
 
   /** Exception rules (stored without the leading `!`): the named host
     * is carved OUT of its wildcard — its public suffix is the rule
