@@ -155,6 +155,17 @@ object Multimodal {
       * the class of silent codec defect these rows exist to catch). */
     def encodeGif(docId: Long): Array[Byte] = {
       val (w, h) = frameDims(docId)
+      encodeFrameSeq(w, h, nFrames(docId), pixelGray(docId, _, _, _))
+    }
+
+    /** Shared GIF sequence encoder: render `n` frames of `w`×`h` from
+      * the supplied (frame, x, y) → gray generator and write one real
+      * animated GIF container. Factored out of [[encodeGif]] so the
+      * near-dup VARIANT fixture ([[encodeVariantGif]]) uses byte-for-
+      * byte the same container path (palette, progressive frames,
+      * shared metadata tree). */
+    private def encodeFrameSeq(w: Int, h: Int, n: Int,
+                               gray: (Int, Int, Int) => Int): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
       val ios = javax.imageio.ImageIO.createImageOutputStream(out)
       val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -167,14 +178,14 @@ object Multimodal {
         // tree per frame was ~40% of encode cost
         var meta: javax.imageio.metadata.IIOMetadata = null
         var f = 0
-        while (f < nFrames(docId)) {
+        while (f < n) {
           val img = new java.awt.image.BufferedImage(
             w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
           val raster = img.getRaster
           var y = 0
           while (y < h) {
             var x = 0
-            while (x < w) { raster.setSample(x, y, 0, pixelGray(docId, f, x, y)); x += 1 }
+            while (x < w) { raster.setSample(x, y, 0, gray(f, x, y)); x += 1 }
             y += 1
           }
           if (meta == null) {
@@ -194,6 +205,46 @@ object Multimodal {
         writer.endWriteSequence()
       } finally { writer.dispose(); ios.close() }
       out.toByteArray
+    }
+
+    /** Variant-clip frame count: 65 frames give 64 consecutive-frame
+      * gray-sum deltas — one bit each, the video edition of the audio
+      * energy-delta fingerprint ([[graft.ops.Audio.AudioCodec.fingerprint]]). */
+    val fpFrames = 65
+
+    /** Variant-clip geometry rides the GROUP id (doc_id div 2) so a
+      * planted pair's clips align frame for frame: 4–8 × 3–5 px. */
+    def variantDims(grp: Long): (Int, Int) =
+      (((grp % 5) + 4).toInt, ((grp % 3) + 3).toInt)
+
+    /** Base gray generator of a near-dup GROUP — the group id modulates
+      * the quadratic and linear FRAME coefficients, not just the phase
+      * (the [[graft.ops.Audio.AudioCodec.pairSample]] device): two
+      * different groups walk genuinely different gray-sum trajectories,
+      * so their delta-sign fingerprints decorrelate instead of every
+      * unrelated pair landing within banding distance. */
+    def pairGray(grp: Long, f: Int, x: Int, y: Int): Int =
+      ((x * 7L + y * 13L + f.toLong * f * (19 + grp % 23) +
+        f.toLong * (11 + grp % 17) + grp * 101) % 256).toInt
+
+    /** Near-dup variant generator: docs pair up (group = doc_id div 2);
+      * the even doc carries the group's base frames, the odd doc the
+      * SAME frames with the first three brightened by +5 gray levels
+      * (mod 256 — exact-arithmetic stand-in for the re-encode/levels
+      * drift a copied clip picks up). Only gray sums S(0..2) can
+      * change, and bit f compares S(f) with S(f+1), so only bits 0–2
+      * can flip: every planted pair lands at hamming ≤ 3, inside the
+      * banded-join guarantee. */
+    def variantGray(docId: Long, f: Int, x: Int, y: Int): Int = {
+      val base = pairGray(docId / 2, f, x, y)
+      if (docId % 2 == 1 && f < 3) (base + 5) % 256 else base
+    }
+
+    /** Encode one near-dup VARIANT clip: a real 65-frame animated GIF
+      * through the same container path as [[encodeGif]]. */
+    def encodeVariantGif(docId: Long): Array[Byte] = {
+      val (w, h) = variantDims(docId / 2)
+      encodeFrameSeq(w, h, fpFrames, variantGray(docId, _, _, _))
     }
 
     /** Decode a GIF payload: frame count + a frame accessor. Callers
@@ -365,6 +416,64 @@ object Multimodal {
       .mapPartitions(ids => ids.map(id => (id, VideoCodec.encodeGif(id))))
       .toDF("doc_id", "payload")
   }
+
+  /** Synthetic near-dup video payloads: real animated GIFs where each
+    * doc-id PAIR shares one frame sequence up to the variant
+    * perturbation ([[VideoCodec.variantGray]]) — the fixture for the
+    * video perceptual near-dup family (the GIF sibling of
+    * [[graft.ops.Audio.syntheticAudioVariants]]). Dims ride the group
+    * id so a pair's clips align frame for frame. */
+  def syntheticVideoVariants(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(ids => ids.map(id => (id, VideoCodec.encodeVariantGif(id))))
+      .toDF("doc_id", "payload")
+  }
+
+  /** Typed fingerprint row — 64 gray-sum-delta sign bits split across
+    * two longs (the [[ImageHash]] convention). */
+  case class VideoFingerprint(doc_id: Long, fp_lo: Long, fp_hi: Long)
+
+  /** Partition-streamed video perceptual fingerprinting: decode the
+    * 65-frame GIF container, per-frame gray sums from the decoded
+    * rasters, bit f = S(f+1) > S(f). Sign-of-brightness-delta survives
+    * level shifts and mild per-frame noise — a NEAR-dup signal, not an
+    * exact hash — and every step is integer, so the SQL oracle replays
+    * it bit for bit. One codec context per payload inside a streaming
+    * partition iterator; only 24 bytes per clip leave the stage. */
+  def videoFingerprints(spark: SparkSession, payloads: DataFrame): Dataset[VideoFingerprint] = {
+    import spark.implicits._
+    payloads.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val reader = VideoCodec.openGif(bytes)
+          try {
+            val n = reader.getNumImages(true)
+            require(n >= VideoCodec.fpFrames,
+              s"video fingerprint needs >= ${VideoCodec.fpFrames} frames, got $n")
+            val s = Array.tabulate(n)(f => VideoCodec.graySum(reader.read(f)))
+            var (lo, hi) = (0L, 0L)
+            var f = 0
+            while (f < 64) {
+              if (s(f + 1) > s(f)) {
+                if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+              }
+              f += 1
+            }
+            VideoFingerprint(id, lo, hi)
+          } finally reader.dispose()
+        }
+      }
+  }
+
+  /** Near-duplicate clip pairs from the video fingerprints — the shared
+    * [[BandedHamming]] device (4×16-bit pigeonhole banding): candidate
+    * pairs from a (band, value) self-equi-join, exact popcount verify
+    * on candidates only, never all pairs. */
+  def videoNearDupPairs(fps: DataFrame, maxHamming: Int = 3): DataFrame =
+    BandedHamming.pairs(fps.select(col("doc_id"),
+      col("fp_lo").as("lo"), col("fp_hi").as("hi")), maxHamming)
 
   /** One output row per SAMPLED frame. */
   case class VideoFrame(doc_id: Long, frame_idx: Long, n_frames: Long,

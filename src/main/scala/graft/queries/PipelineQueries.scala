@@ -752,6 +752,120 @@ object PipelineQueries {
       |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
       |FROM reach GROUP BY id""".stripMargin
 
+  /** Pre-land the near-dup VARIANT video fixture once per application
+    * (the [[videoFrames]] device, own landing dir): three catalog rows
+    * (p85/p86/p87) share one deterministic 65-frame-GIF corpus, and the
+    * GIF *writer* is the costliest codec in the catalog — re-encoding
+    * it per row/rep would time the fixture, not the operator. */
+  private val variantGifLandLock = new Object
+
+  private def landedVideoVariants(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.stableScratchDir(
+      spark, "graft_p85_gif", dir)
+    variantGifLandLock.synchronized {
+      if (!graft.io.TempPaths.isComplete(landing)) {
+        Multimodal.syntheticVideoVariants(spark, Tables.documents(spark, dir))
+          .write.mode("overwrite").parquet(landing)
+        graft.io.TempPaths.markComplete(landing)
+      }
+    }
+    spark.read.parquet(landing)
+  }
+
+  /** p85 — VIDEO perceptual fingerprint from the DECODED frames: the
+    * temporal brightness-delta sign device (65 real GIF frames, per-
+    * frame gray sums from the decoded rasters, bit f = S(f+1) > S(f))
+    * over the near-dup variant fixture — doc pairs share one frame
+    * sequence up to a 3-frame +5-gray perturbation, the replayable
+    * stand-in for a levels-drifted re-encoded copy. Completes the
+    * modality × fingerprint matrix: image aHash (p75) is SPATIAL,
+    * audio energy-delta (p78) is TEMPORAL-1D, this is TEMPORAL over
+    * decoded 2-D frames. Oracle replays generator, gray sums and delta
+    * bits in SQL; a hash match certifies the whole 65-frame container
+    * round trip in order. */
+  def videoFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoFingerprints(spark, landedVideoVariants(spark, dir)).toDF()
+
+  // lazy: referenced by videoDedupGroupsSql below via string reuse
+  private lazy val videoFpCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id // 2 AS grp,
+      |    (doc_id // 2) % 5 + 4 AS w, (doc_id // 2) % 3 + 3 AS h
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, f.v AS f,
+      |    SUM(CASE WHEN doc_id % 2 = 1 AND f.v < 3
+      |      THEN ((x.v*7 + y.v*13 + f.v*f.v*(19 + grp % 23)
+      |             + f.v*(11 + grp % 17) + grp*101) % 256 + 5) % 256
+      |      ELSE (x.v*7 + y.v*13 + f.v*f.v*(19 + grp % 23)
+      |            + f.v*(11 + grp % 17) + grp*101) % 256
+      |    END) AS gsum
+      |  FROM d, unnest(range(65)) AS f(v), unnest(range(w)) AS x(v),
+      |    unnest(range(h)) AS y(v)
+      |  GROUP BY doc_id, f.v),
+      |lg AS (
+      |  SELECT doc_id, f, gsum,
+      |    LEAD(gsum) OVER (PARTITION BY doc_id ORDER BY f) AS nexts
+      |  FROM s),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(COALESCE(SUM(CASE WHEN nexts > gsum AND f < 32
+      |      THEN (CAST(1 AS BIGINT) << f) END), 0) AS BIGINT) AS fp_lo,
+      |    CAST(COALESCE(SUM(CASE WHEN nexts > gsum AND f >= 32 AND f < 64
+      |      THEN (CAST(1 AS BIGINT) << (f - 32)) END), 0) AS BIGINT) AS fp_hi
+      |  FROM lg GROUP BY doc_id)""".stripMargin
+
+  val videoFingerprintSql: String =
+    videoFpCtes + "\nSELECT doc_id, fp_lo, fp_hi FROM fp"
+
+  /** p86 — video near-dup pairs from the fingerprints: Spark runs the
+    * shared banded (4×16-bit pigeonhole) self-join — candidates only —
+    * while the oracle computes EVERY pair directly, so the hash match
+    * proves the banding lost nothing its ≤3-hamming guarantee
+    * promises. The variant fixture plants each doc pair at hamming ≤ 3
+    * structurally (only fingerprint bits 0–2 can flip). */
+  def videoNearDups(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupPairs(Multimodal.videoFingerprints(spark,
+      landedVideoVariants(spark, dir)).toDF())
+
+  val videoNearDupsSql: String =
+    videoFpCtes + """
+      |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+      |  CAST(bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |       bit_count(xor(a.fp_hi, b.fp_hi)) AS BIGINT) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |      bit_count(xor(a.fp_hi, b.fp_hi)) <= 3""".stripMargin
+
+  /** p87 — transitive VIDEO dedup groups: the p82/p84 device on the
+    * p85/p86 family — connected components over the video fingerprint
+    * hamming-≤3 edges, one keeper per component. Closes the dedup
+    * lifecycle for the third and last media modality: every modality
+    * now runs fingerprint → banded pairs → transitive groups. Oracle:
+    * recursive min-label CTE over the exact all-pairs edge set from
+    * the p85 fingerprint replay. */
+  def videoDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fps = Multimodal.videoFingerprints(spark,
+      landedVideoVariants(spark, dir)).toDF()
+    Dedup.dedupGroups(docs, Multimodal.videoNearDupPairs(fps))
+  }
+
+  val videoDedupGroupsSql: String =
+    "WITH RECURSIVE " + videoFpCtes.stripPrefix("WITH ") + """,
+      |ed AS (
+      |  SELECT a.doc_id AS x, b.doc_id AS y
+      |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.fp_lo, b.fp_lo)) +
+      |        bit_count(xor(a.fp_hi, b.fp_hi)) <= 3),
+      |eds AS (SELECT x, y FROM ed UNION ALL SELECT y AS x, x AS y FROM ed),
+      |reach(id, root) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT eds.y, reach.root FROM reach JOIN eds ON eds.x = reach.id)
+      |SELECT id AS doc_id, MIN(root) AS group_id, (MIN(root) = id) AS is_keeper
+      |FROM reach GROUP BY id""".stripMargin
+
   /** p73 — STEREO audio decode: 2-channel WAV containers with
     * interleaved 4-byte frames, deinterleaved from the decoded stream;
     * per-channel stats plus the exact integer cross-channel dot
@@ -1481,6 +1595,9 @@ object PipelineQueries {
     "p82_image_dedup_groups" -> (imageDedupGroups _),
     "p84_audio_dedup_groups" -> (audioDedupGroups _),
     "p79_audio_near_dups" -> (audioNearDups _),
+    "p85_video_fingerprint" -> (videoFingerprint _),
+    "p86_video_near_dups" -> (videoNearDups _),
+    "p87_video_dedup_groups" -> (videoDedupGroups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
     "p19_dedup_groups" -> (dedupGroups _),
     "p20_text_tfidf" -> (textTfIdf _),
@@ -1531,6 +1648,9 @@ object PipelineQueries {
     "p82_image_dedup_groups" -> imageDedupGroupsSql,
     "p84_audio_dedup_groups" -> audioDedupGroupsSql,
     "p79_audio_near_dups" -> audioNearDupsSql,
+    "p85_video_fingerprint" -> videoFingerprintSql,
+    "p86_video_near_dups" -> videoNearDupsSql,
+    "p87_video_dedup_groups" -> videoDedupGroupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,
     "p20_text_tfidf" -> textTfIdfSql,
     "p21_train_test_split" -> trainTestSplitSql,

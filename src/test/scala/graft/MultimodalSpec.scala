@@ -170,4 +170,75 @@ class MultimodalSpec extends SparkSpec {
     // distinct rows carry representative ids and positive multiplicities
     assert(distinctRows.forall(r => r._4 >= 1 && r._1 < r._2))
   }
+
+  test("variant GIF round trip: decode recovers exactly the variant pixels") {
+    for (id <- Seq(6L, 7L)) { // one even/odd planted pair
+      val (w, h) = VideoCodec.variantDims(id / 2)
+      val reader = VideoCodec.openGif(VideoCodec.encodeVariantGif(id))
+      try {
+        assert(reader.getNumImages(true) === VideoCodec.fpFrames)
+        for (f <- 0 until VideoCodec.fpFrames) {
+          val img = reader.read(f)
+          assert(img.getWidth === w && img.getHeight === h)
+          for (y <- 0 until h; x <- 0 until w)
+            assert((img.getRGB(x, y) & 0xff) === VideoCodec.variantGray(id, f, x, y),
+              s"pixel ($x,$y) of frame $f, doc $id corrupted by the round trip")
+        }
+      } finally reader.dispose()
+    }
+  }
+
+  /** Plain-Scala fingerprint replay from the generator (no codec). */
+  private def vfpWant(id: Long): (Long, Long) = {
+    val (w, h) = VideoCodec.variantDims(id / 2)
+    val s = Array.tabulate(VideoCodec.fpFrames) { f =>
+      (for (y <- 0 until h; x <- 0 until w)
+        yield VideoCodec.variantGray(id, f, x, y).toLong).sum
+    }
+    var (lo, hi) = (0L, 0L)
+    for (f <- 0 until 64 if s(f + 1) > s(f))
+      if (f < 32) lo |= 1L << f else hi |= 1L << (f - 32)
+    (lo, hi)
+  }
+
+  test("videoFingerprints: generator-exact bits; planted pair flips only bits 0-2") {
+    val ids = Seq(6L, 7L, 20L, 21L)
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val fps = Multimodal.videoFingerprints(spark,
+      Multimodal.syntheticVideoVariants(spark, docs))
+    val got = fps.collect().map(f => f.doc_id -> ((f.fp_lo, f.fp_hi))).toMap
+    for (id <- ids) assert(got(id) === vfpWant(id), s"doc $id fingerprint mismatch")
+    for (Seq(e, o) <- Seq(Seq(6L, 7L), Seq(20L, 21L))) {
+      val d = java.lang.Long.bitCount(got(e)._1 ^ got(o)._1) +
+        java.lang.Long.bitCount(got(e)._2 ^ got(o)._2)
+      assert(d <= 3, s"planted pair ($e,$o) at hamming $d > 3")
+      // the perturbation touches frames 0-2 only, so bits >= 3 agree
+      assert((got(e)._1 >> 3) === (got(o)._1 >> 3) && got(e)._2 === got(o)._2,
+        s"planted pair ($e,$o) differs beyond bit 2")
+    }
+    // one id-spread exchange pre-encode; payloads never shuffle
+    val plan = finalPlan(fps.toDF())
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
+  test("videoNearDupPairs: banded candidates equal the brute-force pairs") {
+    val ids = (0L to 41L).toSeq // 21 planted even/odd pairs
+    val docs = ids.map(i => (i, "x")).toDF("doc_id", "text")
+    val fps = Multimodal.videoFingerprints(spark,
+      Multimodal.syntheticVideoVariants(spark, docs)).toDF()
+    val hs = fps.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    val got = Multimodal.videoNearDupPairs(fps).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, "banding must find exactly the brute-force pairs")
+    // every planted even/odd pair is in the edge set
+    for (g <- 0L to 20L)
+      assert(got.exists(p => p._1 == 2 * g && p._2 == 2 * g + 1),
+        s"planted pair (${2 * g},${2 * g + 1}) missing from the banded edges")
+  }
 }
