@@ -292,6 +292,86 @@ object TextAnalysis {
       .withColumn("keep", col("score_raw") > 0)
   }
 
+  /** Distributed full-batch logistic-regression TRAINING over hashed
+    * token-count features — the training half of the [[hashedLinearQuality]]
+    * story (p61 APPLIES a weight table; this row LEARNS one). The shape is
+    * the classic parameter-server-free fleet pattern a quality-classifier
+    * pipeline ships: per step, one map-side featurize + aggregate produces
+    * the D-dimensional gradient, the driver folds it into the weight
+    * vector (D longs — the k-means p41/p42 collect discipline), and the
+    * next step broadcasts the weights back out. Cost per step is one
+    * shuffle bounded by `dims`, independent of corpus size.
+    *
+    * Exact fixed-point replay discipline: weights live as 1e-6-scaled
+    * LONGS; features are integer token counts capped at `capCount`;
+    * margins are exact integer sums; the only float op per step is the
+    * sigmoid, immediately re-quantized to the 1e-6 grid with HALF_UP
+    * rounding (positive domain — Spark and DuckDB agree), so gradient
+    * sums are exact integers and the whole K-step trajectory is
+    * bit-replayable by the SQL oracle with no summation-order caveats.
+    * The weight update divides by (etaInvFactor·N) with TRUNCATING
+    * integer division — Scala `/` on Long and DuckDB `//` both truncate
+    * toward zero.
+    *
+    * Label: y = 1 iff the doc has more than `labelMinTokens` whitespace
+    * tokens — deterministic, linearly tied to the feature mass, so the
+    * loss genuinely falls across steps (mechanics-of-training row, not a
+    * model-quality claim). Output: one row per (step, dim) with the
+    * post-step weight — the full trajectory, so the oracle certifies
+    * every intermediate state, not just the final vector. */
+  def trainHashedLogReg(docs: DataFrame, dims: Int = 8, steps: Int = 3,
+                        capCount: Int = 5, labelMinTokens: Int = 30,
+                        etaInvFactor: Int = 16): DataFrame = {
+    require(dims > 0 && dims <= 65536, "dim space must fit the 16-bit md5 prefix")
+    require(steps >= 1 && steps <= 8, "unrolled-oracle training is short")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = tokens(col("text"))
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 4), 16, 10).cast("int") % dims
+    // long-form features (doc_id, d, x) + the per-doc label riding along:
+    // x = min(token count in bucket d, capCount), y6 = y scaled 1e6
+    val feat = docs
+      .select(col("doc_id"),
+        (size(toks) > labelMinTokens).cast("long").*(lit(1000000L)).as("y6"),
+        explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("y6"), bucket(col("t")).as("d"))
+      .agg(least(count(lit(1)), lit(capCount.toLong)).as("x"))
+      .persist()
+    val n = docs.count()
+    val etaInv = etaInvFactor * n
+    val w = Array.fill(dims)(0L)
+    val trajectory = Seq.newBuilder[(Int, Int, Long)]
+    try {
+      for (step <- 1 to steps) {
+        val wDf = w.toSeq.zipWithIndex.map { case (wv, d) => (d, wv) }
+          .toDF("d", "w6")
+        // margin per doc (exact integer), sigmoid re-quantized to the
+        // 1e-6 grid, then the per-dim gradient — two bounded shuffles
+        val r = feat.join(broadcast(wDf), "d")
+          .groupBy("doc_id").agg(sum(col("w6") * col("x")).as("m6"),
+            max(col("y6")).as("y6"))
+          .select(col("doc_id"),
+            round(lit(1000000.0) /
+              (lit(1.0) + exp(-(col("m6").cast("double") / lit(1000000.0)))))
+              .cast("long").as("r6"))
+        val grad = feat.join(r, "doc_id")
+          .groupBy("d").agg(sum((col("r6") - col("y6")) * col("x")).as("g"))
+          .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+        var d = 0
+        while (d < dims) {
+          w(d) -= grad.getOrElse(d, 0L) / etaInv
+          trajectory += ((step, d, w(d)))
+          d += 1
+        }
+      }
+    } finally feat.unpersist()
+    trajectory.result()
+      .toDF("step", "dim", "weight6")
+      .select(col("step").cast("long"), col("dim").cast("long"),
+        col("weight6"))
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

@@ -1358,6 +1358,57 @@ object PipelineQueries {
       |  (list_sum(ws) > 0) AS keep
       |FROM w""".stripMargin
 
+  /** p88 — logistic-regression TRAINING over hashed token counts: the
+    * training half of the p61 classifier story. Three full-batch
+    * gradient steps, D=8 hashed dims, exact fixed-point weights
+    * (1e-6-scaled longs, sigmoid re-quantized per step, truncating
+    * integer division by 16N — the η at which the fixture's training
+    * loss falls monotonically: 0.693 → 0.461 → 0.424 → 0.413) — see
+    * [[graft.ops.TextAnalysis.trainHashedLogReg]]. The oracle unrolls
+    * all three steps in SQL, so a hash match certifies the entire
+    * weight trajectory, not just the final vector. */
+  def classifierTrain(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.trainHashedLogReg(Tables.documents(spark, dir))
+
+  val classifierTrainSql: String =
+    """WITH fl AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) > 30
+      |      THEN 1000000 ELSE 0 END AS y6,
+      |    CAST(('0x' || substring(md5(t.tok), 1, 4)) AS INTEGER) % 8 AS d,
+      |    LEAST(COUNT(*), 5) AS x
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+      |  GROUP BY doc_id, y6, d),
+      |n AS (SELECT 16 * COUNT(*) AS etai FROM documents),
+      |dims AS (SELECT CAST(r.range AS INTEGER) AS d FROM range(8) r),
+      |g1 AS (SELECT d, SUM((500000 - y6) * x) AS g FROM fl GROUP BY d),
+      |w1 AS (SELECT dims.d, 0 - (COALESCE(g, 0) // etai) AS w
+      |       FROM dims LEFT JOIN g1 USING (d) CROSS JOIN n),
+      |m2 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w1.w * fl.x) AS m6
+      |       FROM fl JOIN w1 USING (d) GROUP BY fl.doc_id),
+      |r2 AS (SELECT doc_id, y6,
+      |       CAST(round(1000000/(1 + exp(-(m6/1000000.0))), 0) AS BIGINT) AS r6
+      |       FROM m2),
+      |g2 AS (SELECT fl.d, SUM((r2.r6 - fl.y6) * fl.x) AS g
+      |       FROM fl JOIN r2 USING (doc_id) GROUP BY fl.d),
+      |w2 AS (SELECT w1.d, w1.w - (COALESCE(g, 0) // etai) AS w
+      |       FROM w1 LEFT JOIN g2 USING (d) CROSS JOIN n),
+      |m3 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w2.w * fl.x) AS m6
+      |       FROM fl JOIN w2 USING (d) GROUP BY fl.doc_id),
+      |r3 AS (SELECT doc_id, y6,
+      |       CAST(round(1000000/(1 + exp(-(m6/1000000.0))), 0) AS BIGINT) AS r6
+      |       FROM m3),
+      |g3 AS (SELECT fl.d, SUM((r3.r6 - fl.y6) * fl.x) AS g
+      |       FROM fl JOIN r3 USING (doc_id) GROUP BY fl.d),
+      |w3 AS (SELECT w2.d, w2.w - (COALESCE(g, 0) // etai) AS w
+      |       FROM w2 LEFT JOIN g3 USING (d) CROSS JOIN n)
+      |SELECT CAST(1 AS BIGINT) AS step, CAST(d AS BIGINT) AS dim,
+      |  CAST(w AS BIGINT) AS weight6 FROM w1
+      |UNION ALL SELECT CAST(2 AS BIGINT), CAST(d AS BIGINT),
+      |  CAST(w AS BIGINT) FROM w2
+      |UNION ALL SELECT CAST(3 AS BIGINT), CAST(d AS BIGINT),
+      |  CAST(w AS BIGINT) FROM w3""".stripMargin
+
   val docChunkingSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1596,6 +1647,7 @@ object PipelineQueries {
     "p84_audio_dedup_groups" -> (audioDedupGroups _),
     "p79_audio_near_dups" -> (audioNearDups _),
     "p85_video_fingerprint" -> (videoFingerprint _),
+    "p88_classifier_train" -> (classifierTrain _),
     "p86_video_near_dups" -> (videoNearDups _),
     "p87_video_dedup_groups" -> (videoDedupGroups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
@@ -1649,6 +1701,7 @@ object PipelineQueries {
     "p84_audio_dedup_groups" -> audioDedupGroupsSql,
     "p79_audio_near_dups" -> audioNearDupsSql,
     "p85_video_fingerprint" -> videoFingerprintSql,
+    "p88_classifier_train" -> classifierTrainSql,
     "p86_video_near_dups" -> videoNearDupsSql,
     "p87_video_dedup_groups" -> videoDedupGroupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,

@@ -304,4 +304,49 @@ class TextAnalysisSpec extends SparkSpec {
       assert(toks(r.getLong(0)) === r.getLong(1))
     }
   }
+
+  test("trainHashedLogReg equals a plain-Scala fixed-point reference trainer") {
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and then the cat sat down again near the mat"),
+      (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd ee ff"),
+      (3L, "short doc"),
+      (4L, "one two three four five six seven"),
+      (5L, ("tok " * 40).trim))
+    val dims = 8; val steps = 3; val cap = 5; val minTok = 30; val etaF = 16
+    // plain-Scala replay: same md5 bucket, capped counts, 1e-6 fixed point
+    def md5b(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8"))
+      Integer.parseInt(d.take(2).map("%02x".format(_)).mkString, 16) % dims
+    }
+    val feats = corpus.map { case (id, text) =>
+      val ts = text.split(" ", -1)
+      val x = ts.groupBy(md5b).view.mapValues(a => math.min(a.length, cap).toLong).toMap
+      val y6 = if (ts.length > minTok) 1000000L else 0L
+      (id, x, y6)
+    }
+    val etaInv = etaF.toLong * corpus.length
+    val w = Array.fill(dims)(0L)
+    val want = Seq.newBuilder[(Long, Long, Long)]
+    for (step <- 1 to steps) {
+      val grad = Array.fill(dims)(0L)
+      for ((_, x, y6) <- feats) {
+        val m6 = x.map { case (d, xv) => w(d) * xv }.sum
+        val r6 = math.round(1000000.0 / (1.0 + math.exp(-(m6.toDouble / 1000000.0))))
+        for ((d, xv) <- x) grad(d) += (r6 - y6) * xv
+      }
+      for (d <- 0 until dims) {
+        w(d) -= grad(d) / etaInv
+        want += ((step.toLong, d.toLong, w(d)))
+      }
+    }
+    val got = TextAnalysis.trainHashedLogReg(
+        corpus.toDF("doc_id", "text"), dims, steps, cap, minTok, etaF)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    assert(got === want.result(), "weight trajectory must replay exactly")
+    // the trajectory is non-degenerate: step-3 weights differ from step-1
+    val byStep = got.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    assert(byStep(1L) !== byStep(3L))
+  }
 }
