@@ -292,84 +292,142 @@ object TextAnalysis {
       .withColumn("keep", col("score_raw") > 0)
   }
 
+  /** Long-form hashed features for the logreg rows: one row per
+    * (doc, occupied dim) with the capped count, PLUS a constant bias
+    * feature at dim `dims` (value `biasX` — scaled up so the intercept's
+    * gradient is commensurate with the count features'; an unscaled
+    * x=1 bias learns too slowly to ever move the decision boundary off
+    * the origin), and the per-doc label riding along — (doc_id, y6, d, x). */
+  private def logRegFeatures(docs: DataFrame, dims: Int, capCount: Int,
+                             labelMinTokens: Int, biasX: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    def bucket(t: Column): Column =
+      conv(substring(md5(t), 1, 4), 16, 10).cast("int") % dims
+    val y6 = (size(toks) > labelMinTokens).cast("long").*(lit(1000000L))
+    docs
+      .select(col("doc_id"), y6.as("y6"), explode(toks).as("t"))
+      .groupBy(col("doc_id"), col("y6"), bucket(col("t")).as("d"))
+      .agg(least(count(lit(1)), lit(capCount.toLong)).as("x"))
+      .unionByName(docs.select(col("doc_id"), y6.as("y6"),
+        lit(dims).as("d"), lit(biasX.toLong).as("x")))
+  }
+
+  /** Exact integer per-doc margins under a weight vector: one bounded
+    * broadcast join + one doc-keyed aggregate → (doc_id, y6, m6). */
+  private def logRegMargins(feat: DataFrame, w: Array[Long]): DataFrame = {
+    val spark = feat.sparkSession
+    import spark.implicits._
+    val wDf = w.toSeq.zipWithIndex.map { case (wv, d) => (d, wv) }
+      .toDF("d", "w6")
+    feat.join(broadcast(wDf), "d")
+      .groupBy("doc_id").agg(max(col("y6")).as("y6"),
+        sum(col("w6") * col("x")).as("m6"))
+  }
+
+  /** Run the K gradient steps; returns the weight vector AFTER each
+    * step (the full trajectory). Per step: margins, sigmoid
+    * re-quantized to the 1e-6 grid, one dims-bounded gradient
+    * aggregate, a D-long driver fold (the k-means collect discipline). */
+  private def logRegSteps(feat: DataFrame, n: Long, width: Int, steps: Int,
+                          etaInvFactor: Int): Seq[Array[Long]] = {
+    val etaInv = etaInvFactor * n
+    val w = Array.fill(width)(0L)
+    val snaps = Seq.newBuilder[Array[Long]]
+    for (_ <- 1 to steps) {
+      val r = logRegMargins(feat, w)
+        .select(col("doc_id"),
+          round(lit(1000000.0) /
+            (lit(1.0) + exp(-(col("m6").cast("double") / lit(1000000.0)))))
+            .cast("long").as("r6"))
+      val grad = feat.join(r, "doc_id")
+        .groupBy("d").agg(sum((col("r6") - col("y6")) * col("x")).as("g"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+      var d = 0
+      while (d < width) {
+        w(d) -= grad.getOrElse(d, 0L) / etaInv
+        d += 1
+      }
+      snaps += w.clone()
+    }
+    snaps.result()
+  }
+
   /** Distributed full-batch logistic-regression TRAINING over hashed
     * token-count features — the training half of the [[hashedLinearQuality]]
     * story (p61 APPLIES a weight table; this row LEARNS one). The shape is
     * the classic parameter-server-free fleet pattern a quality-classifier
     * pipeline ships: per step, one map-side featurize + aggregate produces
-    * the D-dimensional gradient, the driver folds it into the weight
-    * vector (D longs — the k-means p41/p42 collect discipline), and the
-    * next step broadcasts the weights back out. Cost per step is one
-    * shuffle bounded by `dims`, independent of corpus size.
+    * the (D+1)-dimensional gradient (D hashed dims + intercept), the
+    * driver folds it into the weight vector (D+1 longs — the k-means
+    * p41/p42 collect discipline), and the next step broadcasts the
+    * weights back out. Cost per step is one shuffle bounded by `dims`,
+    * independent of corpus size.
     *
     * Exact fixed-point replay discipline: weights live as 1e-6-scaled
-    * LONGS; features are integer token counts capped at `capCount`;
-    * margins are exact integer sums; the only float op per step is the
-    * sigmoid, immediately re-quantized to the 1e-6 grid with HALF_UP
-    * rounding (positive domain — Spark and DuckDB agree), so gradient
-    * sums are exact integers and the whole K-step trajectory is
-    * bit-replayable by the SQL oracle with no summation-order caveats.
-    * The weight update divides by (etaInvFactor·N) with TRUNCATING
-    * integer division — Scala `/` on Long and DuckDB `//` both truncate
-    * toward zero.
+    * LONGS; features are integer token counts capped at `capCount` plus
+    * the `biasX`-scaled intercept feature; margins are exact integer
+    * sums; the only float op per step is the sigmoid, immediately
+    * re-quantized to the 1e-6 grid with HALF_UP rounding (positive
+    * domain — Spark and DuckDB agree), so gradient sums are exact
+    * integers and the whole K-step trajectory is bit-replayable by the
+    * SQL oracle with no summation-order caveats. The weight update
+    * divides by (etaInvFactor·N) with TRUNCATING integer division —
+    * Scala `/` on Long and DuckDB `//` both truncate toward zero.
     *
     * Label: y = 1 iff the doc has more than `labelMinTokens` whitespace
-    * tokens — deterministic, linearly tied to the feature mass, so the
-    * loss genuinely falls across steps (mechanics-of-training row, not a
-    * model-quality claim). Output: one row per (step, dim) with the
-    * post-step weight — the full trajectory, so the oracle certifies
-    * every intermediate state, not just the final vector. */
-  def trainHashedLogReg(docs: DataFrame, dims: Int = 8, steps: Int = 3,
-                        capCount: Int = 5, labelMinTokens: Int = 30,
-                        etaInvFactor: Int = 16): DataFrame = {
+    * tokens — the fixture median, so classes are balanced and the
+    * learned boundary is genuinely non-trivial: at the defaults the
+    * fixture loss falls monotonically (sf0.01: 0.626 → 0.567 → 0.526 →
+    * 0.476) and the final classifier lands at ~89% train accuracy with
+    * a MIXED confusion matrix (p89), not a majority-class collapse.
+    * Output: one row per (step, dim) with the post-step weight — the
+    * full trajectory, so the oracle certifies every intermediate state,
+    * not just the final vector. Dim `dims` is the intercept. */
+  def trainHashedLogReg(docs: DataFrame, dims: Int = 8, steps: Int = 4,
+                        capCount: Int = 1000, labelMinTokens: Int = 55,
+                        etaInvFactor: Int = 128, biasX: Int = 25): DataFrame = {
     require(dims > 0 && dims <= 65536, "dim space must fit the 16-bit md5 prefix")
     require(steps >= 1 && steps <= 8, "unrolled-oracle training is short")
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = tokens(col("text"))
-    def bucket(t: Column): Column =
-      conv(substring(md5(t), 1, 4), 16, 10).cast("int") % dims
-    // long-form features (doc_id, d, x) + the per-doc label riding along:
-    // x = min(token count in bucket d, capCount), y6 = y scaled 1e6
-    val feat = docs
-      .select(col("doc_id"),
-        (size(toks) > labelMinTokens).cast("long").*(lit(1000000L)).as("y6"),
-        explode(toks).as("t"))
-      .groupBy(col("doc_id"), col("y6"), bucket(col("t")).as("d"))
-      .agg(least(count(lit(1)), lit(capCount.toLong)).as("x"))
+    val feat = logRegFeatures(docs, dims, capCount, labelMinTokens, biasX)
       .persist()
-    val n = docs.count()
-    val etaInv = etaInvFactor * n
-    val w = Array.fill(dims)(0L)
-    val trajectory = Seq.newBuilder[(Int, Int, Long)]
     try {
-      for (step <- 1 to steps) {
-        val wDf = w.toSeq.zipWithIndex.map { case (wv, d) => (d, wv) }
-          .toDF("d", "w6")
-        // margin per doc (exact integer), sigmoid re-quantized to the
-        // 1e-6 grid, then the per-dim gradient — two bounded shuffles
-        val r = feat.join(broadcast(wDf), "d")
-          .groupBy("doc_id").agg(sum(col("w6") * col("x")).as("m6"),
-            max(col("y6")).as("y6"))
-          .select(col("doc_id"),
-            round(lit(1000000.0) /
-              (lit(1.0) + exp(-(col("m6").cast("double") / lit(1000000.0)))))
-              .cast("long").as("r6"))
-        val grad = feat.join(r, "doc_id")
-          .groupBy("d").agg(sum((col("r6") - col("y6")) * col("x")).as("g"))
-          .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-        var d = 0
-        while (d < dims) {
-          w(d) -= grad.getOrElse(d, 0L) / etaInv
-          trajectory += ((step, d, w(d)))
-          d += 1
-        }
-      }
+      val snaps = logRegSteps(feat, docs.count(), dims + 1, steps, etaInvFactor)
+      (for {
+        (w, i) <- snaps.zipWithIndex
+        d <- 0 to dims // dim `dims` is the intercept
+      } yield (i + 1, d, w(d)))
+        .toDF("step", "dim", "weight6")
+        .select(col("step").cast("long"), col("dim").cast("long"),
+          col("weight6"))
     } finally feat.unpersist()
-    trajectory.result()
-      .toDF("step", "dim", "weight6")
-      .select(col("step").cast("long"), col("dim").cast("long"),
-        col("weight6"))
+  }
+
+  /** Evaluation of the TRAINED classifier on the training corpus —
+    * the confusion matrix a pipeline publishes next to its filter:
+    * train the [[trainHashedLogReg]] weights, score every doc with the
+    * final vector (prediction = margin > 0), and aggregate exact
+    * integer counts. `acc6` is (tp+tn)·1e6 div n — truncating integer
+    * division, engine-exact. One output row. */
+  def evalHashedLogReg(docs: DataFrame, dims: Int = 8, steps: Int = 4,
+                       capCount: Int = 1000, labelMinTokens: Int = 55,
+                       etaInvFactor: Int = 128, biasX: Int = 25): DataFrame = {
+    val feat = logRegFeatures(docs, dims, capCount, labelMinTokens, biasX)
+      .persist()
+    try {
+      val n = docs.count()
+      val w = logRegSteps(feat, n, dims + 1, steps, etaInvFactor).last
+      val pos = col("m6") > 0
+      val truth = col("y6") === 1000000L
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      logRegMargins(feat, w)
+        .agg(cnt(pos && truth).as("tp"), cnt(pos && !truth).as("fp"),
+          cnt(!pos && !truth).as("tn"), cnt(!pos && truth).as("fn"))
+        .selectExpr("tp", "fp", "tn", "fn",
+          // integral DIV (truncating) — Column./ would promote to double
+          s"CAST(((tp + tn) * 1000000L) DIV ${n}L AS BIGINT) AS acc6")
+    } finally feat.unpersist()
   }
 
   /** Corpus-unigram log-probability score — the cheap stand-in for
@@ -826,6 +884,69 @@ object TextAnalysis {
       .agg(graft.functions.TopKAggregator.top_k_str(k)(col("score"), col("term")).as("tk"))
       .select(col("doc_id"), explode(col("tk")).as("t"))
       .select(col("doc_id"), col("t.id").as("term"), col("t.score").as("score"))
+  }
+
+  /** Okapi-BM25 top-k retrieval against a FIXED query set — the IR
+    * primitive a training-data pipeline runs at scale (lexical
+    * retrieval for decontamination-by-retrieval, hard-negative mining,
+    * eval-set leakage audits). The query set is bounded and BROADCAST
+    * (every `queryEvery`-th doc contributes its first `queryTerms`
+    * distinct tokens), so the corpus term-frequency table is filtered
+    * MAP-SIDE to query terms before anything shuffles; document
+    * frequencies are computed for query terms only (never a full-vocab
+    * aggregate); and per-query top-k uses the bounded [[graft.functions.TopKAggregator]]
+    * fold (at most k rows per map task reach the shuffle — no global
+    * sort, no per-query window sort). At 100 TB the cost is one scan +
+    * one bounded aggregation: exactly how a fixed eval set is screened
+    * against a crawl.
+    *
+    * Replay discipline (the p32 policy): the idf `ln` is rounded to 6
+    * decimals FIRST; the per-term score is one identically-ordered
+    * IEEE expression rounded to 6 decimals; per-(query, doc) scores
+    * sum as exact DECIMAL(18,6) — no float-summation-order caveats.
+    * Constants are spelled `(1.2 + 1.0)` / `(1.0 − 0.75 + …)` in BOTH
+    * engines so literal-folding arithmetic is bit-identical. */
+  def bm25TopK(docs: DataFrame, k: Int = 5, queryEvery: Int = 100,
+               queryTerms: Int = 3, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val nDocs = docs.count() // parquet footer count, metadata-only
+    val totalTokens = docs
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(sum(col("dl"))).head().getLong(0)
+    val avgdl = totalTokens.toDouble / nDocs.toDouble
+    // bounded query set: (query_id, term), distinct
+    val q = docs.filter(pmod(col("doc_id"), lit(queryEvery)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(tokens(col("text")), 1, queryTerms)).as("term"))
+      .distinct()
+    val termFreq = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // map-side gate to query terms, then df over query terms only
+    val qMatched = termFreq.join(broadcast(q), Seq("term"))
+      .localCheckpoint(true) // feeds df AND scoring; cut the lineage
+    val dfq = qMatched.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf6 = round(
+      log((lit(nDocs.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+        + lit(1.0)), 6)
+    val score6 = round(
+      col("idf6") * (col("tf") * (lit(k1) + lit(1.0))) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * (col("dl") / lit(avgdl)))), 6)
+    qMatched.join(broadcast(dfq), Seq("term"))
+      .withColumn("idf6", idf6)
+      .withColumn("s6", score6.cast("decimal(18,6)"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s6")).as("score_dec"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAggregator.top_k(k)(
+        col("score_dec").cast("double"), col("doc_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.score").as("score"))
   }
 
   /** Rolling (polynomial) content hash over tokens, computed as a left

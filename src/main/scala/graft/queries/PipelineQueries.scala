@@ -1359,28 +1359,37 @@ object PipelineQueries {
       |FROM w""".stripMargin
 
   /** p88 — logistic-regression TRAINING over hashed token counts: the
-    * training half of the p61 classifier story. Three full-batch
-    * gradient steps, D=8 hashed dims, exact fixed-point weights
-    * (1e-6-scaled longs, sigmoid re-quantized per step, truncating
-    * integer division by 16N — the η at which the fixture's training
-    * loss falls monotonically: 0.693 → 0.461 → 0.424 → 0.413) — see
+    * training half of the p61 classifier story. Four full-batch
+    * gradient steps, D=8 hashed dims + a scaled intercept, balanced
+    * median-split labels, exact fixed-point weights (1e-6-scaled
+    * longs, sigmoid re-quantized per step, truncating integer division
+    * by 128N — the η at which the fixture's training loss falls
+    * monotonically: 0.626 → 0.567 → 0.526 → 0.476 and the final
+    * classifier is genuinely non-trivial, see p89) — see
     * [[graft.ops.TextAnalysis.trainHashedLogReg]]. The oracle unrolls
-    * all three steps in SQL, so a hash match certifies the entire
+    * all four steps in SQL, so a hash match certifies the entire
     * weight trajectory, not just the final vector. */
   def classifierTrain(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.trainHashedLogReg(Tables.documents(spark, dir))
 
-  val classifierTrainSql: String =
+  // shared by the p88 trajectory oracle and the p89 eval oracle
+  private lazy val logRegCtes: String =
     """WITH fl AS (
       |  SELECT doc_id,
-      |    CASE WHEN len(string_split(text, ' ')) > 30
+      |    CASE WHEN len(string_split(text, ' ')) > 55
       |      THEN 1000000 ELSE 0 END AS y6,
       |    CAST(('0x' || substring(md5(t.tok), 1, 4)) AS INTEGER) % 8 AS d,
-      |    LEAST(COUNT(*), 5) AS x
+      |    LEAST(COUNT(*), 1000) AS x
       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
-      |  GROUP BY doc_id, y6, d),
-      |n AS (SELECT 16 * COUNT(*) AS etai FROM documents),
-      |dims AS (SELECT CAST(r.range AS INTEGER) AS d FROM range(8) r),
+      |  GROUP BY doc_id, y6, d
+      |  UNION ALL
+      |  SELECT doc_id,
+      |    CASE WHEN len(string_split(text, ' ')) > 55
+      |      THEN 1000000 ELSE 0 END AS y6,
+      |    8 AS d, 25 AS x
+      |  FROM documents),
+      |n AS (SELECT 128 * COUNT(*) AS etai FROM documents),
+      |dims AS (SELECT CAST(r.range AS INTEGER) AS d FROM range(9) r),
       |g1 AS (SELECT d, SUM((500000 - y6) * x) AS g FROM fl GROUP BY d),
       |w1 AS (SELECT dims.d, 0 - (COALESCE(g, 0) // etai) AS w
       |       FROM dims LEFT JOIN g1 USING (d) CROSS JOIN n),
@@ -1401,13 +1410,100 @@ object PipelineQueries {
       |g3 AS (SELECT fl.d, SUM((r3.r6 - fl.y6) * fl.x) AS g
       |       FROM fl JOIN r3 USING (doc_id) GROUP BY fl.d),
       |w3 AS (SELECT w2.d, w2.w - (COALESCE(g, 0) // etai) AS w
-      |       FROM w2 LEFT JOIN g3 USING (d) CROSS JOIN n)
+      |       FROM w2 LEFT JOIN g3 USING (d) CROSS JOIN n),
+      |m4 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w3.w * fl.x) AS m6
+      |       FROM fl JOIN w3 USING (d) GROUP BY fl.doc_id),
+      |r4 AS (SELECT doc_id, y6,
+      |       CAST(round(1000000/(1 + exp(-(m6/1000000.0))), 0) AS BIGINT) AS r6
+      |       FROM m4),
+      |g4 AS (SELECT fl.d, SUM((r4.r6 - fl.y6) * fl.x) AS g
+      |       FROM fl JOIN r4 USING (doc_id) GROUP BY fl.d),
+      |w4 AS (SELECT w3.d, w3.w - (COALESCE(g, 0) // etai) AS w
+      |       FROM w3 LEFT JOIN g4 USING (d) CROSS JOIN n)""".stripMargin
+
+  val classifierTrainSql: String = logRegCtes + """
       |SELECT CAST(1 AS BIGINT) AS step, CAST(d AS BIGINT) AS dim,
       |  CAST(w AS BIGINT) AS weight6 FROM w1
       |UNION ALL SELECT CAST(2 AS BIGINT), CAST(d AS BIGINT),
       |  CAST(w AS BIGINT) FROM w2
       |UNION ALL SELECT CAST(3 AS BIGINT), CAST(d AS BIGINT),
-      |  CAST(w AS BIGINT) FROM w3""".stripMargin
+      |  CAST(w AS BIGINT) FROM w3
+      |UNION ALL SELECT CAST(4 AS BIGINT), CAST(d AS BIGINT),
+      |  CAST(w AS BIGINT) FROM w4""".stripMargin
+
+  /** p89 — evaluation of the p88-trained classifier: score every doc
+    * with the final weight vector (prediction = margin > 0), publish
+    * the confusion matrix and truncating-division accuracy — the
+    * numbers a curation pipeline reports next to its quality filter.
+    * The oracle extends the p88 unrolled CTEs with one more margin
+    * pass, so training AND scoring replay end to end. */
+  def classifierEval(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.evalHashedLogReg(Tables.documents(spark, dir))
+
+  val classifierEvalSql: String = logRegCtes + """,
+      |m5 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w4.w * fl.x) AS m6
+      |       FROM fl JOIN w4 USING (d) GROUP BY fl.doc_id),
+      |c AS (SELECT
+      |  SUM(CASE WHEN m6 > 0 AND y6 = 1000000 THEN 1 ELSE 0 END) AS tp,
+      |  SUM(CASE WHEN m6 > 0 AND y6 = 0 THEN 1 ELSE 0 END) AS fp,
+      |  SUM(CASE WHEN m6 <= 0 AND y6 = 0 THEN 1 ELSE 0 END) AS tn,
+      |  SUM(CASE WHEN m6 <= 0 AND y6 = 1000000 THEN 1 ELSE 0 END) AS fn
+      |  FROM m5)
+      |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+      |  CAST((tp + tn) * 1000000 //
+      |    (SELECT COUNT(*) FROM documents) AS BIGINT) AS acc6
+      |FROM c""".stripMargin
+
+  /** p90 — Okapi-BM25 top-5 retrieval against a fixed query set
+    * (every 100th doc's first 3 distinct tokens): the lexical-retrieval
+    * primitive for decontamination-by-retrieval and eval-leakage
+    * audits. Broadcast query set, map-side term gate, query-term-only
+    * df, bounded top-k aggregator — see
+    * [[graft.ops.TextAnalysis.bm25TopK]]. Oracle replays idf/tf/length
+    * normalization with identically-ordered IEEE arithmetic, 6-decimal
+    * re-quantization and exact decimal sums, ranking with row_number
+    * (score desc, doc_id asc) — the aggregator's tie order. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, dir))
+
+  val bm25TopKSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl, t.tok AS term
+      |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
+      |tf AS (
+      |  SELECT doc_id, MAX(dl) AS dl, term, COUNT(*) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |q AS (
+      |  SELECT DISTINCT doc_id AS query_id, u.tok AS term
+      |  FROM documents, unnest(string_split(text, ' ')[1:3]) AS u(tok)
+      |  WHERE doc_id % 100 = 0),
+      |stats AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS tot
+      |  FROM documents),
+      |dfq AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      |  GROUP BY term),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(round(
+      |      round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6)
+      |        * (tf * (1.2 + 1.0)) /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n)))), 6)
+      |      AS DECIMAL(18,6)) AS s6
+      |  FROM q JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+      |agg AS (
+      |  SELECT query_id, doc_id, SUM(s6) AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |rk AS (
+      |  SELECT query_id, doc_id, score, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM agg)
+      |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(score AS DOUBLE) AS score
+      |FROM rk WHERE rank <= 5""".stripMargin
 
   val docChunkingSql: String =
     """WITH t AS (
@@ -1648,6 +1744,8 @@ object PipelineQueries {
     "p79_audio_near_dups" -> (audioNearDups _),
     "p85_video_fingerprint" -> (videoFingerprint _),
     "p88_classifier_train" -> (classifierTrain _),
+    "p89_classifier_eval" -> (classifierEval _),
+    "p90_bm25_topk" -> (bm25TopK _),
     "p86_video_near_dups" -> (videoNearDups _),
     "p87_video_dedup_groups" -> (videoDedupGroups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
@@ -1702,6 +1800,8 @@ object PipelineQueries {
     "p79_audio_near_dups" -> audioNearDupsSql,
     "p85_video_fingerprint" -> videoFingerprintSql,
     "p88_classifier_train" -> classifierTrainSql,
+    "p89_classifier_eval" -> classifierEvalSql,
+    "p90_bm25_topk" -> bm25TopKSql,
     "p86_video_near_dups" -> videoNearDupsSql,
     "p87_video_dedup_groups" -> videoDedupGroupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,

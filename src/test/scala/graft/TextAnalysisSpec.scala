@@ -310,10 +310,12 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "the cat sat on the mat and then the cat sat down again near the mat"),
       (2L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb cc dd ee ff"),
       (3L, "short doc"),
-      (4L, "one two three four five six seven"),
-      (5L, ("tok " * 40).trim))
-    val dims = 8; val steps = 3; val cap = 5; val minTok = 30; val etaF = 16
-    // plain-Scala replay: same md5 bucket, capped counts, 1e-6 fixed point
+      (4L, ("many words here now " * 16).trim), // 64 tokens -> positive label
+      (5L, ("tok " * 60).trim))                 // 60 tokens -> positive label
+    val dims = 8; val steps = 4; val cap = 1000; val minTok = 55
+    val etaF = 128; val biasX = 25
+    // plain-Scala replay: same md5 bucket, capped counts + scaled bias,
+    // 1e-6 fixed point, truncating division
     def md5b(t: String): Int = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(t.getBytes("UTF-8"))
@@ -321,32 +323,87 @@ class TextAnalysisSpec extends SparkSpec {
     }
     val feats = corpus.map { case (id, text) =>
       val ts = text.split(" ", -1)
-      val x = ts.groupBy(md5b).view.mapValues(a => math.min(a.length, cap).toLong).toMap
+      val x = ts.groupBy(md5b).view.mapValues(a => math.min(a.length, cap).toLong)
+        .toMap + (dims -> biasX.toLong)
       val y6 = if (ts.length > minTok) 1000000L else 0L
       (id, x, y6)
     }
     val etaInv = etaF.toLong * corpus.length
-    val w = Array.fill(dims)(0L)
+    val w = Array.fill(dims + 1)(0L)
     val want = Seq.newBuilder[(Long, Long, Long)]
     for (step <- 1 to steps) {
-      val grad = Array.fill(dims)(0L)
+      val grad = Array.fill(dims + 1)(0L)
       for ((_, x, y6) <- feats) {
         val m6 = x.map { case (d, xv) => w(d) * xv }.sum
         val r6 = math.round(1000000.0 / (1.0 + math.exp(-(m6.toDouble / 1000000.0))))
         for ((d, xv) <- x) grad(d) += (r6 - y6) * xv
       }
-      for (d <- 0 until dims) {
+      for (d <- 0 to dims) {
         w(d) -= grad(d) / etaInv
         want += ((step.toLong, d.toLong, w(d)))
       }
     }
     val got = TextAnalysis.trainHashedLogReg(
-        corpus.toDF("doc_id", "text"), dims, steps, cap, minTok, etaF)
+        corpus.toDF("doc_id", "text"), dims, steps, cap, minTok, etaF, biasX)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
       .sortBy(t => (t._1, t._2))
     assert(got === want.result(), "weight trajectory must replay exactly")
-    // the trajectory is non-degenerate: step-3 weights differ from step-1
+    // the trajectory is non-degenerate: step-4 weights differ from step-1
     val byStep = got.groupBy(_._1).view.mapValues(_.map(_._3)).toMap
-    assert(byStep(1L) !== byStep(3L))
+    assert(byStep(1L) !== byStep(steps.toLong))
+    // and the eval row's confusion matrix reconciles with the labels
+    val ev = TextAnalysis.evalHashedLogReg(
+        corpus.toDF("doc_id", "text"), dims, steps, cap, minTok, etaF, biasX)
+      .collect().head
+    val (tp, fp, tn, fn) = (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3))
+    assert(tp + fn === feats.count(_._3 == 1000000L).toLong)
+    assert(fp + tn === feats.count(_._3 == 0L).toLong)
+    assert(ev.getLong(4) === (tp + tn) * 1000000L / corpus.length)
+  }
+
+  test("bm25TopK equals a plain-Scala BM25 replay; bounded top-k tie order") {
+    // doc ids 0 and 100 are query docs (doc_id % 100 == 0)
+    val corpus = Seq(
+      (0L, "apple banana cherry filler1"),
+      (100L, "banana date egg"),
+      (1L, "apple apple banana xyz"),
+      (2L, "cherry cherry cherry zzz yyy"),
+      (3L, "unrelated tokens only here"))
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+    val n = corpus.length
+    val avgdl = toks.values.map(_.length).sum.toDouble / n.toDouble
+    val queries = corpus.map(_._1).filter(_ % 100 == 0)
+      .map(id => id -> toks(id).take(3).distinct).toMap
+    val qTerms = queries.values.flatten.toSet
+    val df = qTerms.map(t => t -> toks.count(_._2.contains(t))).toMap
+    val want = (for {
+      (qid, terms) <- queries.toSeq
+      (did, dtoks) <- toks.toSeq
+      scores = for {
+        t <- terms
+        tf = dtoks.count(_ == t).toLong if tf > 0
+      } yield {
+        val idf6 = round6(math.log((n.toDouble - df(t) + 0.5) / (df(t) + 0.5) + 1.0))
+        BigDecimal(round6(idf6 * (tf * (1.2 + 1.0)) /
+          (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dtoks.length / avgdl)))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      if scores.nonEmpty
+    } yield (qid, did, scores.sum.toDouble))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, did, s), i) => (qid, (i + 1).toLong, did, s) }
+      }.sortBy(r => (r._1, r._2))
+    val got = TextAnalysis.bm25TopK(corpus.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sortBy(r => (r._1, r._2))
+    assert(got === want, "BM25 rankings must replay exactly")
+    // both query docs retrieve themselves at rank 1 (they contain all
+    // their own query terms)
+    for (qid <- queries.keys)
+      assert(got.exists(r => r._1 == qid && r._2 == 1L && r._3 == qid),
+        s"query doc $qid must rank itself first")
   }
 }
