@@ -597,4 +597,28 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"fusion must stay keyed:\n$plan")
     assert(plan.contains("Window"), s"expected per-query rank windows:\n$plan")
   }
+
+  test("p90 BM25: query set broadcast, top-k without any sort, no cartesian") {
+    val plan = planString(
+      graft.ops.TextAnalysis.bm25TopK(Tables.documents(spark, sfDir)))
+    // the query-term gate and the df join both broadcast the small side;
+    // the corpus term table must never sort-merge against them
+    assert(plan.contains("BroadcastHashJoin"), s"query gate must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus side must not sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // per-query top-5 rides the bounded aggregator: no SortExec anywhere
+    // (a window row_number form would show Sort + Window)
+    assert(!plan.contains("Sort "), s"top-k must not sort:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not use a window:\n$plan")
+  }
+
+  test("p86 video near-dups: banded self-join, never all pairs") {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
+    val fps = graft.ops.Multimodal.videoFingerprints(spark,
+      graft.ops.Multimodal.syntheticVideoVariants(spark, docs)).toDF()
+    val plan = planString(graft.ops.Multimodal.videoNearDupPairs(fps))
+    assert(!plan.contains("CartesianProduct"),
+      s"video near-dups must join on band values:\n$plan")
+  }
 }
