@@ -99,7 +99,7 @@ object Bench {
       "p54_dedup_incremental_indexed", "p56_ann_ivf_indexed",
       "p57_emb_dedup_incremental", "p58_dedup_index_append",
       "p59_dedup_index_compact", "p63_line_dedup_incremental",
-      "p65_decontamination_incremental",
+      "p65_decontamination_incremental", "p91_bm25_incremental",
       "q62_schema_evolution", "q68_streaming_line_index",
       "q69_streaming_window_index", "p71_substring_removal_incr")
     def repsFor(name: String): Int =

@@ -1467,7 +1467,12 @@ object PipelineQueries {
   def bm25TopK(spark: SparkSession, dir: String): DataFrame =
     TextAnalysis.bm25TopK(Tables.documents(spark, dir))
 
-  val bm25TopKSql: String =
+  /** Shared BM25 oracle with a pluggable candidate filter: df and
+    * corpus stats are always GLOBAL; `candidateFilter` restricts which
+    * docs compete for the per-query top-5 (empty for p90; the delta
+    * predicate for p91, whose incremental path must match the global
+    * computation restricted to delta candidates exactly). */
+  private def bm25SqlFor(candidateFilter: String): String =
     """WITH toks AS (
       |  SELECT doc_id, len(string_split(text, ' ')) AS dl, t.tok AS term
       |  FROM documents, unnest(string_split(text, ' ')) AS t(tok)),
@@ -1493,7 +1498,8 @@ object PipelineQueries {
       |        * (tf * (1.2 + 1.0)) /
       |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n)))), 6)
       |      AS DECIMAL(18,6)) AS s6
-      |  FROM q JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+      |  FROM q JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN stats
+      |  CANDIDATE_FILTER),
       |agg AS (
       |  SELECT query_id, doc_id, SUM(s6) AS score
       |  FROM sc GROUP BY query_id, doc_id),
@@ -1504,6 +1510,44 @@ object PipelineQueries {
       |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
       |  CAST(score AS DOUBLE) AS score
       |FROM rk WHERE rank <= 5""".stripMargin
+      .replace("\n  CANDIDATE_FILTER", candidateFilter)
+
+  val bm25TopKSql: String = bm25SqlFor("")
+
+  /** p91 — INCREMENTAL BM25 screening against the persisted df index:
+    * the corpus (doc_id % 5 != 0) is indexed ONCE — full-vocab
+    * (term, df) bucketed on term + a one-row stats table — and the
+    * day's delta shard (doc_id % 5 == 0) is scored against the fixed
+    * query set at O(|delta|): delta tokenized and aggregated, index
+    * touched only through a broadcast query-term gate on its bucketed
+    * layout, corpus text never re-read. The sixth persisted-index
+    * family (minhash p54, vectors p57, line-df p63/q68, window-df
+    * p71/q69, IVF p56, grams p65 — now BM25 stats). Oracle: the p90
+    * GLOBAL computation with candidates restricted to the delta — the
+    * equivalence the incremental merge (df_corpus + df_delta, stats
+    * sums) must hit exactly. */
+  def bm25TopKIncr(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p91_bm25df", dir)
+    val statsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p91_bm25st", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      graft.io.Bucketing.dropTable(spark, statsTbl)
+      TextAnalysis.buildBm25DfIndex(docs.filter(col("doc_id") % 5 =!= 0),
+        idxTbl, statsTbl)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${statsTbl.toLowerCase}")
+    }
+    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    TextAnalysis.bm25TopKIncremental(spark,
+      docs.filter(col("doc_id") % 5 === 0), queries, idxTbl, statsTbl)
+  }
+
+  val bm25TopKIncrSql: String = bm25SqlFor("\n  WHERE tf.doc_id % 5 = 0")
 
   val docChunkingSql: String =
     """WITH t AS (
@@ -1746,6 +1790,7 @@ object PipelineQueries {
     "p88_classifier_train" -> (classifierTrain _),
     "p89_classifier_eval" -> (classifierEval _),
     "p90_bm25_topk" -> (bm25TopK _),
+    "p91_bm25_incremental" -> (bm25TopKIncr _),
     "p86_video_near_dups" -> (videoNearDups _),
     "p87_video_dedup_groups" -> (videoDedupGroups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
@@ -1802,6 +1847,7 @@ object PipelineQueries {
     "p88_classifier_train" -> classifierTrainSql,
     "p89_classifier_eval" -> classifierEvalSql,
     "p90_bm25_topk" -> bm25TopKSql,
+    "p91_bm25_incremental" -> bm25TopKIncrSql,
     "p86_video_near_dups" -> videoNearDupsSql,
     "p87_video_dedup_groups" -> videoDedupGroupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,

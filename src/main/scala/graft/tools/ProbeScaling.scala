@@ -56,6 +56,12 @@ object ProbeScaling {
       .filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
         pmod(col("doc_id"), lit(4)) === 1).localCheckpoint()
     val queryEmb = emb("/root/testdata/sf0.01").localCheckpoint() // p56 derives queries by stride
+    // the p91 fixed query set (every 100th sf0.01 doc's first 3 tokens)
+    val bm25Queries = docs("/root/testdata/sf0.01")
+      .filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct().localCheckpoint()
 
     // the localCheckpoint'd deltas live in the block manager; sweep only
     // RDDs a probe itself persisted, never the fixture deltas
@@ -141,6 +147,15 @@ object ProbeScaling {
         }
         (spark.table(t).count(), () =>
           graft.ops.Dedup.substringRemoveIncremental(spark, deltaDocs, t, k = 8))
+      }, () => ()),
+      Family("p91_bm25_df_probe", { sf =>
+        val t = tbl("ps_p91_bm25df"); val st = tbl("ps_p91_bm25st")
+        Seq(t, st).foreach(graft.io.Bucketing.dropTable(spark, _))
+        graft.ops.TextAnalysis.buildBm25DfIndex(
+          docs(sf).filter(col("doc_id") % 5 =!= 0), t, st, buckets = 8)
+        (spark.table(t).count(), () =>
+          graft.ops.TextAnalysis.bm25TopKIncremental(spark, deltaDocs,
+            bm25Queries, t, st))
       }, () => ()),
       Family("q68_streamed_linedf_probe", { sf =>
         val t = tbl("ps_q68_linedf")

@@ -612,6 +612,38 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"top-k must not use a window:\n$plan")
   }
 
+  test("p91 probe: BM25 df index gated by a broadcast query-term list") {
+    import org.apache.spark.sql.functions.{col, explode, lit, pmod, slice}
+    val docs = Tables.documents(spark, sfDir)
+    val idx = "graft_p91spec_bm25df"; val st = "graft_p91spec_bm25st"
+    graft.io.Bucketing.dropTable(spark, idx)
+    graft.io.Bucketing.dropTable(spark, st)
+    graft.ops.TextAnalysis.buildBm25DfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), idx, st, buckets = 4)
+    try {
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("query_id"),
+          explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+        .distinct()
+      val probe = graft.ops.TextAnalysis.bm25TopKIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), queries, idx, st)
+      val plan = planString(probe)
+      // the full-vocab index is scanned, but only through the broadcast
+      // query-term gate: every join that touches a corpus-sized input is
+      // broadcast (the later df full-outer merge is post-gate and
+      // query-term-sized — the ONLY rows the index contributes to any
+      // exchange). The delta side shuffles; the corpus text is not read.
+      assert(plan.linesIterator.exists(_.contains(idx)),
+        s"expected a scan of $idx in:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"query-term gates must broadcast on both the delta and index sides:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally {
+      graft.io.Bucketing.dropTable(spark, idx)
+      graft.io.Bucketing.dropTable(spark, st)
+    }
+  }
+
   test("p86 video near-dups: banded self-join, never all pairs") {
     val docs = Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 40)

@@ -406,4 +406,47 @@ class TextAnalysisSpec extends SparkSpec {
       assert(got.exists(r => r._1 == qid && r._2 == 1L && r._3 == qid),
         s"query doc $qid must rank itself first")
   }
+
+  test("incremental BM25 against the persisted df index equals the global pass") {
+    // corpus shares terms with the delta (df must MERGE: index + delta),
+    // delta has its own repeated term, and the query doc sits in the delta
+    val corpus = Seq(
+      (1L, "apple banana shared corpus text"),
+      (2L, "banana shared words more corpus"),
+      (3L, "cherry something else entirely")).toDF("doc_id", "text")
+    val delta = Seq(
+      (0L, "apple banana cherry query terms here"), // query doc (0 % 100 == 0)
+      (10L, "apple apple delta body"),
+      (15L, "banana delta text again")).toDF("doc_id", "text")
+    val all = corpus.unionByName(delta)
+    val queries = all.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    val idx = "bm25df_idx_spec"; val st = "bm25st_idx_spec"
+    graft.io.Bucketing.dropTable(spark, idx)
+    graft.io.Bucketing.dropTable(spark, st)
+    TextAnalysis.buildBm25DfIndex(corpus, idx, st, buckets = 4)
+    val got = TextAnalysis.bm25TopKIncremental(spark, delta, queries, idx, st)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // contract: identical to the GLOBAL pass over corpus ∪ delta with
+    // candidates restricted to delta docs, re-ranked after the filter
+    // (k=10 > corpus size so the global pass ranks EVERY candidate — a
+    // delta doc outside the global top-5 must still appear here)
+    val deltaIds = Set(0L, 10L, 15L)
+    val want = TextAnalysis.bm25TopK(all, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+      .filter(r => deltaIds(r._2))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, did, s), i) => (qid, (i + 1).toLong, did, s) }
+      }.toSet
+    assert(got === want,
+      "incremental scores must equal the global pass on delta candidates")
+    assert(got.nonEmpty && got.forall(r => deltaIds(r._3)),
+      "only delta docs may appear as candidates")
+    graft.io.Bucketing.dropTable(spark, idx)
+    graft.io.Bucketing.dropTable(spark, st)
+  }
 }
