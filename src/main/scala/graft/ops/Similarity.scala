@@ -377,6 +377,48 @@ object Similarity {
       .select(col("q_id"), col("c_id"), col("rrf_score"), col("n_lists"))
   }
 
+  /** CROSS-MODAL hybrid retrieval: reciprocal-rank-fuse the LEXICAL
+    * (BM25, [[graft.ops.TextAnalysis.bm25TopK]]) and VECTOR (brute
+    * cosine, [[bruteForceTopK]]) top-k lists for the shared query set —
+    * the standard RAG retrieval stack, where each modality misses what
+    * the other catches (lexical: exact-term matches vector smooths
+    * over; vector: paraphrases sharing no tokens). The candidate/query
+    * domain is the docs that HAVE an embedding (doc_id = vec_id); the
+    * query set is the p90 convention (every `queryEvery`-th id), so
+    * both lists answer the same questions. RRF (1/(rrfK+rank), summed
+    * as exact decimals — the p44 discipline) needs no score
+    * calibration between BM25 and cosine, which is why it is the
+    * standard combiner. The re-rank windows run over ≤ 2k rows per
+    * query (the already-truncated lists), never over candidates.
+    * Self-handling is each list's own: lexical may retrieve the query
+    * doc itself, the vector list never does (the p10 `q ≠ c`
+    * convention) — fusion sees both honestly. */
+  def hybridRrfTopK(docs: DataFrame, embeddings: DataFrame, k: Int = 10,
+                    rrfK: Int = 60, queryEvery: Int = 100): DataFrame = {
+    val dom = embeddings.select(col("vec_id").as("doc_id"))
+    val cdocs = docs.join(dom, Seq("doc_id"), "left_semi")
+    val lex = graft.ops.TextAnalysis.bm25TopK(cdocs, k = k,
+        queryEvery = queryEvery)
+      .select(col("query_id").as("q_id"), col("doc_id").as("c_id"),
+        col("rank"))
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("c_id").asc)
+    val vec = bruteForceTopK(embeddings, k = k, queryStride = queryEvery)
+      .select(col("q_id"), col("c_id"),
+        row_number().over(wv).cast("long").as("rank"))
+    val contribs = lex.unionByName(vec)
+      .select(col("q_id"), col("c_id"),
+        round(lit(1.0) / (lit(rrfK) + col("rank")), 9)
+          .cast("decimal(18,9)").as("contrib"))
+    val fused = contribs.groupBy(col("q_id"), col("c_id"))
+      .agg(sum(col("contrib")).cast("double").as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_score").desc, col("c_id").asc)
+    fused.withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+      .select(col("q_id"), col("c_id"), col("rrf_score"), col("n_lists"))
+  }
+
   /** Per-vector dedup verdict: a vector is a duplicate if some LOWER-id
     * vector in its LSH bucket exceeds the cosine threshold (keep-first
     * policy). One row per vector, always — is_dup + best match evidence.

@@ -999,8 +999,9 @@ object TextAnalysis {
     val st = spark.table(statsTbl).select(col("n_corpus"), col("tot_corpus")).head()
     val dst = delta.select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long"), sum(col("dl"))).head()
+    // an EMPTY delta ("no new docs this batch") sums to null, not 0
     val n = st.getLong(0) + dst.getLong(0)
-    val tot = st.getLong(1) + dst.getLong(1)
+    val tot = st.getLong(1) + (if (dst.isNullAt(1)) 0L else dst.getLong(1))
     val avgdl = tot.toDouble / n.toDouble
     val qMatched = bm25TermFreq(delta).join(broadcast(queries), Seq("term"))
       .localCheckpoint(true) // feeds delta-df AND scoring; cut the lineage

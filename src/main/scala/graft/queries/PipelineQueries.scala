@@ -1549,6 +1549,84 @@ object PipelineQueries {
 
   val bm25TopKIncrSql: String = bm25SqlFor("\n  WHERE tf.doc_id % 5 = 0")
 
+  /** p92 — cross-modal HYBRID retrieval: RRF fusion of the p90 lexical
+    * (BM25) and p10 vector (brute cosine) top-10 lists over the shared
+    * query set — the standard RAG stack; see
+    * [[graft.ops.Similarity.hybridRrfTopK]]. Oracle replays BOTH
+    * retrieval geometries (BM25 over the embedding-covered doc domain,
+    * cosine over the embeddings) plus the 1/(60+rank) decimal fusion,
+    * so the fused RESULT rows are hash-checked end to end. */
+  def hybridRetrieval(spark: SparkSession, dir: String): DataFrame =
+    Similarity.hybridRrfTopK(Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir))
+
+  val hybridRetrievalSql: String =
+    """WITH cd AS (
+      |  SELECT d.doc_id, d.text FROM documents d
+      |  JOIN (SELECT DISTINCT vec_id FROM embeddings) v ON v.vec_id = d.doc_id),
+      |toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl, t.tok AS term
+      |  FROM cd, unnest(string_split(text, ' ')) AS t(tok)),
+      |tf AS (
+      |  SELECT doc_id, MAX(dl) AS dl, term, COUNT(*) AS tf
+      |  FROM toks GROUP BY doc_id, term),
+      |q AS (
+      |  SELECT DISTINCT doc_id AS query_id, u.tok AS term
+      |  FROM cd, unnest(string_split(text, ' ')[1:3]) AS u(tok)
+      |  WHERE doc_id % 100 = 0),
+      |stats AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) AS tot
+      |  FROM cd),
+      |dfq AS (
+      |  SELECT term, COUNT(*) AS df
+      |  FROM tf JOIN (SELECT DISTINCT term FROM q) qt USING (term)
+      |  GROUP BY term),
+      |sc AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    CAST(round(
+      |      round(ln((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0), 6)
+      |        * (tf * (1.2 + 1.0)) /
+      |        (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / (tot / n)))), 6)
+      |      AS DECIMAL(18,6)) AS s6
+      |  FROM q JOIN tf USING (term) JOIN dfq USING (term) CROSS JOIN stats),
+      |agg AS (
+      |  SELECT query_id, doc_id, SUM(s6) AS score
+      |  FROM sc GROUP BY query_id, doc_id),
+      |lexr AS (
+      |  SELECT query_id AS q_id, doc_id AS c_id, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+      |  FROM agg),
+      |vq AS (
+      |  SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+      |  WHERE vec_id % 100 = 0),
+      |vp AS (
+      |  SELECT q_id, e.vec_id AS c_id,
+      |    round(
+      |      list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |                for i in range(1, 65)]) /
+      |      (sqrt(list_sum([CAST(q_emb[i] AS DOUBLE) * CAST(q_emb[i] AS DOUBLE)
+      |                      for i in range(1, 65)])) *
+      |       sqrt(list_sum([CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)
+      |                      for i in range(1, 65)]))), 6) AS cos_sim
+      |  FROM embeddings e, vq WHERE e.vec_id <> q_id),
+      |vr AS (SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY cos_sim DESC, c_id) AS rank FROM vp),
+      |u AS (
+      |  SELECT q_id, c_id,
+      |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS contrib
+      |  FROM lexr WHERE rank <= 10
+      |  UNION ALL
+      |  SELECT q_id, c_id,
+      |    CAST(round(1.0 / (60 + rank), 9) AS DECIMAL(18,9)) AS contrib
+      |  FROM vr WHERE rank <= 10),
+      |f AS (SELECT q_id, c_id, CAST(SUM(contrib) AS DOUBLE) AS rrf_score,
+      |    COUNT(*) AS n_lists
+      |  FROM u GROUP BY q_id, c_id),
+      |fr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+      |        ORDER BY rrf_score DESC, c_id) AS rn FROM f)
+      |SELECT q_id, c_id, rrf_score, n_lists FROM fr WHERE rn <= 10""".stripMargin
+
   val docChunkingSql: String =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1791,6 +1869,7 @@ object PipelineQueries {
     "p89_classifier_eval" -> (classifierEval _),
     "p90_bm25_topk" -> (bm25TopK _),
     "p91_bm25_incremental" -> (bm25TopKIncr _),
+    "p92_hybrid_retrieval" -> (hybridRetrieval _),
     "p86_video_near_dups" -> (videoNearDups _),
     "p87_video_dedup_groups" -> (videoDedupGroups _),
     "p18_asof_join" -> (eventsAsOfJoin _),
@@ -1848,6 +1927,7 @@ object PipelineQueries {
     "p89_classifier_eval" -> classifierEvalSql,
     "p90_bm25_topk" -> bm25TopKSql,
     "p91_bm25_incremental" -> bm25TopKIncrSql,
+    "p92_hybrid_retrieval" -> hybridRetrievalSql,
     "p86_video_near_dups" -> videoNearDupsSql,
     "p87_video_dedup_groups" -> videoDedupGroupsSql,
     "p18_asof_join" -> eventsAsOfJoinSql,

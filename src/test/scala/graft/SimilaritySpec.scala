@@ -149,4 +149,36 @@ class SimilaritySpec extends SparkSpec {
     assert(v(1L) === ((true, Some(0L: java.lang.Long))))
     assert(v(3L)._1 === false)
   }
+
+  test("hybridRrfTopK: cross-modal fusion arithmetic, both modalities contribute") {
+    import spark.implicits._
+    // doc 0 is the query (0 % 100 == 0). Lexically doc 1 shares the
+    // query terms and doc 2 shares none; in vector space doc 2 is the
+    // near neighbor and doc 1 is orthogonal — each modality ranks what
+    // the other misses, the situation hybrid retrieval exists for.
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma delta extra"),
+      (2L, "zzz yyy xxx www")).toDF("doc_id", "text")
+    def unit(i: Int, j: Int, a: Float, b: Float): Array[Float] = {
+      val v = Array.fill(64)(0.0f); v(i) = a; v(j) = b; v
+    }
+    val emb = Seq(
+      (0L, unit(0, 1, 1.0f, 0.0f)),
+      (1L, unit(2, 3, 1.0f, 0.0f)),   // orthogonal to the query
+      (2L, unit(0, 1, 0.9f, 0.1f)))   // close to the query
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hybridRrfTopK(docs, emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(r => (-r._3, r._2))
+    // lexical list: doc 0 rank 1 (itself), doc 1 rank 2; vector list:
+    // doc 2 rank 1, doc 1 rank 2 (self excluded). Fused contribs:
+    // doc1 = round(1/62,9)*2, doc0 = doc2 = round(1/61,9) (tie -> id asc)
+    val c61 = BigDecimal(1.0 / 61).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val c62 = BigDecimal(1.0 / 62).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(r => (r._1, r._2, r._4)).toSeq ===
+      Seq((0L, 1L, 2L), (0L, 0L, 1L), (0L, 2L, 1L)))
+    assert(got(0)._3 === c62 * 2)
+    assert(got(1)._3 === c61 && got(2)._3 === c61)
+  }
 }
