@@ -75,4 +75,43 @@ object Sampling {
     }
     df.filter(hashBucket(key) < pct)
   }
+
+  /** Temperature-scaled mixture ALLOCATION — the T5/PaLM-style sampling
+    * plan a multi-source pretraining run starts from: per-domain token
+    * budgets ∝ (domain share)^τ, which up-weights small domains
+    * relative to proportional sampling. τ is fixed at 0.5 so the power
+    * is `sqrt` — the one power IEEE 754 requires CORRECTLY ROUNDED in
+    * every engine (`pow(x, 0.7)` is last-ulp implementation-defined;
+    * `sqrt` is not), keeping the whole plan bit-replayable.
+    *
+    * Exactness discipline: weights are re-quantized to the 1e-6 grid
+    * (w6 = round(sqrt(share)·1e6), HALF_UP, positive domain), summed
+    * exactly as longs; allocations use TRUNCATING integer division of
+    * budget·w6 by Σw6 with LARGEST-REMAINDER rounding (ties broken by
+    * source name), so Σ alloc_tokens == budget EXACTLY — an allocation
+    * plan that doesn't sum to the budget is a subtle downstream bug.
+    * Cost: one groupBy bounded by the domain count; the remainder
+    * window orders #domains rows (bounded — never row-scaled). Three
+    * driver folds of one scalar each (the k-means collect discipline). */
+  def temperatureAllocation(docs: DataFrame, stratum: Column, tokensOf: Column,
+                            budget: Long = 100000L): DataFrame = {
+    val t = docs.groupBy(stratum.as("source"))
+      .agg(sum(tokensOf.cast("long")).as("n_tokens"))
+      .localCheckpoint(true) // three passes below; domain-count sized
+    val tt = t.agg(sum(col("n_tokens"))).head().getLong(0)
+    val w = t.withColumn("w6",
+      round(sqrt(col("n_tokens").cast("double") / lit(tt.toDouble))
+        * lit(1000000.0)).cast("long"))
+    val sumW = w.agg(sum(col("w6"))).head().getLong(0)
+    val a = w
+      .withColumn("alloc", expr(s"(${budget}L * w6) DIV ${sumW}L"))
+      .withColumn("rem", expr(s"(${budget}L * w6) % ${sumW}L"))
+    val leftover = budget - a.agg(sum(col("alloc"))).head().getLong(0)
+    val byRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("source").asc) // #domains rows only
+    a.withColumn("rn", row_number().over(byRem))
+      .select(col("source"), col("n_tokens"), col("w6").as("weight6"),
+        (col("alloc") + when(col("rn") <= leftover, 1L).otherwise(0L))
+          .as("alloc_tokens"))
+  }
 }

@@ -446,6 +446,41 @@ object CurationQueries {
       |SELECT registered_domain, CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM c GROUP BY registered_domain""".stripMargin
 
+  /** p93 — temperature-scaled mixture allocation (τ = 0.5 via
+    * IEEE-exact sqrt): per-source token budgets ∝ √share with
+    * largest-remainder integer rounding so allocations sum to the
+    * budget EXACTLY — see [[graft.ops.Sampling.temperatureAllocation]].
+    * Oracle replays share → sqrt → 1e-6 re-quantization → truncating
+    * division → remainder ranking in SQL. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureAllocation(Tables.documents(spark, dir),
+      col("source"),
+      org.apache.spark.sql.functions.size(TextAnalysis.tokens(col("text"))))
+
+  val temperatureMixtureSql: String =
+    """WITH t AS (
+      |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(n_tokens) AS tt FROM t),
+      |w AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(sqrt(n_tokens / CAST(tt AS DOUBLE)) * 1000000.0, 0)
+      |      AS BIGINT) AS w6
+      |  FROM t CROSS JOIN tot),
+      |ws AS (SELECT SUM(w6) AS sw FROM w),
+      |a AS (
+      |  SELECT source, n_tokens, w6,
+      |    (100000 * w6) // sw AS alloc, (100000 * w6) % sw AS rem
+      |  FROM w CROSS JOIN ws),
+      |lo AS (SELECT 100000 - SUM(alloc) AS leftover FROM a),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rn
+      |      FROM a)
+      |SELECT source, n_tokens, w6 AS weight6,
+      |  CAST(alloc + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+      |    AS alloc_tokens
+      |FROM r CROSS JOIN lo""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p77_registered_domain" -> (registeredDomains _),
     "p69_url_canonicalize" -> (urlCanonicalize _),
@@ -458,6 +493,7 @@ object CurationQueries {
     "p36_boilerplate_filter" -> (boilerplate _),
     "p37_kmeans_step" -> (kmeansStep _),
     "p38_domain_mix" -> (domainMix _),
+    "p93_temperature_mixture" -> (temperatureMixture _),
     "q42_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
@@ -472,5 +508,6 @@ object CurationQueries {
     "p36_boilerplate_filter" -> boilerplateSql,
     "p37_kmeans_step" -> kmeansStepSql,
     "p38_domain_mix" -> domainMixSql,
+    "p93_temperature_mixture" -> temperatureMixtureSql,
     "q42_grouping_sets" -> groupingSetsSql)
 }

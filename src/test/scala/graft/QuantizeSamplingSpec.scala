@@ -84,4 +84,30 @@ class QuantizeSamplingSpec extends SparkSpec {
       .filter(col("is_kept")).select("id")
     assert(out.filter(col("is_kept")).select("id").exceptAll(again).isEmpty)
   }
+
+  test("temperatureAllocation: exact budget sum, sqrt flattening, largest remainder") {
+    import spark.implicits._
+    // domain sizes 1 : 4 : 16 — proportional shares 1/21, 4/21, 16/21;
+    // sqrt-flattened weights ∝ 1 : 2 : 4 (small domains up-weighted)
+    val docs = (Seq.fill(1)("a") ++ Seq.fill(4)("b") ++ Seq.fill(16)("c"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s, "tok tok tok") }
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.temperatureAllocation(docs, col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens(col("text"))), budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.values.map(_._3).sum === 1000L, "allocations must sum to the budget")
+    assert(got("a")._1 === 3L && got("b")._1 === 12L && got("c")._1 === 48L)
+    // sqrt flattening: c has 16x a's tokens but only ~4x its allocation
+    val (aAlloc, cAlloc) = (got("a")._3, got("c")._3)
+    assert(cAlloc < 5 * aAlloc && cAlloc > 3 * aAlloc,
+      s"sqrt temperature must flatten 16:1 shares toward 4:1, got $got")
+    // rerun stability (no RNG anywhere)
+    val again = Sampling.temperatureAllocation(docs, col("source"),
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens(col("text"))), budget = 1000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again === got.view.mapValues(_._3).toMap)
+  }
 }
