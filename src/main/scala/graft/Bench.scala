@@ -101,7 +101,8 @@ object Bench {
       "p59_dedup_index_compact", "p63_line_dedup_incremental",
       "p65_decontamination_incremental", "p91_bm25_incremental",
       "q62_schema_evolution", "q68_streaming_line_index",
-      "q69_streaming_window_index", "p71_substring_removal_incr")
+      "q69_streaming_window_index", "q70_streaming_bm25_index",
+      "p71_substring_removal_incr")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
     // profiling filters: ONLY/SKIP take comma-separated name prefixes

@@ -995,18 +995,106 @@ object TextAnalysis {
                           delta: DataFrame, queries: DataFrame,
                           idxTbl: String, statsTbl: String, k: Int = 5,
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // probe-side crash repair: a maintenance compaction killed mid-swap
+    // leaves the index under its backup name; restore before resolving
+    graft.io.Bucketing.repairCompaction(spark, idxTbl)
     graft.io.Bucketing.requireKind(spark, idxTbl, "bm25-df")
     val st = spark.table(statsTbl).select(col("n_corpus"), col("tot_corpus")).head()
+    bm25IncrCore(spark, delta, queries, spark.table(idxTbl),
+      st.getLong(0), st.getLong(1), k, k1, b)
+  }
+
+  /** Sentinel terms carrying the per-batch corpus stats INSIDE the
+    * streamed df table: a leading space cannot appear in a real
+    * whitespace-split token, so these never collide with vocabulary. */
+  private val StatNDocs = " n"
+  private val StatTotTokens = " tot"
+
+  /** Streaming/micro-batch maintenance of the BM25 df index (the
+    * [[appendLineDfPartial]] device applied to the p91 family): land
+    * ONE batch's partial term document-frequencies as the
+    * `batch_id=<id>` partition of a partitioned+bucketed table.
+    * Batches carry disjoint doc sets, so partials SUM to the global df
+    * whatever the batching. The corpus stats the scorer needs (doc
+    * count, total tokens — additive for the same reason) ride the SAME
+    * partition as two SENTINEL terms ([[StatNDocs]]/[[StatTotTokens]]
+    * — a leading space cannot appear in a whitespace token), so each
+    * batch's df rows and stats land in ONE dynamic-partition overwrite:
+    * no torn two-table state, and replay (the at-least-once
+    * `foreachBatch` window) is idempotent — each attempt rewrites
+    * exactly its own partition, healing even a torn job commit. */
+  def appendBm25DfPartial(spark: org.apache.spark.sql.SparkSession,
+                          batch: DataFrame, table: String, batchId: Long,
+                          buckets: Int = 8): Unit = {
+    val df = batch
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg(count(lit(1)).cast("long").as("df_corpus"))
+    val stats = batch
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("tot"))
+      .select(explode(array(
+        struct(lit(StatNDocs).as("term"), col("n").as("df_corpus")),
+        struct(lit(StatTotTokens).as("term"), col("tot").as("df_corpus"))))
+        .as("r"))
+      .select(col("r.term"), col("r.df_corpus"))
+    val partial = df.unionByName(stats).withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "term", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "bm25-df")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** Incremental BM25 screening against a STREAMED
+    * ([[appendBm25DfPartial]]) index: per-batch partials fold back to
+    * global dfs (a groupBy on the bucket key — no corpus-side
+    * exchange) and the sentinel stat terms sum to the corpus stats;
+    * everything downstream is [[bm25TopKIncremental]]'s core, so
+    * stream-maintained and batch-built indexes are interchangeable. */
+  def bm25TopKIncrementalStreamed(spark: org.apache.spark.sql.SparkSession,
+                                  delta: DataFrame, queries: DataFrame,
+                                  idxTbl: String, k: Int = 5,
+                                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // probe-side crash repair, as in [[lineDedupIncremental]]
+    graft.io.Bucketing.repairCompaction(spark, idxTbl)
+    graft.io.Bucketing.requireKind(spark, idxTbl, "bm25-df")
+    val idxRaw = spark.table(idxTbl)
+    require(idxRaw.columns.contains("batch_id"),
+      s"$idxTbl is not a streamed bm25-df layout (no batch_id partitions)")
+    val st = idxRaw
+      .filter(col("term") === StatNDocs || col("term") === StatTotTokens)
+      .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val folded = idxRaw
+      .filter(col("term") =!= StatNDocs && col("term") =!= StatTotTokens)
+      .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+    bm25IncrCore(spark, delta, queries, folded,
+      st(StatNDocs), st(StatTotTokens), k, k1, b)
+  }
+
+  /** Shared incremental-probe core: merge corpus-side stats/dfs with
+    * the delta's own contribution and score the delta candidates. */
+  private def bm25IncrCore(spark: org.apache.spark.sql.SparkSession,
+                           delta: DataFrame, queries: DataFrame,
+                           idx: DataFrame, nCorpus: Long, totCorpus: Long,
+                           k: Int, k1: Double, b: Double): DataFrame = {
     val dst = delta.select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(count(lit(1)).cast("long"), sum(col("dl"))).head()
     // an EMPTY delta ("no new docs this batch") sums to null, not 0
-    val n = st.getLong(0) + dst.getLong(0)
-    val tot = st.getLong(1) + (if (dst.isNullAt(1)) 0L else dst.getLong(1))
+    val n = nCorpus + dst.getLong(0)
+    val tot = totCorpus + (if (dst.isNullAt(1)) 0L else dst.getLong(1))
     val avgdl = tot.toDouble / n.toDouble
     val qMatched = bm25TermFreq(delta).join(broadcast(queries), Seq("term"))
       .localCheckpoint(true) // feeds delta-df AND scoring; cut the lineage
     val qTerms = queries.select(col("term")).distinct()
-    val idxDf = spark.table(idxTbl).join(broadcast(qTerms), Seq("term"))
+    val idxDf = idx.join(broadcast(qTerms), Seq("term"))
     val deltaDf = qMatched.select(col("term"), col("doc_id")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df_delta"))
     val dfq = idxDf.join(deltaDf, Seq("term"), "full_outer")

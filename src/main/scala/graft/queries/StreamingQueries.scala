@@ -885,7 +885,62 @@ object StreamingQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** q70 — STREAMING INDEX MAINTENANCE for the BM25 df family: q68's
+    * device applied to p91's index. The corpus lands as four files;
+    * `foreachBatch` under `Trigger.AvailableNow` lands each
+    * micro-batch's PARTIAL term document-frequencies — and, as two
+    * sentinel terms in the SAME partition, its additive corpus stats —
+    * as its own batch_id partition (idempotent replay: each attempt
+    * overwrites exactly its own partition; single-table maintenance
+    * means df rows and stats can never tear apart). Partials SUM to
+    * the global dfs/stats because batches carry disjoint docs. The row
+    * then runs the streamed-layout probe against the fixed query set
+    * and shares p91's oracle verbatim: a hash match proves
+    * stream-maintained and batch-built BM25 indexes are
+    * interchangeable — continuous-ingest decontamination screening
+    * where the index rides the ingest stream and no day ever re-reads
+    * history. */
+  def q70StreamingBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q68_in", dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q70_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q70_bm25df", dir)
+    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
+    // completion marker, not tableExists — same rationale as q68: a
+    // crashed maintenance stream must RESUME, not probe a partial index
+    if (!graft.io.TempPaths.isComplete(ckpt)) {
+      if (!spark.catalog.tableExists(idxTbl)) {
+        graft.io.Bucketing.dropTable(spark, idxTbl)
+        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      }
+      val schema = spark.read.parquet(landing).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+      val q = stream.writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.TextAnalysis.appendBm25DfPartial(spark, b.toDF(), idxTbl, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // foreachBatch ran through the micro-batch's cloned session; drop
+      // this session's stale cached relation before the probe
+      spark.catalog.refreshTable(idxTbl)
+      graft.io.TempPaths.markComplete(ckpt)
+    }
+    val docs = Tables.documents(spark, dir)
+    val queriesDf = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(org.apache.spark.sql.functions.slice(
+          graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(spark,
+      docs.filter(col("doc_id") % 5 === 0), queriesDf, idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_streaming_bm25_index" -> (q70StreamingBm25Index _),
     "q69_streaming_window_index" -> (q69StreamingWindowIndex _),
     "q54_streaming_hourly" -> (q54StreamingHourly _),
     "q56_streaming_dedup" -> (q56StreamingDedup _),
@@ -915,5 +970,8 @@ object StreamingQueries {
     "q68_streaming_line_index" -> PipelineQueries.lineDedupIncrementalSql,
     // streamed and batch-built window-df indexes must be
     // interchangeable: q69 shares p71's oracle verbatim
-    "q69_streaming_window_index" -> SelectionQueries.substringRemovalIncrementalSql)
+    "q69_streaming_window_index" -> SelectionQueries.substringRemovalIncrementalSql,
+    // streamed and batch-built BM25 df indexes must be
+    // interchangeable: q70 shares p91's oracle verbatim
+    "q70_streaming_bm25_index" -> PipelineQueries.bm25TopKIncrSql)
 }

@@ -192,6 +192,87 @@ class ChaosSpec extends SparkSpec {
     Bucketing.dropTable(spark, refTbl)
   }
 
+  // BM25 twin: overlapping vocabulary across docs and batches (shared
+  // terms change df when batches merge) plus per-doc unique terms; the
+  // delta carries the query doc (id 100 -> doc_id % 100 == 0)
+  private lazy val bCorpus = (1L to 20L).map { id =>
+    (id, s"shared${id % 3} common words unique$id tail$id")
+  }.toDF("doc_id", "text")
+
+  private lazy val bDelta = Seq(
+    (100L, "shared1 common query terms here"),
+    (101L, "shared0 words fresh delta"),
+    (102L, "entirely novel delta body")).toDF("doc_id", "text")
+
+  test("10 seeded multi-kill lifecycles converge for the streamed BM25 index too") {
+    val refIdx = "chaos_ref_bm25"; val refSt = "chaos_ref_bm25st"
+    Seq(refIdx, refSt).foreach(Bucketing.dropTable(spark, _))
+    TextAnalysis.buildBm25DfIndex(bCorpus, refIdx, refSt, buckets = 2)
+    val queries = bDelta.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    val wantProbe = TextAnalysis.bm25TopKIncremental(
+      spark, bDelta, queries, refIdx, refSt)
+
+    val ids = (1L to 20L).toVector
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(2000 + seed)
+      val tbl = s"chaos_bm25_s$seed"
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+
+      def append(docIds: Vector[Long], bid: Long): Unit =
+        TextAnalysis.appendBm25DfPartial(spark,
+          bCorpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          buckets = 2)
+
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong)
+        }
+        append(b, bid.toLong)
+        if (rnd.nextDouble() < 0.35) {
+          val crashStep = rnd.nextInt(3)
+          if (crashStep == 0) Bucketing.compactBucketed(spark, tbl)
+          else {
+            intercept[IllegalStateException] {
+              Bucketing.compactBucketed(spark, tbl,
+                injectCrashAtSwapStep = crashStep)
+            }
+            if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, tbl)
+          }
+        }
+      }
+
+      withClue(s"seed=${2000 + seed} batches=${batches.map(_.size)}: ") {
+        // probe-side entry self-repairs any torn swap left dangling
+        val got = TextAnalysis.bm25TopKIncrementalStreamed(
+          spark, bDelta, queries, tbl)
+        assert(got.exceptAll(wantProbe).isEmpty && wantProbe.exceptAll(got).isEmpty,
+          "streamed BM25 probe after chaos must equal the batch-indexed probe")
+        // sentinel stats must fold to the monolithic corpus stats
+        val st = spark.table(tbl).filter(col("term").startsWith(" "))
+          .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("v"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val refStats = spark.table(refSt).head()
+        assert(st(" n") === refStats.getLong(0) &&
+          st(" tot") === refStats.getLong(1),
+          "sentinel stats must fold to the monolithic corpus stats")
+      }
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Seq(refIdx, refSt).foreach(Bucketing.dropTable(spark, _))
+  }
+
   test("compacting a partitioned+bucketed index preserves BOTH layouts") {
     val tbl = "chaos_part_compact"
     Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")

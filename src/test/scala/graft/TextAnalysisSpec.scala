@@ -407,6 +407,45 @@ class TextAnalysisSpec extends SparkSpec {
         s"query doc $qid must rank itself first")
   }
 
+  test("streamed BM25 index: batched appends equal the monolithic build; replay is idempotent") {
+    val corpus = Seq(
+      (1L, "apple banana shared corpus text"),
+      (2L, "banana shared words more corpus"),
+      (3L, "cherry something else entirely"),
+      (4L, "apple apple cherry corpus words")).toDF("doc_id", "text")
+    val delta = Seq(
+      (0L, "apple banana cherry query terms here"),
+      (10L, "apple apple delta body")).toDF("doc_id", "text")
+    val queries = delta.filter(pmod(col("doc_id"), lit(100)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    val sIdx = "bm25df_stream_spec"; val mIdx = "bm25df_mono_spec"
+    val mSt = "bm25st_mono_spec"
+    Seq(sIdx, mIdx, mSt).foreach(graft.io.Bucketing.dropTable(spark, _))
+    // three disjoint batches stream in
+    for (b <- 0 until 3)
+      TextAnalysis.appendBm25DfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(3)) === b), sIdx, b.toLong,
+        buckets = 4)
+    TextAnalysis.buildBm25DfIndex(corpus, mIdx, mSt, buckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val streamed = rows(TextAnalysis.bm25TopKIncrementalStreamed(
+      spark, delta, queries, sIdx))
+    val mono = rows(TextAnalysis.bm25TopKIncremental(
+      spark, delta, queries, mIdx, mSt))
+    assert(streamed === mono,
+      "stream-maintained and batch-built BM25 indexes must be interchangeable")
+    // replaying a committed batch (the at-least-once foreachBatch
+    // window) must be a no-op: same partition, same content
+    TextAnalysis.appendBm25DfPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(3)) === 1), sIdx, 1L, buckets = 4)
+    assert(rows(TextAnalysis.bm25TopKIncrementalStreamed(
+      spark, delta, queries, sIdx)) === mono, "batch replay must be idempotent")
+    Seq(sIdx, mIdx, mSt).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("incremental BM25 against the persisted df index equals the global pass") {
     // corpus shares terms with the delta (df must MERGE: index + delta),
     // delta has its own repeated term, and the query doc sits in the delta
