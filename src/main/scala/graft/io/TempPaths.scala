@@ -33,17 +33,25 @@ object TempPaths {
   def scratchTableName(spark: org.apache.spark.sql.SparkSession, prefix: String,
                        discriminator: String): String = {
     val app = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
-    val tag = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(discriminator.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"${prefix}_${app}_$tag$epochTag"
+    s"${prefix}_${app}_${tagOf(discriminator)}$epochTag"
   }
 
-  /** `<tmpdir>/<prefix>_<appId>_<hash(discriminator)>[_eN]`. */
+  /** SHA-256 prefix of the discriminator — shared by every scratch-name
+    * scheme here. A 32-bit `String.hashCode` tag (the old scratch-DIR
+    * device) can collide across two input dirs, and for the
+    * isComplete-guarded landings a collision means the second caller is
+    * silently served the FIRST corpus's payloads — a wrong-fixture bug
+    * that presents as a codec/oracle mismatch. */
+  private def tagOf(discriminator: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(discriminator.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+
+  /** `<tmpdir>/<prefix>_<appId>_<sha(discriminator)>[_eN]`. */
   def scratchDir(spark: org.apache.spark.sql.SparkSession, prefix: String,
                  discriminator: String): String = {
-    val tag = java.lang.Integer.toHexString(discriminator.hashCode)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${spark.sparkContext.applicationId}_$tag$epochTag").getAbsolutePath
+      s"${prefix}_${spark.sparkContext.applicationId}_${tagOf(discriminator)}$epochTag")
+      .getAbsolutePath
     cleanupOnExit(out)
     out
   }
@@ -57,11 +65,38 @@ object TempPaths {
     * costliest example). Pair with isComplete/markComplete. */
   def stableScratchDir(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, discriminator: String): String = {
-    val tag = java.lang.Integer.toHexString(discriminator.hashCode)
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${spark.sparkContext.applicationId}_$tag").getAbsolutePath
+      s"${prefix}_${spark.sparkContext.applicationId}_${tagOf(discriminator)}")
+      .getAbsolutePath
     cleanupOnExit(out)
     out
+  }
+
+  private val landLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Land a deterministic fixture DataFrame ONCE per application and
+    * serve it from parquet thereafter — the [[stableScratchDir]] +
+    * isComplete/markComplete + per-path-lock device the media fixture
+    * rows share (epoch tag deliberately absent: epochs force operator
+    * STATE cold, and a fixture that is a pure function of the input dir
+    * is not state; re-synthesizing it per bench rep only times the
+    * generator). The marker is written only after a complete overwrite,
+    * so a crash mid-landing is healed by the next caller's rebuild;
+    * the per-path lock keeps two same-fixture landings in one app from
+    * clobbering each other's part files. */
+  def landOnce(spark: org.apache.spark.sql.SparkSession, prefix: String,
+               discriminator: String)(
+      build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dir = stableScratchDir(spark, prefix, discriminator)
+    val lock = landLocks.computeIfAbsent(dir, _ => new Object)
+    lock.synchronized {
+      if (!isComplete(dir)) {
+        build.write.mode("overwrite").parquet(dir)
+        markComplete(dir)
+      }
+    }
+    spark.read.parquet(dir)
   }
 
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
@@ -77,10 +112,9 @@ object TempPaths {
     * here WITH the appId ownership + exit-hook cleanup). */
   def uniqueScratchDir(spark: org.apache.spark.sql.SparkSession,
                        prefix: String, discriminator: String): String = {
-    val tag = java.lang.Integer.toHexString(discriminator.hashCode)
     val unique = s"t${Thread.currentThread().getId}n${scratchSeq.incrementAndGet()}"
     val out = new java.io.File(sys.props("java.io.tmpdir"),
-      s"${prefix}_${spark.sparkContext.applicationId}_${tag}_$unique$epochTag")
+      s"${prefix}_${spark.sparkContext.applicationId}_${tagOf(discriminator)}_$unique$epochTag")
       .getAbsolutePath
     cleanupOnExit(out)
     out

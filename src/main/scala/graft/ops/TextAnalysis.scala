@@ -913,11 +913,7 @@ object TextAnalysis {
       .select(size(tokens(col("text"))).cast("long").as("dl"))
       .agg(sum(col("dl"))).head().getLong(0)
     val avgdl = totalTokens.toDouble / nDocs.toDouble
-    // bounded query set: (query_id, term), distinct
-    val q = docs.filter(pmod(col("doc_id"), lit(queryEvery)) === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(tokens(col("text")), 1, queryTerms)).as("term"))
-      .distinct()
+    val q = bm25QuerySet(docs, queryEvery, queryTerms)
     // map-side gate to query terms, then df over query terms only
     val qMatched = bm25TermFreq(docs).join(broadcast(q), Seq("term"))
       .localCheckpoint(true) // feeds df AND scoring; cut the lineage
@@ -951,6 +947,18 @@ object TextAnalysis {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("doc_id"), col("t.score").as("score"))
   }
+
+  /** The fixed BM25 query set — every `queryEvery`-th doc contributes
+    * its first `queryTerms` DISTINCT tokens as (query_id, term) rows.
+    * ONE definition shared by p90/p91/q70 and the probe tooling: the
+    * three rows share one oracle verbatim, so a drifted copy of this
+    * recipe would fail its oracle with no compile-time signal. */
+  def bm25QuerySet(docs: DataFrame, queryEvery: Int = 100,
+                   queryTerms: Int = 3): DataFrame =
+    docs.filter(pmod(col("doc_id"), lit(queryEvery)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(tokens(col("text")), 1, queryTerms)).as("term"))
+      .distinct()
 
   /** Long-form (doc_id, dl, term, tf) term-frequency table of a corpus
     * slice — the per-doc half of every BM25 computation. */
@@ -999,6 +1007,13 @@ object TextAnalysis {
     // leaves the index under its backup name; restore before resolving
     graft.io.Bucketing.repairCompaction(spark, idxTbl)
     graft.io.Bucketing.requireKind(spark, idxTbl, "bm25-df")
+    // accept both layouts (the lineDedupIncremental convention): a
+    // STREAMED (batch_id-partitioned) table shares the kind stamp but
+    // carries one df row PER batch and its stats as sentinel terms —
+    // scoring it against a monolithic stats table would sum a
+    // contribution per partition and silently inflate every score
+    if (spark.table(idxTbl).columns.contains("batch_id"))
+      return bm25TopKIncrementalStreamed(spark, delta, queries, idxTbl, k, k1, b)
     val st = spark.table(statsTbl).select(col("n_corpus"), col("tot_corpus")).head()
     bm25IncrCore(spark, delta, queries, spark.table(idxTbl),
       st.getLong(0), st.getLong(1), k, k1, b)

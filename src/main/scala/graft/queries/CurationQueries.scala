@@ -235,7 +235,14 @@ object CurationQueries {
     * hash match certifies every piece boundary of every token. */
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    TextAnalysis.bpeEncode(docs, TextAnalysis.bpeLearnMerges(docs, 10))
+    val merges = TextAnalysis.bpeLearnMerges(docs, 10)
+    // the oracle's recursive replay unrolls EXACTLY 10 merge steps and
+    // emits zero rows if the recursion stops short — fail loudly here
+    // instead of shipping a confusing whole-result mismatch when a
+    // degenerate corpus slice yields fewer than 10 distinct pairs
+    require(merges.size == 10,
+      s"p80 oracle contract needs exactly 10 learned merges, corpus gave ${merges.size}")
+    TextAnalysis.bpeEncode(docs, merges)
   }
 
   val bpeEncodeSql: String =

@@ -753,24 +753,14 @@ object PipelineQueries {
       |FROM reach GROUP BY id""".stripMargin
 
   /** Pre-land the near-dup VARIANT video fixture once per application
-    * (the [[videoFrames]] device, own landing dir): three catalog rows
-    * (p85/p86/p87) share one deterministic 65-frame-GIF corpus, and the
-    * GIF *writer* is the costliest codec in the catalog — re-encoding
-    * it per row/rep would time the fixture, not the operator. */
-  private val variantGifLandLock = new Object
-
-  private def landedVideoVariants(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.stableScratchDir(
-      spark, "graft_p85_gif", dir)
-    variantGifLandLock.synchronized {
-      if (!graft.io.TempPaths.isComplete(landing)) {
-        Multimodal.syntheticVideoVariants(spark, Tables.documents(spark, dir))
-          .write.mode("overwrite").parquet(landing)
-        graft.io.TempPaths.markComplete(landing)
-      }
-    }
-    spark.read.parquet(landing)
-  }
+    * (the shared [[graft.io.TempPaths.landOnce]] device, own landing
+    * dir): three catalog rows (p85/p86/p87) share one deterministic
+    * 65-frame-GIF corpus, and the GIF *writer* is the costliest codec
+    * in the catalog — re-encoding it per row/rep would time the
+    * fixture, not the operator. */
+  private def landedVideoVariants(spark: SparkSession, dir: String): DataFrame =
+    graft.io.TempPaths.landOnce(spark, "graft_p85_gif", dir)(
+      Multimodal.syntheticVideoVariants(spark, Tables.documents(spark, dir)))
 
   /** p85 — VIDEO perceptual fingerprint from the DECODED frames: the
     * temporal brightness-delta sign device (65 real GIF frames, per-
@@ -968,26 +958,15 @@ object PipelineQueries {
     * decoded rasters. One row per sampled frame. Oracle replays the
     * frame generator arithmetic — a hash match proves frame COUNT,
     * frame ORDER and every pixel survived the container round trip. */
-  private val gifLandLock = new Object
-
-  def videoFrames(spark: SparkSession, dir: String): DataFrame = {
-    // pre-land the synthesized GIF payloads once per application: the
-    // payload is a pure function of (dir, doc_id) — re-encoding it per
-    // bench rep only re-times the GIF *writer* (the costliest codec in
-    // the catalog), not the sampling operator this row measures. The
-    // epoch tag is deliberately absent (stableScratchDir): epochs force
-    // operator STATE cold, and a deterministic fixture is not state.
-    val landing = graft.io.TempPaths.stableScratchDir(
-      spark, "graft_p68_gif", dir)
-    gifLandLock.synchronized {
-      if (!graft.io.TempPaths.isComplete(landing)) {
-        Multimodal.syntheticVideos(spark, Tables.documents(spark, dir))
-          .write.mode("overwrite").parquet(landing)
-        graft.io.TempPaths.markComplete(landing)
-      }
-    }
-    Multimodal.sampleVideoFrames(spark, spark.read.parquet(landing)).toDF()
-  }
+  def videoFrames(spark: SparkSession, dir: String): DataFrame =
+    // pre-land the synthesized GIF payloads once per application (the
+    // shared landOnce device): the payload is a pure function of
+    // (dir, doc_id) — re-encoding it per bench rep would re-time the
+    // GIF *writer* (the costliest codec in the catalog), not the
+    // sampling operator this row measures.
+    Multimodal.sampleVideoFrames(spark,
+      graft.io.TempPaths.landOnce(spark, "graft_p68_gif", dir)(
+        Multimodal.syntheticVideos(spark, Tables.documents(spark, dir)))).toDF()
 
   val videoFramesSql: String =
     """WITH d AS (
@@ -1539,12 +1518,9 @@ object PipelineQueries {
       graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
       graft.io.TempPaths.cleanupOnExit(s"$wh/${statsTbl.toLowerCase}")
     }
-    val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
-      .distinct()
     TextAnalysis.bm25TopKIncremental(spark,
-      docs.filter(col("doc_id") % 5 === 0), queries, idxTbl, statsTbl)
+      docs.filter(col("doc_id") % 5 === 0),
+      TextAnalysis.bm25QuerySet(docs), idxTbl, statsTbl)
   }
 
   val bm25TopKIncrSql: String = bm25SqlFor("\n  WHERE tf.doc_id % 5 = 0")

@@ -930,13 +930,9 @@ object StreamingQueries {
       graft.io.TempPaths.markComplete(ckpt)
     }
     val docs = Tables.documents(spark, dir)
-    val queriesDf = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(org.apache.spark.sql.functions.slice(
-          graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
-      .distinct()
     graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(spark,
-      docs.filter(col("doc_id") % 5 === 0), queriesDf, idxTbl)
+      docs.filter(col("doc_id") % 5 === 0),
+      graft.ops.TextAnalysis.bm25QuerySet(docs), idxTbl)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

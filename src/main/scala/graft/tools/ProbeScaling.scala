@@ -57,11 +57,8 @@ object ProbeScaling {
         pmod(col("doc_id"), lit(4)) === 1).localCheckpoint()
     val queryEmb = emb("/root/testdata/sf0.01").localCheckpoint() // p56 derives queries by stride
     // the p91 fixed query set (every 100th sf0.01 doc's first 3 tokens)
-    val bm25Queries = docs("/root/testdata/sf0.01")
-      .filter(pmod(col("doc_id"), lit(100)) === 0)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
-      .distinct().localCheckpoint()
+    val bm25Queries = graft.ops.TextAnalysis
+      .bm25QuerySet(docs("/root/testdata/sf0.01")).localCheckpoint()
 
     // the localCheckpoint'd deltas live in the block manager; sweep only
     // RDDs a probe itself persisted, never the fixture deltas

@@ -621,12 +621,9 @@ class ExplainSpec extends SparkSpec {
     graft.ops.TextAnalysis.buildBm25DfIndex(
       docs.filter(col("doc_id") % 5 =!= 0), idx, st, buckets = 4)
     try {
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
-        .select(col("doc_id").as("query_id"),
-          explode(slice(graft.ops.TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
-        .distinct()
       val probe = graft.ops.TextAnalysis.bm25TopKIncremental(spark,
-        docs.filter(col("doc_id") % 5 === 0), queries, idx, st)
+        docs.filter(col("doc_id") % 5 === 0),
+        graft.ops.TextAnalysis.bm25QuerySet(docs), idx, st)
       val plan = planString(probe)
       // the full-vocab index is scanned, but only through the broadcast
       // query-term gate: every join that touches a corpus-sized input is
