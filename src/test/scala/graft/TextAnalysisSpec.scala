@@ -443,6 +443,12 @@ class TextAnalysisSpec extends SparkSpec {
       corpus.filter(pmod(col("doc_id"), lit(3)) === 1), sIdx, 1L, buckets = 4)
     assert(rows(TextAnalysis.bm25TopKIncrementalStreamed(
       spark, delta, queries, sIdx)) === mono, "batch replay must be idempotent")
+    // handing a STREAMED table to the BATCH probe must auto-delegate to
+    // the streamed fold (kind stamps match, so without the batch_id
+    // guard this would silently sum one df row per partition)
+    assert(rows(TextAnalysis.bm25TopKIncremental(
+      spark, delta, queries, sIdx, mSt)) === mono,
+      "batch probe must detect the streamed layout and fold it")
     Seq(sIdx, mIdx, mSt).foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
