@@ -99,6 +99,14 @@ object TempPaths {
     spark.read.parquet(dir)
   }
 
+  /** Run `body` under the per-path landing lock [[landOnce]] uses — for
+    * callers that land a shared fixture through their own multi-step
+    * protocol (part-file moves, mtime stamping) rather than a single
+    * parquet write, so two concurrent landings of one dir in one app
+    * cannot both see `!isComplete` and interleave their moves. */
+  def withLandingLock[A](path: String)(body: => A): A =
+    landLocks.computeIfAbsent(path, _ => new Object).synchronized(body)
+
   private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** [[scratchDir]] plus a per-call uniqueness token (thread id + a

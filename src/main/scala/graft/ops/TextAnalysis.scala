@@ -1087,6 +1087,8 @@ object TextAnalysis {
       .filter(col("term") === StatNDocs || col("term") === StatTotTokens)
       .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(st.contains(StatNDocs) && st.contains(StatTotTokens),
+      s"$idxTbl carries no sentinel corpus stats — not a complete streamed bm25-df index")
     val folded = idxRaw
       .filter(col("term") =!= StatNDocs && col("term") =!= StatTotTokens)
       .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("df_corpus"))

@@ -1510,7 +1510,12 @@ object PipelineQueries {
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p91_bm25df", dir)
     val statsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p91_bm25st", dir)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    if (!spark.catalog.tableExists(idxTbl)) {
+    // guard on BOTH tables: buildBm25DfIndex writes the df index before
+    // the stats table, so a crash between the two leaves a torn state a
+    // single-table guard would skip forever (the q70 single-table layout
+    // exists precisely to avoid this tear)
+    if (!spark.catalog.tableExists(idxTbl) ||
+        !spark.catalog.tableExists(statsTbl)) {
       graft.io.Bucketing.dropTable(spark, idxTbl)
       graft.io.Bucketing.dropTable(spark, statsTbl)
       TextAnalysis.buildBm25DfIndex(docs.filter(col("doc_id") % 5 =!= 0),

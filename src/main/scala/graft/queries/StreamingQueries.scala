@@ -740,14 +740,39 @@ object StreamingQueries {
       |SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
       |FROM r WHERE rn = 1""".stripMargin
 
-  /** Land the CORPUS side of the line-dedup split (doc_id % 5 != 0, the
+  /** The corpus/delta split EVERY streamed index family maintains its
+    * index over (the p63 convention): doc_id % 5 != 0 is the indexed
+    * corpus, doc_id % 5 == 0 the probed delta. Owned here, next to the
+    * landing, so a landing built under one predicate can never be
+    * probed under another. */
+  private[graft] val CorpusSplitModulus = 5
+  private[graft] def corpusSide(c: org.apache.spark.sql.Column) =
+    c % CorpusSplitModulus =!= 0
+  private[graft] def deltaSide(c: org.apache.spark.sql.Column) =
+    c % CorpusSplitModulus === 0
+
+  /** The SHARED corpus landing q68 (line-df) and q70 (bm25-df) both
+    * maintain their streamed index from: one prefix, one split, one
+    * lock — lands once per app, concurrent callers serialize on the
+    * landing-dir lock. Returns the landing path. */
+  private def sharedCorpusLanding(spark: SparkSession, dir: String): String = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q68_in", dir)
+    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
+    landing
+  }
+
+  /** Land the CORPUS side of the line-dedup split ([[corpusSide]], the
     * p63 convention) into `nFiles` part files keyed on doc_id modulo —
     * any deterministic DISJOINT split works, because the index the
     * stream maintains is split-independent (partial dfs sum to the
     * global df whatever the batching). Ascending mtimes pin batch order
-    * for reproducible batch ids. */
+    * for reproducible batch ids. The whole isComplete/build/markComplete
+    * sequence runs under the per-path landing lock: the dir is shared
+    * (q68 + q70), and two concurrent callers must not both see
+    * `!isComplete` and interleave part-file moves / mtime stamping. */
   private def landDocsCorpusModulo(spark: SparkSession, dir: String,
-                                   landing: String, nFiles: Int): Unit = {
+                                   landing: String, nFiles: Int): Unit =
+    graft.io.TempPaths.withLandingLock(landing) {
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
       // staging through TempPaths: owned by this app (sweepStale can
@@ -758,7 +783,7 @@ object StreamingQueries {
       (0 until nFiles).foreach { i =>
         val stageDir = staging.resolve(s"part_$i")
         spark.read.parquet(s"$dir/documents.parquet")
-          .filter(col("doc_id") % 5 =!= 0 && pmod(col("doc_id"), lit(nFiles)) === i)
+          .filter(corpusSide(col("doc_id")) && pmod(col("doc_id"), lit(nFiles)) === i)
           .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
         val part = Option(stageDir.toFile.listFiles()).get
           .filter(_.getName.endsWith(".parquet")).head
@@ -797,10 +822,9 @@ object StreamingQueries {
     * and every delta is gated against it without ever re-reading
     * history. */
   def q68StreamingLineIndex(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q68_in", dir)
+    val landing = sharedCorpusLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q68_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q68_linedf", dir)
-    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
     // completion marker, not tableExists: a crashed maintenance stream
     // leaves a PARTIAL table plus its checkpoint, and the right retry is
     // to RESUME the stream (WAL skips committed batches, and any replay
@@ -830,7 +854,7 @@ object StreamingQueries {
       spark.catalog.refreshTable(idxTbl)
       graft.io.TempPaths.markComplete(ckpt)
     }
-    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val delta = Tables.documents(spark, dir).filter(deltaSide(col("doc_id")))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -877,7 +901,7 @@ object StreamingQueries {
       spark.catalog.refreshTable(idxTbl)
       graft.io.TempPaths.markComplete(ckpt)
     }
-    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 5 === 0)
+    val delta = Tables.documents(spark, dir).filter(deltaSide(col("doc_id")))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -901,10 +925,9 @@ object StreamingQueries {
     * where the index rides the ingest stream and no day ever re-reads
     * history. */
   def q70StreamingBm25Index(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q68_in", dir)
+    val landing = sharedCorpusLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q70_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q70_bm25df", dir)
-    landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
     // completion marker, not tableExists — same rationale as q68: a
     // crashed maintenance stream must RESUME, not probe a partial index
     if (!graft.io.TempPaths.isComplete(ckpt)) {
@@ -931,7 +954,7 @@ object StreamingQueries {
     }
     val docs = Tables.documents(spark, dir)
     graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(spark,
-      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(deltaSide(col("doc_id"))),
       graft.ops.TextAnalysis.bm25QuerySet(docs), idxTbl)
   }
 

@@ -273,6 +273,56 @@ class ChaosSpec extends SparkSpec {
     Seq(refIdx, refSt).foreach(Bucketing.dropTable(spark, _))
   }
 
+  test("a torn two-table BM25 build (df index landed, stats crash) heals on rerun") {
+    // buildBm25DfIndex writes idxTbl before statsTbl; a crash between the
+    // two leaves exactly this state. The p91 rebuild guard must treat it
+    // as absent (guard on BOTH tables), not skip the rebuild and then
+    // fail the probe on the missing stats table.
+    val idx = "chaos_torn_bm25"; val st = "chaos_torn_bm25st"
+    Seq(idx, st).foreach(Bucketing.dropTable(spark, _))
+    TextAnalysis.buildBm25DfIndex(bCorpus, idx, st, buckets = 2)
+    val queries = bDelta.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(TextAnalysis.tokens(col("text")), 1, 3)).as("term"))
+      .distinct()
+    val want = TextAnalysis.bm25TopKIncremental(spark, bDelta, queries, idx, st)
+      .collect().toSet
+    Bucketing.dropTable(spark, st) // the torn state
+    // the p91 entry's guard: either table absent -> drop BOTH, rebuild
+    if (!spark.catalog.tableExists(idx) || !spark.catalog.tableExists(st)) {
+      Seq(idx, st).foreach(Bucketing.dropTable(spark, _))
+      TextAnalysis.buildBm25DfIndex(bCorpus, idx, st, buckets = 2)
+    }
+    val got = TextAnalysis.bm25TopKIncremental(spark, bDelta, queries, idx, st)
+      .collect().toSet
+    assert(got === want, "healed rebuild must reproduce the untorn probe")
+    Seq(idx, st).foreach(Bucketing.dropTable(spark, _))
+  }
+
+  test("a streamed bm25-df table stripped of sentinel stats fails loudly, not NoSuchElement") {
+    val tbl = "chaos_nostats_bm25"
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+    TextAnalysis.appendBm25DfPartial(spark, bCorpus, tbl, 0L, buckets = 2)
+    // strip the sentinel rows by overwriting the lone batch partition
+    // with term rows only (what a zero-landed-batch or damaged index
+    // presents to the probe)
+    val termsOnly = spark.table(tbl).filter(!col("term").startsWith(" "))
+      .select("term", "df_corpus", "batch_id").cache()
+    termsOnly.count()
+    graft.io.Bucketing.overwritePartitions(termsOnly, tbl)
+    val queries = bDelta.select(col("doc_id").as("query_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term")).distinct()
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopKIncrementalStreamed(spark, bDelta, queries, tbl)
+    }
+    assert(ex.getMessage.contains("sentinel corpus stats"),
+      s"diagnosable error expected, got: ${ex.getMessage}")
+    termsOnly.unpersist()
+    Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+      .foreach(Bucketing.dropTable(spark, _))
+  }
+
   test("compacting a partitioned+bucketed index preserves BOTH layouts") {
     val tbl = "chaos_part_compact"
     Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
