@@ -106,10 +106,20 @@ object Bucketing {
   def writePartitionedBucketed(df: DataFrame, table: String, partKey: String,
                                key: String, buckets: Int,
                                mode: SaveMode = SaveMode.Overwrite): Unit =
+    writePartitionedBucketedMulti(df, table, partKey, Seq(key), buckets, mode)
+
+  /** Multi-key variant of [[writePartitionedBucketed]] — partition on
+    * `partKey`, bucket+sort on the FULL key sequence (the
+    * [[writeBucketedMulti]] rationale: a co-partitioned join needs every
+    * cluster key in the layout). */
+  def writePartitionedBucketedMulti(df: DataFrame, table: String,
+                                    partKey: String, keys: Seq[String],
+                                    buckets: Int,
+                                    mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode)
       .partitionBy(partKey)
-      .bucketBy(buckets, key)
-      .sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 

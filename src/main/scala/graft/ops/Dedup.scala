@@ -250,6 +250,53 @@ object Dedup {
       org.apache.spark.sql.SaveMode.Append)
   }
 
+  /** STREAMED index maintenance for the minhash family: sign and band
+    * one ingest micro-batch and land its band postings + signature
+    * payloads as batch_id partitions of the two index tables —
+    * [[appendToCorpusIndex]]'s semantics with the q68 replay
+    * discipline (each attempt dynamic-partition-overwrites exactly its
+    * own partition, so foreachBatch's at-least-once window is
+    * idempotent where a plain append would double-write). Signatures
+    * and bands are per-document independent, so partitioned partials
+    * ARE the index: the [[incrementalVerdictsAgainstIndex]] probe reads
+    * this layout exactly as it reads the batch-built one (the batch_id
+    * column rides along and is dropped by the probe's projections).
+    * Parameters MUST match across every batch AND the probe. */
+  def appendCorpusIndexPartial(spark: org.apache.spark.sql.SparkSession,
+                               batch: DataFrame, bandsTable: String,
+                               sigsTable: String, batchId: Long,
+                               bands: Int = 16, rowsPerBand: Int = 8,
+                               shingleN: Int = 3, buckets: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val sig = sigFrame(batch, bands * rowsPerBand, shingleN)
+      // the banding reads sig twice (once per projection tree below);
+      // localCheckpoint keeps the per-doc minhash from recomputing
+      .localCheckpoint(true)
+    val bandPartial = bandFrame(sig, bands, rowsPerBand)
+      .withColumn("batch_id", lit(batchId))
+    val sigPartial = sig.withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, bandsTable)
+    graft.io.Bucketing.repairCompaction(spark, sigsTable)
+    if (!spark.catalog.tableExists(bandsTable)) {
+      graft.io.Bucketing.dropTable(spark, bandsTable)
+      graft.io.Bucketing.writePartitionedBucketedMulti(bandPartial,
+        bandsTable, "batch_id", Seq("band_id", "band_hash"), buckets)
+      graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
+    } else {
+      spark.catalog.refreshTable(bandsTable)
+      graft.io.Bucketing.overwritePartitions(bandPartial, bandsTable)
+    }
+    if (!spark.catalog.tableExists(sigsTable)) {
+      graft.io.Bucketing.dropTable(spark, sigsTable)
+      graft.io.Bucketing.writePartitionedBucketed(sigPartial, sigsTable,
+        "batch_id", "doc_id", buckets)
+      graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
+    } else {
+      spark.catalog.refreshTable(sigsTable)
+      graft.io.Bucketing.overwritePartitions(sigPartial, sigsTable)
+    }
+  }
+
   /** The probe half of the daily-ingest contract: identical semantics to
     * [[incrementalMinhashVerdicts]] (same banding, verify, tie-breaks —
     * `bands`/`rowsPerBand`/`shingleN` MUST match the index build), but

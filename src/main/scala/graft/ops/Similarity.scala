@@ -249,29 +249,145 @@ object Similarity {
     * with its nProbe nearest cells. */
   private[graft] def ivfParts(embeddings: DataFrame, queryStride: Int,
                               nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
+    val centroids = ivfCentroids(embeddings, nCentroids)
+    (ivfAssignAgainst(embeddings, centroids),
+      ivfProbes(embeddings, centroids, queryStride, nProbe))
+  }
+
+  /** The IVF coarse quantizer's centroid set: `nCentroids` vectors
+    * picked by the deterministic Knuth scramble of vec_id — the
+    * provisioning-time artifact a production index trains offline and
+    * pins for its lifetime (cell ids are meaningless unless every
+    * assignment, batch or streamed, scores against the SAME set). */
+  private[graft] def ivfCentroids(embeddings: DataFrame,
+                                  nCentroids: Int): DataFrame = {
     val scramble = Clustering.knuthScramble(col("vec_id"))
-    val centroids = embeddings
-      .orderBy(scramble.asc, col("vec_id").asc).limit(nCentroids)
+    embeddings.orderBy(scramble.asc, col("vec_id").asc).limit(nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_emb"),
         vec_norm(col("embedding")).as("cent_norm"))
-    val base = embeddings.select(col("vec_id"), col("embedding"),
-      vec_norm(col("embedding")).as("nrm"))
-    // rank every (vector, centroid) pair; cell = argmax cosine
-    val scored = base.crossJoin(broadcast(centroids))
+  }
+
+  /** Argmax-cosine cell assignment against an explicit centroid set —
+    * the ONE implementation the batch build and the streamed per-batch
+    * maintenance share, so the two index layouts cannot drift on
+    * scoring or tie-breaks (max-struct: ties go to the higher cent_id).
+    */
+  private[graft] def ivfAssignAgainst(vectors: DataFrame,
+                                      centroids: DataFrame): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
       .withColumn("cent_cos",
         vec_dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_norm")))
-    val assign = scored.groupBy(col("vec_id"))
+      .groupBy(col("vec_id"))
       .agg(max(struct(col("cent_cos"), col("cent_id"))).as("m"),
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"), col("nrm"))
-    // queries probe their nProbe nearest cells
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"),
+        col("nrm"))
+
+  /** Each stride-query paired with its nProbe nearest cells (filter
+    * BEFORE the centroid cross join — only queries score centroids). */
+  private[graft] def ivfProbes(embeddings: DataFrame, centroids: DataFrame,
+                               queryStride: Int, nProbe: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val probes = scored.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+    embeddings.filter(pmod(col("vec_id"), lit(queryStride)) === 0)
+      .select(col("vec_id"), col("embedding"),
+        vec_norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cent_cos",
+        vec_dot(col("embedding"), col("cent_emb")) / (col("nrm") * col("cent_norm")))
       .withColumn("rp", row_number().over(w)).filter(col("rp") <= nProbe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_norm"), col("cent_id").as("cell"))
-    (assign, probes)
+  }
+
+  /** Persist the pinned centroid artifact for STREAMED IVF maintenance
+    * ([[appendIvfAssignPartial]]): trained once at provisioning time,
+    * read by every maintenance batch. Tiny (nCentroids rows). */
+  def buildIvfCentroids(embeddings: DataFrame, table: String,
+                        nCentroids: Int = 16): Unit = {
+    ivfCentroids(embeddings, nCentroids).coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).saveAsTable(table)
+    graft.io.Bucketing.stampKind(embeddings.sparkSession, table,
+      "ivf-centroids")
+  }
+
+  /** STREAMED IVF maintenance: assign one ingest micro-batch against
+    * the pinned [[buildIvfCentroids]] artifact and land it as its own
+    * batch_id partition of the assignment table (bucketed on `cell`
+    * within every partition — the probe join's key). Replay is
+    * idempotent: each attempt dynamic-partition-overwrites exactly its
+    * own partition, the q68 discipline. Cell assignments are per-vector
+    * independent, so partitioned partials ARE the index — a probe reads
+    * the table exactly as it reads the batch-built layout (the extra
+    * batch_id column rides along and is dropped by the probe's
+    * projection). This is how a production IVF index rides continuous
+    * ingest: the quantizer is retrained offline, never per batch. */
+  def appendIvfAssignPartial(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, centroidsTable: String,
+                             table: String, batchId: Long,
+                             buckets: Int = 8): Unit = {
+    graft.io.Bucketing.requireKind(spark, centroidsTable, "ivf-centroids")
+    val partial = ivfAssignAgainst(batch, spark.table(centroidsTable))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "cell", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "ivf-assign")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** STREAMED vector-index maintenance: band one ingest micro-batch
+    * with the PINNED geometry (`tables` x `bitsPerTable` — sized at
+    * provisioning time for the expected corpus scale; unlike the batch
+    * build it can NOT be re-derived per batch, or early batches would
+    * band under a different bucket width than late ones) and land its
+    * postings + verify payloads as batch_id partitions of the two
+    * index tables. Postings are per-vector independent, so partitioned
+    * partials ARE the index; replay idempotently overwrites its own
+    * partition. */
+  def appendVectorIndexPartial(spark: org.apache.spark.sql.SparkSession,
+                               batch: DataFrame, bandsTable: String,
+                               vecsTable: String, batchId: Long,
+                               tables: Int, bitsPerTable: Int,
+                               buckets: Int = 8): Unit = {
+    require(bitsPerTable > 0,
+      "streamed vector-index maintenance needs an explicit pinned " +
+        "bitsPerTable — per-batch adaptive sizing would band batches " +
+        "under drifting bucket widths")
+    val bands = batch.select(col("vec_id"),
+      posexplode(lshBucketsMulti(col("embedding"), tables, bitsPerTable)))
+      .toDF("corpus_id", "t", "bucket")
+      .withColumn("batch_id", lit(batchId))
+    val vecs = batch.select(col("vec_id").as("corpus_id"),
+        col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_nrm"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, bandsTable)
+    graft.io.Bucketing.repairCompaction(spark, vecsTable)
+    if (!spark.catalog.tableExists(bandsTable)) {
+      graft.io.Bucketing.dropTable(spark, bandsTable)
+      graft.io.Bucketing.writePartitionedBucketedMulti(bands, bandsTable,
+        "batch_id", Seq("t", "bucket"), buckets)
+      graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
+    } else {
+      spark.catalog.refreshTable(bandsTable)
+      graft.io.Bucketing.overwritePartitions(bands, bandsTable)
+    }
+    if (!spark.catalog.tableExists(vecsTable)) {
+      graft.io.Bucketing.dropTable(spark, vecsTable)
+      graft.io.Bucketing.writePartitionedBucketed(vecs, vecsTable,
+        "batch_id", "corpus_id", buckets)
+      graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
+    } else {
+      spark.catalog.refreshTable(vecsTable)
+      graft.io.Bucketing.overwritePartitions(vecs, vecsTable)
+    }
   }
 
   /** IVF-PQ: the coarse quantizer prunes to nProbe cells (as ivfTopK),

@@ -677,6 +677,34 @@ object TextAnalysis {
     val grams = benchDocs
       .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
     graft.io.Bucketing.writeBucketed(grams, table, "gram", buckets)
+    graft.io.Bucketing.stampKind(benchDocs.sparkSession, table, "bench-grams")
+  }
+
+  /** STREAMED maintenance for the benchmark-gram index: land one
+    * micro-batch's DISTINCT n-grams as its own batch_id partition —
+    * the eval-suite analogue of [[appendLineDfPartial]], for the regime
+    * where the benchmark suite itself grows over time (new evals added)
+    * and each addition must start gating ingest without a suite-wide
+    * rebuild. Distinct-within-batch partials fold to the global
+    * distinct set by a distinct over the bucketed gram layout (no
+    * corpus-side exchange); replay idempotently overwrites its own
+    * partition. */
+  def appendBenchGramPartial(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, table: String, batchId: Long,
+                             n: Int = 8, buckets: Int = 8): Unit = {
+    val partial = batch
+      .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "gram", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "bench-grams")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
   }
 
   /** Incremental decontamination: score ONLY the freshly-ingested delta
@@ -685,11 +713,22 @@ object TextAnalysis {
     * checked without recomputing the suite's grams. Output schema and
     * semantics are [[decontamination]]'s, restricted to the delta (the
     * oracle replays exactly that); the index side of the join arrives
-    * pre-bucketed on gram, so only delta grams shuffle. */
+    * pre-bucketed on gram, so only delta grams shuffle. Accepts both
+    * layouts (the [[bm25TopKIncremental]] convention): a STREAMED
+    * ([[appendBenchGramPartial]]) table carries one distinct-gram set
+    * PER batch — a gram in two suite additions appears twice, and
+    * joining it raw would double-count contamination — so it folds back
+    * to the global distinct set first (a distinct on the bucket key:
+    * no exchange on the index side). */
   def decontaminationAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                   delta: DataFrame, indexTable: String,
                                   n: Int = 8): DataFrame = {
-    val benchGrams = spark.table(indexTable)
+    graft.io.Bucketing.repairCompaction(spark, indexTable)
+    graft.io.Bucketing.requireKind(spark, indexTable, "bench-grams")
+    val raw = spark.table(indexTable)
+    val benchGrams =
+      if (raw.columns.contains("batch_id")) raw.select(col("gram")).distinct()
+      else raw
     val contaminated = delta
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("gram"))
       .join(benchGrams, Seq("gram"))

@@ -1,0 +1,144 @@
+package graft
+
+import graft.io.Bucketing
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streamed-maintenance layouts must be INTERCHANGEABLE with their
+  * batch-built siblings — the contract the q71–q74 catalog rows certify
+  * end-to-end against the DuckDB oracles. These tests pin the pieces the
+  * oracle cannot see: per-batch partials folding to the monolithic
+  * index, idempotent replay of a torn/duplicated batch, and the
+  * double-count regression the gram fold exists to prevent.
+  */
+class StreamedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def drop(tbls: String*): Unit = tbls.foreach(Bucketing.dropTable(spark, _))
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  // ---- embeddings fixture: corpus + delta with planted near-dups ----
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val embCorpus = emb.filter(col("vec_id") % 5 =!= 0)
+  private lazy val embDelta = emb.filter(col("vec_id") % 5 === 0)
+
+  test("streamed vector-index partials fold to the batch-built index") {
+    drop("sv_bands", "sv_vecs", "sv_bands_b", "sv_vecs_b")
+    val bits = Similarity.adaptiveBitsPerTable(embCorpus.count())
+    Similarity.buildVectorIndex(embCorpus, "sv_bands_b", "sv_vecs_b",
+      bitsPerTable = bits)
+    // three uneven batches
+    Seq(col("vec_id") % 3 === 0, col("vec_id") % 3 === 1,
+        col("vec_id") % 3 === 2).zipWithIndex.foreach { case (p, i) =>
+      Similarity.appendVectorIndexPartial(spark, embCorpus.filter(p),
+        "sv_bands", "sv_vecs", i.toLong, tables = 8, bitsPerTable = bits)
+    }
+    val want = rows(Similarity.incrementalCosineVerdictsAgainstIndex(
+      spark, embDelta, "sv_bands_b", "sv_vecs_b", threshold = 0.45))
+    val got = rows(Similarity.incrementalCosineVerdictsAgainstIndex(
+      spark, embDelta, "sv_bands", "sv_vecs", threshold = 0.45))
+    assert(got === want, "streamed probe must equal the batch-index probe")
+    // replayed batch (at-least-once window) overwrites its own partition
+    Similarity.appendVectorIndexPartial(spark,
+      embCorpus.filter(col("vec_id") % 3 === 1), "sv_bands", "sv_vecs", 1L,
+      tables = 8, bitsPerTable = bits)
+    val replayed = rows(Similarity.incrementalCosineVerdictsAgainstIndex(
+      spark, embDelta, "sv_bands", "sv_vecs", threshold = 0.45))
+    assert(replayed === want, "batch replay must be idempotent")
+    drop("sv_bands", "sv_vecs", "sv_bands_b", "sv_vecs_b")
+  }
+
+  test("streamed vector-index maintenance rejects unpinned geometry") {
+    intercept[IllegalArgumentException] {
+      Similarity.appendVectorIndexPartial(spark, embCorpus, "sv_nope",
+        "sv_nope2", 0L, tables = 8, bitsPerTable = 0)
+    }
+  }
+
+  // ---- documents fixtures ----
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  test("streamed gram-index partials fold WITHOUT double-counting shared grams") {
+    drop("sg_idx", "sg_idx_b")
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    TextAnalysis.buildBenchGramIndex(bench, "sg_idx_b")
+    // batches with OVERLAP: batch 1 re-lands half of batch 0's docs, so
+    // shared grams appear in two partitions — the raw-join double-count
+    // case the streamed fold must collapse
+    TextAnalysis.appendBenchGramPartial(spark,
+      bench.filter(col("doc_id") % 20 === 0), "sg_idx", 0L)
+    TextAnalysis.appendBenchGramPartial(spark, bench, "sg_idx", 1L)
+    val delta = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0 &&
+      pmod(col("doc_id"), lit(4)) === 1)
+    val want = rows(TextAnalysis.decontaminationAgainstIndex(spark, delta, "sg_idx_b"))
+    val got = rows(TextAnalysis.decontaminationAgainstIndex(spark, delta, "sg_idx"))
+    assert(got === want,
+      "overlapping per-batch gram sets must fold to the distinct suite set")
+    drop("sg_idx", "sg_idx_b")
+  }
+
+  test("gram probe rejects a foreign index family") {
+    drop("sg_wrong")
+    TextAnalysis.appendBm25DfPartial(spark,
+      docs.limit(10), "sg_wrong", 0L)
+    val ex = intercept[IllegalArgumentException] {
+      TextAnalysis.decontaminationAgainstIndex(spark,
+        docs.limit(5), "sg_wrong")
+    }
+    assert(ex.getMessage.contains("bench-grams"))
+    drop("sg_wrong")
+  }
+
+  test("streamed minhash partials fold to the batch-built corpus index") {
+    drop("sm_bands", "sm_sigs", "sm_bands_b", "sm_sigs_b")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.buildCorpusIndex(corpus, "sm_bands_b", "sm_sigs_b")
+    Seq(0, 1, 2).foreach { i =>
+      Dedup.appendCorpusIndexPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(3)) === i),
+        "sm_bands", "sm_sigs", i.toLong)
+    }
+    val want = rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "sm_bands_b", "sm_sigs_b"))
+    val got = rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "sm_bands", "sm_sigs"))
+    assert(got === want)
+    // torn re-append of one batch is healed, not doubled
+    Dedup.appendCorpusIndexPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(3)) === 2),
+      "sm_bands", "sm_sigs", 2L)
+    assert(rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "sm_bands", "sm_sigs")) === want, "batch replay must be idempotent")
+    drop("sm_bands", "sm_sigs", "sm_bands_b", "sm_sigs_b")
+  }
+
+  test("streamed IVF assignment against pinned centroids equals the batch index") {
+    drop("si_cent", "si_idx", "si_idx_b")
+    Similarity.buildIvfIndex(emb, "si_idx_b")
+    Similarity.buildIvfCentroids(emb, "si_cent")
+    Seq(0, 1, 2, 3).foreach { i =>
+      Similarity.appendIvfAssignPartial(spark,
+        emb.filter(pmod(col("vec_id"), lit(4)) === i), "si_cent", "si_idx",
+        i.toLong)
+    }
+    val want = rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_idx_b"))
+    val got = rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_idx"))
+    assert(got === want,
+      "streamed IVF probe must equal the batch-index probe")
+    drop("si_cent", "si_idx", "si_idx_b")
+  }
+
+  test("IVF maintenance refuses a non-centroid artifact table") {
+    drop("si_badcent", "si_out")
+    TextAnalysis.appendBm25DfPartial(spark, docs.limit(5), "si_badcent", 0L)
+    intercept[IllegalArgumentException] {
+      Similarity.appendIvfAssignPartial(spark, emb.limit(5), "si_badcent",
+        "si_out", 0L)
+    }
+    drop("si_badcent", "si_out")
+  }
+}
