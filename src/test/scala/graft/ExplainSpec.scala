@@ -296,6 +296,71 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("q73 probe: the STREAMED minhash layout still shuffles only the delta") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val bandsTbl = "graft_q73spec_bands"
+    val sigsTbl = "graft_q73spec_sigs"
+    graft.io.Bucketing.dropTable(spark, bandsTbl)
+    graft.io.Bucketing.dropTable(spark, sigsTbl)
+    Seq(0, 1).foreach { i =>
+      graft.ops.Dedup.appendCorpusIndexPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === i),
+        bandsTbl, sigsTbl, i.toLong, buckets = 4)
+    }
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val dSig = graft.ops.Dedup.sigFrame(delta, 128, 3)
+      val probe = graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      val plan = planString(probe)
+      // bucket i's files across the batch_id partition dirs must fold
+      // into one bucketed read — the property that makes partitioned
+      // partials a real index rather than a pile of files
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"streamed band index must still be read as a bucketed table:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"expected exactly one (delta-side) exchange:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, bandsTbl)
+      graft.io.Bucketing.dropTable(spark, sigsTbl)
+    }
+  }
+
+  test("q72 fold: streamed gram distinct runs on the bucket key with no exchange") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val tbl = "graft_q72spec_grams"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1).foreach { i =>
+      graft.ops.TextAnalysis.appendBenchGramPartial(spark,
+        bench.filter(pmod(col("doc_id"), lit(2)) === i), tbl, i.toLong,
+        buckets = 4)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val fold = spark.table(tbl).select(col("gram")).distinct()
+      val plan = planString(fold)
+      assert(!plan.contains("Exchange"),
+        s"gram fold must ride the bucketed layout, not re-shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("q68 probe: folding streamed partials groups on the bucket key with no exchange") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir)
