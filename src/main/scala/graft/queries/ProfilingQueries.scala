@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Sketches
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Corpus-profiling catalog rows — the describe-the-corpus surface a
+  * curation pipeline runs before and after every stage (ops.Sketches).
+  * All three carry FULL hash oracles because each sketch was chosen for
+  * exact replayability (see Sketches' scaladoc); the non-replayable
+  * count-min sketch is certified by SketchesSpec instead.
+  */
+object ProfilingQueries {
+
+  /** p94 — KMV distinct-token sketch per language, next to the exact
+    * distinct count (the labeled expensive baseline, the p11 role).
+    * The oracle recomputes the k-th smallest distinct 60-bit md5 value
+    * AND the (k-1)*2^60/h_k estimate, so the hash match certifies the
+    * bounded-state sketch path bit-for-bit. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinctTokens(Tables.documents(spark, dir), k = 64)
+
+  val kmvDistinctSql: String =
+    """WITH tok AS (
+      |  SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |h AS (
+      |  SELECT DISTINCT lang,
+      |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      |  FROM tok),
+      |r AS (
+      |  SELECT lang, h,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS nh
+      |  FROM h),
+      |ex AS (SELECT lang, COUNT(*) AS n_exact FROM tok GROUP BY lang),
+      |sk AS (
+      |  SELECT lang, LEAST(nh, 64) AS n_sketch, h AS kth_hash
+      |  FROM r WHERE rn = LEAST(nh, 64)),
+      |est AS (
+      |  SELECT s.lang, CAST(64 AS BIGINT) AS k,
+      |    CAST(s.n_sketch AS BIGINT) AS n_sketch, s.kth_hash, e.n_exact,
+      |    CASE WHEN s.n_sketch < 64 THEN CAST(s.n_sketch AS DOUBLE)
+      |      ELSE ROUND(63.0 * 1152921504606846976.0 /
+      |        CAST(s.kth_hash AS DOUBLE), 3) END AS n_est
+      |  FROM sk s JOIN ex e USING (lang))
+      |SELECT lang, k, n_sketch, kth_hash, n_exact, n_est,
+      |  ROUND(ABS(n_est - n_exact) / n_exact, 6) AS rel_err
+      |FROM est""".stripMargin
+
+  /** p95 — heavy-hitter bigrams per language: exact counts, bounded
+    * top-10 fold (TopKStrAggregator — no per-language window over the
+    * gram table). The oracle replays the count and (cnt desc, gram asc)
+    * ranking; WordNgrams' clipping rule (a doc shorter than n tokens
+    * yields its whole text) is replayed in the CASE. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitterNgrams(Tables.documents(spark, dir), n = 2, k = 10)
+
+  val heavyHittersSql: String =
+    """WITH w AS (
+      |  SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |inst AS (
+      |  SELECT lang, unnest(
+      |    CASE WHEN len(w) >= 2
+      |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |      ELSE [w[1]] END) AS gram
+      |  FROM w),
+      |c AS (SELECT lang, gram, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, gram, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY cnt DESC, gram ASC) AS rank
+      |  FROM c)
+      |SELECT lang, CAST(rank AS BIGINT) AS rank, gram,
+      |  CAST(cnt AS BIGINT) AS cnt
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** p96 — fixed-width token-count histogram per language: two narrow
+    * passes (min/max broadcast back, then bin + count), integer bin
+    * arithmetic on the closed range — the scale-correct histogram form
+    * (equi-depth needs a global sort). */
+  def tokenHistogram(spark: SparkSession, dir: String): DataFrame =
+    Sketches.tokenCountHistogram(Tables.documents(spark, dir), bins = 16)
+
+  val tokenHistogramSql: String =
+    """WITH v AS (
+      |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang, MIN(v) AS lo, MAX(v) AS hi FROM v GROUP BY lang)
+      |SELECT v.lang,
+      |  CAST(FLOOR((v.v - b.lo) * 16 / (b.hi - b.lo + 1)) AS BIGINT) AS bin,
+      |  COUNT(*) AS cnt, MIN(v.v) AS bin_min, MAX(v.v) AS bin_max
+      |FROM v JOIN b USING (lang)
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p94_kmv_distinct" -> (kmvDistinct _),
+    "p95_heavy_hitters" -> (heavyHitters _),
+    "p96_token_histogram" -> (tokenHistogram _))
+
+  val oracles: Map[String, String] = Map(
+    "p94_kmv_distinct" -> kmvDistinctSql,
+    "p95_heavy_hitters" -> heavyHittersSql,
+    "p96_token_histogram" -> tokenHistogramSql)
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{CountMin, KmvAggregator}
+import graft.ops.Sketches
+import org.apache.spark.sql.functions._
+
+/** Sketch properties the catalog oracles cannot express: the count-min
+  * guarantee (seeded xxhash64 does not replay in DuckDB) and KMV
+  * partition-order invariance (the oracle sees one final answer; the
+  * 100 TB claim is that ANY partitioning folds to it).
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("count-min estimates dominate exact counts and respect the eps*N bound") {
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(
+      explode(graft.functions.TextFunctions.word_ngrams(
+        graft.ops.TextAnalysis.tokens(col("text")), 2)).as("gram"))
+    val exact = grams.groupBy("gram").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val (depth, width) = (4, 1 << 12)
+    val sketch = grams.agg(CountMin.count_min(depth, width)(col("gram")))
+      .head().getSeq[Long](0).toArray
+    // every estimate is an overcount; the standard bound e*N/width holds
+    // with prob 1-(1/e)^depth PER KEY — assert the aggregate shape: no
+    // undercount ever, and the worst overcount within a loose 4*e*N/width
+    val bound = (4 * math.E * n / width).toLong + 1
+    val bad = exact.filter { case (g, c) =>
+      val est = CountMin.estimate(sketch, g, depth, width)
+      est < c || est > c + bound
+    }
+    assert(bad.isEmpty,
+      s"count-min violated bounds for ${bad.size} of ${exact.size} grams")
+  }
+
+  test("count-min merge is partition-order invariant") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val grams = docs.select(
+      explode(graft.ops.TextAnalysis.tokens(col("text"))).as("g"))
+    val a = grams.repartition(1).agg(CountMin.count_min(2, 256)(col("g")))
+      .head().getSeq[Long](0)
+    val b = grams.repartition(7, col("g"))
+      .agg(CountMin.count_min(2, 256)(col("g"))).head().getSeq[Long](0)
+    assert(a === b, "sketch must be identical under any partitioning")
+  }
+
+  test("KMV sketch is partition-order invariant and keeps the k smallest distinct") {
+    val vals = Seq(9L, 3L, 7L, 3L, 1L, 8L, 1L, 5L, 2L, 6L, 4L, 9L)
+    val df = vals.toDF("h")
+    val k = 5
+    val one = df.repartition(1).agg(KmvAggregator.kmv(k)(col("h")))
+      .head().getSeq[Long](0)
+    val many = df.repartition(6).agg(KmvAggregator.kmv(k)(col("h")))
+      .head().getSeq[Long](0)
+    assert(one === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(many === one, "merge order must not change the kept set")
+  }
+
+  test("KMV estimate lands within the theoretical error envelope at fixture scale") {
+    val out = Sketches.kmvDistinctTokens(Tables.documents(spark, sfDir), k = 64)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val est = r.getAs[Double]("n_est")
+      val exact = r.getAs[Long]("n_exact")
+      val nSketch = r.getAs[Long]("n_sketch")
+      if (nSketch < 64)
+        assert(est === exact.toDouble,
+          s"an unsaturated sketch IS the distinct set (lang=${r.getString(0)})")
+      else {
+        // sigma ~ 1/sqrt(k-2); 5 sigma at k=64 is ~64% relative error
+        val rel = math.abs(est - exact) / exact
+        assert(rel < 0.64,
+          s"lang=${r.getString(0)}: est $est vs exact $exact (rel $rel)")
+      }
+    }
+  }
+
+  test("histogram bins partition the value range exactly") {
+    val docs = Tables.documents(spark, sfDir)
+    val hist = Sketches.tokenCountHistogram(docs, bins = 16).collect()
+    val total = hist.map(_.getAs[Long]("cnt")).sum
+    assert(total === docs.count(), "every doc lands in exactly one bin")
+    hist.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      rows.foreach { r =>
+        val bin = r.getAs[Long]("bin")
+        assert(bin >= 0 && bin < 16)
+        assert(r.getAs[Long]("bin_min") <= r.getAs[Long]("bin_max"))
+      }
+    }
+  }
+}
