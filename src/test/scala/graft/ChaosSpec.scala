@@ -1,7 +1,7 @@
 package graft
 
 import graft.io.Bucketing
-import graft.ops.TextAnalysis
+import graft.ops.{Dedup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Randomized multi-kill chaos over one streamed-index lifecycle.
@@ -271,6 +271,73 @@ class ChaosSpec extends SparkSpec {
         .foreach(Bucketing.dropTable(spark, _))
     }
     Seq(refIdx, refSt).foreach(Bucketing.dropTable(spark, _))
+  }
+
+  test("10 seeded multi-kill lifecycles converge for the streamed minhash index") {
+    // the two-table variant of the bm25 lifecycle: bands (multi-key
+    // bucketed) + sigs (single-key), torn partial appends, compaction
+    // crashes on EITHER table, probe-side self-repair
+    val refBands = "chaos_ref_mh_bands"; val refSigs = "chaos_ref_mh_sigs"
+    Seq(refBands, refSigs).foreach(Bucketing.dropTable(spark, _))
+    Dedup.buildCorpusIndex(corpus, refBands, refSigs, buckets = 2)
+    val wantProbe = Dedup.incrementalVerdictsAgainstIndex(
+      spark, delta, refBands, refSigs)
+
+    val ids = (1L to 20L).toVector
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(3000 + seed)
+      val bTbl = s"chaos_mh_bands_s$seed"; val sTbl = s"chaos_mh_sigs_s$seed"
+      Seq(bTbl, sTbl).flatMap(t =>
+        Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+
+      def append(docIds: Vector[Long], bid: Long): Unit =
+        Dedup.appendCorpusIndexPartial(spark,
+          corpus.filter(col("doc_id").isin(docIds: _*)), bTbl, sTbl,
+          bid, buckets = 2)
+
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          // torn attempt: a PARTIAL batch lands, then the full retry
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong)
+        }
+        append(b, bid.toLong)
+        if (rnd.nextDouble() < 0.35) {
+          // compact a random one of the two tables, maybe crashing
+          val victim = if (rnd.nextBoolean()) bTbl else sTbl
+          val crashStep = rnd.nextInt(3)
+          if (crashStep == 0) Bucketing.compactBucketed(spark, victim)
+          else {
+            intercept[IllegalStateException] {
+              Bucketing.compactBucketed(spark, victim,
+                injectCrashAtSwapStep = crashStep)
+            }
+            if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, victim)
+          }
+        }
+      }
+
+      withClue(s"seed=${3000 + seed} batches=${batches.map(_.size)}: ") {
+        // probe-side entries self-repair any torn swap left dangling
+        Seq(bTbl, sTbl).foreach(Bucketing.repairCompaction(spark, _))
+        val got = Dedup.incrementalVerdictsAgainstIndex(
+          spark, delta, bTbl, sTbl)
+        assert(got.exceptAll(wantProbe).isEmpty &&
+          wantProbe.exceptAll(got).isEmpty,
+          "streamed minhash probe after chaos must equal the batch-indexed probe")
+      }
+      Seq(bTbl, sTbl).flatMap(t =>
+        Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Seq(refBands, refSigs).foreach(Bucketing.dropTable(spark, _))
   }
 
   test("a torn two-table BM25 build (df index landed, stats crash) heals on rerun") {
