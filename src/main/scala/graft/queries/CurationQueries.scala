@@ -488,7 +488,93 @@ object CurationQueries {
       |    AS alloc_tokens
       |FROM r CROSS JOIN lo""".stripMargin
 
+  /** p97 — the END-TO-END curation pipeline, composed: quality gate →
+    * exact dedup (keep-first) → benchmark decontamination → seeded
+    * exact-N budget selection → deterministic shard/position export,
+    * one declarative DataFrame chain. Each stage is its family's
+    * established device (p07 token gate, p01 md5 keep-first, p33
+    * 8-gram suite join, p74 seeded order-and-take, p72 shard
+    * shuffle) and Catalyst optimizes ACROSS the stage boundaries —
+    * the composability a library user actually buys. The single
+    * oracle replays the whole chain as one CTE stack, so the hash
+    * match certifies not just each operator but their composition
+    * (predicate ordering, join nullability, limit/exchange
+    * placement). Scale shape: two gram-key shuffles (dedup hash agg,
+    * contamination join), one bounded TakeOrdered selection, one
+    * shard exchange — nothing quadratic, nothing driver-side. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, md5, pmod, size}
+    val docs = Tables.documents(spark, dir)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val pool = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val quality = pool.filter(size(TextAnalysis.tokens(col("text"))) >= 10)
+    val keepers = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val deduped = quality.join(keepers, Seq("doc_id"), "left_semi")
+    val benchGrams = bench
+      .select(explode(graft.ops.Dedup.shingles(col("text"), 8)).as("gram"))
+      .distinct()
+    val contaminated = deduped
+      .select(col("doc_id"),
+        explode(graft.ops.Dedup.shingles(col("text"), 8)).as("gram"))
+      .join(benchGrams, Seq("gram")).select("doc_id").distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val selected = graft.ops.Selection.uniformSampleExact(clean, n = 200,
+      salt = "pipe1sel")
+    graft.ops.Selection.shardShuffle(selected, shards = 8,
+        salt = "pipe1shard")
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+        Seq("doc_id"))
+      .select(col("shard"), col("position"), col("doc_id"), col("n_tokens"))
+  }
+
+  val curationPipelineSql: String =
+    """WITH pool AS (
+      |  SELECT doc_id, text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 10 <> 0),
+      |q AS (SELECT * FROM pool WHERE len(toks) >= 10),
+      |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+      |d AS (SELECT q.doc_id, q.toks FROM q JOIN k USING (doc_id)),
+      |bg AS (
+      |  SELECT DISTINCT u.gram FROM (
+      |    SELECT list_distinct([array_to_string(toks[i:i+7], ' ')
+      |      for i in range(1, greatest(len(toks) - 7, 1) + 1)]) AS grams
+      |    FROM (SELECT string_split(text, ' ') AS toks FROM documents
+      |          WHERE doc_id % 10 = 0)) g,
+      |    unnest(grams) AS u(gram)),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(
+      |      [array_to_string(toks[i:i+7], ' ')
+      |       for i in range(1, greatest(len(toks) - 7, 1) + 1)])) AS gram
+      |    FROM d) dg JOIN bg USING (gram)),
+      |clean AS (
+      |  SELECT doc_id FROM d
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+      |sel AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id,
+      |      CAST(('0x' || substring(md5('pipe1sel:' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS sample_key
+      |    FROM clean)
+      |  ORDER BY sample_key, doc_id LIMIT 200),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5('pipe1shard:' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS shuffle_key
+      |  FROM sel),
+      |pos AS (
+      |  SELECT doc_id, shuffle_key % 8 AS shard,
+      |    ROW_NUMBER() OVER (PARTITION BY shuffle_key % 8
+      |      ORDER BY shuffle_key, doc_id) AS position
+      |  FROM sh)
+      |SELECT p.shard, CAST(p.position AS BIGINT) AS position, p.doc_id,
+      |  CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens
+      |FROM pos p JOIN documents d2 USING (doc_id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p97_curation_pipeline" -> (curationPipeline _),
     "p77_registered_domain" -> (registeredDomains _),
     "p69_url_canonicalize" -> (urlCanonicalize _),
     "p34_repetition_quality" -> (repetition _),
@@ -504,6 +590,7 @@ object CurationQueries {
     "q42_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
+    "p97_curation_pipeline" -> curationPipelineSql,
     "p77_registered_domain" -> registeredDomainsSql,
     "p69_url_canonicalize" -> urlCanonicalizeSql,
     "p34_repetition_quality" -> repetitionSql,

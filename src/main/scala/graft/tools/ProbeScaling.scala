@@ -165,6 +165,57 @@ object ProbeScaling {
         }
         (spark.table(t).count(), () =>
           graft.ops.TextAnalysis.lineDedupIncremental(spark, deltaDocs, t))
+      }, () => ()),
+      Family("q71_streamed_vector_probe", { sf =>
+        val bands = tbl("ps_q71_bands"); val vecs = tbl("ps_q71_vecs")
+        Seq(bands, vecs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        val corpus = emb(sf).filter(col("vec_id") % 5 =!= 0)
+        val bits = graft.ops.Similarity.adaptiveBitsPerTable(corpus.count())
+        (0 until 4).foreach { b =>
+          graft.ops.Similarity.appendVectorIndexPartial(spark,
+            corpus.filter(pmod(col("vec_id"), lit(4)) === b), bands, vecs,
+            b.toLong, tables = 8, bitsPerTable = bits)
+        }
+        (spark.table(vecs).count(), () =>
+          graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+            deltaEmb, bands, vecs, threshold = 0.45, bitsPerTable = bits))
+      }, () => ()),
+      Family("q72_streamed_gram_probe", { sf =>
+        val t = tbl("ps_q72_grams")
+        graft.io.Bucketing.dropTable(spark, t)
+        val bench = docs(sf).filter(pmod(col("doc_id"), lit(10)) === 0)
+        (0 until 4).foreach { b =>
+          graft.ops.TextAnalysis.appendBenchGramPartial(spark,
+            bench.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong)
+        }
+        (spark.table(t).count(), () =>
+          graft.ops.TextAnalysis.decontaminationAgainstIndex(spark, deltaTrain, t))
+      }, () => ()),
+      Family("q73_streamed_minhash_probe", { sf =>
+        val bands = tbl("ps_q73_bands"); val sigs = tbl("ps_q73_sigs")
+        Seq(bands, sigs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        val corpus = docs(sf).filter(col("doc_id") % 5 =!= 0)
+        (0 until 4).foreach { b =>
+          graft.ops.Dedup.appendCorpusIndexPartial(spark,
+            corpus.filter(pmod(col("doc_id"), lit(4)) === b), bands, sigs,
+            b.toLong)
+        }
+        (spark.table(sigs).count(), () =>
+          graft.ops.Dedup.incrementalVerdictsAgainstIndex(spark, deltaDocs,
+            bands, sigs, bands = 16, rowsPerBand = 8, shingleN = 3,
+            threshold = 0.7))
+      }, () => ()),
+      Family("q74_streamed_ivf_probe", { sf =>
+        val cents = tbl("ps_q74_cents"); val t = tbl("ps_q74_ivf")
+        Seq(cents, t).foreach(graft.io.Bucketing.dropTable(spark, _))
+        graft.ops.Similarity.buildIvfCentroids(emb(sf), cents)
+        (0 until 4).foreach { b =>
+          graft.ops.Similarity.appendIvfAssignPartial(spark,
+            emb(sf).filter(pmod(col("vec_id"), lit(4)) === b), cents, t,
+            b.toLong)
+        }
+        (spark.table(t).count(), () =>
+          graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t))
       }, () => ()))
 
     def num(v: Double): String =
