@@ -242,4 +242,73 @@ class AqeSpec extends SparkSpec {
         s"expected the partial-df fold above the index scan:\n$plan")
     } finally graft.io.Bucketing.dropTable(spark, tbl)
   }
+
+  test("q73 probe under AQE: the STREAMED minhash layout keeps its bucket economics") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val bandsTbl = "graft_aqe_q73_bands"
+    val sigsTbl = "graft_aqe_q73_sigs"
+    Seq(bandsTbl, sigsTbl).foreach(graft.io.Bucketing.dropTable(spark, _))
+    Seq(0, 1).foreach { i =>
+      graft.ops.Dedup.appendCorpusIndexPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === i), bandsTbl, sigsTbl,
+        i.toLong, buckets = 4)
+    }
+    try withAqeNoBroadcast {
+      val dSig = graft.ops.Dedup.sigFrame(delta, 128, 3)
+      val probe = graft.ops.Dedup.bandFrame(dSig, 16, 8).as("d")
+        .join(spark.table(bandsTbl).as("c"),
+          col("d.band_id") === col("c.band_id") &&
+          col("d.band_hash") === col("c.band_hash"))
+        .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      val plan = finalPlan(probe)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the streamed band index:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"AQE re-planning must not add an index-side exchange:\n$plan")
+      // semantics: streamed layout under AQE == batch-built probe
+      val refBands = "graft_aqe_q73_refb"; val refSigs = "graft_aqe_q73_refs"
+      Seq(refBands, refSigs).foreach(graft.io.Bucketing.dropTable(spark, _))
+      graft.ops.Dedup.buildCorpusIndex(corpus, refBands, refSigs, buckets = 4)
+      try {
+        val streamed = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+          spark, delta, bandsTbl, sigsTbl)
+        val batch = graft.ops.Dedup.incrementalVerdictsAgainstIndex(
+          spark, delta, refBands, refSigs)
+        assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+          "streamed-layout verdicts under AQE must equal the batch-index probe")
+      } finally Seq(refBands, refSigs).foreach(graft.io.Bucketing.dropTable(spark, _))
+    } finally Seq(bandsTbl, sigsTbl).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
+  test("q71 probe under AQE: streamed vector postings stay a bucketed read, verdicts unchanged") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val bandsTbl = "graft_aqe_q71_bands"; val vecsTbl = "graft_aqe_q71_vecs"
+    val refBands = "graft_aqe_q71_refb"; val refVecs = "graft_aqe_q71_refv"
+    Seq(bandsTbl, vecsTbl, refBands, refVecs)
+      .foreach(graft.io.Bucketing.dropTable(spark, _))
+    val bits = graft.ops.Similarity.adaptiveBitsPerTable(corpus.count())
+    Seq(0, 1).foreach { i =>
+      graft.ops.Similarity.appendVectorIndexPartial(spark,
+        corpus.filter(pmod(col("vec_id"), lit(2)) === i), bandsTbl, vecsTbl,
+        i.toLong, tables = 8, bitsPerTable = bits, buckets = 4)
+    }
+    graft.ops.Similarity.buildVectorIndex(corpus, refBands, refVecs,
+      bitsPerTable = bits, buckets = 4)
+    try withAqeNoBroadcast {
+      val streamed = graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(
+        spark, delta, bandsTbl, vecsTbl, threshold = 0.45, bitsPerTable = bits)
+      val plan = finalPlan(streamed)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the streamed vector index:\n$plan")
+      val batch = graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(
+        spark, delta, refBands, refVecs, threshold = 0.45, bitsPerTable = bits)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed-layout verdicts under AQE must equal the batch-index probe")
+    } finally Seq(bandsTbl, vecsTbl, refBands, refVecs)
+      .foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
 }
