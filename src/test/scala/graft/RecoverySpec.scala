@@ -315,6 +315,58 @@ class RecoverySpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, batchTbl)
   }
 
+  test("mid-batch crash + restart: streamed IVF index probes like the batch-built one") {
+    // q74's maintenance claim under failure: assignments ride the same
+    // batch_id-overwrite replay discipline, and the pinned-centroid
+    // artifact guarantees the replayed batch re-assigns to the SAME
+    // cells the crashed attempt would have
+    val landing = Files.createTempDirectory("graft_rec_ivf_in").toString
+    val emb = Tables.embeddings(spark, sfDir)
+    emb.repartitionByRange(3, col("vec_id"))
+      .write.mode("overwrite").parquet(landing)
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    PoisonGate.markerId = spark.read.parquet(parts(1).getAbsolutePath)
+      .select(col("vec_id")).collect().last.getLong(0)
+    val ckpt = tmp("graft_rec_ivf_ckpt")
+    val centTbl = "rec_q74_cents"; val streamedTbl = "rec_q74_streamed"
+    val batchTbl = "rec_q74_batch"
+    Seq(centTbl, streamedTbl, batchTbl)
+      .foreach(graft.io.Bucketing.dropTable(spark, _))
+    graft.ops.Similarity.buildIvfCentroids(emb, centTbl)
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .filter(poison(col("vec_id")))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.Similarity.appendIvfAssignPartial(spark, b.toDF(),
+            centTbl, streamedTbl, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] { run() }
+    finally PoisonGate.armed = false
+    run()
+    spark.catalog.refreshTable(streamedTbl)
+    graft.ops.Similarity.buildIvfIndex(emb, batchTbl)
+    val got = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, streamedTbl)
+    val want = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, batchTbl)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "recovered streamed IVF index must probe identically to the batch build")
+    Seq(centTbl, streamedTbl, batchTbl)
+      .foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
