@@ -57,6 +57,70 @@ object Sketches {
         round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 6))
   }
 
+  /** STREAMED maintenance for the KMV profile: land one micro-batch's
+    * per-language bottom-k sketch as its own batch_id partition —
+    * k longs per (language, batch), bounded regardless of batch size.
+    * The fold is EXACT, not approximate-on-approximate: the k smallest
+    * distinct hashes of a union are always contained in the union of
+    * each part's k smallest, so re-folding the partials reproduces the
+    * monolithic sketch bit-for-bit (SketchesSpec pins this; the q75
+    * catalog row hash-certifies it against p94's oracle). Replay
+    * idempotently overwrites its own partition (the q68 discipline). */
+  def appendKmvPartial(spark: org.apache.spark.sql.SparkSession,
+                       batch: DataFrame, table: String, batchId: Long,
+                       k: Int = 64, buckets: Int = 8): Unit = {
+    val partial = batch.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .select(col("lang"), h60(col("tok")).as("h"))
+      .groupBy("lang")
+      .agg(graft.functions.KmvAggregator.kmv(k)(col("h")).as("mins"))
+      .select(col("lang"), explode(col("mins")).as("h"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "lang", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "kmv-profile")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** Fold a streamed ([[appendKmvPartial]]) profile back to the
+    * per-language sketch and emit [[kmvDistinctTokens]]'s exact output
+    * shape: sketch columns from the folded index, the exact baseline
+    * from a labeled one-shot pass over `docs` (the expensive
+    * comparison column the profile row carries by contract — the
+    * SKETCH is the maintained artifact). */
+  def kmvProfileFromStreamedIndex(spark: org.apache.spark.sql.SparkSession,
+                                  docs: DataFrame, table: String,
+                                  k: Int = 64): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "kmv-profile")
+    val idx = spark.table(table)
+    require(idx.columns.contains("batch_id"),
+      s"$table is not a streamed kmv-profile layout (no batch_id partitions)")
+    val sk = idx.groupBy("lang")
+      .agg(graft.functions.KmvAggregator.kmv(k)(col("h")).as("mins"))
+    val exact = docs.select(col("lang"),
+        explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .distinct()
+      .groupBy("lang").agg(count(lit(1)).as("n_exact"))
+    sk.join(exact, Seq("lang"))
+      .select(col("lang"), lit(k).cast("long").as("k"),
+        size(col("mins")).cast("long").as("n_sketch"),
+        element_at(col("mins"), size(col("mins"))).as("kth_hash"),
+        col("n_exact"))
+      .withColumn("n_est",
+        when(col("n_sketch") < k, col("n_sketch").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble) * pow(lit(2.0), lit(60.0)) /
+            col("kth_hash").cast("double"), 3)))
+      .withColumn("rel_err",
+        round(abs(col("n_est") - col("n_exact")) / col("n_exact"), 6))
+  }
+
   /** Per-language heavy-hitter word n-grams: exact counts, bounded
     * top-k selection. Two hash aggregations (both partial-aggregating
     * map-side) and a k-element fold per language — no global sort, no

@@ -1132,7 +1132,32 @@ object StreamingQueries {
     graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, idxTbl)
   }
 
+  /** q75 — STREAMING maintenance for the PROFILING surface: each landed
+    * micro-batch contributes its per-language bottom-k KMV partial
+    * (k longs per language — bounded whatever the batch size) as its
+    * own batch_id partition, and the probe folds the partials back to
+    * the monolithic sketch. The fold is EXACT (the k smallest distinct
+    * hashes of a union are contained in the union of per-batch
+    * k-smallest), so the row shares p94's oracle verbatim: a hash match
+    * certifies that a corpus profile maintained by the ingest stream
+    * equals the one a from-scratch scan computes — the
+    * "describe-the-corpus dashboard that is never stale" shape. The
+    * exact-count baseline column stays a labeled one-shot pass, by the
+    * p94 contract. */
+  def q75StreamingProfile(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q75_in", dir)
+    landSlicedModulo(spark, dir, landing, docs, "doc_id", nFiles = 4)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q75_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q75_kmv", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.Sketches.appendKmvPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.Sketches.kmvProfileFromStreamedIndex(spark, docs, idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_streaming_profile" -> (q75StreamingProfile _),
     "q71_streaming_vector_index" -> (q71StreamingVectorIndex _),
     "q72_streaming_gram_index" -> (q72StreamingGramIndex _),
     "q73_streaming_minhash_index" -> (q73StreamingMinhashIndex _),
@@ -1176,5 +1201,6 @@ object StreamingQueries {
     "q71_streaming_vector_index" -> RecallQueries.embDedupIncrementalSql,
     "q72_streaming_gram_index" -> PipelineQueries.textDecontaminationIncrementalSql,
     "q73_streaming_minhash_index" -> PipelineQueries.dedupIncrementalSql,
-    "q74_streaming_ivf_index" -> RecallQueries.annIvfTopKSql)
+    "q74_streaming_ivf_index" -> RecallQueries.annIvfTopKSql,
+    "q75_streaming_profile" -> ProfilingQueries.kmvDistinctSql)
 }

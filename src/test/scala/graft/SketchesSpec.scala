@@ -78,6 +78,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streamed KMV partials fold EXACTLY to the monolithic sketch") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "sk_kmv_stream"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1, 2).foreach { i =>
+      Sketches.appendKmvPartial(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tbl, i.toLong)
+    }
+    val want = rows(Sketches.kmvDistinctTokens(docs, k = 64))
+    val got = rows(Sketches.kmvProfileFromStreamedIndex(spark, docs, tbl, k = 64))
+    assert(got === want,
+      "k-smallest of a union must equal the fold of per-batch k-smallest")
+    // replayed batch overwrites its own partition: fold unchanged
+    Sketches.appendKmvPartial(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), tbl, 1L)
+    assert(rows(Sketches.kmvProfileFromStreamedIndex(spark, docs, tbl, k = 64))
+      === want, "batch replay must be idempotent")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
   test("histogram bins partition the value range exactly") {
     val docs = Tables.documents(spark, sfDir)
     val hist = Sketches.tokenCountHistogram(docs, bins = 16).collect()
