@@ -140,6 +140,148 @@ object Sketches {
         col("col.id").as("gram"), col("col.score").cast("long").as("cnt"))
   }
 
+  /** STREAMED maintenance for the count-min surface: one micro-batch's
+    * sketch (a depth x width long matrix over lang-qualified bigram
+    * keys) lands as its own batch_id partition in (pos, cnt) row form.
+    * The fold is EXACT — count-min merge is elementwise addition, so
+    * summing per-batch counters per position reproduces the monolithic
+    * sketch bit-for-bit whatever the batching. State is bounded by
+    * construction: depth*width rows per batch, independent of batch
+    * size or vocabulary. */
+  def appendCountMinPartial(spark: org.apache.spark.sql.SparkSession,
+                            batch: DataFrame, table: String, batchId: Long,
+                            n: Int = 2, depth: Int = 4, width: Int = 4096,
+                            buckets: Int = 8): Unit = {
+    val keys = batch.select(col("lang"),
+        explode(graft.functions.TextFunctions.word_ngrams(
+          TextAnalysis.tokens(col("text")), n)).as("gram"))
+      .select(concat_ws("", col("lang"), col("gram")).as("key"))
+    val partial = keys
+      .agg(graft.functions.CountMin.count_min(depth, width)(col("key")).as("sk"))
+      .select(posexplode(col("sk")))
+      .toDF("pos", "cnt")
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "pos", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "countmin")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** Audit the stream-maintained count-min sketch against the exact
+    * heavy-hitter counts: fold the partials (elementwise sum — exact),
+    * collect the BOUNDED sketch (depth*width longs — collecting the
+    * sketch is the point of a sketch), and check each exact top-k
+    * (lang, gram) count against its estimate. Emitted as exact values
+    * plus checked error-bound booleans — the q24/q43 contract for the
+    * one sketch whose seeded xxhash64 DuckDB cannot replay: the oracle
+    * expects `est_dominates` (guaranteed: counters only add) and
+    * `est_within_eps` (the 4e·N/width envelope) both TRUE. */
+  def countMinHeavyHitterAudit(spark: org.apache.spark.sql.SparkSession,
+                               docs: DataFrame, table: String, n: Int = 2,
+                               k: Int = 10, depth: Int = 4,
+                               width: Int = 4096): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "countmin")
+    val folded = spark.table(table).groupBy("pos")
+      .agg(sum(col("cnt")).as("cnt")).collect()
+    val sketch = new Array[Long](depth * width)
+    folded.foreach(r => sketch(r.getInt(0)) = r.getLong(1))
+    // every key increments exactly one counter per sketch row, so any
+    // single row's counters sum to the total key-instance count N
+    val total = sketch.take(width).sum
+    val bound = (4 * math.E * total / width).toLong + 1
+    val hh = heavyHitterNgrams(docs, n, k).collect()
+    val out = hh.map { r =>
+      val lang = r.getString(0); val rank = r.getLong(1)
+      val gram = r.getString(2); val cnt = r.getLong(3)
+      val est = graft.functions.CountMin.estimate(sketch,
+        lang + "" + gram, depth, width)
+      (lang, rank, gram, cnt, est >= cnt, est <= cnt + bound)
+    }
+    import spark.implicits._
+    out.toSeq.toDF("lang", "rank", "gram", "cnt",
+      "est_dominates", "est_within_eps")
+  }
+
+  /** Per-language LOG2-bucketed histogram of per-document token counts:
+    * bin = floor(log2(v)) computed as pure INTEGER work (the base-2
+    * digit count of v, via `conv`), so there is no float-boundary risk
+    * at exact powers of two and the row replays bit-for-bit in DuckDB
+    * (`length(printf('%b', v)) - 1`). Unlike the fixed-width form
+    * ([[tokenCountHistogram]], whose bin edges depend on the global
+    * min/max and therefore shift as data arrives), log2 bin edges are
+    * ABSOLUTE — which is exactly what makes the sketch stream-
+    * maintainable: per-batch (lang, bin, cnt) partials fold by plain
+    * addition into the monolithic histogram ([[appendLog2HistogramPartial]]).
+    * One map-side-combining aggregate; state bounded by
+    * |langs| x 64 bins. */
+  def log2TokenHistogram(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(1L)).as("v"))
+      .withColumn("bin", (length(conv(col("v").cast("string"), 10, 2)) - 1)
+        .cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("bin"), col("cnt"),
+        expr("cast(pow(2.0d, bin) as bigint)").as("bin_lo"),
+        expr("cast(pow(2.0d, bin + 1) as bigint) - 1").as("bin_hi"))
+
+  /** STREAMED maintenance for the log2 histogram: one micro-batch's
+    * (lang, bin, cnt) partial lands as its own batch_id partition.
+    * The fold is EXACT — counts add — and needs no global bounds pass
+    * because log2 bin edges are absolute (the property that makes this
+    * the deployable streaming histogram; a fixed-WIDTH histogram's
+    * min/max-derived edges would re-bin history on every batch).
+    * State per batch: at most |langs| x 64 rows. */
+  def appendLog2HistogramPartial(spark: org.apache.spark.sql.SparkSession,
+                                 batch: DataFrame, table: String,
+                                 batchId: Long, buckets: Int = 8): Unit = {
+    val partial = batch.select(col("lang"),
+        greatest(size(TextAnalysis.tokens(col("text"))).cast("long"),
+          lit(1L)).as("v"))
+      .withColumn("bin", (length(conv(col("v").cast("string"), 10, 2)) - 1)
+        .cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "lang", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "log2-hist")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** Fold a streamed ([[appendLog2HistogramPartial]]) histogram back to
+    * [[log2TokenHistogram]]'s exact output shape: counts sum per
+    * (lang, bin); the edge columns are pure functions of the bin. The
+    * fold IS the complete answer — no corpus re-scan, no baseline
+    * column — because the histogram is exactly additive. */
+  def log2HistogramFromStreamedIndex(spark: org.apache.spark.sql.SparkSession,
+                                     table: String): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "log2-hist")
+    val idx = spark.table(table)
+    require(idx.columns.contains("batch_id"),
+      s"$table is not a streamed log2-histogram layout (no batch_id partitions)")
+    idx.groupBy(col("lang"), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("lang"), col("bin"), col("cnt"),
+        expr("cast(pow(2.0d, bin) as bigint)").as("bin_lo"),
+        expr("cast(pow(2.0d, bin + 1) as bigint) - 1").as("bin_hi"))
+  }
+
   /** Per-language fixed-width histogram of per-document token counts:
     * one tiny min/max aggregate broadcast back, then a map-only bin
     * assignment and a count aggregate — the scale-correct histogram

@@ -1144,10 +1144,19 @@ object StreamingQueries {
     * "describe-the-corpus dashboard that is never stale" shape. The
     * exact-count baseline column stays a labeled one-shot pass, by the
     * p94 contract. */
+  /** The FULL-documents landing q75/q76/q77 share (all three profiling
+    * sketches ride the same ingest stream) — the sharedCorpusLanding
+    * device with no side split. */
+  private def sharedDocsLanding(spark: SparkSession, dir: String): String = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q75_in", dir)
+    landSlicedModulo(spark, dir, landing, Tables.documents(spark, dir),
+      "doc_id", nFiles = 4)
+    landing
+  }
+
   def q75StreamingProfile(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q75_in", dir)
-    landSlicedModulo(spark, dir, landing, docs, "doc_id", nFiles = 4)
+    val landing = sharedDocsLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q75_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q75_kmv", dir)
     runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
@@ -1156,7 +1165,65 @@ object StreamingQueries {
     graft.ops.Sketches.kmvProfileFromStreamedIndex(spark, docs, idxTbl)
   }
 
+  /** q76 — STREAMING count-min maintenance + heavy-hitter audit: each
+    * landed micro-batch's depth×width sketch lands as its own batch_id
+    * partition; the fold is EXACT (count-min merge is elementwise
+    * addition), and the probe checks the exact per-language top-k
+    * bigram counts (the p95 pass, the labeled exact baseline) against
+    * the folded sketch's estimates. Output follows the q24/q43
+    * sketch contract — exact values plus checked error-bound booleans
+    * (`est_dominates` is mathematically guaranteed; `est_within_eps`
+    * is the 4e·N/width envelope) — because seeded xxhash64 is the one
+    * sketch primitive DuckDB cannot replay. This closes the count-min
+    * surface into the driver-checked catalog with the same streamed
+    * maintenance story as every other bounded-state artifact. */
+  def q76StreamingCountMin(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val landing = sharedDocsLanding(spark, dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q76_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q76_cm", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.Sketches.appendCountMinPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.Sketches.countMinHeavyHitterAudit(spark, docs, idxTbl)
+  }
+
+  /** q77 — STREAMING log2-histogram maintenance: the third profiling
+    * sketch on the shared ingest stream, and the one whose fold IS the
+    * complete answer (counts are exactly additive and log2 bin edges
+    * are absolute, so no corpus re-scan and no baseline column — see
+    * [[graft.ops.Sketches.appendLog2HistogramPartial]]). Full hash
+    * oracle: the bin is integer base-2 digit-count arithmetic, which
+    * DuckDB replays verbatim (`length(printf('%b', v)) - 1`) — no
+    * float-at-power-of-two boundary, no sketch tolerance contract
+    * needed. */
+  def q77StreamingLog2Hist(spark: SparkSession, dir: String): DataFrame = {
+    val landing = sharedDocsLanding(spark, dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q77_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q77_hist", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.Sketches.appendLog2HistogramPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.Sketches.log2HistogramFromStreamedIndex(spark, idxTbl)
+  }
+
+  val log2HistogramSql: String =
+    """WITH v AS (
+      |  SELECT lang,
+      |    GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS v
+      |  FROM documents),
+      |b AS (
+      |  SELECT lang, CAST(length(printf('%b', v)) - 1 AS BIGINT) AS bin,
+      |    COUNT(*) AS cnt
+      |  FROM v GROUP BY 1, 2)
+      |SELECT lang, bin, cnt,
+      |  CAST(POWER(2.0, bin) AS BIGINT) AS bin_lo,
+      |  CAST(POWER(2.0, bin + 1) AS BIGINT) - 1 AS bin_hi
+      |FROM b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_streaming_log2_hist" -> (q77StreamingLog2Hist _),
+    "q76_streaming_countmin" -> (q76StreamingCountMin _),
     "q75_streaming_profile" -> (q75StreamingProfile _),
     "q71_streaming_vector_index" -> (q71StreamingVectorIndex _),
     "q72_streaming_gram_index" -> (q72StreamingGramIndex _),
@@ -1202,5 +1269,12 @@ object StreamingQueries {
     "q72_streaming_gram_index" -> PipelineQueries.textDecontaminationIncrementalSql,
     "q73_streaming_minhash_index" -> PipelineQueries.dedupIncrementalSql,
     "q74_streaming_ivf_index" -> RecallQueries.annIvfTopKSql,
-    "q75_streaming_profile" -> ProfilingQueries.kmvDistinctSql)
+    "q75_streaming_profile" -> ProfilingQueries.kmvDistinctSql,
+    // p95's exact ranking + the two contract booleans the sketch path
+    // must certify (the q24/q43 device)
+    "q76_streaming_countmin" -> (
+      "WITH base AS (" + ProfilingQueries.heavyHittersSql + ")\n" +
+      "SELECT lang, rank, gram, cnt, TRUE AS est_dominates, " +
+      "TRUE AS est_within_eps FROM base"),
+    "q77_streaming_log2_hist" -> log2HistogramSql)
 }

@@ -101,6 +101,72 @@ class SketchesSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
     df.collect().map(_.toString).toSet
 
+  test("streamed count-min partials fold to the monolithic sketch; audit booleans hold") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "sk_cm_stream"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1, 2).foreach { i =>
+      Sketches.appendCountMinPartial(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tbl, i.toLong,
+        depth = 2, width = 512)
+    }
+    // folded partials == one-shot sketch (merge is elementwise addition)
+    val folded = spark.table(tbl).groupBy("pos")
+      .agg(sum(col("cnt")).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val mono = docs.select(col("lang"),
+        explode(graft.functions.TextFunctions.word_ngrams(
+          graft.ops.TextAnalysis.tokens(col("text")), 2)).as("gram"))
+      .select(concat_ws("", col("lang"), col("gram")).as("key"))
+      .agg(CountMin.count_min(2, 512)(col("key"))).head().getSeq[Long](0)
+    mono.zipWithIndex.foreach { case (v, i) =>
+      assert(folded.getOrElse(i, 0L) === v,
+        s"counter $i: folded ${folded.getOrElse(i, 0L)} != monolithic $v")
+    }
+    // audit over the streamed table: both contract booleans true
+    val audit = Sketches.countMinHeavyHitterAudit(spark, docs, tbl,
+      depth = 2, width = 512).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getBoolean(4), s"est must dominate exact for $r")
+      assert(r.getBoolean(5), s"est must sit within the envelope for $r")
+    }
+    // replayed batch overwrites its own partition: fold unchanged
+    Sketches.appendCountMinPartial(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), tbl, 1L,
+      depth = 2, width = 512)
+    val refolded = spark.table(tbl).groupBy("pos")
+      .agg(sum(col("cnt")).as("cnt")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(refolded === folded, "batch replay must be idempotent")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
+  test("streamed log2-histogram partials fold to the monolithic histogram") {
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "sk_hist_stream"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1, 2).foreach { i =>
+      Sketches.appendLog2HistogramPartial(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tbl, i.toLong)
+    }
+    val mono = rows(Sketches.log2TokenHistogram(docs))
+    assert(rows(Sketches.log2HistogramFromStreamedIndex(spark, tbl)) === mono,
+      "fold of per-batch partials must equal the one-shot histogram")
+    // bin edges honor the log2 contract: lo = 2^bin <= every member,
+    // hi = 2^(bin+1)-1, and bins are absolute (no min/max dependence)
+    Sketches.log2TokenHistogram(docs).collect().foreach { r =>
+      val bin = r.getLong(1); val lo = r.getLong(3); val hi = r.getLong(4)
+      assert(lo === (1L << bin) && hi === (1L << (bin + 1)) - 1)
+    }
+    // replayed batch overwrites its own partition: fold unchanged
+    Sketches.appendLog2HistogramPartial(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 2), tbl, 2L)
+    assert(rows(Sketches.log2HistogramFromStreamedIndex(spark, tbl)) === mono,
+      "batch replay must be idempotent")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("histogram bins partition the value range exactly") {
     val docs = Tables.documents(spark, sfDir)
     val hist = Sketches.tokenCountHistogram(docs, bins = 16).collect()
