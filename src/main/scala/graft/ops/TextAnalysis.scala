@@ -430,6 +430,57 @@ object TextAnalysis {
     } finally feat.unpersist()
   }
 
+  /** Operating-point sweep of the TRAINED classifier — the curve a
+    * curation pipeline reads to CHOOSE its quality-gate threshold
+    * (recall-leaning for bulk pretraining data, precision-leaning for
+    * a high-quality subset), rather than defaulting to margin > 0.
+    * Train the [[trainHashedLogReg]] weights once, score every doc
+    * once (exact integer margins), then evaluate the confusion matrix
+    * at each probability cutoff: p > t ⟺ m6 > logit(t)·1e6, so the
+    * sweep thresholds are PINNED integer literals on the 1e-6 grid
+    * (default: logit of 0.1/0.3/0.5/0.7/0.9) and the whole row stays
+    * inside the exact fixed-point replay discipline — no float compare
+    * anywhere. Derived metrics use truncating 1e-6 integer division
+    * (`DIV` / DuckDB `//`, nonnegative operands), with -1 as the
+    * undefined sentinel. Cost: the margin pass is one dims-bounded
+    * broadcast join + doc aggregate; the sweep itself is a
+    * |thresholds|-way broadcast expansion of the n-row margin frame
+    * into one bounded aggregate — threshold count never multiplies
+    * corpus scans. */
+  def evalHashedLogRegThresholds(docs: DataFrame,
+                                 thresholds6: Seq[Long] =
+                                   Seq(-2197225L, -847298L, 0L, 847298L,
+                                     2197225L),
+                                 dims: Int = 8, steps: Int = 4,
+                                 capCount: Int = 1000,
+                                 labelMinTokens: Int = 55,
+                                 etaInvFactor: Int = 128,
+                                 biasX: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feat = logRegFeatures(docs, dims, capCount, labelMinTokens, biasX)
+      .persist()
+    try {
+      val w = logRegSteps(feat, docs.count(), dims + 1, steps,
+        etaInvFactor).last
+      val thr = thresholds6.toDF("thr6")
+      val pos = col("m6") > col("thr6")
+      val truth = col("y6") === 1000000L
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      logRegMargins(feat, w)
+        .crossJoin(broadcast(thr))
+        .groupBy(col("thr6"))
+        .agg(cnt(pos && truth).as("tp"), cnt(pos && !truth).as("fp"),
+          cnt(!pos && !truth).as("tn"), cnt(!pos && truth).as("fn"))
+        .selectExpr("thr6", "tp", "fp", "tn", "fn",
+          "CASE WHEN tp + fp = 0 THEN -1L ELSE tp * 1000000L DIV (tp + fp) END AS prec6",
+          "CASE WHEN tp + fn = 0 THEN -1L ELSE tp * 1000000L DIV (tp + fn) END AS rec6")
+        .selectExpr("thr6", "tp", "fp", "tn", "fn", "prec6", "rec6",
+          "CASE WHEN prec6 < 0 OR rec6 < 0 OR prec6 + rec6 = 0 THEN -1L " +
+            "ELSE 2L * prec6 * rec6 DIV (prec6 + rec6) END AS f16")
+    } finally feat.unpersist()
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

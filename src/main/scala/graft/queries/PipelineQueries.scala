@@ -1434,6 +1434,41 @@ object PipelineQueries {
       |    (SELECT COUNT(*) FROM documents) AS BIGINT) AS acc6
       |FROM c""".stripMargin
 
+  /** p98 — operating-point sweep of the p88-trained classifier: the
+    * precision/recall curve a pipeline reads to CHOOSE its quality-gate
+    * threshold instead of defaulting to margin > 0. Five pinned
+    * 1e-6-grid logit cutoffs (p ∈ {0.1, 0.3, 0.5, 0.7, 0.9}), exact
+    * integer margins scored ONCE, confusion + truncating-division
+    * precision/recall/F1 per cutoff. The oracle extends the p88
+    * unrolled CTEs with the margin pass and the same 5-way sweep, so
+    * training, scoring AND every operating point replay end to end. */
+  def classifierThresholdSweep(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.evalHashedLogRegThresholds(Tables.documents(spark, dir))
+
+  val classifierThresholdSweepSql: String = logRegCtes + """,
+      |m5 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w4.w * fl.x) AS m6
+      |       FROM fl JOIN w4 USING (d) GROUP BY fl.doc_id),
+      |thr AS (SELECT CAST(t.t AS BIGINT) AS thr6 FROM (VALUES (-2197225),
+      |       (-847298), (0), (847298), (2197225)) t(t)),
+      |c AS (SELECT thr6,
+      |  SUM(CASE WHEN m6 > thr6 AND y6 = 1000000 THEN 1 ELSE 0 END) AS tp,
+      |  SUM(CASE WHEN m6 > thr6 AND y6 = 0 THEN 1 ELSE 0 END) AS fp,
+      |  SUM(CASE WHEN m6 <= thr6 AND y6 = 0 THEN 1 ELSE 0 END) AS tn,
+      |  SUM(CASE WHEN m6 <= thr6 AND y6 = 1000000 THEN 1 ELSE 0 END) AS fn
+      |  FROM m5 CROSS JOIN thr GROUP BY thr6),
+      |pr AS (SELECT thr6, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+      |  CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+      |  CASE WHEN tp + fp = 0 THEN CAST(-1 AS BIGINT)
+      |    ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS prec6,
+      |  CASE WHEN tp + fn = 0 THEN CAST(-1 AS BIGINT)
+      |    ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS rec6
+      |  FROM c)
+      |SELECT thr6, tp, fp, tn, fn, prec6, rec6,
+      |  CASE WHEN prec6 < 0 OR rec6 < 0 OR prec6 + rec6 = 0
+      |    THEN CAST(-1 AS BIGINT)
+      |    ELSE CAST(2 * prec6 * rec6 // (prec6 + rec6) AS BIGINT) END AS f16
+      |FROM pr""".stripMargin
+
   /** p90 — Okapi-BM25 top-5 retrieval against a fixed query set
     * (every 100th doc's first 3 distinct tokens): the lexical-retrieval
     * primitive for decontamination-by-retrieval and eval-leakage
@@ -1848,6 +1883,7 @@ object PipelineQueries {
     "p85_video_fingerprint" -> (videoFingerprint _),
     "p88_classifier_train" -> (classifierTrain _),
     "p89_classifier_eval" -> (classifierEval _),
+    "p98_classifier_threshold_sweep" -> (classifierThresholdSweep _),
     "p90_bm25_topk" -> (bm25TopK _),
     "p91_bm25_incremental" -> (bm25TopKIncr _),
     "p92_hybrid_retrieval" -> (hybridRetrieval _),
@@ -1906,6 +1942,7 @@ object PipelineQueries {
     "p85_video_fingerprint" -> videoFingerprintSql,
     "p88_classifier_train" -> classifierTrainSql,
     "p89_classifier_eval" -> classifierEvalSql,
+    "p98_classifier_threshold_sweep" -> classifierThresholdSweepSql,
     "p90_bm25_topk" -> bm25TopKSql,
     "p91_bm25_incremental" -> bm25TopKIncrSql,
     "p92_hybrid_retrieval" -> hybridRetrievalSql,

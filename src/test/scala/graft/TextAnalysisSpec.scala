@@ -361,6 +361,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ev.getLong(4) === (tp + tn) * 1000000L / corpus.length)
   }
 
+  test("threshold sweep reconciles with the point eval and is monotone in the cutoff") {
+    val docs = Tables.documents(spark, sfDir)
+    val sweep = TextAnalysis.evalHashedLogRegThresholds(docs)
+      .collect().sortBy(_.getLong(0))
+    assert(sweep.length === 5)
+    // the thr=0 operating point IS p89's confusion matrix
+    val at0 = sweep.find(_.getLong(0) == 0L).get
+    val ev = TextAnalysis.evalHashedLogReg(docs).collect().head
+    assert((at0.getLong(1), at0.getLong(2), at0.getLong(3), at0.getLong(4)) ===
+      (ev.getLong(0), ev.getLong(1), ev.getLong(2), ev.getLong(3)),
+      "sweep at logit(0.5)=0 must equal the margin>0 eval")
+    // raising the cutoff only shrinks the predicted-positive set:
+    // tp/fp non-increasing, tn/fn non-decreasing
+    sweep.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1) && hi.getLong(2) <= lo.getLong(2))
+      assert(hi.getLong(3) >= lo.getLong(3) && hi.getLong(4) >= lo.getLong(4))
+    }
+    // the curve is a real tradeoff on the fixture, not a degenerate
+    // classifier: recall spans high-to-low while precision improves
+    val (first, last) = (sweep.head, sweep.last)
+    assert(first.getLong(6) > 900000L, "lowest cutoff must be high-recall")
+    assert(last.getLong(1) + last.getLong(2) < first.getLong(1) + first.getLong(2),
+      "highest cutoff must predict fewer positives")
+    // undefined-metric sentinel: any row with no predicted positives
+    // reports prec6 = f16 = -1, never a division crash
+    sweep.filter(r => r.getLong(1) + r.getLong(2) == 0L).foreach { r =>
+      assert(r.getLong(5) === -1L && r.getLong(7) === -1L)
+    }
+  }
+
   test("bm25TopK equals a plain-Scala BM25 replay; bounded top-k tie order") {
     // doc ids 0 and 100 are query docs (doc_id % 100 == 0)
     val corpus = Seq(
