@@ -481,6 +481,41 @@ object TextAnalysis {
     } finally feat.unpersist()
   }
 
+  /** Tokenizer-vocabulary coverage / OOV audit — the check a pipeline
+    * runs BEFORE committing to a tokenizer: build the top-V corpus
+    * vocabulary (count desc, token asc — deterministic ties) and report,
+    * per language, how much of the token stream it covers and how much
+    * falls out-of-vocabulary. A vocab that covers 99% of English but
+    * 60% of another language is how under-represented languages
+    * silently degrade into byte-fallback soup; this row is the audit
+    * that catches it at corpus-profile time.
+    *
+    * Shape at scale: token counts aggregate with map-side partials
+    * (shuffle on the token); the top-V selection is one bounded
+    * [[graft.functions.TopKAggregator]] fold (V strings of state — no
+    * global sort, no window over the vocabulary); the vocab then
+    * BROADCASTS back (V entries) so the coverage pass is one narrow
+    * scan + a |langs|-bounded aggregate. `cover6` is truncating 1e-6
+    * integer division — engine-exact. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
+    val inst = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .agg(graft.functions.TopKAggregator.top_k_str(vocabSize)(
+        col("cnt").cast("double"), col("tok")).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id").as("tok"), lit(1L).as("in_vocab"))
+    inst.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        count_distinct(when(col("in_vocab").isNull, col("tok")))
+          .as("n_distinct_oov"))
+      .selectExpr("lang", "n_instances", "n_covered",
+        "n_instances - n_covered AS n_oov",
+        "n_covered * 1000000L DIV n_instances AS cover6",
+        "n_distinct_oov")
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

@@ -488,6 +488,44 @@ object CurationQueries {
       |    AS alloc_tokens
       |FROM r CROSS JOIN lo""".stripMargin
 
+  /** p99 — tokenizer-vocabulary coverage / OOV audit: build the top-V
+    * corpus vocabulary (count desc, token asc) and report per-language
+    * instance coverage, OOV mass, and distinct OOV types — the audit
+    * that catches a tokenizer silently degrading an under-represented
+    * language into byte-fallback soup. Bounded TopK fold for the vocab
+    * (no global sort), broadcast back for a single narrow coverage
+    * pass — see [[graft.ops.TextAnalysis.vocabCoverage]]. The oracle
+    * rebuilds the vocabulary and the whole audit in SQL. */
+  def vocabCoverageAudit(spark: SparkSession, dir: String): DataFrame =
+    // V = 16 on the fixture: the synthetic corpus draws from only 31
+    // token types, so any V >= 31 makes the audit vacuously 100% —
+    // 16 exercises the OOV path (coverage ~0.54, 15 OOV types per
+    // language at sf0.01). Production vocabs pass the real V.
+    TextAnalysis.vocabCoverage(Tables.documents(spark, dir), vocabSize = 16)
+
+  val vocabCoverageSql: String =
+    """WITH inst AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS cnt FROM inst GROUP BY tok),
+      |v AS (
+      |  SELECT tok FROM (
+      |    SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rn
+      |    FROM c) WHERE rn <= 16),
+      |j AS (
+      |  SELECT i.lang, i.tok, v.tok IS NOT NULL AS iv
+      |  FROM inst i LEFT JOIN v ON i.tok = v.tok),
+      |a AS (
+      |  SELECT lang, COUNT(*) AS n_instances,
+      |    SUM(CASE WHEN iv THEN 1 ELSE 0 END) AS n_covered,
+      |    COUNT(DISTINCT CASE WHEN NOT iv THEN tok END) AS n_distinct_oov
+      |  FROM j GROUP BY lang)
+      |SELECT lang, CAST(n_instances AS BIGINT) AS n_instances,
+      |  CAST(n_covered AS BIGINT) AS n_covered,
+      |  CAST(n_instances - n_covered AS BIGINT) AS n_oov,
+      |  CAST(n_covered * 1000000 // n_instances AS BIGINT) AS cover6,
+      |  CAST(n_distinct_oov AS BIGINT) AS n_distinct_oov
+      |FROM a""".stripMargin
+
   /** p97 — the END-TO-END curation pipeline, composed: quality gate →
     * exact dedup (keep-first) → benchmark decontamination → seeded
     * exact-N budget selection → deterministic shard/position export,
@@ -587,6 +625,7 @@ object CurationQueries {
     "p37_kmeans_step" -> (kmeansStep _),
     "p38_domain_mix" -> (domainMix _),
     "p93_temperature_mixture" -> (temperatureMixture _),
+    "p99_vocab_coverage" -> (vocabCoverageAudit _),
     "q42_grouping_sets" -> (groupingSets _))
 
   val oracles: Map[String, String] = Map(
@@ -603,5 +642,6 @@ object CurationQueries {
     "p37_kmeans_step" -> kmeansStepSql,
     "p38_domain_mix" -> domainMixSql,
     "p93_temperature_mixture" -> temperatureMixtureSql,
+    "p99_vocab_coverage" -> vocabCoverageSql,
     "q42_grouping_sets" -> groupingSetsSql)
 }

@@ -391,6 +391,32 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("vocabCoverage selects top-V by (count desc, token asc) and audits OOV exactly") {
+    import spark.implicits._
+    // counts: aa=4, bb=4, cc=3, dd=1 -> V=2 vocab is {aa, bb} (tie on
+    // 4 broken lexicographically would matter at the boundary; here the
+    // boundary tie is cc=3 vs nothing)
+    val docs = Seq(
+      (1L, "en", "aa bb aa cc"),
+      (2L, "en", "aa bb cc"),
+      (3L, "de", "aa bb bb cc dd"))
+      .toDF("doc_id", "lang", "text")
+    val got = TextAnalysis.vocabCoverage(docs, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    // en: 7 instances, aa+bb cover 5, oov {cc}x2 -> cover6 = 5e6/7 trunc
+    assert(got("en") === ((7L, 5L, 2L, 714285L, 1L)))
+    // de: 5 instances, aa+bb cover 3, oov {cc, dd} -> 600000
+    assert(got("de") === ((5L, 3L, 2L, 600000L, 2L)))
+    // boundary tie-break: with equal counts the lexicographically
+    // smaller token wins the last vocab slot
+    val tied = Seq((1L, "en", "zz aa zz aa")).toDF("doc_id", "lang", "text")
+    val g2 = TextAnalysis.vocabCoverage(tied, vocabSize = 1).collect().head
+    // aa and zz both count 2; V=1 keeps "aa" -> 2 of 4 covered
+    assert((g2.getLong(1), g2.getLong(2), g2.getLong(5)) === ((4L, 2L, 1L)))
+  }
+
   test("bm25TopK equals a plain-Scala BM25 replay; bounded top-k tie order") {
     // doc ids 0 and 100 are query docs (doc_id % 100 == 0)
     val corpus = Seq(
