@@ -94,13 +94,81 @@ object ProfilingQueries {
       |FROM v JOIN b USING (lang)
       |GROUP BY 1, 2""".stripMargin
 
+  /** p100 — the per-language DATA CARD: one row per language joining
+    * every profiling family — corpus mass (docs, token instances),
+    * distinct-token profile (exact + the p94 KMV estimate), the
+    * dominant bigram (p95 rank-1), the modal log2 length bin (q77's
+    * binning, cnt-desc bin-asc modal tie-break), and tokenizer
+    * coverage at the p99 vocab — the one-page corpus summary a
+    * curation run publishes per slice. Like p97 for curation, the
+    * value certified here is the COMPOSITION: every constituent is a
+    * bounded aggregate on the `lang` key, the joins are
+    * |langs|-bounded, and the single CTE-stack oracle replays the
+    * whole card, so a hash match proves the families compose without
+    * perturbing each other. */
+  def dataCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val base = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.ops.TextAnalysis.tokens(col("text"))).cast("long"))
+        .as("n_tokens"))
+    val kmv = Sketches.kmvDistinctTokens(docs)
+      .select(col("lang"), col("n_exact").as("n_distinct"),
+        col("n_est").as("n_distinct_est"))
+    val top = Sketches.heavyHitterNgrams(docs, n = 2, k = 1)
+      .select(col("lang"), col("gram").as("top_gram"),
+        col("cnt").as("top_gram_cnt"))
+    val modal = Sketches.log2TokenHistogram(docs)
+      .groupBy(col("lang"))
+      .agg(max(struct(col("cnt"), (-col("bin")).as("nb"))).as("m"))
+      .select(col("lang"), (-col("m.nb")).as("modal_bin"),
+        col("m.cnt").as("modal_bin_cnt"))
+    val cov = graft.ops.TextAnalysis.vocabCoverage(docs, vocabSize = 16)
+      .select(col("lang"), col("cover6"))
+    base.join(kmv, Seq("lang")).join(top, Seq("lang"))
+      .join(modal, Seq("lang")).join(cov, Seq("lang"))
+  }
+
+  val dataCardSql: String =
+    s"""WITH base AS (
+       |  SELECT lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |kmv AS (SELECT lang, n_exact AS n_distinct, n_est AS n_distinct_est
+       |  FROM ($kmvDistinctSql) kq),
+       |top AS (SELECT lang, gram AS top_gram, cnt AS top_gram_cnt
+       |  FROM ($heavyHittersSql) hq WHERE rank = 1),
+       |hist AS (
+       |  SELECT lang,
+       |    CAST(length(printf('%b',
+       |      GREATEST(CAST(len(string_split(text, ' ')) AS BIGINT), 1))) - 1
+       |      AS BIGINT) AS bin,
+       |    COUNT(*) AS cnt
+       |  FROM documents GROUP BY 1, 2),
+       |modal AS (
+       |  SELECT lang, bin AS modal_bin, cnt AS modal_bin_cnt FROM (
+       |    SELECT lang, bin, cnt,
+       |      row_number() OVER (PARTITION BY lang
+       |        ORDER BY cnt DESC, bin ASC) AS rn
+       |    FROM hist) WHERE rn = 1),
+       |cov AS (SELECT lang, cover6 FROM (${CurationQueries.vocabCoverageSql}) cq)
+       |SELECT base.lang, base.n_docs, base.n_tokens,
+       |  kmv.n_distinct, kmv.n_distinct_est,
+       |  top.top_gram, top.top_gram_cnt,
+       |  modal.modal_bin, modal.modal_bin_cnt, cov.cover6
+       |FROM base JOIN kmv USING (lang) JOIN top USING (lang)
+       |  JOIN modal USING (lang) JOIN cov USING (lang)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p94_kmv_distinct" -> (kmvDistinct _),
     "p95_heavy_hitters" -> (heavyHitters _),
-    "p96_token_histogram" -> (tokenHistogram _))
+    "p96_token_histogram" -> (tokenHistogram _),
+    "p100_data_card" -> (dataCard _))
 
   val oracles: Map[String, String] = Map(
     "p94_kmv_distinct" -> kmvDistinctSql,
     "p95_heavy_hitters" -> heavyHittersSql,
-    "p96_token_histogram" -> tokenHistogramSql)
+    "p96_token_histogram" -> tokenHistogramSql,
+    "p100_data_card" -> dataCardSql)
 }
