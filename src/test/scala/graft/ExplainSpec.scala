@@ -706,6 +706,67 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p98 sweep: weights and thresholds broadcast; margins aggregate once") {
+    val plan = planString(
+      graft.ops.TextAnalysis.evalHashedLogRegThresholds(
+        Tables.documents(spark, sfDir)))
+    // the (dims+1)-row weight table and the 5-row threshold table both
+    // broadcast against the doc-keyed frames; nothing corpus-sized
+    // sort-merges and the 5-way expansion is a broadcast nested loop,
+    // not a cartesian shuffle
+    assert(plan.contains("BroadcastHashJoin"), s"weight join must broadcast:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"threshold expansion must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p99 coverage: vocab broadcasts back; top-V selection never sorts") {
+    val plan = planString(
+      graft.ops.TextAnalysis.vocabCoverage(Tables.documents(spark, sfDir),
+        vocabSize = 16))
+    // the V-entry vocab joins the token stream as a broadcast; the
+    // top-V fold is the bounded aggregator, not a global sort/window
+    assert(plan.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"token stream must not sort-merge:\n$plan")
+    assert(!plan.contains("Window"), s"top-V must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("q76/q77 folds: streamed sketch layouts aggregate on the bucket key with no exchange") {
+    import org.apache.spark.sql.functions.{col, lit, pmod, sum}
+    val docs = Tables.documents(spark, sfDir)
+    val cm = "graft_q76spec_cm"; val hist = "graft_q77spec_hist"
+    graft.io.Bucketing.dropTable(spark, cm)
+    graft.io.Bucketing.dropTable(spark, hist)
+    Seq(0, 1).foreach { i =>
+      val b = docs.filter(pmod(col("doc_id"), lit(2)) === i)
+      graft.ops.Sketches.appendCountMinPartial(spark, b, cm, i.toLong,
+        depth = 2, width = 256, buckets = 4)
+      graft.ops.Sketches.appendLog2HistogramPartial(spark, b, hist, i.toLong,
+        buckets = 4)
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // count-min fold: grouped on pos, the bucket key
+      val cmPlan = planString(
+        spark.table(cm).groupBy("pos").agg(sum(col("cnt")).as("cnt")))
+      assert(!cmPlan.contains("Exchange"),
+        s"count-min fold must ride the pos-bucketed layout:\n$cmPlan")
+      // histogram fold: grouped on (lang, bin) — lang bucketing already
+      // co-locates every (lang, bin) group, so no re-shuffle
+      val hPlan = planString(
+        spark.table(hist).groupBy("lang", "bin").agg(sum(col("cnt")).as("cnt")))
+      assert(!hPlan.contains("Exchange"),
+        s"histogram fold must ride the lang-bucketed layout:\n$hPlan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, cm)
+      graft.io.Bucketing.dropTable(spark, hist)
+    }
+  }
+
   test("p86 video near-dups: banded self-join, never all pairs") {
     val docs = Tables.documents(spark, sfDir)
       .filter(org.apache.spark.sql.functions.col("doc_id") < 40)
