@@ -209,6 +209,48 @@ object Sketches {
       "est_dominates", "est_within_eps")
   }
 
+  /** Pairwise SOURCE-DRIFT report: L1 distance between the per-source
+    * token distributions, the check a pipeline runs across ingest waves
+    * or data sources to catch distribution shift before it trains in
+    * (a crawler that started returning boilerplate, a source whose
+    * language mix flipped). Distributions are 1e-6 fixed-point
+    * (truncating division — engine-exact); the signed-contribution
+    * device folds the pair compare into ONE token-keyed aggregate:
+    * each (source, token) mass enters +p6 for the pair's left side and
+    * -p6 for its right, so tokens present in both sources contribute
+    * |p1-p2| and single-source tokens their full mass — no full-outer
+    * join, no null handling. The pair domain is |sources|²-bounded and
+    * broadcasts; the heavy work shuffles once on the token. Also
+    * reports each pair's most divergent token (score desc, token asc
+    * — the bounded TopK fold). */
+  def sourceDriftReport(docs: DataFrame): DataFrame = {
+    val inst = docs.select(col("source"),
+      explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val cnt = inst.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val p = cnt.join(broadcast(tot), "source")
+      .selectExpr("source", "tok", "cnt * 1000000L DIV tot AS p6")
+    val pairs = tot.select(col("source").as("source_a"))
+      .join(tot.select(col("source").as("source_b")),
+        col("source_a") < col("source_b"))
+    val contrib = p.join(broadcast(pairs),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .select(col("source_a"), col("source_b"), col("tok"),
+        when(col("source") === col("source_a"), col("p6"))
+          .otherwise(-col("p6")).as("c"))
+    contrib.groupBy(col("source_a"), col("source_b"), col("tok"))
+      .agg(abs(sum(col("c"))).as("d"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(sum(col("d")).as("l1_x6"),
+        graft.functions.TopKAggregator.top_k_str(1)(
+          col("d").cast("double"), col("tok")).as("top"))
+      .select(col("source_a"), col("source_b"), col("l1_x6"),
+        element_at(col("top"), 1).getField("id").as("top_tok"),
+        element_at(col("top"), 1).getField("score").cast("long")
+          .as("top_div6"))
+  }
+
   /** Per-language LOG2-bucketed histogram of per-document token counts:
     * bin = floor(log2(v)) computed as pure INTEGER work (the base-2
     * digit count of v, via `conv`), so there is no float-boundary risk

@@ -160,13 +160,56 @@ object ProfilingQueries {
        |FROM base JOIN kmv USING (lang) JOIN top USING (lang)
        |  JOIN modal USING (lang) JOIN cov USING (lang)""".stripMargin
 
+  /** p101 — pairwise source-drift report: L1 distance between the
+    * per-source 1e-6 fixed-point token distributions plus each pair's
+    * most divergent token — the distribution-shift check a pipeline
+    * runs across ingest waves before a drifted source trains in. The
+    * signed-contribution device (left side +p6, right side -p6, one
+    * token-keyed aggregate) avoids a full-outer join entirely — see
+    * [[graft.ops.Sketches.sourceDriftReport]]. Truncating integer
+    * division throughout, so the oracle replays every number. */
+  def sourceDrift(spark: SparkSession, dir: String): DataFrame =
+    Sketches.sourceDriftReport(Tables.documents(spark, dir))
+
+  val sourceDriftSql: String =
+    """WITH inst AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY source),
+      |p AS (
+      |  SELECT c.source, c.tok, c.cnt * 1000000 // t.tot AS p6
+      |  FROM c JOIN t USING (source)),
+      |pr AS (
+      |  SELECT a.source AS source_a, b.source AS source_b
+      |  FROM t a JOIN t b ON a.source < b.source),
+      |contrib AS (
+      |  SELECT pr.source_a, pr.source_b, p.tok,
+      |    CASE WHEN p.source = pr.source_a THEN p.p6 ELSE -p.p6 END AS cvalue
+      |  FROM p JOIN pr
+      |    ON p.source = pr.source_a OR p.source = pr.source_b),
+      |d AS (
+      |  SELECT source_a, source_b, tok, ABS(SUM(cvalue)) AS d
+      |  FROM contrib GROUP BY 1, 2, 3),
+      |r AS (
+      |  SELECT source_a, source_b, tok, d,
+      |    row_number() OVER (PARTITION BY source_a, source_b
+      |      ORDER BY d DESC, tok ASC) AS rn,
+      |    SUM(d) OVER (PARTITION BY source_a, source_b) AS l1
+      |  FROM d)
+      |SELECT source_a, source_b, CAST(l1 AS BIGINT) AS l1_x6,
+      |  tok AS top_tok, CAST(d AS BIGINT) AS top_div6
+      |FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p101_source_drift" -> (sourceDrift _),
     "p94_kmv_distinct" -> (kmvDistinct _),
     "p95_heavy_hitters" -> (heavyHitters _),
     "p96_token_histogram" -> (tokenHistogram _),
     "p100_data_card" -> (dataCard _))
 
   val oracles: Map[String, String] = Map(
+    "p101_source_drift" -> sourceDriftSql,
     "p94_kmv_distinct" -> kmvDistinctSql,
     "p95_heavy_hitters" -> heavyHittersSql,
     "p96_token_histogram" -> tokenHistogramSql,

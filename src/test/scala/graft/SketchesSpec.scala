@@ -167,6 +167,25 @@ class SketchesSpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("source drift: identical distributions score 0, disjoint score 2e6") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "srcA", "x x y y"),
+      (2L, "srcB", "x x y y"),   // identical distribution to srcA
+      (3L, "srcC", "z z z z"))   // disjoint vocabulary
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.Sketches.sourceDriftReport(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getString(3), r.getLong(4))).toMap
+    // identical: every token's signed contributions cancel exactly;
+    // the top-token tie (all d = 0) breaks lexicographically
+    assert(got(("srcA", "srcB")) === ((0L, "x", 0L)))
+    // disjoint: each side contributes its full mass -> L1 = 2e6 exactly
+    // (x 500000 + y 500000 + z 1000000); top token is z at 1e6
+    assert(got(("srcA", "srcC")) === ((2000000L, "z", 1000000L)))
+    assert(got(("srcB", "srcC")) === ((2000000L, "z", 1000000L)))
+  }
+
   test("histogram bins partition the value range exactly") {
     val docs = Tables.documents(spark, sfDir)
     val hist = Sketches.tokenCountHistogram(docs, bins = 16).collect()
