@@ -516,6 +516,66 @@ object TextAnalysis {
         "n_distinct_oov")
   }
 
+  /** STREAMED maintenance for the vocabulary token counts: one
+    * micro-batch's (tok, cnt) partial lands as its own batch_id
+    * partition, bucketed on the token. The fold is EXACT (counts add),
+    * so the top-V vocabulary computed from the folded index is
+    * bit-identical to a from-scratch corpus count — the vocabulary
+    * becomes a maintained artifact that rides ingest instead of a
+    * rebuild, the same discipline as every other persisted index
+    * family (q68–q77). Partial size is batch-vocabulary-bounded, not
+    * batch-size-bounded. */
+  def appendTokenCountPartial(spark: org.apache.spark.sql.SparkSession,
+                              batch: DataFrame, table: String, batchId: Long,
+                              buckets: Int = 8): Unit = {
+    val partial = batch
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "tok", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "tok-counts")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** [[vocabCoverage]] against a STREAMED ([[appendTokenCountPartial]])
+    * token-count index: fold the partials on the bucketed token key
+    * (no index-side exchange), take the top-V with the same bounded
+    * fold and tie-break, broadcast back, and audit the given docs —
+    * output shape and semantics identical to the batch form, so the
+    * catalog row shares p99's oracle verbatim. */
+  def vocabCoverageFromStreamedIndex(spark: org.apache.spark.sql.SparkSession,
+                                     docs: DataFrame, table: String,
+                                     vocabSize: Int = 256): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "tok-counts")
+    val idx = spark.table(table)
+    require(idx.columns.contains("batch_id"),
+      s"$table is not a streamed token-count layout (no batch_id partitions)")
+    val vocab = idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+      .agg(graft.functions.TopKAggregator.top_k_str(vocabSize)(
+        col("cnt").cast("double"), col("tok")).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.id").as("tok"), lit(1L).as("in_vocab"))
+    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_instances"),
+        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        count_distinct(when(col("in_vocab").isNull, col("tok")))
+          .as("n_distinct_oov"))
+      .selectExpr("lang", "n_instances", "n_covered",
+        "n_instances - n_covered AS n_oov",
+        "n_covered * 1000000L DIV n_instances AS cover6",
+        "n_distinct_oov")
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

@@ -1144,9 +1144,9 @@ object StreamingQueries {
     * "describe-the-corpus dashboard that is never stale" shape. The
     * exact-count baseline column stays a labeled one-shot pass, by the
     * p94 contract. */
-  /** The FULL-documents landing q75/q76/q77 share (all three profiling
-    * sketches ride the same ingest stream) — the sharedCorpusLanding
-    * device with no side split. */
+  /** The FULL-documents landing q75/q76/q77/q78 share (the profiling
+    * sketches and the vocabulary counts all ride the same ingest
+    * stream) — the sharedCorpusLanding device with no side split. */
   private def sharedDocsLanding(spark: SparkSession, dir: String): String = {
     val landing = graft.io.TempPaths.scratchDir(spark, "graft_q75_in", dir)
     landSlicedModulo(spark, dir, landing, Tables.documents(spark, dir),
@@ -1221,7 +1221,27 @@ object StreamingQueries {
       |  CAST(POWER(2.0, bin + 1) AS BIGINT) - 1 AS bin_hi
       |FROM b""".stripMargin
 
+  /** q78 — STREAMING vocabulary-count maintenance: the p99 tokenizer
+    * audit against a token-count index that rode ingest instead of a
+    * from-scratch corpus count. Counts fold exactly on the bucketed
+    * token key, so the folded top-V vocabulary — and therefore the
+    * whole coverage audit — is bit-identical to the batch build: the
+    * row shares p99's oracle verbatim. The vocabulary joins the
+    * q68–q77 family as the eighth maintained-artifact shape. */
+  def q78StreamingVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val landing = sharedDocsLanding(spark, dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q78_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q78_vocab", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.TextAnalysis.appendTokenCountPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(spark, docs, idxTbl,
+      vocabSize = 16)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_streaming_vocab" -> (q78StreamingVocab _),
     "q77_streaming_log2_hist" -> (q77StreamingLog2Hist _),
     "q76_streaming_countmin" -> (q76StreamingCountMin _),
     "q75_streaming_profile" -> (q75StreamingProfile _),
@@ -1276,5 +1296,7 @@ object StreamingQueries {
       "WITH base AS (" + ProfilingQueries.heavyHittersSql + ")\n" +
       "SELECT lang, rank, gram, cnt, TRUE AS est_dominates, " +
       "TRUE AS est_within_eps FROM base"),
-    "q77_streaming_log2_hist" -> log2HistogramSql)
+    "q77_streaming_log2_hist" -> log2HistogramSql,
+    // streamed fold ≡ batch vocab build — p99's oracle verbatim
+    "q78_streaming_vocab" -> CurationQueries.vocabCoverageSql)
 }

@@ -51,6 +51,40 @@ class StreamedIndexSpec extends SparkSpec {
     drop("sv_bands", "sv_vecs", "sv_bands_b", "sv_vecs_b")
   }
 
+  test("streamed token-count partials reproduce the batch vocab audit; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "si_vocab_stream"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1, 2).foreach { i =>
+      graft.ops.TextAnalysis.appendTokenCountPartial(spark,
+        docs.filter(pmod(col("doc_id"), lit(3)) === i), tbl, i.toLong)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val batch = rows(graft.ops.TextAnalysis.vocabCoverage(docs, vocabSize = 16))
+    assert(rows(graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(
+      spark, docs, tbl, vocabSize = 16)) === batch,
+      "vocab audit over folded counts must equal the from-scratch build")
+    // replaying one batch overwrites its own partition: audit unchanged
+    graft.ops.TextAnalysis.appendTokenCountPartial(spark,
+      docs.filter(pmod(col("doc_id"), lit(3)) === 1), tbl, 1L)
+    assert(rows(graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(
+      spark, docs, tbl, vocabSize = 16)) === batch,
+      "batch replay must be idempotent")
+    // foreign-family guard: a log2-hist table is not a token-count index
+    val foreign = "si_vocab_foreign"
+    graft.io.Bucketing.dropTable(spark, foreign)
+    graft.ops.Sketches.appendLog2HistogramPartial(spark,
+      docs.limit(20), foreign, 0L)
+    intercept[IllegalArgumentException] {
+      graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(
+        spark, docs, foreign, vocabSize = 16)
+    }
+    graft.io.Bucketing.dropTable(spark, foreign)
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("streamed vector-index maintenance rejects unpinned geometry") {
     intercept[IllegalArgumentException] {
       Similarity.appendVectorIndexPartial(spark, embCorpus, "sv_nope",
