@@ -251,6 +251,46 @@ object Sketches {
           .as("top_div6"))
   }
 
+  /** Delta-vs-corpus drift probe against a PERSISTED token-count index
+    * ([[TextAnalysis.appendTokenCountPartial]]'s layout): the
+    * "did today's crawl drift?" alert. The corpus distribution folds
+    * from the bucketed index (no corpus re-scan, no index-side
+    * exchange); the delta distribution is one batch-sized aggregate;
+    * the compare reuses [[sourceDriftReport]]'s signed-contribution
+    * device under two fixed labels. One row: the L1 distance and the
+    * most divergent token — the number an ingest gate thresholds on.
+    * Cost is O(|delta| + |index vocabulary|), independent of corpus
+    * text size: the same economics as every other persisted-index
+    * probe (p52/p63/p65/p71/p91). */
+  def driftProbeIncremental(spark: org.apache.spark.sql.SparkSession,
+                            delta: DataFrame, table: String): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "tok-counts")
+    val corpus = spark.table(table).groupBy(col("tok"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(lit("corpus").as("source"), col("tok"), col("cnt"))
+    val dd = delta
+      .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .select(lit("delta").as("source"), col("tok"), col("cnt"))
+    val cnt = corpus.unionByName(dd)
+    val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
+    val p = cnt.join(broadcast(tot), "source")
+      .selectExpr("source", "tok", "cnt * 1000000L DIV tot AS p6")
+    p.select(col("tok"),
+        when(col("source") === "corpus", col("p6")).otherwise(-col("p6"))
+          .as("c"))
+      .groupBy(col("tok")).agg(abs(sum(col("c"))).as("d"))
+      .agg(sum(col("d")).as("l1_x6"),
+        graft.functions.TopKAggregator.top_k_str(1)(
+          col("d").cast("double"), col("tok")).as("top"))
+      .select(lit("corpus").as("source_a"), lit("delta").as("source_b"),
+        col("l1_x6"),
+        element_at(col("top"), 1).getField("id").as("top_tok"),
+        element_at(col("top"), 1).getField("score").cast("long")
+          .as("top_div6"))
+  }
+
   /** Per-language LOG2-bucketed histogram of per-document token counts:
     * bin = floor(log2(v)) computed as pure INTEGER work (the base-2
     * digit count of v, via `conv`), so there is no float-boundary risk

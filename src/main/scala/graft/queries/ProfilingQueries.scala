@@ -201,7 +201,59 @@ object ProfilingQueries {
       |  tok AS top_tok, CAST(d AS BIGINT) AS top_div6
       |FROM r WHERE rn = 1""".stripMargin
 
+  /** p102 — delta-vs-corpus drift against the PERSISTED token-count
+    * index (q78's layout, built once here in two append waves to
+    * exercise the fold): the "did today's crawl drift?" ingest gate.
+    * The corpus side folds from the bucketed index — the corpus TEXT
+    * is never re-read — and the compare is p101's
+    * signed-contribution device under fixed corpus/delta labels.
+    * Corpus = doc_id % 5 != 0, delta = % 5 == 0 (the established
+    * split). The oracle replays both distributions from first
+    * principles; matching it certifies the index path end to end. */
+  def driftIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p102_tok", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      Seq(0, 1).foreach { i =>
+        graft.ops.TextAnalysis.appendTokenCountPartial(spark,
+          corpus.filter(pmod(col("doc_id"), lit(2)) === i), idxTbl, i.toLong)
+      }
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    Sketches.driftProbeIncremental(spark,
+      docs.filter(pmod(col("doc_id"), lit(5)) === 0), idxTbl)
+  }
+
+  val driftIncrementalSql: String =
+    """WITH inst AS (
+      |  SELECT CASE WHEN doc_id % 5 = 0 THEN 'delta' ELSE 'corpus' END
+      |    AS source, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |c AS (SELECT source, tok, COUNT(*) AS cnt FROM inst GROUP BY 1, 2),
+      |t AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY source),
+      |p AS (
+      |  SELECT c.source, c.tok, c.cnt * 1000000 // t.tot AS p6
+      |  FROM c JOIN t USING (source)),
+      |d AS (
+      |  SELECT tok, ABS(SUM(CASE WHEN source = 'corpus' THEN p6
+      |    ELSE -p6 END)) AS d
+      |  FROM p GROUP BY tok),
+      |r AS (
+      |  SELECT tok, d,
+      |    row_number() OVER (ORDER BY d DESC, tok ASC) AS rn,
+      |    SUM(d) OVER () AS l1
+      |  FROM d)
+      |SELECT 'corpus' AS source_a, 'delta' AS source_b,
+      |  CAST(l1 AS BIGINT) AS l1_x6, tok AS top_tok,
+      |  CAST(d AS BIGINT) AS top_div6
+      |FROM r WHERE rn = 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p102_drift_incremental" -> (driftIncremental _),
     "p101_source_drift" -> (sourceDrift _),
     "p94_kmv_distinct" -> (kmvDistinct _),
     "p95_heavy_hitters" -> (heavyHitters _),
@@ -209,6 +261,7 @@ object ProfilingQueries {
     "p100_data_card" -> (dataCard _))
 
   val oracles: Map[String, String] = Map(
+    "p102_drift_incremental" -> driftIncrementalSql,
     "p101_source_drift" -> sourceDriftSql,
     "p94_kmv_distinct" -> kmvDistinctSql,
     "p95_heavy_hitters" -> heavyHittersSql,

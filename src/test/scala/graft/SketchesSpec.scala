@@ -186,6 +186,30 @@ class SketchesSpec extends SparkSpec {
     assert(got(("srcB", "srcC")) === ((2000000L, "z", 1000000L)))
   }
 
+  test("incremental drift probe equals the two-source batch compare") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+    val tbl = "sk_drift_idx"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Seq(0, 1).foreach { i =>
+      graft.ops.TextAnalysis.appendTokenCountPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === i), tbl, i.toLong)
+    }
+    val inc = graft.ops.Sketches.driftProbeIncremental(spark, delta, tbl)
+      .collect().map(_.toString).toSet
+    // batch reference: the same docs relabeled corpus/delta through the
+    // all-pairs p101 path (two sources -> exactly one pair)
+    val labeled = docs.withColumn("source",
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("delta"))
+        .otherwise(lit("corpus")))
+    val batch = graft.ops.Sketches.sourceDriftReport(labeled)
+      .collect().map(_.toString).toSet
+    assert(inc === batch,
+      "index-fold drift must equal the from-scratch two-source compare")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("histogram bins partition the value range exactly") {
     val docs = Tables.documents(spark, sfDir)
     val hist = Sketches.tokenCountHistogram(docs, bins = 16).collect()
