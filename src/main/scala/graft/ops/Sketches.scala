@@ -142,7 +142,12 @@ object Sketches {
 
   /** STREAMED maintenance for the count-min surface: one micro-batch's
     * sketch (a depth x width long matrix over lang-qualified bigram
-    * keys) lands as its own batch_id partition in (pos, cnt) row form.
+    * keys, joined with a \u0001 separator — a byte no language code
+    * contains, so distinct (lang, gram) pairs can never collide as one
+    * key string) lands as its own batch_id partition in (pos, cnt) row
+    * form. The kind stamp pins the BUILD geometry (depth, width), so a
+    * probe with mismatched parameters is rejected instead of
+    * mis-indexing the folded counters.
     * The fold is EXACT — count-min merge is elementwise addition, so
     * summing per-batch counters per position reproduces the monolithic
     * sketch bit-for-bit whatever the batching. State is bounded by
@@ -166,7 +171,7 @@ object Sketches {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "pos", buckets)
-      graft.io.Bucketing.stampKind(spark, table, "countmin")
+      graft.io.Bucketing.stampKind(spark, table, s"countmin-$depth-$width")
     } else {
       spark.catalog.refreshTable(table)
       graft.io.Bucketing.overwritePartitions(partial, table)
@@ -187,7 +192,7 @@ object Sketches {
                                k: Int = 10, depth: Int = 4,
                                width: Int = 4096): DataFrame = {
     graft.io.Bucketing.repairCompaction(spark, table)
-    graft.io.Bucketing.requireKind(spark, table, "countmin")
+    graft.io.Bucketing.requireKind(spark, table, s"countmin-$depth-$width")
     val folded = spark.table(table).groupBy("pos")
       .agg(sum(col("cnt")).as("cnt")).collect()
     val sketch = new Array[Long](depth * width)
@@ -223,11 +228,22 @@ object Sketches {
     * broadcasts; the heavy work shuffles once on the token. Also
     * reports each pair's most divergent token (score desc, token asc
     * — the bounded TopK fold). */
-  def sourceDriftReport(docs: DataFrame): DataFrame = {
-    val inst = docs.select(col("source"),
-      explode(TextAnalysis.tokens(col("text"))).as("tok"))
-    val cnt = inst.groupBy(col("source"), col("tok"))
-      .agg(count(lit(1)).as("cnt"))
+  def sourceDriftReport(docs: DataFrame): DataFrame =
+    pairwiseDrift(docs
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("cnt")))
+
+  /** The drift core shared by [[sourceDriftReport]] and
+    * [[driftProbeIncremental]]: from a (source, tok, cnt) frame,
+    * normalize to 1e-6 fixed-point distributions, derive the
+    * lexicographic (a < b) pair domain from the observed sources
+    * (bounded, broadcast), and fold each pair's L1 + most divergent
+    * token with the signed-contribution device. Keeping the device in
+    * one place means the fixed-point rule, the sign convention and the
+    * tie-break can never drift between the batch and incremental
+    * paths. */
+  private def pairwiseDrift(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
     val p = cnt.join(broadcast(tot), "source")
       .selectExpr("source", "tok", "cnt * 1000000L DIV tot AS p6")
@@ -273,22 +289,9 @@ object Sketches {
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .select(lit("delta").as("source"), col("tok"), col("cnt"))
-    val cnt = corpus.unionByName(dd)
-    val tot = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("tot"))
-    val p = cnt.join(broadcast(tot), "source")
-      .selectExpr("source", "tok", "cnt * 1000000L DIV tot AS p6")
-    p.select(col("tok"),
-        when(col("source") === "corpus", col("p6")).otherwise(-col("p6"))
-          .as("c"))
-      .groupBy(col("tok")).agg(abs(sum(col("c"))).as("d"))
-      .agg(sum(col("d")).as("l1_x6"),
-        graft.functions.TopKAggregator.top_k_str(1)(
-          col("d").cast("double"), col("tok")).as("top"))
-      .select(lit("corpus").as("source_a"), lit("delta").as("source_b"),
-        col("l1_x6"),
-        element_at(col("top"), 1).getField("id").as("top_tok"),
-        element_at(col("top"), 1).getField("score").cast("long")
-          .as("top_div6"))
+    // "corpus" < "delta", so the shared core's lexicographic pair
+    // derivation yields exactly the one (corpus, delta) row
+    pairwiseDrift(corpus.unionByName(dd))
   }
 
   /** Per-language LOG2-bucketed histogram of per-document token counts:

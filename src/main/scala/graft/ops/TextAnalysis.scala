@@ -436,9 +436,12 @@ object TextAnalysis {
     * a high-quality subset), rather than defaulting to margin > 0.
     * Train the [[trainHashedLogReg]] weights once, score every doc
     * once (exact integer margins), then evaluate the confusion matrix
-    * at each probability cutoff: p > t ⟺ m6 > logit(t)·1e6, so the
-    * sweep thresholds are PINNED integer literals on the 1e-6 grid
-    * (default: logit of 0.1/0.3/0.5/0.7/0.9) and the whole row stays
+    * at each probability cutoff: p > t ⟺ m6 > floor(logit(t)·1e6)
+    * over integer margins, so the sweep thresholds are PINNED integer
+    * literals — the FLOOR of each logit on the 1e-6 grid (default:
+    * logit of 0.1/0.3/0.5/0.7/0.9; flooring, not nearest-rounding,
+    * keeps the equivalence exact for a margin landing ON the pinned
+    * value) — and the whole row stays
     * inside the exact fixed-point replay discipline — no float compare
     * anywhere. Derived metrics use truncating 1e-6 integer division
     * (`DIV` / DuckDB `//`, nonnegative operands), with -1 as the
@@ -449,8 +452,8 @@ object TextAnalysis {
     * corpus scans. */
   def evalHashedLogRegThresholds(docs: DataFrame,
                                  thresholds6: Seq[Long] =
-                                   Seq(-2197225L, -847298L, 0L, 847298L,
-                                     2197225L),
+                                   Seq(-2197225L, -847298L, 0L, 847297L,
+                                     2197224L),
                                  dims: Int = 8, steps: Int = 4,
                                  capCount: Int = 1000,
                                  labelMinTokens: Int = 55,
@@ -499,11 +502,25 @@ object TextAnalysis {
     * integer division — engine-exact. */
   def vocabCoverage(docs: DataFrame, vocabSize: Int = 256): DataFrame = {
     val inst = docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
-    val vocab = inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .agg(graft.functions.TopKAggregator.top_k_str(vocabSize)(
+    coverageAudit(inst,
+      topVocab(inst.groupBy(col("tok")).agg(count(lit(1)).as("cnt")),
+        vocabSize))
+  }
+
+  /** Top-V selection over a (tok, cnt) frame — the bounded fold with
+    * the (count desc, token asc) tie-break, shared by the batch
+    * ([[vocabCoverage]]) and streamed ([[vocabCoverageFromStreamedIndex]])
+    * vocabulary paths so the tie-break can never drift between them. */
+  private def topVocab(counts: DataFrame, vocabSize: Int): DataFrame =
+    counts.agg(graft.functions.TopKAggregator.top_k_str(vocabSize)(
         col("cnt").cast("double"), col("tok")).as("top"))
       .select(explode(col("top")).as("e"))
       .select(col("e.id").as("tok"), lit(1L).as("in_vocab"))
+
+  /** The coverage-audit tail shared by both vocabulary paths: broadcast
+    * the V-entry vocab against the (lang, tok) instance stream, one
+    * |langs|-bounded aggregate, truncating 1e-6 division. */
+  private def coverageAudit(inst: DataFrame, vocab: DataFrame): DataFrame =
     inst.join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_instances"),
@@ -514,7 +531,6 @@ object TextAnalysis {
         "n_instances - n_covered AS n_oov",
         "n_covered * 1000000L DIV n_instances AS cover6",
         "n_distinct_oov")
-  }
 
   /** STREAMED maintenance for the vocabulary token counts: one
     * micro-batch's (tok, cnt) partial lands as its own batch_id
@@ -558,22 +574,10 @@ object TextAnalysis {
     val idx = spark.table(table)
     require(idx.columns.contains("batch_id"),
       s"$table is not a streamed token-count layout (no batch_id partitions)")
-    val vocab = idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
-      .agg(graft.functions.TopKAggregator.top_k_str(vocabSize)(
-        col("cnt").cast("double"), col("tok")).as("top"))
-      .select(explode(col("top")).as("e"))
-      .select(col("e.id").as("tok"), lit(1L).as("in_vocab"))
-    docs.select(col("lang"), explode(tokens(col("text"))).as("tok"))
-      .join(broadcast(vocab), Seq("tok"), "left")
-      .groupBy(col("lang"))
-      .agg(count(lit(1)).as("n_instances"),
-        sum(when(col("in_vocab").isNotNull, 1L).otherwise(0L)).as("n_covered"),
-        count_distinct(when(col("in_vocab").isNull, col("tok")))
-          .as("n_distinct_oov"))
-      .selectExpr("lang", "n_instances", "n_covered",
-        "n_instances - n_covered AS n_oov",
-        "n_covered * 1000000L DIV n_instances AS cover6",
-        "n_distinct_oov")
+    coverageAudit(
+      docs.select(col("lang"), explode(tokens(col("text"))).as("tok")),
+      topVocab(idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")),
+        vocabSize))
   }
 
   /** Corpus-unigram log-probability score — the cheap stand-in for

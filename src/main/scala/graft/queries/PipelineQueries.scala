@@ -1437,7 +1437,8 @@ object PipelineQueries {
   /** p98 — operating-point sweep of the p88-trained classifier: the
     * precision/recall curve a pipeline reads to CHOOSE its quality-gate
     * threshold instead of defaulting to margin > 0. Five pinned
-    * 1e-6-grid logit cutoffs (p ∈ {0.1, 0.3, 0.5, 0.7, 0.9}), exact
+    * 1e-6-grid FLOORED logit cutoffs (p ∈ {0.1, 0.3, 0.5, 0.7, 0.9} —
+    * flooring keeps "p > t iff m6 > thr6" exact on the grid), exact
     * integer margins scored ONCE, confusion + truncating-division
     * precision/recall/F1 per cutoff. The oracle extends the p88
     * unrolled CTEs with the margin pass and the same 5-way sweep, so
@@ -1449,7 +1450,7 @@ object PipelineQueries {
       |m5 AS (SELECT fl.doc_id, MAX(fl.y6) AS y6, SUM(w4.w * fl.x) AS m6
       |       FROM fl JOIN w4 USING (d) GROUP BY fl.doc_id),
       |thr AS (SELECT CAST(t.t AS BIGINT) AS thr6 FROM (VALUES (-2197225),
-      |       (-847298), (0), (847298), (2197225)) t(t)),
+      |       (-847298), (0), (847297), (2197224)) t(t)),
       |c AS (SELECT thr6,
       |  SUM(CASE WHEN m6 > thr6 AND y6 = 1000000 THEN 1 ELSE 0 END) AS tp,
       |  SUM(CASE WHEN m6 > thr6 AND y6 = 0 THEN 1 ELSE 0 END) AS fp,
