@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{CoreQueries, CurationQueries, EventQueries, ExchangeQueries, ExtendedQueries, PipelineQueries, ProfilingQueries, RecallQueries, RelationalQueries, SelectionQueries, StreamingQueries, WarehouseQueries}
+import graft.queries.{CoreQueries, CurationQueries, EvalQueries, EventQueries, ExchangeQueries, ExtendedQueries, PipelineQueries, ProfilingQueries, RecallQueries, RelationalQueries, SelectionQueries, StreamingQueries, WarehouseQueries}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,8 @@ object SparkEntry {
     CoreQueries.queries ++ ExtendedQueries.queries ++ PipelineQueries.queries ++
       ExchangeQueries.queries ++ RecallQueries.queries ++ RelationalQueries.queries ++
       CurationQueries.queries ++ WarehouseQueries.queries ++ EventQueries.queries ++
-      StreamingQueries.queries ++ SelectionQueries.queries ++ ProfilingQueries.queries
+      StreamingQueries.queries ++ SelectionQueries.queries ++ ProfilingQueries.queries ++
+      EvalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -29,5 +30,6 @@ object SparkEntry {
     CoreQueries.oracles ++ ExtendedQueries.oracles ++ PipelineQueries.oracles ++
       ExchangeQueries.oracles ++ RecallQueries.oracles ++ RelationalQueries.oracles ++
       CurationQueries.oracles ++ WarehouseQueries.oracles ++ EventQueries.oracles ++
-      StreamingQueries.oracles ++ SelectionQueries.oracles ++ ProfilingQueries.oracles
+      StreamingQueries.oracles ++ SelectionQueries.oracles ++ ProfilingQueries.oracles ++
+      EvalQueries.oracles
 }

@@ -832,4 +832,114 @@ object Dedup {
           graft.functions.TextFunctions.char_ngrams(col("rt"), n))
           .as("jaccard"))
   }
+
+  // ---------------------------------------------------------------------
+  // Shingle-df index family: per-doc distinct word-n-shingle document
+  // frequencies as a persisted, stream-maintainable artifact. Serves the
+  // p109 novelty audit incrementally (p110/q79): dfs over doc-disjoint
+  // slices ADD, so index + delta contribution equals the global count.
+  // ---------------------------------------------------------------------
+
+  /** One (doc, shingle-md5) row per DISTINCT shingle of each doc — the
+    * shared front of the whole family (32-byte hashes travel, never the
+    * gram text). */
+  private def shingleGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+
+  /** The shared novelty fold: per-doc shingle totals, corpus-unique
+    * count, 1e-6 truncating novelty, and the half-unique gate — ONE
+    * implementation so the batch (p109) and index-probed (p110/q79)
+    * paths cannot drift. Input: (doc_id, df) one row per distinct
+    * (doc, shingle) with that shingle's GLOBAL doc frequency. */
+  private def noveltyFold(gramsWithDf: DataFrame): DataFrame =
+    gramsWithDf.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        expr("n_unique * 1000000 div n_shingles").as("novelty6"))
+      .withColumn("is_novel", col("novelty6") >= 500000)
+
+  /** Batch novelty audit (p109): fraction of each doc's distinct
+    * word-n-shingles that appear in no other document. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = shingleGrams(docs, n)
+    val df = grams.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    noveltyFold(grams.join(df, Seq("h")))
+  }
+
+  /** Batch build: (h, df_corpus) bucketed on h — same layout and kind
+    * discipline as the line-df index (one exchange at build, probes
+    * fold on the bucketed key with no index-side exchange). */
+  def buildShingleDfIndex(corpus: DataFrame, table: String, n: Int = 3,
+                          buckets: Int = 8): Unit = {
+    val df = shingleGrams(corpus, n)
+      .groupBy(col("h")).agg(count(lit(1)).as("df_corpus"))
+    graft.io.Bucketing.writeBucketed(df, table, "h", buckets)
+    graft.io.Bucketing.stampKind(corpus.sparkSession, table, "shingle-df")
+  }
+
+  /** STREAMED maintenance: one micro-batch's (h, df_corpus) partial
+    * lands as its own batch_id partition bucketed on h. The fold is
+    * EXACT (dfs of doc-disjoint batches add), so a probe against the
+    * folded index is bit-identical to one against the batch build —
+    * the q68–q79 maintained-artifact discipline. Partial size is
+    * batch-shingle-vocabulary-bounded. */
+  def appendShingleDfPartial(spark: org.apache.spark.sql.SparkSession,
+                             batch: DataFrame, table: String, batchId: Long,
+                             n: Int = 3, buckets: Int = 8): Unit = {
+    val partial = shingleGrams(batch, n)
+      .groupBy(col("h")).agg(count(lit(1)).as("df_corpus"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.repairCompaction(spark, table)
+    if (!spark.catalog.tableExists(table)) {
+      graft.io.Bucketing.dropTable(spark, table)
+      graft.io.Bucketing.writePartitionedBucketed(partial, table,
+        "batch_id", "h", buckets)
+      graft.io.Bucketing.stampKind(spark, table, "shingle-df")
+    } else {
+      spark.catalog.refreshTable(table)
+      graft.io.Bucketing.overwritePartitions(partial, table)
+    }
+  }
+
+  /** Incremental novelty audit: per-DELTA-doc novelty with shingle dfs
+    * merged from the persisted corpus index plus the delta's own
+    * contribution — bit-identical to the full-corpus p109 computation
+    * restricted to delta docs (corpus and delta are doc-disjoint, so
+    * dfs sum). Probe cost O(|delta|): the delta shingles once, its df
+    * aggregate left-joins the index on the bucketed key (no index-side
+    * exchange), and the per-doc fold is bounded — corpus text is never
+    * re-read.
+    *
+    * The delta df uses the AGGREGATE + join-back form (two delta-side
+    * exchanges on h), not the exchange-reusing count window the p71
+    * probe picked: a boilerplate shingle shared by half the delta would
+    * concentrate a window partition in one task, while the aggregate
+    * partial-combines it map-side — the p83 skew argument, applied
+    * up front because novelty's whole PURPOSE is corpora with heavy
+    * cross-document repetition. The extra exchange is delta-sized. */
+  def noveltyIncremental(spark: org.apache.spark.sql.SparkSession,
+                         delta: DataFrame, table: String,
+                         n: Int = 3): DataFrame = {
+    // probe-side crash repair + family stamp, the line-df discipline
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "shingle-df")
+    val idxRaw = spark.table(table)
+    require(Set("h", "df_corpus").subsetOf(idxRaw.columns.toSet),
+      s"$table is not a shingle-df index: expected columns (h, df_corpus" +
+        s"[, batch_id]) from buildShingleDfIndex/appendShingleDfPartial, " +
+        s"got " + idxRaw.columns.mkString("(", ", ", ")"))
+    val idx =
+      if (idxRaw.columns.contains("batch_id"))
+        idxRaw.groupBy(col("h"))
+          .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+      else idxRaw
+    val grams = shingleGrams(delta, n)
+    val deltaDf = grams.groupBy(col("h")).agg(count(lit(1)).as("df_delta"))
+    val totalDf = deltaDf.join(idx, Seq("h"), "left")
+      .select(col("h"),
+        (col("df_delta") + coalesce(col("df_corpus"), lit(0L))).as("df"))
+    noveltyFold(grams.join(totalDf, Seq("h")))
+  }
 }

@@ -32,15 +32,25 @@ object Packing {
     * within the sequence. */
   def packSequences(docs: DataFrame, capacity: Int = 512,
                     shards: Int = 8): DataFrame = {
-    require(capacity > 0, "capacity must be positive")
     require(shards > 0, "shards must be positive")
-    val spark = docs.sparkSession
+    packSized(docs.select(
+      col("source"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("bucket"),
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")), capacity)
+  }
+
+  /** Packing over CALLER-PROVIDED lengths — the composition entry point
+    * (e.g. pack by BPE piece counts instead of whitespace tokens).
+    * `sized` must carry (source, bucket, doc_id, n_tokens); the same
+    * per-(source, bucket) next-fit state machine applies. */
+  def packSized(sizedDf: DataFrame, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = sizedDf.sparkSession
     import spark.implicits._
-    val sized: Dataset[Sized] = docs.select(
-        col("source"),
-        pmod(col("doc_id"), lit(shards.toLong)).as("bucket"),
-        col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val sized: Dataset[Sized] = sizedDf
+      .select(col("source"), col("bucket").cast("long"), col("doc_id"),
+        col("n_tokens").cast("long"))
       .as[Sized]
     sized.groupByKey(d => (d.source, d.bucket))
       .flatMapGroups { (key: (String, Long), it: Iterator[Sized]) =>

@@ -531,7 +531,7 @@ object RecallQueries {
   // the exact-truth connected components (word-3-shingle Jaccard >= 0.7
   // edges, recursive min-label propagation) shared by the p19 and p53
   // oracles
-  private val componentsCte: String =
+  private[queries] val componentsCte: String =
     """t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [text]

@@ -1240,7 +1240,29 @@ object StreamingQueries {
       vocabSize = 16)
   }
 
+  /** q79 — STREAMING shingle-df index maintenance: the p110 novelty
+    * probe against a shingle-df index that rode the SHARED corpus
+    * ingest stream (the q68/q70/q73 landing — a fourth family on one
+    * ingest). Per-batch (h, df_corpus) partials land as batch_id
+    * partitions bucketed on the shingle hash; dfs of doc-disjoint
+    * batches fold by plain addition, so the streamed index is
+    * bit-identical to the batch build and the row shares p110's
+    * oracle verbatim (itself p109's global computation restricted to
+    * the delta). The ninth maintained-artifact family. */
+  def q79StreamingNoveltyIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val landing = sharedCorpusLanding(spark, dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q79_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q79_shdf", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.Dedup.appendShingleDfPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.Dedup.noveltyIncremental(spark,
+      docs.filter(deltaSide(col("doc_id"))), idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_streaming_novelty_index" -> (q79StreamingNoveltyIndex _),
     "q78_streaming_vocab" -> (q78StreamingVocab _),
     "q77_streaming_log2_hist" -> (q77StreamingLog2Hist _),
     "q76_streaming_countmin" -> (q76StreamingCountMin _),
@@ -1298,5 +1320,8 @@ object StreamingQueries {
       "TRUE AS est_within_eps FROM base"),
     "q77_streaming_log2_hist" -> log2HistogramSql,
     // streamed fold ≡ batch vocab build — p99's oracle verbatim
-    "q78_streaming_vocab" -> CurationQueries.vocabCoverageSql)
+    "q78_streaming_vocab" -> CurationQueries.vocabCoverageSql,
+    // streamed and batch-built shingle-df indexes must be
+    // interchangeable: q79 shares p110's oracle verbatim
+    "q79_streaming_novelty_index" -> EvalQueries.noveltyIncrementalSql)
 }

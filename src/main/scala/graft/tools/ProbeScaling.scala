@@ -118,6 +118,26 @@ object ProbeScaling {
         (spark.table(t).count(), () =>
           graft.ops.TextAnalysis.lineDedupIncremental(spark, deltaDocs, t))
       }, () => ()),
+      Family("p110_shingledf_probe", { sf =>
+        val t = tbl("ps_p110_shdf")
+        graft.io.Bucketing.dropTable(spark, t)
+        graft.ops.Dedup.buildShingleDfIndex(
+          docs(sf).filter(col("doc_id") % 5 =!= 0), t, buckets = 8)
+        (spark.table(t).count(), () =>
+          graft.ops.Dedup.noveltyIncremental(spark, deltaDocs, t))
+      }, () => ()),
+      Family("q79_streamed_shingledf_probe", { sf =>
+        val t = tbl("ps_q79_shdf")
+        graft.io.Bucketing.dropTable(spark, t)
+        // three doc-disjoint appended batches play the streamed history
+        Seq(0, 1, 2).foreach { i =>
+          graft.ops.Dedup.appendShingleDfPartial(spark,
+            docs(sf).filter(col("doc_id") % 5 =!= 0)
+              .filter(pmod(col("doc_id"), lit(3)) === i), t, i.toLong)
+        }
+        (spark.table(t).count(), () =>
+          graft.ops.Dedup.noveltyIncremental(spark, deltaDocs, t))
+      }, () => ()),
       Family("p65_gram_index_probe", { sf =>
         val t = tbl("ps_p65_grams")
         graft.io.Bucketing.dropTable(spark, t)

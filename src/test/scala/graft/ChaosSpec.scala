@@ -411,6 +411,66 @@ class ChaosSpec extends SparkSpec {
     Bucketing.dropTable(spark, refTbl)
   }
 
+  test("10 seeded multi-kill lifecycles converge for the streamed shingle-df index") {
+    // reference: the whole corpus landed as ONE append — the novelty
+    // probe must be reachable bit-identically through any
+    // torn/killed/compacted batch history (dfs add, so every disjoint
+    // batch decomposition folds to the same global counts)
+    val refTbl = "chaos_ref_shdf"
+    Bucketing.dropTable(spark, refTbl)
+    Dedup.appendShingleDfPartial(spark, bCorpus, refTbl, 0L, buckets = 2)
+    val want = Dedup.noveltyIncremental(spark, bDelta, refTbl)
+      .collect().map(_.toString).toSet
+
+    val ids = (1L to 20L).toVector
+    for (seed <- 0 until 10) {
+      val rnd = new scala.util.Random(4000 + seed)
+      val tbl = s"chaos_shdf_s$seed"
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(4)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+
+      def append(docIds: Vector[Long], bid: Long): Unit =
+        Dedup.appendShingleDfPartial(spark,
+          bCorpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          buckets = 2)
+
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong)  // torn first try
+        }
+        append(b, bid.toLong)                          // replay heals
+        if (rnd.nextDouble() < 0.35) {
+          val crashStep = rnd.nextInt(3)
+          if (crashStep == 0) Bucketing.compactBucketed(spark, tbl)
+          else {
+            intercept[IllegalStateException] {
+              Bucketing.compactBucketed(spark, tbl,
+                injectCrashAtSwapStep = crashStep)
+            }
+            if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, tbl)
+          }
+        }
+      }
+
+      withClue(s"seed=${4000 + seed} batches=${batches.map(_.size)}: ") {
+        val got = Dedup.noveltyIncremental(spark, bDelta, tbl)
+          .collect().map(_.toString).toSet
+        assert(got === want,
+          "novelty probe after chaos must equal the one-append reference")
+      }
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Bucketing.dropTable(spark, refTbl)
+  }
+
   test("a torn two-table BM25 build (df index landed, stats crash) heals on rerun") {
     // buildBm25DfIndex writes idxTbl before statsTbl; a crash between the
     // two leaves exactly this state. The p91 rebuild guard must treat it

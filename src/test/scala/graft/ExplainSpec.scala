@@ -776,4 +776,84 @@ class ExplainSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"video near-dups must join on band values:\n$plan")
   }
+
+  test("p104 semantic decontamination: benchmark side broadcasts, corpus never sort-merges") {
+    val plan = planString(
+      graft.queries.EvalQueries.semanticDecontamination(spark, sfDir))
+    // the probe set rides a BroadcastNestedLoopJoin (deliberate small-side
+    // cross product); the corpus side must stay a single narrow pass into
+    // the per-vector max — no corpus-sized sort-merge, no shuffled cross
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"benchmark probes must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the cross product must be the broadcast form:\n$plan")
+  }
+
+  test("p105 calibrated gate: one-row cut table broadcasts; corpus application is join-free") {
+    val plan = planString(
+      graft.queries.EvalQueries.calibratedQualityGate(spark, sfDir))
+    // the sample count and the 4-cut row both reach the corpus as
+    // broadcasts; the only window sorts the calibration SAMPLE
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"cuts must broadcast to the corpus pass:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing corpus-sized may sort-merge:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("p108 syndication: the near-dup pair set broadcasts into the source lookups") {
+    val plan = planString(
+      graft.queries.EvalQueries.syndicationMatrix(spark, sfDir))
+    // pairs are bounded by true near-dups, so THEY broadcast; the
+    // (doc_id, source) corpus projection never shuffles for the lookup
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"both source lookups must broadcast the pair side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no corpus-sized sort-merge:\n$plan")
+  }
+
+  test("p110 probe: shingle-df index read bucketed; delta-sized exchanges only") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_p110spec_shdf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    graft.ops.Dedup.buildShingleDfIndex(
+      docs.filter(col("doc_id") % 5 =!= 0), tbl, buckets = 4)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.ops.Dedup.noveltyIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = planString(out)
+      // corpus index arrives pre-partitioned on h — bucketed scan, no
+      // corpus-side re-shuffle
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"shingle-df index must be read as a bucketed table:\n$plan")
+      assert(plan.linesIterator.exists(_.contains(tbl)),
+        s"expected a scan of $tbl in:\n$plan")
+      // the two h exchanges are both DELTA-sized (df aggregate + join
+      // back — the skew-safe form; see Dedup.noveltyIncremental scaladoc)
+      val hashExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning"))
+        .filter(_.contains("h#")).size
+      assert(hashExchanges <= 2,
+        s"expected at most the two delta-side exchanges on h, got $hashExchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
+  test("p107 embedding drift: k-bounded centroid broadcast; one aggregate exchange") {
+    val plan = planString(
+      graft.queries.EvalQueries.embeddingDrift(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the k=8 centroid table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

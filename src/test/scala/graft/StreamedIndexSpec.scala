@@ -175,4 +175,37 @@ class StreamedIndexSpec extends SparkSpec {
     }
     drop("si_badcent", "si_out")
   }
+
+  test("streamed shingle-df partials fold to the batch index; replay idempotent; foreign family rejected") {
+    drop("si_shdf", "si_shdf_b")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    Dedup.buildShingleDfIndex(corpus, "si_shdf_b")
+    // three uneven doc-disjoint batches: dfs must ADD to the global count
+    Seq(0, 1, 2).foreach { i =>
+      Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(3)) === i), "si_shdf", i.toLong)
+    }
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "si_shdf_b"))
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_shdf")) === want,
+      "streamed probe must equal the batch-index probe")
+    // ... and both must equal the GLOBAL batch computation restricted
+    // to the delta — the whole point of the df merge
+    val global = rows(Dedup.ngramNovelty(docs)
+      .filter(col("doc_id") % 5 === 0))
+    assert(want === global,
+      "index-probed novelty must equal the global computation on the delta")
+    // replayed batch overwrites its own partition (at-least-once window)
+    Dedup.appendShingleDfPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(3)) === 1), "si_shdf", 1L)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_shdf")) === want,
+      "batch replay must be idempotent")
+    // foreign-family guard: a bm25-df table is not a shingle-df index
+    drop("si_shdf_foreign")
+    TextAnalysis.appendBm25DfPartial(spark, docs.limit(5), "si_shdf_foreign", 0L)
+    intercept[IllegalArgumentException] {
+      Dedup.noveltyIncremental(spark, delta, "si_shdf_foreign")
+    }
+    drop("si_shdf", "si_shdf_b", "si_shdf_foreign")
+  }
 }
