@@ -903,6 +903,34 @@ object Dedup {
     }
   }
 
+  /** RETRACTION partial: land the REMOVED docs' shingle dfs NEGATED as
+    * their own batch_id partition — the right-to-be-forgotten path for
+    * a maintained index. The fold is plain addition, so after the
+    * retraction lands the folded index equals a from-scratch rebuild
+    * WITHOUT those docs: deletions ripple through the derived artifact
+    * with no corpus re-scan, at the same O(|removed|) economics as an
+    * append, and replaying a torn retraction batch is idempotent
+    * (dynamic-partition overwrite, like every append).
+    *
+    * Caller contract: retract only documents whose contributions were
+    * previously appended, exactly once — a double retraction (or a
+    * never-appended doc) drives a folded df negative, which the probe
+    * ([[noveltyIncremental]]) detects and fails loudly rather than
+    * silently inflating novelty. */
+  def retractShingleDfPartial(spark: org.apache.spark.sql.SparkSession,
+                              removed: DataFrame, table: String, batchId: Long,
+                              n: Int = 3, buckets: Int = 8): Unit = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "shingle-df")
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow appends")
+    val partial = shingleGrams(removed, n)
+      .groupBy(col("h")).agg((-count(lit(1))).as("df_corpus"))
+      .withColumn("batch_id", lit(batchId))
+    spark.catalog.refreshTable(table)
+    graft.io.Bucketing.overwritePartitions(partial, table)
+  }
+
   /** Incremental novelty audit: per-DELTA-doc novelty with shingle dfs
     * merged from the persisted corpus index plus the delta's own
     * contribution — bit-identical to the full-corpus p109 computation
@@ -937,9 +965,17 @@ object Dedup {
       else idxRaw
     val grams = shingleGrams(delta, n)
     val deltaDf = grams.groupBy(col("h")).agg(count(lit(1)).as("df_delta"))
+    // a retraction-capable fold can go negative on a broken history
+    // (double retraction / never-appended doc); fail loudly on any
+    // PROBED hash rather than silently inflating novelty — the check is
+    // one codegen'd branch on the delta-sized joined rows, inlined into
+    // the df expression so column pruning cannot drop it
+    val idxDf = when(coalesce(col("df_corpus"), lit(0L)) < 0,
+        raise_error(concat(lit(s"$table carries a negative folded df — "),
+          lit("double retraction or retraction of a never-appended doc"))))
+      .otherwise(coalesce(col("df_corpus"), lit(0L)))
     val totalDf = deltaDf.join(idx, Seq("h"), "left")
-      .select(col("h"),
-        (col("df_delta") + coalesce(col("df_corpus"), lit(0L))).as("df"))
+      .select(col("h"), (col("df_delta") + idxDf).as("df"))
     noveltyFold(grams.join(totalDf, Seq("h")))
   }
 }

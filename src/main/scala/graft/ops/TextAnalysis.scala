@@ -580,6 +580,44 @@ object TextAnalysis {
         vocabSize))
   }
 
+  /** [[unigramLogProb]] for a DELTA shard against the PERSISTED
+    * token-count index (the q78 family — its THIRD probe type, after
+    * vocab coverage and distribution drift): per-token counts and the
+    * corpus total merge ADDITIVELY from index + delta (doc-disjoint
+    * slices ⇒ instance counts sum), so delta scores are bit-identical
+    * to the full-corpus computation restricted to delta docs. Probe
+    * cost O(|delta| + delta-vocab): the delta tokenizes once, its
+    * vocab left-joins the bucketed index (no index-side exchange
+    * beyond the fold), the merged probabilities broadcast back —
+    * corpus text is never re-read. The quality-gate-at-ingest shape:
+    * score today's crawl under the corpus LM without rescanning the
+    * corpus. */
+  def unigramLogProbIncremental(spark: org.apache.spark.sql.SparkSession,
+                                delta: DataFrame, table: String): DataFrame = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    graft.io.Bucketing.requireKind(spark, table, "tok-counts")
+    val idx = spark.table(table)
+    val idxFold = idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt_idx"))
+    val idxTotal = idx.agg(coalesce(sum(col("cnt")), lit(0L)).as("t_idx"))
+    val dTok = delta.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val dCnt = dTok.groupBy(col("tok")).agg(count(lit(1)).as("cnt_delta"))
+    val dTotal = dTok.agg(count(lit(1)).as("t_delta"))
+    // global p(tok) = (idx + delta counts) / (idx + delta totals) —
+    // the same long-sum-then-double-divide arithmetic as the batch path
+    val probs = dCnt.join(idxFold, Seq("tok"), "left")
+      .crossJoin(broadcast(idxTotal)).crossJoin(broadcast(dTotal))
+      .select(col("tok"),
+        ((col("cnt_delta") + coalesce(col("cnt_idx"), lit(0L))).cast("double") /
+          (col("t_idx") + col("t_delta")).cast("double")).as("p"))
+    dTok.join(broadcast(probs), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(round(log(col("p")), 6).cast("decimal(18,6)")).as("lp"),
+        count(lit(1)).as("n_tokens"))
+      .select(col("doc_id"),
+        round(col("lp").cast("double") / col("n_tokens"), 6).as("avg_logprob"),
+        col("n_tokens"))
+  }
+
   /** Corpus-unigram log-probability score — the cheap stand-in for
     * LM-perplexity quality filtering: documents whose tokens are
     * improbable under the corpus unigram distribution score low. Two

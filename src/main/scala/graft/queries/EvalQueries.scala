@@ -205,6 +205,196 @@ object EvalQueries {
       |SELECT doc_id, score6, bucket, bucket >= 2 AS keep FROM o""".stripMargin
 
   // ---------------------------------------------------------------------
+  // p114 — per-source calibrated gate (stratified calibration)
+  // ---------------------------------------------------------------------
+
+  /** The stratified sibling of p105: quintile cuts calibrated PER
+    * SOURCE (each domain gets its own quality bar — a global cut would
+    * gut a low-logprob domain like code while waving through average
+    * web text), with the GLOBAL cuts as the fallback for sources the
+    * calibration sample missed — the production policy for long-tail
+    * domains. The per-source ranking window partitions by source over
+    * the SAMPLE (each partition bounded by that source's sample), the
+    * cut tables are |sources|+1 rows and broadcast, and the gate stays
+    * a map-only pass. `calibrated` reports which bar applied. */
+  def sourceCalibratedGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sc = TextAnalysis.unigramLogProb(docs)
+      .select(col("doc_id"), round(col("avg_logprob") * 1e6, 0).cast("long").as("score6"))
+      .join(docs.select(col("doc_id"), col("source"),
+        Sampling.hashBucket(col("text")).as("bkt")), Seq("doc_id"))
+    val smp = sc.filter(col("bkt") < 10).select(col("source"), col("score6"), col("doc_id"))
+    // per-source exact type-1 quintiles over the sample
+    val ws = Window.partitionBy(col("source")).orderBy(col("score6"), col("doc_id"))
+    val rankedS = smp
+      .withColumn("rn", row_number().over(ws))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val cutsS = rankedS.groupBy(col("source")).agg(
+      max(when(col("rn") <= expr("(1 * n + 4) div 5"), col("score6"))).as("s1"),
+      max(when(col("rn") <= expr("(2 * n + 4) div 5"), col("score6"))).as("s2"),
+      max(when(col("rn") <= expr("(3 * n + 4) div 5"), col("score6"))).as("s3"),
+      max(when(col("rn") <= expr("(4 * n + 4) div 5"), col("score6"))).as("s4"))
+    // global cuts — the fallback bar (p105's computation, verbatim ranks)
+    val n = smp.agg(count(lit(1)).as("n"))
+    val rankedG = smp.select(col("score6"), col("doc_id")).crossJoin(broadcast(n))
+      .withColumn("rn", row_number().over(Window.orderBy(col("score6"), col("doc_id"))))
+    val cutsG = rankedG.agg(
+      max(when(col("rn") <= expr("(1 * n + 4) div 5"), col("score6"))).as("g1"),
+      max(when(col("rn") <= expr("(2 * n + 4) div 5"), col("score6"))).as("g2"),
+      max(when(col("rn") <= expr("(3 * n + 4) div 5"), col("score6"))).as("g3"),
+      max(when(col("rn") <= expr("(4 * n + 4) div 5"), col("score6"))).as("g4"))
+    sc.join(broadcast(cutsS), Seq("source"), "left")
+      .crossJoin(broadcast(cutsG))
+      .withColumn("calibrated", col("s1").isNotNull)
+      .withColumn("bucket",
+        (lit(1) + (col("score6") > coalesce(col("s1"), col("g1"))).cast("int")
+          + (col("score6") > coalesce(col("s2"), col("g2"))).cast("int")
+          + (col("score6") > coalesce(col("s3"), col("g3"))).cast("int")
+          + (col("score6") > coalesce(col("s4"), col("g4"))).cast("int")).cast("int"))
+      .select(col("doc_id"), col("source"), col("score6"), col("calibrated"),
+        col("bucket"), (col("bucket") >= 2).as("keep"))
+  }
+
+  val sourceCalibratedGateSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(term)),
+      |c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      |p AS (SELECT term, CAST(cnt AS DOUBLE) / total AS p FROM c, tot),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(CAST(round(ln(p), 6) AS DECIMAL(18,6))) AS lp,
+      |    COUNT(*) AS n
+      |  FROM tok JOIN p USING (term) GROUP BY doc_id),
+      |sc AS (SELECT s.doc_id,
+      |    CAST(round(round(CAST(lp AS DOUBLE) / n, 6) * 1000000, 0) AS BIGINT)
+      |      AS score6,
+      |    d.source,
+      |    CAST(CAST(('0x' || substring(md5(d.text), 1, 4)) AS INTEGER) % 100
+      |      AS INTEGER) AS bkt
+      |  FROM s JOIN documents d USING (doc_id)),
+      |smp AS (SELECT source, score6, doc_id FROM sc WHERE bkt < 10),
+      |rs AS (SELECT source, score6,
+      |    row_number() OVER (PARTITION BY source ORDER BY score6, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM smp),
+      |cs AS (SELECT source,
+      |  MAX(CASE WHEN rn <= (1 * n + 4) // 5 THEN score6 END) AS s1,
+      |  MAX(CASE WHEN rn <= (2 * n + 4) // 5 THEN score6 END) AS s2,
+      |  MAX(CASE WHEN rn <= (3 * n + 4) // 5 THEN score6 END) AS s3,
+      |  MAX(CASE WHEN rn <= (4 * n + 4) // 5 THEN score6 END) AS s4
+      |  FROM rs GROUP BY source),
+      |rg AS (SELECT score6,
+      |    row_number() OVER (ORDER BY score6, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM smp),
+      |cg AS (SELECT
+      |  MAX(CASE WHEN rn <= (1 * n + 4) // 5 THEN score6 END) AS g1,
+      |  MAX(CASE WHEN rn <= (2 * n + 4) // 5 THEN score6 END) AS g2,
+      |  MAX(CASE WHEN rn <= (3 * n + 4) // 5 THEN score6 END) AS g3,
+      |  MAX(CASE WHEN rn <= (4 * n + 4) // 5 THEN score6 END) AS g4
+      |  FROM rg),
+      |o AS (SELECT sc.doc_id, sc.source, sc.score6,
+      |    cs.s1 IS NOT NULL AS calibrated,
+      |    CAST(1 + CASE WHEN score6 > COALESCE(s1, g1) THEN 1 ELSE 0 END
+      |           + CASE WHEN score6 > COALESCE(s2, g2) THEN 1 ELSE 0 END
+      |           + CASE WHEN score6 > COALESCE(s3, g3) THEN 1 ELSE 0 END
+      |           + CASE WHEN score6 > COALESCE(s4, g4) THEN 1 ELSE 0 END
+      |      AS INTEGER) AS bucket
+      |  FROM sc LEFT JOIN cs USING (source) CROSS JOIN cg)
+      |SELECT doc_id, source, score6, calibrated, bucket,
+      |  bucket >= 2 AS keep
+      |FROM o""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p115 — pack-boundary span manifest (attention-mask input)
+  // ---------------------------------------------------------------------
+
+  /** The per-document sibling of p106's per-sequence manifest: one row
+    * per PACKED DOCUMENT with its token span inside its sequence —
+    * exactly what a trainer consumes to build cross-document attention
+    * masks over packed context windows (tokens of doc i must not attend
+    * to doc j sharing the sequence). Spans are in BPE pieces (the p80
+    * encode feeding the p35 packer through `Packing.packSized`);
+    * `tok_end` is inclusive. Same composed recursion oracle as p106,
+    * minus the aggregate — every boundary of every document replays. */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.bpeLearnMerges(docs, 10)
+    require(merges.size == 10,
+      s"p115 oracle contract needs exactly 10 learned merges, corpus gave ${merges.size}")
+    val enc = TextAnalysis.bpeEncode(docs, merges)
+      .select(col("doc_id"), col("n_pieces"))
+    val sized = docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id"))
+      .select(col("source"), pmod(col("doc_id"), lit(8L)).as("bucket"),
+        col("doc_id"), col("n_pieces").as("n_tokens"))
+    Packing.packSized(sized, capacity = 1024)
+      .select(col("doc_id"), col("source"), col("bucket"), col("seq_id"),
+        col("tok_offset").as("tok_start"),
+        (col("tok_offset") + col("n_tokens") - 1).as("tok_end"))
+  }
+
+  val packBoundariesSql: String =
+    """WITH RECURSIVE mtok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |mp AS (
+      |  SELECT unnest([substring(t, i, 2) for i in range(1, len(t))]) AS pair
+      |  FROM mtok WHERE len(t) >= 2),
+      |mc AS (SELECT pair, COUNT(*) AS n FROM mp GROUP BY pair),
+      |merges AS (
+      |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rn
+      |  FROM mc QUALIFY rn <= 10),
+      |tok AS (
+      |  SELECT doc_id, i.v AS pos, string_split(text, ' ')[i.v + 1] AS tok
+      |  FROM documents,
+      |    unnest(range(len(string_split(text, ' ')))) i(v)),
+      |enc AS (
+      |  SELECT doc_id, pos, 0 AS step,
+      |    regexp_replace(tok, '(?s)(.)', chr(1) || '\1' || chr(2), 'g') AS s
+      |  FROM tok
+      |  UNION ALL
+      |  SELECT e.doc_id, e.pos, e.step + 1,
+      |    replace(e.s,
+      |      chr(1) || substring(m.pair, 1, 1) || chr(2) ||
+      |      chr(1) || substring(m.pair, 2, 1) || chr(2),
+      |      chr(1) || m.pair || chr(2))
+      |  FROM enc e JOIN merges m ON m.rn = e.step + 1),
+      |fin AS (
+      |  SELECT doc_id, pos,
+      |    replace(replace(replace(s, chr(2) || chr(1), ' '),
+      |      chr(1), ''), chr(2), '') AS enc_tok
+      |  FROM enc WHERE step = 10),
+      |np AS (
+      |  SELECT doc_id, CAST(SUM(len(string_split(enc_tok, ' '))) AS BIGINT)
+      |    AS n_tokens
+      |  FROM fin GROUP BY doc_id),
+      |d AS (
+      |  SELECT dd.doc_id, dd.source, dd.doc_id % 8 AS bucket, np.n_tokens
+      |  FROM documents dd JOIN np USING (doc_id)),
+      |o AS (SELECT d.*, row_number() OVER (PARTITION BY source, bucket
+      |    ORDER BY doc_id) AS rn FROM d),
+      |pk AS (
+      |  SELECT source, bucket, rn, doc_id, n_tokens,
+      |    CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS tok_offset,
+      |    n_tokens AS fill
+      |  FROM o WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.source, o.bucket, o.rn, o.doc_id, o.n_tokens,
+      |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.seq_id
+      |         ELSE pk.seq_id + 1 END,
+      |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.fill
+      |         ELSE CAST(0 AS BIGINT) END,
+      |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.fill + o.n_tokens
+      |         ELSE o.n_tokens END
+      |  FROM o JOIN pk ON o.source = pk.source AND o.bucket = pk.bucket
+      |    AND o.rn = pk.rn + 1)
+      |SELECT doc_id, source, bucket, seq_id,
+      |  tok_offset AS tok_start,
+      |  tok_offset + n_tokens - 1 AS tok_end
+      |FROM pk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // p106 — tokenize → pack → shard manifest (end-to-end composition)
   // ---------------------------------------------------------------------
 
@@ -439,19 +629,21 @@ object EvalQueries {
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramNovelty(Tables.documents(spark, dir), n = 3)
 
-  /** Shared novelty oracle with a pluggable output filter: dfs are
-    * always GLOBAL; `docFilter` restricts which docs are REPORTED
-    * (empty for p109; the delta predicate for p110/q79, whose
-    * index-probed paths must equal the global computation restricted
-    * to the delta exactly — dfs over doc-disjoint slices add). */
-  private def noveltySqlFor(docFilter: String): String =
+  /** Shared novelty oracle with two pluggable filters: `corpusFilter`
+    * restricts which docs CONTRIBUTE dfs (everything for p109/p110/q79;
+    * documents-minus-retired for p113's retraction row), `docFilter`
+    * restricts which docs are REPORTED (empty for p109; the delta
+    * predicate for the index-probed rows, whose paths must equal the
+    * global computation restricted to the delta exactly — dfs over
+    * doc-disjoint slices add). */
+  private def noveltySqlFor(corpusFilter: String, docFilter: String): String =
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN len(w) < 3 THEN [text]
       |      ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
       |        for i in range(1, len(w) - 1)]) END AS sh
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS w
-      |        FROM documents)),
+      |        FROM documents CORPUS_FILTER)),
       |u AS (SELECT doc_id, md5(s.g) AS h FROM t, unnest(sh) AS s(g)),
       |d AS (SELECT h, COUNT(*) AS df FROM u GROUP BY h),
       |a AS (SELECT doc_id,
@@ -462,9 +654,10 @@ object EvalQueries {
       |  (n_unique * 1000000) // n_shingles AS novelty6,
       |  (n_unique * 1000000) // n_shingles >= 500000 AS is_novel
       |FROM a DOC_FILTER""".stripMargin
+      .replace(" CORPUS_FILTER", corpusFilter)
       .replace(" DOC_FILTER", docFilter)
 
-  val ngramNoveltySql: String = noveltySqlFor("")
+  val ngramNoveltySql: String = noveltySqlFor("", "")
 
   // ---------------------------------------------------------------------
   // p110 — incremental novelty vs the PERSISTED shingle-df index
@@ -494,7 +687,82 @@ object EvalQueries {
   }
 
   val noveltyIncrementalSql: String =
-    noveltySqlFor("\nWHERE doc_id % 5 = 0")
+    noveltySqlFor("", "\nWHERE doc_id % 5 = 0")
+
+  // ---------------------------------------------------------------------
+  // p112 — incremental quality scoring vs the persisted token-count index
+  // ---------------------------------------------------------------------
+
+  /** p112 — the p32 unigram-logprob quality score at ingest economics:
+    * the corpus (doc_id % 5 != 0) token counts land once as the q78
+    * bucketed index (one append batch) and the delta scores against
+    * counts and totals merged additively from index + delta — its THIRD
+    * probe type on the token-count family (vocab coverage p99/q78,
+    * drift p102, now LM-quality scoring). Oracle: the global p32
+    * computation restricted to delta docs — the equivalence the
+    * additive merge must hit exactly. */
+  def logprobIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p112_tok", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.appendTokenCountPartial(spark,
+        docs.filter(col("doc_id") % 5 =!= 0), idxTbl, 0L)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    TextAnalysis.unigramLogProbIncremental(spark,
+      docs.filter(col("doc_id") % 5 === 0), idxTbl)
+  }
+
+  val logprobIncrementalSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, t.term FROM documents,
+      |    unnest(string_split(text, ' ')) AS t(term)),
+      |c AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+      |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+      |p AS (SELECT term, CAST(cnt AS DOUBLE) / total AS p FROM c, tot),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM(CAST(round(ln(p), 6) AS DECIMAL(18,6))) AS lp,
+      |    COUNT(*) AS n
+      |  FROM tok JOIN p USING (term) GROUP BY doc_id)
+      |SELECT doc_id, round(CAST(lp AS DOUBLE) / n, 6) AS avg_logprob,
+      |  CAST(n AS BIGINT) AS n_tokens
+      |FROM s WHERE doc_id % 5 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p113 — retraction: deletions ripple through the maintained index
+  // ---------------------------------------------------------------------
+
+  /** p113 — right-to-be-forgotten for a maintained artifact: the corpus
+    * shingle-df index takes a RETRACTION batch (the retired docs'
+    * negated dfs, `Dedup.retractShingleDfPartial`) and the novelty
+    * probe must then equal a from-scratch rebuild WITHOUT those docs —
+    * deletions ripple through the derived index at O(|removed|), no
+    * corpus re-scan. Retired = every corpus doc with doc_id % 7 == 1
+    * (73 of 100 delta verdict values change on the sf0.01 fixture, so
+    * the retraction is strongly discriminating). Oracle: the global
+    * novelty computation over documents-minus-retired, restricted to
+    * the delta. */
+  def noveltyRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p113_shdf", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    if (!spark.catalog.tableExists(idxTbl)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      Dedup.appendShingleDfPartial(spark, corpus, idxTbl, 0L)
+      Dedup.retractShingleDfPartial(spark,
+        corpus.filter(col("doc_id") % 7 === 1), idxTbl, 1L)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+    }
+    Dedup.noveltyIncremental(spark, docs.filter(col("doc_id") % 5 === 0), idxTbl)
+  }
+
+  val noveltyRetractionSql: String = noveltySqlFor(
+    "\n        WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 1)",
+    "\nWHERE doc_id % 5 = 0")
 
   // ---------------------------------------------------------------------
   // p111 — tokenizer (merge-table) drift between ingest waves
@@ -566,7 +834,11 @@ object EvalQueries {
     "p108_syndication_matrix" -> (syndicationMatrix _),
     "p109_ngram_novelty" -> (ngramNovelty _),
     "p110_novelty_incremental" -> (noveltyIncremental _),
-    "p111_tokenizer_drift" -> (tokenizerDrift _))
+    "p111_tokenizer_drift" -> (tokenizerDrift _),
+    "p112_logprob_incremental" -> (logprobIncremental _),
+    "p113_novelty_retraction" -> (noveltyRetraction _),
+    "p114_source_calibrated_gate" -> (sourceCalibratedGate _),
+    "p115_pack_boundaries" -> (packBoundaries _))
 
   val oracles: Map[String, String] = Map(
     "p103_group_split" -> groupAwareSplitSql,
@@ -577,5 +849,9 @@ object EvalQueries {
     "p108_syndication_matrix" -> syndicationMatrixSql,
     "p109_ngram_novelty" -> ngramNoveltySql,
     "p110_novelty_incremental" -> noveltyIncrementalSql,
-    "p111_tokenizer_drift" -> tokenizerDriftSql)
+    "p111_tokenizer_drift" -> tokenizerDriftSql,
+    "p112_logprob_incremental" -> logprobIncrementalSql,
+    "p113_novelty_retraction" -> noveltyRetractionSql,
+    "p114_source_calibrated_gate" -> sourceCalibratedGateSql,
+    "p115_pack_boundaries" -> packBoundariesSql)
 }

@@ -1261,7 +1261,29 @@ object StreamingQueries {
       docs.filter(deltaSide(col("doc_id"))), idxTbl)
   }
 
+  /** q80 — STREAMING corpus-token-count maintenance + LM-quality probe:
+    * the p112 unigram-logprob ingest gate against a token-count index
+    * that rode the SHARED corpus landing (a fifth family on the
+    * q68/q70/q73/q79 ingest): per-batch (tok, cnt) partials fold
+    * exactly, counts AND totals merge additively with the delta, so the
+    * delta's scores are bit-identical to the full-corpus computation —
+    * the row shares p112's oracle verbatim. One maintained artifact now
+    * serves THREE streamed gates (vocab coverage q78, drift p102,
+    * quality scoring here). */
+  def q80StreamingLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val landing = sharedCorpusLanding(spark, dir)
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q80_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q80_tok", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.TextAnalysis.appendTokenCountPartial(spark, b, idxTbl, id)
+    }
+    graft.ops.TextAnalysis.unigramLogProbIncremental(spark,
+      docs.filter(deltaSide(col("doc_id"))), idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_streaming_logprob" -> (q80StreamingLogprob _),
     "q79_streaming_novelty_index" -> (q79StreamingNoveltyIndex _),
     "q78_streaming_vocab" -> (q78StreamingVocab _),
     "q77_streaming_log2_hist" -> (q77StreamingLog2Hist _),
@@ -1323,5 +1345,8 @@ object StreamingQueries {
     "q78_streaming_vocab" -> CurationQueries.vocabCoverageSql,
     // streamed and batch-built shingle-df indexes must be
     // interchangeable: q79 shares p110's oracle verbatim
-    "q79_streaming_novelty_index" -> EvalQueries.noveltyIncrementalSql)
+    "q79_streaming_novelty_index" -> EvalQueries.noveltyIncrementalSql,
+    // streamed corpus token counts must score the delta bit-identically
+    // to the batch-landed index: q80 shares p112's oracle verbatim
+    "q80_streaming_logprob" -> EvalQueries.logprobIncrementalSql)
 }

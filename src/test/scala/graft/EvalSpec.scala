@@ -219,6 +219,74 @@ class EvalSpec extends SparkSpec {
   }
 
   // ------------------------------------------------------------------
+  // p114 — per-source calibrated gate
+  // ------------------------------------------------------------------
+
+  test("p114: stratification matters, fallback fires, buckets monotone within source") {
+    val out = EvalQueries.sourceCalibratedGate(spark, sfDir).persist()
+    val global = EvalQueries.calibratedQualityGate(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("gbucket"))
+    // per-source bars must actually move verdicts vs the global bar
+    assert(out.join(global, Seq("doc_id"))
+      .filter(col("bucket") =!= col("gbucket")).count() >= 1,
+      "per-source calibration changed nothing — stratification is vacuous here")
+    // fallback semantics: calibrated == false iff the source has no
+    // sampled docs; those docs must carry the GLOBAL verdict exactly
+    val sampledSources = Tables.documents(spark, sfDir)
+      .filter(graft.ops.Sampling.hashBucket(col("text")) < 10)
+      .select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(out.filter(col("calibrated") =!=
+      col("source").isin(sampledSources.toSeq: _*)).isEmpty,
+      "calibrated flag must mark exactly the sampled sources")
+    assert(out.filter(!col("calibrated")).join(global, Seq("doc_id"))
+      .filter(col("bucket") =!= col("gbucket")).isEmpty,
+      "uncalibrated sources must fall back to the global cuts verbatim")
+    // monotone in score WITHIN each calibrated source
+    val bounds = out.filter(col("calibrated"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(min(col("score6")).as("lo"), max(col("score6")).as("hi"))
+    val bad = bounds.as("a").join(bounds.as("b"),
+        col("a.source") === col("b.source") && col("a.bucket") < col("b.bucket"))
+      .filter(col("a.hi") > col("b.lo"))
+    assert(bad.isEmpty, "bucket bounds must be monotone in score within a source")
+    out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // p115 — pack-boundary span manifest
+  // ------------------------------------------------------------------
+
+  test("p115: spans tile each sequence exactly — contiguous, disjoint, length-true") {
+    val out = EvalQueries.packBoundaries(spark, sfDir).persist()
+    // span length = the doc's BPE piece count
+    val docs = Tables.documents(spark, sfDir)
+    val merges = graft.ops.TextAnalysis.bpeLearnMerges(docs, 10)
+    val pieces = graft.ops.TextAnalysis.bpeEncode(docs, merges)
+      .select(col("doc_id"), col("n_pieces"))
+    assert(out.join(pieces, Seq("doc_id"))
+      .filter(col("tok_end") - col("tok_start") + 1 =!= col("n_pieces")).isEmpty,
+      "span length must equal the encoder's piece count")
+    // within a sequence: ordered by doc_id, each span begins where the
+    // previous ended + 1, and the first begins at 0 (next-fit order)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("bucket"), col("seq_id"))
+      .orderBy(col("doc_id"))
+    val tiled = out.withColumn("prev_end", lag(col("tok_end"), 1, -1L).over(w))
+    assert(tiled.filter(col("tok_start") =!= col("prev_end") + 1).isEmpty,
+      "spans must tile the sequence with no gaps or overlaps")
+    // agreement with p106: same doc membership per sequence
+    val manifest = EvalQueries.packManifest(spark, sfDir)
+      .select(col("source"), col("bucket"), col("seq_id"), col("n_docs"))
+    val counted = out.groupBy(col("source"), col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("got"))
+    assert(counted.join(manifest, Seq("source", "bucket", "seq_id"))
+      .filter(col("got") =!= col("n_docs")).isEmpty,
+      "boundary rows per sequence must match the p106 manifest")
+    out.unpersist()
+  }
+
+  // ------------------------------------------------------------------
   // p111 — tokenizer merge-table drift
   // ------------------------------------------------------------------
 

@@ -176,6 +176,58 @@ class StreamedIndexSpec extends SparkSpec {
     drop("si_badcent", "si_out")
   }
 
+  test("shingle-df retraction equals a rebuild without the retired docs; double retraction fails loudly") {
+    drop("si_shdf_ret", "si_shdf_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    // append-then-retract vs a from-scratch build without the retired docs
+    Dedup.appendShingleDfPartial(spark, corpus, "si_shdf_ret", 0L)
+    Dedup.retractShingleDfPartial(spark, retired, "si_shdf_ret", 1L)
+    Dedup.buildShingleDfIndex(corpus.filter(col("doc_id") % 7 =!= 1), "si_shdf_reb")
+    val got = rows(Dedup.noveltyIncremental(spark, delta, "si_shdf_ret"))
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "si_shdf_reb"))
+    assert(got === want,
+      "retraction must make the index indistinguishable from a rebuild without the docs")
+    // the retraction must actually CHANGE verdicts on this fixture
+    drop("si_shdf_full")
+    Dedup.appendShingleDfPartial(spark, corpus, "si_shdf_full", 0L)
+    assert(got !== rows(Dedup.noveltyIncremental(spark, delta, "si_shdf_full")),
+      "fixture retraction changed nothing — the test is vacuous")
+    // replaying the retraction batch overwrites its own partition: idempotent
+    Dedup.retractShingleDfPartial(spark, retired, "si_shdf_ret", 1L)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_shdf_ret")) === want,
+      "retraction replay must be idempotent")
+    // a SECOND retraction batch (same docs, new batch id) drives folded
+    // dfs negative — the probe must fail loudly, not inflate novelty
+    Dedup.retractShingleDfPartial(spark, retired, "si_shdf_ret", 2L)
+    val e = intercept[Exception] {
+      Dedup.noveltyIncremental(spark, delta, "si_shdf_ret").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("negative folded df")),
+      s"expected the negative-df guard, got: ${messages(e).mkString(" | ")}")
+    drop("si_shdf_ret", "si_shdf_reb", "si_shdf_full")
+  }
+
+  test("incremental unigram logprob equals the global computation on the delta") {
+    drop("si_tok_lp")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // two appended batches play the streamed history: counts fold additively
+    Seq(0, 1).foreach { i =>
+      TextAnalysis.appendTokenCountPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === i), "si_tok_lp", i.toLong)
+    }
+    val got = rows(TextAnalysis.unigramLogProbIncremental(spark, delta, "si_tok_lp"))
+    val want = rows(TextAnalysis.unigramLogProb(docs)
+      .filter(col("doc_id") % 5 === 0))
+    assert(got === want,
+      "index-merged logprob must be bit-identical to the global computation on the delta")
+    drop("si_tok_lp")
+  }
+
   test("streamed shingle-df partials fold to the batch index; replay idempotent; foreign family rejected") {
     drop("si_shdf", "si_shdf_b")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
