@@ -311,4 +311,37 @@ class AqeSpec extends SparkSpec {
     } finally Seq(bandsTbl, vecsTbl, refBands, refVecs)
       .foreach(graft.io.Bucketing.dropTable(spark, _))
   }
+
+  test("p110/q79 probe under AQE: shingle-df index stays a bucketed read, verdicts unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val tbl = "graft_aqe_p110"; val ref = "graft_aqe_p110_ref"
+    Seq(tbl, ref).foreach(graft.io.Bucketing.dropTable(spark, _))
+    // streamed-shaped layout: two appended batch_id partitions
+    Seq(0, 1).foreach { i =>
+      graft.ops.Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(2)) === i), tbl, i.toLong,
+        buckets = 4)
+    }
+    graft.ops.Dedup.buildShingleDfIndex(corpus, ref, buckets = 4)
+    try withAqeNoBroadcast {
+      val probe = graft.ops.Dedup.noveltyIncremental(spark, delta, tbl)
+      val plan = finalPlan(probe)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the shingle-df index:\n$plan")
+      // the probe's h exchanges are both DELTA-sized (see the static
+      // ExplainSpec twin); AQE re-planning must not add an index-side one
+      val hashExchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning"))
+        .filter(_.contains("h#")).size
+      assert(hashExchanges <= 2,
+        s"AQE re-planning must not add an index-side exchange on h:\n$plan")
+      // semantics: streamed layout under AQE == batch-built probe
+      val streamed = graft.ops.Dedup.noveltyIncremental(spark, delta, tbl)
+      val batch = graft.ops.Dedup.noveltyIncremental(spark, delta, ref)
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streamed-layout novelty under AQE must equal the batch-index probe")
+    } finally Seq(tbl, ref).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
 }
