@@ -921,9 +921,11 @@ object Dedup {
                               removed: DataFrame, table: String, batchId: Long,
                               n: Int = 3, buckets: Int = 8): Unit = {
     graft.io.Bucketing.repairCompaction(spark, table)
-    graft.io.Bucketing.requireKind(spark, table, "shingle-df")
+    // existence FIRST: requireKind would throw a raw NoSuchTableException
+    // before the designed contract message could fire
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow appends")
+    graft.io.Bucketing.requireKind(spark, table, "shingle-df")
     val partial = shingleGrams(removed, n)
       .groupBy(col("h")).agg((-count(lit(1))).as("df_corpus"))
       .withColumn("batch_id", lit(batchId))

@@ -90,12 +90,20 @@ object EvalQueries {
     * corpus-side shuffle beyond the final aggregate. Ties break toward
     * the lower benchmark id (max-struct on negated id), matching the
     * oracle's `ORDER BY cos DESC, b_id ASC`. */
-  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    val bench = emb.filter(pmod(col("vec_id"), lit(20L)) === 0)
+  def semanticDecontamination(spark: SparkSession, dir: String): DataFrame =
+    semanticDecontaminationCore(Tables.embeddings(spark, dir))
+
+  /** The whole operator on a caller-provided embeddings frame — ONE
+    * implementation so the catalog row and the planted-vector spec
+    * exercise the same code path (threshold, rounding, and tie-break
+    * included). */
+  private[graft] def semanticDecontaminationCore(
+      emb: DataFrame, modulus: Long = 20L,
+      threshold: Double = 0.35): DataFrame = {
+    val bench = emb.filter(pmod(col("vec_id"), lit(modulus)) === 0)
       .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
         vec_norm(col("embedding")).as("b_norm"))
-    val corpus = emb.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
+    val corpus = emb.filter(pmod(col("vec_id"), lit(modulus)) =!= 0)
       .select(col("vec_id"), col("embedding"), vec_norm(col("embedding")).as("c_norm"))
     corpus.crossJoin(broadcast(bench))
       .withColumn("cos_sim",
@@ -104,7 +112,7 @@ object EvalQueries {
       .agg(max(struct(col("cos_sim"), (-col("b_id")).as("neg_id"))).as("m"))
       .select(col("vec_id"), (-col("m.neg_id")).cast("long").as("bench_id"),
         col("m.cos_sim").as("cos_sim"),
-        (col("m.cos_sim") >= 0.35).as("is_contaminated"))
+        (col("m.cos_sim") >= threshold).as("is_contaminated"))
   }
 
   val semanticDecontaminationSql: String =
@@ -319,24 +327,74 @@ object EvalQueries {
     * encode feeding the p35 packer through `Packing.packSized`);
     * `tok_end` is inclusive. Same composed recursion oracle as p106,
     * minus the aggregate — every boundary of every document replays. */
-  def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame =
+    bpePacked(spark, dir)
+      .select(col("doc_id"), col("source"), col("bucket"), col("seq_id"),
+        col("tok_offset").as("tok_start"),
+        (col("tok_offset") + col("n_tokens") - 1).as("tok_end"))
+
+  val packBoundariesSql: String =
+    s"""WITH RECURSIVE $bpePackCtes
+       |SELECT doc_id, source, bucket, seq_id,
+       |  tok_offset AS tok_start,
+       |  tok_offset + n_tokens - 1 AS tok_end
+       |FROM pk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // p106 — tokenize → pack → shard manifest (end-to-end composition)
+  // ---------------------------------------------------------------------
+
+  /** The packed-shard manifest a trainer consumes: BPE-encode every
+    * document (the p80 tokenizer application), pack by PIECE count (not
+    * whitespace tokens) into capacity-1024 sequences with the p35
+    * next-fit state machine, and emit one manifest row per sequence —
+    * doc count, token count, first doc, fill fraction. The single
+    * composed oracle (BPE recursion + packing recursion in one
+    * WITH RECURSIVE) certifies the COMPOSITION: piece counts feeding the
+    * packer, shard keys, and fill arithmetic all replay end to end.
+    *
+    * Scale shape: encode is a narrow per-doc pass (10 chained native
+    * replaces), packing shards by (source, doc_id % 8) with only
+    * (doc_id, n_tokens) entering the per-shard state machine, and the
+    * manifest is one bounded aggregate per sequence. */
+  /** The shared encode-then-pack front of p106/p115: BPE-encode every
+    * document (p80's device, 10 learned merges) and run the p35
+    * next-fit packer over PIECE counts — one implementation so the
+    * per-sequence manifest and the per-doc span rows cannot drift. */
+  private def bpePacked(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val merges = TextAnalysis.bpeLearnMerges(docs, 10)
+    // the oracle's recursive replay unrolls EXACTLY 10 merge steps —
+    // fail loudly on a degenerate corpus slice instead of shipping a
+    // confusing whole-result mismatch
     require(merges.size == 10,
-      s"p115 oracle contract needs exactly 10 learned merges, corpus gave ${merges.size}")
+      s"p106/p115 oracle contract needs exactly 10 learned merges, corpus gave ${merges.size}")
     val enc = TextAnalysis.bpeEncode(docs, merges)
       .select(col("doc_id"), col("n_pieces"))
     val sized = docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id"))
       .select(col("source"), pmod(col("doc_id"), lit(8L)).as("bucket"),
         col("doc_id"), col("n_pieces").as("n_tokens"))
     Packing.packSized(sized, capacity = 1024)
-      .select(col("doc_id"), col("source"), col("bucket"), col("seq_id"),
-        col("tok_offset").as("tok_start"),
-        (col("tok_offset") + col("n_tokens") - 1).as("tok_end"))
   }
 
-  val packBoundariesSql: String =
-    """WITH RECURSIVE mtok AS (
+  def packManifest(spark: SparkSession, dir: String): DataFrame =
+    bpePacked(spark, dir)
+      .groupBy(col("source"), col("bucket"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .withColumn("fill6", expr("n_tokens * 1000000 div 1024"))
+      .select(col("source"), col("bucket"), col("seq_id"), col("n_docs"),
+        col("n_tokens"), col("first_doc"), col("fill6"))
+
+  /** The shared BPE-encode + next-fit-pack recursion for the p106/p115
+    * oracles (one literal, two query tails): learns the 10 merges,
+    * replays the encode one rule per recursion step, sizes docs by
+    * piece count, and packs per (source, bucket) carrying the running
+    * `tok_offset` (p106's aggregate ignores it; p115 reports it). */
+  // lazy: referenced by packBoundariesSql, which is declared ABOVE this
+  // point — a plain val would interpolate null (object init order)
+  private lazy val bpePackCtes: String =
+    """mtok AS (
       |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
       |mp AS (
       |  SELECT unnest([substring(t, i, 2) for i in range(1, len(t))]) AS pair
@@ -388,103 +446,14 @@ object EvalQueries {
       |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.fill + o.n_tokens
       |         ELSE o.n_tokens END
       |  FROM o JOIN pk ON o.source = pk.source AND o.bucket = pk.bucket
-      |    AND o.rn = pk.rn + 1)
-      |SELECT doc_id, source, bucket, seq_id,
-      |  tok_offset AS tok_start,
-      |  tok_offset + n_tokens - 1 AS tok_end
-      |FROM pk""".stripMargin
-
-  // ---------------------------------------------------------------------
-  // p106 — tokenize → pack → shard manifest (end-to-end composition)
-  // ---------------------------------------------------------------------
-
-  /** The packed-shard manifest a trainer consumes: BPE-encode every
-    * document (the p80 tokenizer application), pack by PIECE count (not
-    * whitespace tokens) into capacity-1024 sequences with the p35
-    * next-fit state machine, and emit one manifest row per sequence —
-    * doc count, token count, first doc, fill fraction. The single
-    * composed oracle (BPE recursion + packing recursion in one
-    * WITH RECURSIVE) certifies the COMPOSITION: piece counts feeding the
-    * packer, shard keys, and fill arithmetic all replay end to end.
-    *
-    * Scale shape: encode is a narrow per-doc pass (10 chained native
-    * replaces), packing shards by (source, doc_id % 8) with only
-    * (doc_id, n_tokens) entering the per-shard state machine, and the
-    * manifest is one bounded aggregate per sequence. */
-  def packManifest(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val merges = TextAnalysis.bpeLearnMerges(docs, 10)
-    require(merges.size == 10,
-      s"p106 oracle contract needs exactly 10 learned merges, corpus gave ${merges.size}")
-    val enc = TextAnalysis.bpeEncode(docs, merges)
-      .select(col("doc_id"), col("n_pieces"))
-    val sized = docs.select(col("doc_id"), col("source")).join(enc, Seq("doc_id"))
-      .select(col("source"), pmod(col("doc_id"), lit(8L)).as("bucket"),
-        col("doc_id"), col("n_pieces").as("n_tokens"))
-    Packing.packSized(sized, capacity = 1024)
-      .groupBy(col("source"), col("bucket"), col("seq_id"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-        min(col("doc_id")).as("first_doc"))
-      .withColumn("fill6", expr("n_tokens * 1000000 div 1024"))
-      .select(col("source"), col("bucket"), col("seq_id"), col("n_docs"),
-        col("n_tokens"), col("first_doc"), col("fill6"))
-  }
+      |    AND o.rn = pk.rn + 1)""".stripMargin
 
   val packManifestSql: String =
-    """WITH RECURSIVE mtok AS (
-      |  SELECT unnest(string_split(text, ' ')) AS t FROM documents),
-      |mp AS (
-      |  SELECT unnest([substring(t, i, 2) for i in range(1, len(t))]) AS pair
-      |  FROM mtok WHERE len(t) >= 2),
-      |mc AS (SELECT pair, COUNT(*) AS n FROM mp GROUP BY pair),
-      |merges AS (
-      |  SELECT pair, row_number() OVER (ORDER BY n DESC, pair) AS rn
-      |  FROM mc QUALIFY rn <= 10),
-      |tok AS (
-      |  SELECT doc_id, i.v AS pos, string_split(text, ' ')[i.v + 1] AS tok
-      |  FROM documents,
-      |    unnest(range(len(string_split(text, ' ')))) i(v)),
-      |enc AS (
-      |  SELECT doc_id, pos, 0 AS step,
-      |    regexp_replace(tok, '(?s)(.)', chr(1) || '\1' || chr(2), 'g') AS s
-      |  FROM tok
-      |  UNION ALL
-      |  SELECT e.doc_id, e.pos, e.step + 1,
-      |    replace(e.s,
-      |      chr(1) || substring(m.pair, 1, 1) || chr(2) ||
-      |      chr(1) || substring(m.pair, 2, 1) || chr(2),
-      |      chr(1) || m.pair || chr(2))
-      |  FROM enc e JOIN merges m ON m.rn = e.step + 1),
-      |fin AS (
-      |  SELECT doc_id, pos,
-      |    replace(replace(replace(s, chr(2) || chr(1), ' '),
-      |      chr(1), ''), chr(2), '') AS enc_tok
-      |  FROM enc WHERE step = 10),
-      |np AS (
-      |  SELECT doc_id, CAST(SUM(len(string_split(enc_tok, ' '))) AS BIGINT)
-      |    AS n_tokens
-      |  FROM fin GROUP BY doc_id),
-      |d AS (
-      |  SELECT dd.doc_id, dd.source, dd.doc_id % 8 AS bucket, np.n_tokens
-      |  FROM documents dd JOIN np USING (doc_id)),
-      |o AS (SELECT d.*, row_number() OVER (PARTITION BY source, bucket
-      |    ORDER BY doc_id) AS rn FROM d),
-      |pk AS (
-      |  SELECT source, bucket, rn, doc_id, n_tokens,
-      |    CAST(0 AS BIGINT) AS seq_id, n_tokens AS fill
-      |  FROM o WHERE rn = 1
-      |  UNION ALL
-      |  SELECT o.source, o.bucket, o.rn, o.doc_id, o.n_tokens,
-      |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.seq_id
-      |         ELSE pk.seq_id + 1 END,
-      |    CASE WHEN pk.fill + o.n_tokens <= 1024 THEN pk.fill + o.n_tokens
-      |         ELSE o.n_tokens END
-      |  FROM o JOIN pk ON o.source = pk.source AND o.bucket = pk.bucket
-      |    AND o.rn = pk.rn + 1)
-      |SELECT source, bucket, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
-      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc,
-      |  (CAST(SUM(n_tokens) AS BIGINT) * 1000000) // 1024 AS fill6
-      |FROM pk GROUP BY source, bucket, seq_id""".stripMargin
+    s"""WITH RECURSIVE $bpePackCtes
+       |SELECT source, bucket, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, MIN(doc_id) AS first_doc,
+       |  (CAST(SUM(n_tokens) AS BIGINT) * 1000000) // 1024 AS fill6
+       |FROM pk GROUP BY source, bucket, seq_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // p107 — embedding-space distribution drift between ingest waves
@@ -750,7 +719,15 @@ object EvalQueries {
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p113_shdf", dir)
     val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    if (!spark.catalog.tableExists(idxTbl)) {
+    // the rebuild guard must witness the RETRACTION, not bare table
+    // existence: a crash between the append and the retraction leaves a
+    // real table whose probe would silently return un-retracted novelty
+    // — the p91 torn-two-table lesson, checked here as a partition
+    // listing (batch_id=1 is the retraction batch)
+    val complete = spark.catalog.tableExists(idxTbl) &&
+      spark.sql(s"SHOW PARTITIONS $idxTbl").collect()
+        .exists(_.getString(0).contains("batch_id=1"))
+    if (!complete) {
       graft.io.Bucketing.dropTable(spark, idxTbl)
       Dedup.appendShingleDfPartial(spark, corpus, idxTbl, 0L)
       Dedup.retractShingleDfPartial(spark,
@@ -791,9 +768,13 @@ object EvalQueries {
     }
     val a = ranked(0).select(col("rank"), col("pair").as("pair_a"),
       col("n_occurrences").as("n_a"))
-    val b = ranked(1).select(col("rank"), col("pair").as("pair_b"),
+    // ONE wave-B ranking reused for both the per-rank frame and the
+    // where-did-pair-a-land lookup — a second ranked(1) would re-run
+    // the whole wave-B pair aggregation
+    val rb = ranked(1).persist()
+    val b = rb.select(col("rank"), col("pair").as("pair_b"),
       col("n_occurrences").as("n_b"))
-    val inB = ranked(1).select(col("pair").as("pair_a"),
+    val inB = rb.select(col("pair").as("pair_a"),
       col("rank").as("rank_a_in_b"))
     a.join(b, Seq("rank")).join(inB, Seq("pair_a"), "left")
       .select(col("rank"), col("pair_a"), col("n_a"), col("pair_b"), col("n_b"),

@@ -71,11 +71,17 @@ object ProbeCompact {
         embCorpus.filter(pmod(col("vec_id"), lit(3)) === i), "pc_vbands",
         "pc_vvecs", i.toLong, tables = 8, bitsPerTable = bits)
     }
+    // bitsPerTable passed explicitly (as ProbeScaling does): the default
+    // re-derives it via a count of the vecs table INSIDE the timed
+    // closure — a file-count-bound job compaction itself speeds up,
+    // which would confound the very pre/post comparison made here
     val q71Pre = time(() => graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(
-      spark, deltaEmb, "pc_vbands", "pc_vvecs", threshold = 0.45))
+      spark, deltaEmb, "pc_vbands", "pc_vvecs", threshold = 0.45,
+      bitsPerTable = bits))
     Seq("pc_vbands", "pc_vvecs").foreach(graft.io.Bucketing.compactBucketed(spark, _))
     val q71Post = time(() => graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(
-      spark, deltaEmb, "pc_vbands", "pc_vvecs", threshold = 0.45))
+      spark, deltaEmb, "pc_vbands", "pc_vvecs", threshold = 0.45,
+      bitsPerTable = bits))
 
     println(f"PROBE_COMPACT q73 pre=${med(q73Pre)}%.3f post=${med(q73Post)}%.3f " +
       f"q71 pre=${med(q71Pre)}%.3f post=${med(q71Post)}%.3f " +

@@ -60,22 +60,10 @@ class EvalSpec extends SparkSpec {
       (21L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
       (23L, Array(0.0f, 1.0f, 0.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    // the row function reads a dir; exercise the device directly on the
-    // same code path by staging the frame through a temp view-equivalent
-    val bench = emb.filter(pmod(col("vec_id"), lit(20L)) === 0)
-      .select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
-        graft.functions.VectorFunctions.vec_norm(col("embedding")).as("b_norm"))
-    val corpus = emb.filter(pmod(col("vec_id"), lit(20L)) =!= 0)
-      .select(col("vec_id"), col("embedding"),
-        graft.functions.VectorFunctions.vec_norm(col("embedding")).as("c_norm"))
-    val got = corpus.crossJoin(broadcast(bench))
-      .withColumn("cos_sim", round(
-        graft.functions.VectorFunctions.vec_dot(col("embedding"), col("b_emb"))
-          / (col("c_norm") * col("b_norm")), 6))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("cos_sim"), (-col("b_id")).as("neg_id"))).as("m"))
-      .select(col("vec_id"), col("m.cos_sim").as("cos_sim"),
-        (col("m.cos_sim") >= 0.35).as("is_contaminated"))
+    // the PRODUCTION core, not a re-implementation — a regression in
+    // the row's threshold/rounding/tie-break must fail here
+    val got = EvalQueries.semanticDecontaminationCore(emb)
+      .select(col("vec_id"), col("cos_sim"), col("is_contaminated"))
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
     assert(got === Set((21L, 1.0, true), (23L, 0.0, false)))
   }
