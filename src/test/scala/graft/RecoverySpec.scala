@@ -367,6 +367,56 @@ class RecoverySpec extends SparkSpec {
       .foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
+  test("mid-batch crash + restart: streamed shingle-df index probes like the batch-built one") {
+    // q79's maintenance claim under failure: the crashed batch's partial
+    // is replayed into its own batch_id partition (dynamic-partition
+    // overwrite), so the additive df fold — and therefore every novelty
+    // verdict — equals the batch build after recovery
+    val landing = Files.createTempDirectory("graft_rec_shdf_in").toString
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    corpus.repartitionByRange(3, col("doc_id"))
+      .write.mode("overwrite").parquet(landing)
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    PoisonGate.markerId = spark.read.parquet(parts(1).getAbsolutePath)
+      .select(col("doc_id")).collect().last.getLong(0)
+    val ckpt = tmp("graft_rec_shdf_ckpt")
+    val streamedTbl = "rec_q79_streamed"; val batchTbl = "rec_q79_batch"
+    Seq(streamedTbl, batchTbl).foreach(graft.io.Bucketing.dropTable(spark, _))
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .filter(poison(col("doc_id")))
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) =>
+          graft.ops.Dedup.appendShingleDfPartial(spark, b.toDF(),
+            streamedTbl, id))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    PoisonGate.armed = true
+    try intercept[StreamingQueryException] { run() }
+    finally PoisonGate.armed = false
+    run()
+    spark.catalog.refreshTable(streamedTbl)
+    graft.ops.Dedup.buildShingleDfIndex(corpus, batchTbl)
+    val got = graft.ops.Dedup.noveltyIncremental(spark, delta, streamedTbl)
+    val want = graft.ops.Dedup.noveltyIncremental(spark, delta, batchTbl)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "recovered streamed shingle-df index must probe identically to the batch build")
+    Seq(streamedTbl, batchTbl).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
