@@ -23,12 +23,28 @@ import org.apache.spark.sql.functions.udaf
   * k smallest distinct values" — so estimates replay bit-for-bit.
   */
 class KmvAggregator(k: Int) extends Aggregator[Long, Seq[Long], Seq[Long]] {
-  // buffer: ascending, distinct, size <= k (worst kept value at the end)
+  // buffer: ascending, distinct, size <= k (worst kept value at the end).
+  // Steady-state order matters: once the buffer is full, almost every
+  // hash satisfies v >= buf.last and must be rejected in O(1) BEFORE any
+  // membership work — a contains() scan first would pay ~k comparisons
+  // per token instance across a whole corpus. Membership on the sorted
+  // buffer is a binary search, so even the rare surviving insert is
+  // O(log k) + one copy instead of an O(k) scan.
   private def insert(buf: Seq[Long], v: Long): Seq[Long] =
-    if (buf.contains(v)) buf
-    else if (buf.size < k) (buf :+ v).sorted
-    else if (v < buf.last) (buf.init :+ v).sorted
-    else buf
+    if (buf.size == k && v >= buf.last) buf
+    else {
+      val arr = buf.toIndexedSeq
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < v) lo = mid + 1 else hi = mid
+      }
+      if (lo < arr.length && arr(lo) == v) buf // already kept
+      else {
+        val grown = (arr.take(lo) :+ v) ++ arr.drop(lo)
+        if (grown.size <= k) grown else grown.init
+      }
+    }
 
   override def zero: Seq[Long] = Seq.empty
   override def reduce(buf: Seq[Long], v: Long): Seq[Long] = insert(buf, v)

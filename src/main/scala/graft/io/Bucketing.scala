@@ -143,6 +143,23 @@ object Bucketing {
     } finally conf.set(key, prev)
   }
 
+  /** The append-branch step every `append*Partial` shares: refresh the
+    * caller's cached relation (the create may have run through another
+    * cloned session), verify the existing table is the expected index
+    * FAMILY, then land the partial as its own idempotent batch_id
+    * partition. The kind check here closes the blind spot the ADVICE-r16
+    * audit found: only probes checked the stamp, so a partial appended
+    * into a same-column-layout table of a DIFFERENT hash family (e.g. a
+    * shingle-df partial into a line-df index — both `(h, df_corpus,
+    * batch_id)`) would silently mix families; now the very first append
+    * into a wrong-family table fails loudly. */
+  def appendPartialInto(spark: SparkSession, partial: DataFrame,
+                        table: String, kind: String): Unit = {
+    spark.catalog.refreshTable(table)
+    requireKind(spark, table, kind)
+    overwritePartitions(partial, table)
+  }
+
   /** Compact a BUCKETED table back to one file per bucket, preserving
     * the bucket spec — the maintenance companion to append-mode
     * ingestion: every [[writeBucketedMulti]] append lands one more file

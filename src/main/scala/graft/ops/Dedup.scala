@@ -283,8 +283,7 @@ object Dedup {
         bandsTable, "batch_id", Seq("band_id", "band_hash"), buckets)
       graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
     } else {
-      spark.catalog.refreshTable(bandsTable)
-      graft.io.Bucketing.overwritePartitions(bandPartial, bandsTable)
+      graft.io.Bucketing.appendPartialInto(spark, bandPartial, bandsTable, "minhash-bands")
     }
     if (!spark.catalog.tableExists(sigsTable)) {
       graft.io.Bucketing.dropTable(spark, sigsTable)
@@ -292,8 +291,7 @@ object Dedup {
         "batch_id", "doc_id", buckets)
       graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
     } else {
-      spark.catalog.refreshTable(sigsTable)
-      graft.io.Bucketing.overwritePartitions(sigPartial, sigsTable)
+      graft.io.Bucketing.appendPartialInto(spark, sigPartial, sigsTable, "minhash-sigs")
     }
   }
 
@@ -741,8 +739,7 @@ object Dedup {
         "batch_id", "h", buckets)
       graft.io.Bucketing.stampKind(spark, table, "window-df")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df")
     }
   }
 
@@ -898,8 +895,7 @@ object Dedup {
         "batch_id", "h", buckets)
       graft.io.Bucketing.stampKind(spark, table, "shingle-df")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "shingle-df")
     }
   }
 

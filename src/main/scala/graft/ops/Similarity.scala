@@ -338,8 +338,7 @@ object Similarity {
         "batch_id", "cell", buckets)
       graft.io.Bucketing.stampKind(spark, table, "ivf-assign")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "ivf-assign")
     }
   }
 
@@ -376,8 +375,7 @@ object Similarity {
         "batch_id", Seq("t", "bucket"), buckets)
       graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
     } else {
-      spark.catalog.refreshTable(bandsTable)
-      graft.io.Bucketing.overwritePartitions(bands, bandsTable)
+      graft.io.Bucketing.appendPartialInto(spark, bands, bandsTable, "vec-bands")
     }
     if (!spark.catalog.tableExists(vecsTable)) {
       graft.io.Bucketing.dropTable(spark, vecsTable)
@@ -385,8 +383,7 @@ object Similarity {
         "batch_id", "corpus_id", buckets)
       graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
     } else {
-      spark.catalog.refreshTable(vecsTable)
-      graft.io.Bucketing.overwritePartitions(vecs, vecsTable)
+      graft.io.Bucketing.appendPartialInto(spark, vecs, vecsTable, "vec-payload")
     }
   }
 

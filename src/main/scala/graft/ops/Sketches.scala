@@ -83,8 +83,7 @@ object Sketches {
         "batch_id", "lang", buckets)
       graft.io.Bucketing.stampKind(spark, table, "kmv-profile")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "kmv-profile")
     }
   }
 
@@ -173,8 +172,7 @@ object Sketches {
         "batch_id", "pos", buckets)
       graft.io.Bucketing.stampKind(spark, table, s"countmin-$depth-$width")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, s"countmin-$depth-$width")
     }
   }
 
@@ -186,7 +184,18 @@ object Sketches {
     * plus checked error-bound booleans — the q24/q43 contract for the
     * one sketch whose seeded xxhash64 DuckDB cannot replay: the oracle
     * expects `est_dominates` (guaranteed: counters only add) and
-    * `est_within_eps` (the 4e·N/width envelope) both TRUE. */
+    * `est_within_eps` (the 4e·N/width envelope) both TRUE.
+    *
+    * `est_within_eps` caveat (ADVICE-r16): the count-min guarantee is
+    * probabilistic — est ≤ cnt + eN/width holds per key only with
+    * probability 1−(1/e)^depth, so TRUE in a hash oracle is a
+    * FIXTURE-CERTIFIED fact, not a theorem. The envelope used here is
+    * 4× the expectation (4e·N/width ≈ 4·depth× the MEAN collision
+    * mass), and the fixture's hashes are fixed, so the flag is
+    * deterministic on the driver's sf0.01 check; SketchesSpec
+    * ("count-min envelope slack") measures the actual worst-case
+    * margin and fails with a diagnostic long before a fixture or
+    * parameter change could eat the 4× slack and flake the oracle. */
   def countMinHeavyHitterAudit(spark: org.apache.spark.sql.SparkSession,
                                docs: DataFrame, table: String, n: Int = 2,
                                k: Int = 10, depth: Int = 4,
@@ -343,8 +352,7 @@ object Sketches {
         "batch_id", "lang", buckets)
       graft.io.Bucketing.stampKind(spark, table, "log2-hist")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "log2-hist")
     }
   }
 

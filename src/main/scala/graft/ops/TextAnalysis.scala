@@ -206,8 +206,7 @@ object TextAnalysis {
       // appends run through the micro-batch's CLONED session, so the
       // caller session's cached relation goes stale — refresh before
       // resolving the insert target
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df")
     }
   }
 
@@ -555,8 +554,7 @@ object TextAnalysis {
         "batch_id", "tok", buckets)
       graft.io.Bucketing.stampKind(spark, table, "tok-counts")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts")
     }
   }
 
@@ -890,8 +888,7 @@ object TextAnalysis {
         "batch_id", "gram", buckets)
       graft.io.Bucketing.stampKind(spark, table, "bench-grams")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bench-grams")
     }
   }
 
@@ -1289,8 +1286,7 @@ object TextAnalysis {
         "batch_id", "term", buckets)
       graft.io.Bucketing.stampKind(spark, table, "bm25-df")
     } else {
-      spark.catalog.refreshTable(table)
-      graft.io.Bucketing.overwritePartitions(partial, table)
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df")
     }
   }
 

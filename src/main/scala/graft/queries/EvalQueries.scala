@@ -772,14 +772,20 @@ object EvalQueries {
     // where-did-pair-a-land lookup — a second ranked(1) would re-run
     // the whole wave-B pair aggregation
     val rb = ranked(1).persist()
-    val b = rb.select(col("rank"), col("pair").as("pair_b"),
-      col("n_occurrences").as("n_b"))
-    val inB = rb.select(col("pair").as("pair_a"),
-      col("rank").as("rank_a_in_b"))
-    a.join(b, Seq("rank")).join(inB, Seq("pair_a"), "left")
-      .select(col("rank"), col("pair_a"), col("n_a"), col("pair_b"), col("n_b"),
-        (col("pair_a") === col("pair_b")).as("same_pair"),
-        coalesce(col("rank_a_in_b"), lit(0L)).as("rank_a_in_b"))
+    try {
+      val b = rb.select(col("rank"), col("pair").as("pair_b"),
+        col("n_occurrences").as("n_b"))
+      val inB = rb.select(col("pair").as("pair_a"),
+        col("rank").as("rank_a_in_b"))
+      a.join(b, Seq("rank")).join(inB, Seq("pair_a"), "left")
+        .select(col("rank"), col("pair_a"), col("n_a"), col("pair_b"), col("n_b"),
+          (col("pair_a") === col("pair_b")).as("same_pair"),
+          coalesce(col("rank_a_in_b"), lit(0L)).as("rank_a_in_b"))
+        // 10-row frame: materialize while the cache is live so the
+        // finally-unpersist can't bleed cached blocks into the session
+        // (ADVICE-r16) nor force a wave-B recompute downstream
+        .localCheckpoint()
+    } finally rb.unpersist()
   }
 
   val tokenizerDriftSql: String = {

@@ -142,6 +142,38 @@ class SketchesSpec extends SparkSpec {
     graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("count-min envelope slack: worst-case overestimate sits well inside the 4x bound") {
+    // The q76 oracle hard-codes est_within_eps = TRUE, which is only a
+    // probabilistic guarantee (holds per key w.p. 1-(1/e)^depth at the
+    // 1x eN/width envelope). The audit uses a 4x envelope; this spec
+    // measures the ACTUAL worst-case margin on the fixture so a fixture
+    // or parameter change that starts eating the slack fails HERE with
+    // numbers, not as an unexplained driver-oracle flake.
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "sk_cm_margin"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    Sketches.appendCountMinPartial(spark, docs, tbl, 0L,
+      depth = 2, width = 512)
+    val folded = spark.table(tbl).groupBy("pos")
+      .agg(sum(col("cnt")).as("cnt")).collect()
+    val sketch = new Array[Long](2 * 512)
+    folded.foreach(r => sketch(r.getInt(0)) = r.getLong(1))
+    val total = sketch.take(512).sum
+    val bound = (4 * math.E * total / 512).toLong + 1
+    val audit = Sketches.countMinHeavyHitterAudit(spark, docs, tbl,
+      depth = 2, width = 512).collect()
+    val worst = audit.map { r =>
+      val est = graft.functions.CountMin.estimate(sketch,
+        r.getString(0) + "" + r.getString(2), 2, 512)
+      est - r.getLong(3)
+    }.max
+    assert(worst <= bound / 2,
+      s"count-min overestimate $worst is past half the 4x envelope " +
+        s"($bound) — the q76 est_within_eps=TRUE oracle is at risk; " +
+        "re-examine width/depth or the fixture before the driver flakes")
+    graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("streamed log2-histogram partials fold to the monolithic histogram") {
     val docs = Tables.documents(spark, sfDir)
     val tbl = "sk_hist_stream"
