@@ -67,11 +67,50 @@ object Bench {
       }
       reps.sorted.apply(1)
     }
+    // I/O-sensitive canary (VERDICT r16 item 1): the CPU canary cannot
+    // see fsync/disk contention, yet the checkpoint-heavy streaming rows
+    // are exactly the ones ambient I/O pressure elevates — round 16
+    // spent its arbitration budget unable to distinguish "all six
+    // streaming rows doubled" (ambient) from a state-store regression.
+    // This probe is a FIXED reference I/O workload: 8 cycles of
+    // write-256KiB + force(true) (metadata+data fsync) to the same tmp
+    // filesystem the streaming checkpoints live on — the syscall mix a
+    // RocksDB/HDFSBackedStateStore commit pays per micro-batch. Median
+    // of 3, sampled at the same interleaved points as the CPU canary;
+    // reported next to it so a cross-round diff can see WHICH resource
+    // the box was short on. Not used for normalization (protocol floors
+    // don't scale linearly in fsync latency); it is the arbitration
+    // instrument.
+    val ioCanaryBuf = new Array[Byte](256 * 1024)
+    java.util.Arrays.fill(ioCanaryBuf, 0x5a.toByte)
+    def ioCanary(): Double = {
+      val dir = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val reps = (1 to 3).map { r =>
+        val f = dir.resolve(s"graft_io_canary_${sys.props("user.name")}_$r.bin")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < 8) {
+            ch.write(java.nio.ByteBuffer.wrap(ioCanaryBuf))
+            ch.force(true)
+            i += 1
+          }
+        } finally { ch.close(); java.nio.file.Files.deleteIfExists(f) }
+        (System.nanoTime() - t0) / 1e9
+      }
+      reps.sorted.apply(1)
+    }
     val canaryEvery = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt)
     // (catalog row index the sample precedes, median-of-3 canary seconds)
     val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val ioCanarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     canarySamples += 0 -> canary()
+    ioCanarySamples += 0 -> ioCanary()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N timing: a single rep cannot tell a regression from a
     // GC/scheduler hiccup on a shared box (round 8 reported a 4x phantom
@@ -87,6 +126,13 @@ object Bench {
     // keep the default to bound total bench runtime.
     val statefulReps = math.max(reps,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STATEFUL_REPS", "5").toInt)
+    // codec/compute rows with HISTORICAL cv > 0.5 (VERDICT r16 item 4):
+    // at 3 reps a single 40-50 s scheduler/GC excursion lands IN the
+    // median (p87 r16: reps 10.9/17.2/47.9 reported 17.2), making every
+    // cross-round diff on these rows unreadable. They take the stateful
+    // rows' 5 reps so one excursion is outvoted.
+    val highCvRows = Set("p85_video_fingerprint", "p86_video_near_dups",
+      "p87_video_dedup_groups", "p89_classifier_eval", "p90_bm25_topk")
     // every catalog row whose scratch is epoch-keyed (streaming
     // checkpoints, bucketed warehouse tables, write-then-read dirs)
     val statefulRows = Set("q34_bucketed_join", "q36_partition_pruned_mart",
@@ -104,7 +150,7 @@ object Bench {
       "q69_streaming_window_index", "q70_streaming_bm25_index",
       "p71_substring_removal_incr")
     def repsFor(name: String): Int =
-      if (statefulRows(name)) statefulReps else reps
+      if (statefulRows(name) || highCvRows(name)) statefulReps else reps
     // profiling filters: ONLY/SKIP take comma-separated name prefixes
     // ("p53,q04" or full names). This is what makes the fresh-JVM
     // isolated-median protocol (PROFILE_r10/r12) and the
@@ -127,7 +173,10 @@ object Bench {
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1))
     val allReps = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx > 0 && idx % canaryEvery == 0) canarySamples += idx -> canary()
+      if (idx > 0 && idx % canaryEvery == 0) {
+        canarySamples += idx -> canary()
+        ioCanarySamples += idx -> ioCanary()
+      }
       val times = (1 to repsFor(name)).iterator.map { _ =>
         if (errors.contains(name)) None
         else {
@@ -186,6 +235,7 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     canarySamples += sortedQueries.size -> canary()
+    ioCanarySamples += sortedQueries.size -> ioCanary()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // canary-normalized total: each row scaled by (reference canary /
     // its SEGMENT's machine speed), where a segment's speed is the mean
@@ -199,13 +249,17 @@ object Bench {
     // machine; canary_cv is its error bar.
     val refCanary = sys.env.get("SPARK_GRAFT_REF_CANARY")
       .flatMap(_.toDoubleOption).getOrElse(0.277)
+    def medianCv(vals: Seq[Double]): (Double, Double) = {
+      val median = vals.sorted.apply(vals.size / 2)
+      val mean = vals.sum / vals.size
+      val cv = if (mean > 0)
+        math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size) / mean
+      else 0.0
+      (median, cv)
+    }
     val canaryVals = canarySamples.map(_._2).toSeq
-    val canaryMedian = canaryVals.sorted.apply(canaryVals.size / 2)
-    val canaryMean = canaryVals.sum / canaryVals.size
-    val canaryCv = if (canaryMean > 0)
-      math.sqrt(canaryVals.map(v => (v - canaryMean) * (v - canaryMean)).sum /
-        canaryVals.size) / canaryMean
-    else 0.0
+    val (canaryMedian, canaryCv) = medianCv(canaryVals)
+    val (ioCanaryMedian, ioCanaryCv) = medianCv(ioCanarySamples.map(_._2).toSeq)
     def segSpeed(idx: Int): Double = {
       val before = canarySamples.takeWhile(_._1 <= idx).lastOption
         .map(_._2).getOrElse(canaryMedian)
@@ -226,17 +280,30 @@ object Bench {
       s""""filtered":$filtered,"only":${only.getOrElse(Set.empty[String]).toSeq.sorted.map(jstr).mkString("[", ",", "]")},"skip":${skip.toSeq.sorted.map(jstr).mkString("[", ",", "]")}"""
     val canaryJson = canarySamples
       .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
+    val ioCanaryJson = ioCanarySamples
+      .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"high_cv_rows":${highCvRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_samples":$ioCanaryJson,"io_canary_median_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
     // numbers needed to arbitrate the drift cluster. Persist the full
     // detail to a file the round snapshot commits.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_LATEST.json")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(detailPath), detail + "\n")
-    catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
+    // Per-sf snapshot FIRST: BENCH_DETAIL_LATEST.json is overwritten by
+    // every run including sf0.001 smoke runs, which is how round 16 lost
+    // its 179-row sf0.1 snapshot. The sf-tagged file is only clobbered
+    // by a run at the SAME scale factor, so a smoke run can no longer
+    // destroy the round's sf0.1 detail; the round snapshot commits the
+    // sf-tagged file as BENCH_DETAIL_r<N>.json.
+    val sfTag = sfDir.split('/').lastOption.getOrElse("unknown")
+    val detailPaths = Seq(
+      sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_LATEST.json"),
+      s"BENCH_DETAIL_LATEST_$sfTag.json").distinct
+    detailPaths.foreach { detailPath =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(detailPath), detail + "\n")
+      catch { case e: java.io.IOException =>
+        System.err.println(s"[bench] could not write $detailPath: ${e.getMessage}") }
+    }
     // The driver keeps only the LAST 2000 characters of stdout and parses
     // the JSON out of that tail — rounds 1-3 produced a ~2300-char line
     // that arrived truncated and never parsed. The final line must stay
@@ -250,11 +317,17 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }
-    println(line)
+    // stop BEFORE the final println: round 16's driver tail shows a
+    // thread-pool stack trace printed AFTER the compact line (late
+    // executor/shutdown output), pushing the JSON out of the driver's
+    // last-2000-chars window — BENCH_r16.json arrived with parsed:null.
+    // With the session already stopped, nothing Spark-side can write
+    // after the line the driver must parse.
     spark.stop()
+    println(line)
   }
 }
