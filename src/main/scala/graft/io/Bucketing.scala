@@ -143,6 +143,53 @@ object Bucketing {
     } finally conf.set(key, prev)
   }
 
+  /** Table-property key recording the max batch_id the last
+    * auto-compaction folded — [[maybeCompact]]'s cadence cursor.
+    * Carried through the compaction rewrite like every graft.* stamp;
+    * a crash between compaction and the stamp only means the next
+    * maybeCompact re-compacts (idempotent rewrite, never wrong). */
+  val CompactedAtProperty = "graft.index.compactedAt"
+
+  /** AUTO-COMPACTION CADENCE for streamed per-batch index maintenance:
+    * once `everyBatches` NEW batch_id partitions have landed since the
+    * last fold, run the crash-safe [[compactBucketed]] swap and stamp
+    * the cursor. This is the policy the round-16 ProbeCompact
+    * measurement asked for: accumulated per-batch file waves double
+    * streamed-probe cost by the ~80x index point (each append fans one
+    * wave of files into every bucket), and compaction recovers it
+    * (q73 probe 1.36 -> 0.63 s, q71 1.75 -> 0.81 s) — but until now a
+    * user had to know to run it. Wired into `runIndexMaintenance`, so
+    * every streamed index family pays O(index/N) amortized rewrite per
+    * batch instead of unbounded fragmentation.
+    *
+    * Safe under the streaming replay contract: compaction preserves
+    * content exactly, so a batch replayed AFTER a fold idempotently
+    * overwrites its own (already folded) partition — re-fragmenting one
+    * partition until the next cadence point, never double-counting.
+    * No-op for unpartitioned or non-batch_id tables (e.g. the pinned
+    * IVF centroid artifact). Returns true when a compaction ran. */
+  def maybeCompact(spark: SparkSession, table: String,
+                   everyBatches: Int = 4): Boolean = {
+    if (everyBatches <= 0) return false
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (!cat.tableExists(ident)) return false
+    val meta = cat.getTableMetadata(ident)
+    if (meta.partitionColumnNames != Seq("batch_id")) return false
+    val parts = cat.listPartitionNames(ident)
+      .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    if (parts.isEmpty) return false
+    val compactedAt = meta.properties.get(CompactedAtProperty)
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue)
+    if (parts.count(_ > compactedAt) < everyBatches) false
+    else {
+      compactBucketed(spark, table)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$CompactedAtProperty' = '${parts.max}')")
+      true
+    }
+  }
+
   /** The append-branch step every `append*Partial` shares: refresh the
     * caller's cached relation (the create may have run through another
     * cloned session), verify the existing table is the expected index
@@ -186,7 +233,34 @@ object Bucketing {
     * RecoverySpec). Run it in the maintenance window that also owns
     * appends. Returns the data file count after compaction. */
   def compactBucketed(spark: SparkSession, table: String,
-                      injectCrashAtSwapStep: Int = 0): Int = {
+                      injectCrashAtSwapStep: Int = 0): Int =
+    rewriteBucketed(spark, table, identity, injectCrashAtSwapStep)
+
+  /** PHYSICAL PURGE of tombstoned keys from a bucketed index table —
+    * the deletion companion to [[compactBucketed]]: the same crash-safe
+    * layout-preserving two-name swap, but the rewrite drops every row
+    * whose `keyCol` appears in `removeKeys` (broadcast anti-join —
+    * `removeKeys` is retraction-sized, the scan side streams). After a
+    * purge the rows are GONE from disk, not merely filtered at probe
+    * time: the right-to-be-forgotten end state for a posting-list index
+    * whose rows (unlike the additive-df families) cannot be cancelled
+    * by a negated partial. Same crash windows and repair as compaction
+    * (RecoverySpec's injected-kill matrix applies verbatim — the
+    * original table survives under `_precompact` until the purged
+    * table is live). Returns the data file count after the rewrite. */
+  def purgeBucketed(spark: SparkSession, table: String,
+                    removeKeys: DataFrame, keyCol: String,
+                    injectCrashAtSwapStep: Int = 0): Int = {
+    val ids = removeKeys.select(removeKeys(keyCol))
+    rewriteBucketed(spark, table,
+      _.join(org.apache.spark.sql.functions.broadcast(ids), Seq(keyCol),
+        "left_anti"),
+      injectCrashAtSwapStep)
+  }
+
+  private def rewriteBucketed(spark: SparkSession, table: String,
+                              transform: DataFrame => DataFrame,
+                              injectCrashAtSwapStep: Int): Int = {
     repairCompaction(spark, table)
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -214,7 +288,7 @@ object Bucketing {
       // pruning — the NEXT dynamic-partition-overwrite append would see
       // an unpartitioned target and truncate the whole index
       val partCols = meta.partitionColumnNames
-      val writerBase = spark.table(table)
+      val writerBase = transform(spark.table(table))
         .repartition(spec.numBuckets,
           keys.map(org.apache.spark.sql.functions.col): _*)
         .write

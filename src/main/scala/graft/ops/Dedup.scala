@@ -226,6 +226,9 @@ object Dedup {
     graft.io.Bucketing.writeBucketedMulti(bandFrame(sig, bands, rowsPerBand),
       bandsTable, Seq("band_id", "band_hash"), buckets)
     graft.io.Bucketing.writeBucketed(sig, sigsTable, "doc_id", buckets)
+    val spark = corpus.sparkSession
+    graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
+    graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
   }
 
   /** The maintenance half of the daily-ingest contract: fold a verdicted
@@ -303,23 +306,70 @@ object Dedup {
     * pre-partitioned on their join keys (asserted exchange-free in
     * ExplainSpec). This is the operator a 100 TB corpus runs every day —
     * the index amortizes the corpus-side signature computation AND its
-    * shuffle across every future delta. */
+    * shuffle across every future delta.
+    *
+    * `tombstonesTable`: when a [[retractFromCorpusIndex]] retraction is
+    * pending (landed but not yet purged), pass its tombstone table and
+    * the retired documents stop matching as near-dup sources — the
+    * gate is a broadcast anti-join on the index scans, map-side, no
+    * added exchange. After [[purgeCorpusIndexRetractions]] the option
+    * is a no-op (the table is gone). */
   def incrementalVerdictsAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                                       delta: DataFrame, bandsTable: String,
                                       sigsTable: String, bands: Int = 16,
                                       rowsPerBand: Int = 8, shingleN: Int = 3,
-                                      threshold: Double = 0.7): DataFrame = {
+                                      threshold: Double = 0.7,
+                                      tombstonesTable: Option[String] = None): DataFrame = {
     val dSig = sigFrame(delta, bands * rowsPerBand, shingleN)
     val candidates = bandFrame(dSig, bands, rowsPerBand).as("d")
-      .join(spark.table(bandsTable).as("c"),
+      .join(graft.io.Tombstones.filterRetracted(spark,
+          spark.table(bandsTable), "doc_id", tombstonesTable,
+          "minhash-tombs").as("c"),
         col("d.band_id") === col("c.band_id") &&
         col("d.band_hash") === col("c.band_hash"))
       .select(col("d.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
       .distinct()
-    val cs = spark.table(sigsTable).select(col("doc_id").as("corpus_id"),
-      col("sig").as("csig"), shingles(col("text"), shingleN).as("cgrams"))
+    val cs = graft.io.Tombstones.filterRetracted(spark,
+        spark.table(sigsTable), "doc_id", tombstonesTable, "minhash-tombs")
+      .select(col("doc_id").as("corpus_id"),
+        col("sig").as("csig"), shingles(col("text"), shingleN).as("cgrams"))
     incrementalVerdictsFrom(delta, dSig, cs, candidates, shingleN, threshold)
   }
+
+  /** RETRACTION for the minhash corpus-index family — the
+    * right-to-be-forgotten path for the near-dup index (VERDICT r16
+    * item 3): land the retired doc ids as a tombstone batch
+    * (O(|removed|), idempotent replay), after which probes passing the
+    * tombstone table no longer see the documents' band postings or
+    * signatures — they stop matching as near-dup sources immediately.
+    * Physical removal happens at maintenance cadence via
+    * [[purgeCorpusIndexRetractions]]. Orphan and double-retraction
+    * attempts fail loudly (the posting-list analogue of the shingle-df
+    * negative-df guard — see [[graft.io.Tombstones]]). */
+  def retractFromCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                             removed: DataFrame, bandsTable: String,
+                             sigsTable: String, tombstonesTable: String,
+                             batchId: Long): Unit = {
+    require(spark.catalog.tableExists(bandsTable) &&
+        spark.catalog.tableExists(sigsTable),
+      s"$bandsTable/$sigsTable do not exist — a retraction can only " +
+        "follow an index build")
+    graft.io.Bucketing.requireKind(spark, bandsTable, "minhash-bands")
+    graft.io.Bucketing.requireKind(spark, sigsTable, "minhash-sigs")
+    graft.io.Tombstones.land(spark, removed.select(col("doc_id")), "doc_id",
+      tombstonesTable, "minhash-tombs", batchId, sigsTable)
+  }
+
+  /** Fold pending minhash retractions into the index for real: purge
+    * the tombstoned documents' band postings and signature payloads
+    * (crash-safe layout-preserving swap per table) and drop the
+    * tombstone table — the index is again byte-equivalent to a rebuild
+    * without the retired documents, and probes need no tombstone gate. */
+  def purgeCorpusIndexRetractions(spark: org.apache.spark.sql.SparkSession,
+                                  bandsTable: String, sigsTable: String,
+                                  tombstonesTable: String): Boolean =
+    graft.io.Tombstones.purge(spark, tombstonesTable, "doc_id",
+      "minhash-tombs", Seq(bandsTable, sigsTable))
 
   /** 64-bit SimHash over word unigrams: per-bit vote of token hashes.
     * Token hashes are computed once per document, then folded 64 times —

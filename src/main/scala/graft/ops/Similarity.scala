@@ -656,6 +656,9 @@ object Similarity {
       corpus.select(col("vec_id").as("corpus_id"),
         col("embedding").as("c_emb"), vec_norm(col("embedding")).as("c_nrm")),
       vecsTable, "corpus_id", buckets)
+    val spark = corpus.sparkSession
+    graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
+    graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
     b
   }
 
@@ -667,14 +670,62 @@ object Similarity {
     * This is what a 100 TB embedded corpus runs per ingest batch: the
     * index amortizes the corpus-side banding AND its shuffle across
     * every future delta. */
+  /** `tombstonesTable`: when a [[retractFromVectorIndex]] retraction
+    * is pending, pass its tombstone table and the retired vectors stop
+    * matching as near-dup sources (broadcast anti-join gate, map-side,
+    * no added exchange); after [[purgeVectorIndexRetractions]] the
+    * option is a no-op. NOTE on geometry: bits are re-derived from the
+    * STORED (unfiltered) count, so pending tombstones cannot shift the
+    * banding — but after a PURGE shrinks the store, a `bitsPerTable=0`
+    * caller could re-derive different bits than the build used; an
+    * index that retracts should pin the bits [[buildVectorIndex]]
+    * returned, exactly as the streamed-maintenance path pins them. */
   def incrementalCosineVerdictsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, delta: DataFrame,
       bandsTable: String, vecsTable: String, threshold: Double = 0.45,
-      tables: Int = 8, bitsPerTable: Int = 0): DataFrame = {
+      tables: Int = 8, bitsPerTable: Int = 0,
+      tombstonesTable: Option[String] = None): DataFrame = {
     val vecsC = spark.table(vecsTable)
     val b = if (bitsPerTable > 0) bitsPerTable
             else adaptiveBitsPerTable(vecsC.count())
-    incrementalCosineFrom(delta, spark.table(bandsTable), vecsC, tables, b,
-      threshold)
+    incrementalCosineFrom(delta,
+      graft.io.Tombstones.filterRetracted(spark, spark.table(bandsTable),
+        "corpus_id", tombstonesTable, "vec-tombs"),
+      graft.io.Tombstones.filterRetracted(spark, vecsC, "corpus_id",
+        tombstonesTable, "vec-tombs"),
+      tables, b, threshold)
   }
+
+  /** RETRACTION for the vector-index family — the embedding-space
+    * right-to-be-forgotten path (VERDICT r16 item 3): land the retired
+    * vec_ids as a tombstone batch (O(|removed|), idempotent replay);
+    * probes passing the tombstone table stop seeing the vectors' LSH
+    * postings and verify payloads immediately, and
+    * [[purgeVectorIndexRetractions]] removes them physically at
+    * maintenance cadence. Orphan / double-retraction guards as in
+    * [[graft.io.Tombstones]]. */
+  def retractFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
+                             removed: DataFrame, bandsTable: String,
+                             vecsTable: String, tombstonesTable: String,
+                             batchId: Long): Unit = {
+    require(spark.catalog.tableExists(bandsTable) &&
+        spark.catalog.tableExists(vecsTable),
+      s"$bandsTable/$vecsTable do not exist — a retraction can only " +
+        "follow an index build")
+    graft.io.Bucketing.requireKind(spark, bandsTable, "vec-bands")
+    graft.io.Bucketing.requireKind(spark, vecsTable, "vec-payload")
+    graft.io.Tombstones.land(spark,
+      removed.select(col("vec_id").as("corpus_id")), "corpus_id",
+      tombstonesTable, "vec-tombs", batchId, vecsTable)
+  }
+
+  /** Fold pending vector retractions into the index for real: purge
+    * the tombstoned vectors' postings and payloads (crash-safe
+    * layout-preserving swap per table) and drop the tombstone table —
+    * the index equals a rebuild without the retired vectors. */
+  def purgeVectorIndexRetractions(spark: org.apache.spark.sql.SparkSession,
+                                  bandsTable: String, vecsTable: String,
+                                  tombstonesTable: String): Boolean =
+    graft.io.Tombstones.purge(spark, tombstonesTable, "corpus_id",
+      "vec-tombs", Seq(bandsTable, vecsTable))
 }

@@ -741,6 +741,14 @@ object EvalQueries {
     "\n        WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 1)",
     "\nWHERE doc_id % 5 = 0")
 
+  /** q81's oracle: the streamed lifecycle retracts only the %7==1 docs
+    * from the two quarters already landed when the retraction batch
+    * rides through (doc_id % 4 < 2) — the rebuild-without truth over
+    * that exact retired set, restricted to the delta. */
+  val noveltyStreamedRetractionSql: String = noveltySqlFor(
+    "\n        WHERE NOT (doc_id % 5 <> 0 AND doc_id % 7 = 1 AND doc_id % 4 < 2)",
+    "\nWHERE doc_id % 5 = 0")
+
   // ---------------------------------------------------------------------
   // p111 — tokenizer (merge-table) drift between ingest waves
   // ---------------------------------------------------------------------

@@ -145,6 +145,61 @@ object PipelineQueries {
     }
   }
 
+  /** p116 — index RETRACTION for the minhash near-dup family, the
+    * right-to-be-forgotten lifecycle step (VERDICT r16 item 3): the
+    * corpus index is built from the %5<>0 corpus, then POISONED by
+    * appending every delta document re-keyed (doc_id + 10M, text
+    * verbatim — an exact near-dup twin of each probe document), then
+    * the poison batch is RETRACTED via the tombstone protocol
+    * (graft.io.Tombstones: O(|removed|) landing, orphan/double-retract
+    * guards) and the delta probes the index through the tombstone
+    * gate. The oracle is p52's exact all-pairs truth over the clean
+    * corpus, so the hash is a LEAK DETECTOR by construction: any
+    * retired posting or signature still matching would pair a delta
+    * doc with its jaccard-1.0 twin and flip its verdict — retraction
+    * must be indistinguishable from a rebuild without the retired
+    * docs, certified row by row. (The physical-purge half of the
+    * protocol is p117's device and spec-covered for this family in
+    * DedupSpec.) */
+  def dedupRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p116_bands", dir)
+    val sigsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p116_sigs", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p116_tombs", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER, not tableExists: a crash between the poison
+    // append and the retraction would otherwise cache a poisoned index
+    // as "built" for the rest of the epoch
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p116_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(bandsTbl, sigsTbl, tombsTbl)
+        .foreach(graft.io.Bucketing.dropTable(spark, _))
+      Dedup.buildCorpusIndex(corpus, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 8)
+      Dedup.appendToCorpusIndex(poison, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 8)
+      Dedup.retractFromCorpusIndex(spark, poison, bandsTbl, sigsTbl,
+        tombsTbl, batchId = 0L)
+      Seq(bandsTbl, sigsTbl, tombsTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalVerdictsAgainstIndex(spark, delta, bandsTbl, sigsTbl,
+          bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7,
+          tombstonesTable = Some(tombsTbl))
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   /** p58 — index MAINTENANCE: the persisted corpus index is built from
     * only 60% of the corpus (doc_id % 5 in 2..4), day-one's delta
     * (doc_id % 5 = 1) is APPENDED into it — only the delta is signed
@@ -1898,6 +1953,7 @@ object PipelineQueries {
     "p52_dedup_incremental" -> (dedupIncremental _),
     "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "p58_dedup_index_append" -> (dedupIndexAppend _),
+    "p116_dedup_retraction" -> (dedupRetraction _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -1968,5 +2024,9 @@ object PipelineQueries {
     // appended index must be indistinguishable from a monolithic build
     "p58_dedup_index_append" -> dedupIncrementalSql,
     // … and compaction must not change a single verdict
-    "p59_dedup_index_compact" -> dedupIncrementalSql)
+    "p59_dedup_index_compact" -> dedupIncrementalSql,
+    // … and retracting the poison twins must leave the index
+    // indistinguishable from the clean corpus build: the p52 truth is
+    // the leak detector (any surviving twin posting flips a verdict)
+    "p116_dedup_retraction" -> dedupIncrementalSql)
 }

@@ -856,7 +856,64 @@ object RecallQueries {
       |  TRUE AS within_rel_bound
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** p117 — PHYSICAL retraction (purge) for the vector-index family,
+    * the second half of the right-to-be-forgotten protocol p116 opens:
+    * the two-table vector index is built over corpus ∪ poison (every
+    * delta vector re-keyed vec_id + 10M — a cosine-1.0 twin of each
+    * probe vector), the poison is retracted via the tombstone landing,
+    * and then PURGED — graft.io.Tombstones.purge rewrites both tables
+    * through the crash-safe layout-preserving swap, dropping the
+    * retired postings and payloads from disk, and removes the
+    * tombstone table. The probe then runs with NO tombstone gate: the
+    * hash against p57's oracle certifies the purged index is
+    * bit-equivalent to a build that never contained the poison — any
+    * surviving twin posting flips its probe vector's verdict to its
+    * cosine-1.0 twin. Banding geometry is PINNED from the build input
+    * (the provisioning decision): a post-purge re-derivation would see
+    * the shrunken store and could band differently, exactly the drift
+    * the q71 streamed path pins against. */
+  def embDedupRetractionPurge(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    val poison = delta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val bandsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p117_vbands", dir)
+    val vecsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p117_vecs", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p117_tombs", dir)
+    // pin the geometry from the BUILD input's count — bits must not be
+    // re-derived after the purge shrinks the store
+    val bits = Similarity.adaptiveBitsPerTable(corpus.count() + delta.count())
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER, not tableExists: a crash between build and
+    // purge must rebuild, never probe a still-poisoned index
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p117_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(bandsTbl, vecsTbl, tombsTbl)
+        .foreach(graft.io.Bucketing.dropTable(spark, _))
+      Similarity.buildVectorIndex(corpus.unionByName(poison), bandsTbl,
+        vecsTbl, bitsPerTable = bits)
+      Similarity.retractFromVectorIndex(spark, poison, bandsTbl, vecsTbl,
+        tombsTbl, batchId = 0L)
+      Similarity.purgeVectorIndexRetractions(spark, bandsTbl, vecsTbl,
+        tombsTbl)
+      Seq(bandsTbl, vecsTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Similarity.incrementalCosineVerdictsAgainstIndex(spark, delta,
+          bandsTbl, vecsTbl, threshold = 0.45, bitsPerTable = bits)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p117_vector_retraction" -> (embDedupRetractionPurge _),
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
     "p43_dedup_representatives" -> (dedupRepresentatives _),
     "p44_ann_rrf_fusion" -> (annRrfFusion _),
@@ -894,5 +951,8 @@ object RecallQueries {
     "p19_dedup_groups" -> dedupGroupsSql,
     "p53_dedup_report" -> dedupReportSql,
     "p55_curation_pipeline" -> curationPipelineSql,
-    "p57_emb_dedup_incremental" -> embDedupIncrementalSql)
+    "p57_emb_dedup_incremental" -> embDedupIncrementalSql,
+    // the purged index must be bit-equivalent to a build that never
+    // contained the poison twins: p57's oracle is the leak detector
+    "p117_vector_retraction" -> embDedupIncrementalSql)
 }

@@ -784,6 +784,16 @@ object StreamingQueries {
   private def landSlicedModulo(spark: SparkSession, dir: String,
                                landing: String, rows: DataFrame,
                                idCol: String, nFiles: Int): Unit =
+    landSlices(spark, dir, landing, (0 until nFiles).map(i =>
+      rows.filter(pmod(col(idCol), lit(nFiles)) === i)))
+
+  /** EXPLICIT-slice landing: write each frame of `slices` as one
+    * ordered part file (ascending mtimes pin batch ids). The general
+    * form [[landSlicedModulo]] delegates to — q81 needs it because its
+    * batch sequence is not a modulo split (a RETRACTION batch rides
+    * between append batches). Same lock + completion discipline. */
+  private def landSlices(spark: SparkSession, dir: String,
+                         landing: String, slices: Seq[DataFrame]): Unit =
     graft.io.TempPaths.withLandingLock(landing) {
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
@@ -792,10 +802,9 @@ object StreamingQueries {
       val staging = java.nio.file.Paths.get(
         graft.io.TempPaths.uniqueScratchDir(spark, "graft_land_stage", dir))
       java.nio.file.Files.createDirectories(staging)
-      (0 until nFiles).foreach { i =>
+      slices.zipWithIndex.foreach { case (slice, i) =>
         val stageDir = staging.resolve(s"part_$i")
-        rows.filter(pmod(col(idCol), lit(nFiles)) === i)
-          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
+        slice.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
         val part = Option(stageDir.toFile.listFiles()).get
           .filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.move(part.toPath,
@@ -836,34 +845,8 @@ object StreamingQueries {
     val landing = sharedCorpusLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q68_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q68_linedf", dir)
-    // completion marker, not tableExists: a crashed maintenance stream
-    // leaves a PARTIAL table plus its checkpoint, and the right retry is
-    // to RESUME the stream (WAL skips committed batches, and any replay
-    // idempotently overwrites its own batch_id partition — the
-    // RecoverySpec-proven path), not to probe the partial index a
-    // tableExists guard would accept
-    if (!graft.io.TempPaths.isComplete(ckpt)) {
-      if (!spark.catalog.tableExists(idxTbl)) {
-        graft.io.Bucketing.dropTable(spark, idxTbl)
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
-      }
-      val schema = spark.read.parquet(landing).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = stream.writeStream
-        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       id: Long) =>
-          graft.ops.TextAnalysis.appendLineDfPartial(spark, b.toDF(), idxTbl, id))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the foreachBatch appends ran through the micro-batch's cloned
-      // session; drop this session's stale cached relation or the probe
-      // sees only the first batch's files
-      spark.catalog.refreshTable(idxTbl)
-      graft.io.TempPaths.markComplete(ckpt)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.TextAnalysis.appendLineDfPartial(spark, b, idxTbl, id)
     }
     val delta = Tables.documents(spark, dir).filter(deltaSide(col("doc_id")))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -890,27 +873,8 @@ object StreamingQueries {
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q69_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q69_windf", dir)
     landDocsCorpusModulo(spark, dir, landing, nFiles = 4)
-    // completion marker, not tableExists — same rationale as q68: a
-    // crashed maintenance stream must RESUME, not probe a partial index
-    if (!graft.io.TempPaths.isComplete(ckpt)) {
-      if (!spark.catalog.tableExists(idxTbl)) {
-        graft.io.Bucketing.dropTable(spark, idxTbl)
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
-      }
-      val schema = spark.read.parquet(landing).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = stream.writeStream
-        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       id: Long) =>
-          graft.ops.Dedup.appendWindowDfPartial(spark, b.toDF(), idxTbl, id, k = 8))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.catalog.refreshTable(idxTbl)
-      graft.io.TempPaths.markComplete(ckpt)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.Dedup.appendWindowDfPartial(spark, b, idxTbl, id, k = 8)
     }
     val delta = Tables.documents(spark, dir).filter(deltaSide(col("doc_id")))
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -939,29 +903,8 @@ object StreamingQueries {
     val landing = sharedCorpusLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q70_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q70_bm25df", dir)
-    // completion marker, not tableExists — same rationale as q68: a
-    // crashed maintenance stream must RESUME, not probe a partial index
-    if (!graft.io.TempPaths.isComplete(ckpt)) {
-      if (!spark.catalog.tableExists(idxTbl)) {
-        graft.io.Bucketing.dropTable(spark, idxTbl)
-        val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-        graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
-      }
-      val schema = spark.read.parquet(landing).schema
-      val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1).parquet(landing)
-      val q = stream.writeStream
-        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       id: Long) =>
-          graft.ops.TextAnalysis.appendBm25DfPartial(spark, b.toDF(), idxTbl, id))
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // foreachBatch ran through the micro-batch's cloned session; drop
-      // this session's stale cached relation before the probe
-      spark.catalog.refreshTable(idxTbl)
-      graft.io.TempPaths.markComplete(ckpt)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      graft.ops.TextAnalysis.appendBm25DfPartial(spark, b, idxTbl, id)
     }
     val docs = Tables.documents(spark, dir)
     graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(spark,
@@ -977,9 +920,21 @@ object StreamingQueries {
     * skips committed batches; replays overwrite their own partition),
     * not probe a partial index a tableExists guard would accept.
     * Refreshes `tables` in the caller's session afterwards (appends ran
-    * through the micro-batch's cloned session). */
+    * through the micro-batch's cloned session).
+    *
+    * COMPACTION CADENCE (VERDICT r16): after each append, every
+    * maintained table runs [[graft.io.Bucketing.maybeCompact]] — once
+    * `compactEvery` new batch partitions have accumulated, their file
+    * waves are folded by the crash-safe two-name swap, ON BY DEFAULT,
+    * so a long-lived streamed index no longer fragments without bound
+    * while waiting for an operator to remember `compactBucketed`. At
+    * the fixture's 4-file landing the policy fires exactly once (after
+    * batch 3), so every q68–q80 CORRECTNESS row also certifies that a
+    * mid-maintenance auto-compaction preserves the probe hash. */
+  private[graft] val CompactEveryDefault = 4
   private def runIndexMaintenance(spark: SparkSession, landing: String,
-                                  ckpt: String, tables: Seq[String])(
+                                  ckpt: String, tables: Seq[String],
+                                  compactEvery: Int = CompactEveryDefault)(
       append: (DataFrame, Long) => Unit): Unit = {
     if (!graft.io.TempPaths.isComplete(ckpt)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -994,7 +949,11 @@ object StreamingQueries {
         .option("maxFilesPerTrigger", 1).parquet(landing)
       val q = stream.writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       id: Long) => append(b.toDF(), id))
+                       id: Long) => {
+          append(b.toDF(), id)
+          tables.foreach(t =>
+            graft.io.Bucketing.maybeCompact(spark, t, compactEvery))
+        })
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -1282,7 +1241,50 @@ object StreamingQueries {
       docs.filter(deltaSide(col("doc_id"))), idxTbl)
   }
 
+  /** q81 — STREAMED RETRACTION: a right-to-be-forgotten batch rides
+    * the ingest stream BETWEEN append batches, through the same
+    * `foreachBatch` maintenance loop (VERDICT r16 item 7 — the full
+    * lifecycle build → append → stream → auto-compact → retract for
+    * the shingle-df family under the driver's hash gate). The landing
+    * is five ordered files: corpus quarters 0 and 1 (appends), then a
+    * RETRACTION of the already-landed docs with doc_id % 7 == 1
+    * (p113's negated-partial device as micro-batch 2), then quarters
+    * 2 and 3 (appends continue after the deletion). Each batch kind is
+    * carried by a `retract` flag column; replay of either kind
+    * idempotently overwrites its own batch_id partition, and the
+    * default auto-compaction cadence fires mid-stream (after batch 3)
+    * folding positive AND negated partials through the crash-safe
+    * swap. Oracle: the global novelty computation over
+    * documents-minus-retired restricted to the delta — the maintained
+    * index must converge to the rebuild-without while the stream keeps
+    * appending. */
+  def q81StreamingRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(corpusSide(col("doc_id")))
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q81_in", dir)
+    val quarter = (i: Int) => corpus.filter(pmod(col("doc_id"), lit(4)) === i)
+    landSlices(spark, dir, landing, Seq(
+      quarter(0).withColumn("retract", lit(false)),
+      quarter(1).withColumn("retract", lit(false)),
+      corpus.filter(pmod(col("doc_id"), lit(4)) < 2 &&
+          col("doc_id") % 7 === 1)
+        .withColumn("retract", lit(true)),
+      quarter(2).withColumn("retract", lit(false)),
+      quarter(3).withColumn("retract", lit(false))))
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q81_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q81_shdf", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
+      val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+      val docsB = b.drop("retract")
+      if (isRetract) graft.ops.Dedup.retractShingleDfPartial(spark, docsB, idxTbl, id)
+      else graft.ops.Dedup.appendShingleDfPartial(spark, docsB, idxTbl, id)
+    }
+    graft.ops.Dedup.noveltyIncremental(spark,
+      docs.filter(deltaSide(col("doc_id"))), idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_streaming_retraction" -> (q81StreamingRetraction _),
     "q80_streaming_logprob" -> (q80StreamingLogprob _),
     "q79_streaming_novelty_index" -> (q79StreamingNoveltyIndex _),
     "q78_streaming_vocab" -> (q78StreamingVocab _),
@@ -1348,5 +1350,10 @@ object StreamingQueries {
     "q79_streaming_novelty_index" -> EvalQueries.noveltyIncrementalSql,
     // streamed corpus token counts must score the delta bit-identically
     // to the batch-landed index: q80 shares p112's oracle verbatim
-    "q80_streaming_logprob" -> EvalQueries.logprobIncrementalSql)
+    "q80_streaming_logprob" -> EvalQueries.logprobIncrementalSql,
+    // the stream-maintained index with a mid-stream retraction must
+    // converge to the rebuild WITHOUT the retired docs (p113's
+    // equivalence, streamed): global novelty over documents minus the
+    // retired set, restricted to the delta
+    "q81_streaming_retraction" -> EvalQueries.noveltyStreamedRetractionSql)
 }

@@ -129,11 +129,16 @@ object ProbeScaling {
       Family("q79_streamed_shingledf_probe", { sf =>
         val t = tbl("ps_q79_shdf")
         graft.io.Bucketing.dropTable(spark, t)
-        // three doc-disjoint appended batches play the streamed history
-        Seq(0, 1, 2).foreach { i =>
+        // four doc-disjoint appended batches play the streamed history;
+        // the default auto-compaction cadence (maybeCompact, every 4
+        // batches — exactly what runIndexMaintenance now applies per
+        // batch) fires once, so the probe measures the POST-POLICY
+        // layout: flat-at-80x must hold with no manual compaction step
+        Seq(0, 1, 2, 3).foreach { i =>
           graft.ops.Dedup.appendShingleDfPartial(spark,
             docs(sf).filter(col("doc_id") % 5 =!= 0)
-              .filter(pmod(col("doc_id"), lit(3)) === i), t, i.toLong)
+              .filter(pmod(col("doc_id"), lit(4)) === i), t, i.toLong)
+          graft.io.Bucketing.maybeCompact(spark, t)
         }
         (spark.table(t).count(), () =>
           graft.ops.Dedup.noveltyIncremental(spark, deltaDocs, t))
@@ -161,6 +166,7 @@ object ProbeScaling {
         (0 until 4).foreach { b =>
           graft.ops.Dedup.appendWindowDfPartial(spark,
             corpus.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong, k = 8)
+          graft.io.Bucketing.maybeCompact(spark, t)
         }
         (spark.table(t).count(), () =>
           graft.ops.Dedup.substringRemoveIncremental(spark, deltaDocs, t, k = 8))
@@ -182,6 +188,7 @@ object ProbeScaling {
         (0 until 4).foreach { b =>
           graft.ops.TextAnalysis.appendLineDfPartial(spark,
             corpus.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong)
+          graft.io.Bucketing.maybeCompact(spark, t)
         }
         (spark.table(t).count(), () =>
           graft.ops.TextAnalysis.lineDedupIncremental(spark, deltaDocs, t))
@@ -195,6 +202,7 @@ object ProbeScaling {
           graft.ops.Similarity.appendVectorIndexPartial(spark,
             corpus.filter(pmod(col("vec_id"), lit(4)) === b), bands, vecs,
             b.toLong, tables = 8, bitsPerTable = bits)
+          Seq(bands, vecs).foreach(graft.io.Bucketing.maybeCompact(spark, _))
         }
         (spark.table(vecs).count(), () =>
           graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(spark,
@@ -207,6 +215,7 @@ object ProbeScaling {
         (0 until 4).foreach { b =>
           graft.ops.TextAnalysis.appendBenchGramPartial(spark,
             bench.filter(pmod(col("doc_id"), lit(4)) === b), t, b.toLong)
+          graft.io.Bucketing.maybeCompact(spark, t)
         }
         (spark.table(t).count(), () =>
           graft.ops.TextAnalysis.decontaminationAgainstIndex(spark, deltaTrain, t))
@@ -219,6 +228,7 @@ object ProbeScaling {
           graft.ops.Dedup.appendCorpusIndexPartial(spark,
             corpus.filter(pmod(col("doc_id"), lit(4)) === b), bands, sigs,
             b.toLong)
+          Seq(bands, sigs).foreach(graft.io.Bucketing.maybeCompact(spark, _))
         }
         (spark.table(sigs).count(), () =>
           graft.ops.Dedup.incrementalVerdictsAgainstIndex(spark, deltaDocs,
@@ -233,6 +243,7 @@ object ProbeScaling {
           graft.ops.Similarity.appendIvfAssignPartial(spark,
             emb(sf).filter(pmod(col("vec_id"), lit(4)) === b), cents, t,
             b.toLong)
+          graft.io.Bucketing.maybeCompact(spark, t)
         }
         (spark.table(t).count(), () =>
           graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t))

@@ -211,6 +211,151 @@ class StreamedIndexSpec extends SparkSpec {
     drop("si_shdf_ret", "si_shdf_reb", "si_shdf_full")
   }
 
+  test("auto-compaction cadence fires every 4th batch, preserves probes, keeps stamps, and replay stays idempotent") {
+    drop("si_mc", "si_mc_b")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // the runIndexMaintenance per-batch loop: append, then the policy
+    val fired = (0 until 4).map { i =>
+      Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(4)) === i), "si_mc", i.toLong)
+      Bucketing.maybeCompact(spark, "si_mc")
+    }
+    assert(fired === Seq(false, false, false, true),
+      s"cadence must fire exactly at the 4th accumulated batch, got $fired")
+    // the cursor property blocks an immediate re-fire
+    assert(!Bucketing.maybeCompact(spark, "si_mc"),
+      "cursor must record the fold — an immediate re-check may not re-compact")
+    assert(Bucketing.tableKind(spark, "si_mc").contains("shingle-df"),
+      "the kind stamp must survive the auto-compaction rewrite")
+    // compacted streamed index still equals the batch build
+    Dedup.buildShingleDfIndex(corpus, "si_mc_b")
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "si_mc_b"))
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_mc")) === want,
+      "auto-compacted streamed index must still equal the batch build")
+    // a batch replayed AFTER the fold overwrites its own (folded)
+    // partition with identical content — still idempotent
+    Dedup.appendShingleDfPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(4)) === 2), "si_mc", 2L)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_mc")) === want,
+      "replay after auto-compaction must be idempotent")
+    // four FRESH batches re-arm the cadence (cursor compares batch ids)
+    val fired2 = (4 until 8).map { i =>
+      Dedup.appendShingleDfPartial(spark,
+        delta.filter(pmod(col("doc_id"), lit(4)) === (i - 4)), "si_mc", i.toLong)
+      Bucketing.maybeCompact(spark, "si_mc")
+    }
+    assert(fired2 === Seq(false, false, false, true),
+      s"cadence must re-arm after the fold, got $fired2")
+    drop("si_mc", "si_mc_b")
+  }
+
+  test("minhash tombstone retraction: retired docs stop matching, guards fire, purge equals clean build") {
+    drop("si_mh_bands", "si_mh_sigs", "si_mh_tombs",
+      "si_mh_bands_clean", "si_mh_sigs_clean")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // poison twins: every delta doc re-keyed — jaccard 1.0 with itself,
+    // so ANY leak flips that doc's verdict
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.buildCorpusIndex(corpus, "si_mh_bands", "si_mh_sigs")
+    Dedup.appendToCorpusIndex(poison, "si_mh_bands", "si_mh_sigs")
+    Dedup.buildCorpusIndex(corpus, "si_mh_bands_clean", "si_mh_sigs_clean")
+    val want = rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "si_mh_bands_clean", "si_mh_sigs_clean"))
+    // the poison must CHANGE verdicts before retraction, or the test is vacuous
+    val poisoned = rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "si_mh_bands", "si_mh_sigs"))
+    assert(poisoned !== want, "poison changed nothing — vacuous fixture")
+    // retract + tombstone-gated probe == clean build
+    Dedup.retractFromCorpusIndex(spark, poison, "si_mh_bands", "si_mh_sigs",
+      "si_mh_tombs", 0L)
+    assert(rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+        "si_mh_bands", "si_mh_sigs", tombstonesTable = Some("si_mh_tombs")))
+      === want,
+      "tombstone-gated probe must equal the clean-corpus build")
+    // replay of the SAME retraction batch is idempotent
+    Dedup.retractFromCorpusIndex(spark, poison, "si_mh_bands", "si_mh_sigs",
+      "si_mh_tombs", 0L)
+    assert(rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+        "si_mh_bands", "si_mh_sigs", tombstonesTable = Some("si_mh_tombs")))
+      === want, "retraction replay must be idempotent")
+    // double retraction in a NEW batch fails loudly
+    val dbl = intercept[IllegalArgumentException] {
+      Dedup.retractFromCorpusIndex(spark, poison, "si_mh_bands", "si_mh_sigs",
+        "si_mh_tombs", 1L)
+    }
+    assert(dbl.getMessage.contains("already retracted"), dbl.getMessage)
+    // orphan retraction (never-indexed doc) fails loudly
+    val orphan = intercept[IllegalArgumentException] {
+      Dedup.retractFromCorpusIndex(spark,
+        delta.withColumn("doc_id", col("doc_id") + lit(77000000L)),
+        "si_mh_bands", "si_mh_sigs", "si_mh_tombs", 2L)
+    }
+    assert(orphan.getMessage.contains("absent"), orphan.getMessage)
+    // PURGE: postings physically gone, probe equals clean WITHOUT a gate
+    assert(Dedup.purgeCorpusIndexRetractions(spark, "si_mh_bands",
+      "si_mh_sigs", "si_mh_tombs"))
+    assert(!spark.catalog.tableExists("si_mh_tombs"),
+      "purge must drop the tombstone table")
+    assert(spark.table("si_mh_sigs")
+      .filter(col("doc_id") >= 10000000L).count() === 0L,
+      "purged signatures must be gone from disk")
+    assert(spark.table("si_mh_bands")
+      .filter(col("doc_id") >= 10000000L).count() === 0L,
+      "purged band postings must be gone from disk")
+    assert(rows(Dedup.incrementalVerdictsAgainstIndex(spark, delta,
+      "si_mh_bands", "si_mh_sigs")) === want,
+      "purged index must equal a build that never contained the poison")
+    drop("si_mh_bands", "si_mh_sigs", "si_mh_bands_clean", "si_mh_sigs_clean")
+  }
+
+  test("vector tombstone retraction + purge: retired vectors stop matching; purge swap survives an injected crash") {
+    drop("si_vr_bands", "si_vr_vecs", "si_vr_tombs",
+      "si_vr_bands_clean", "si_vr_vecs_clean")
+    val poison = embDelta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    // pinned geometry from the build input — the p117 doctrine
+    val bits = Similarity.adaptiveBitsPerTable(
+      embCorpus.count() + poison.count())
+    Similarity.buildVectorIndex(embCorpus.unionByName(poison),
+      "si_vr_bands", "si_vr_vecs", bitsPerTable = bits)
+    Similarity.buildVectorIndex(embCorpus,
+      "si_vr_bands_clean", "si_vr_vecs_clean", bitsPerTable = bits)
+    val want = rows(Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+      embDelta, "si_vr_bands_clean", "si_vr_vecs_clean", threshold = 0.45,
+      bitsPerTable = bits))
+    assert(rows(Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+        embDelta, "si_vr_bands", "si_vr_vecs", threshold = 0.45,
+        bitsPerTable = bits)) !== want,
+      "poison changed nothing — vacuous fixture")
+    Similarity.retractFromVectorIndex(spark, poison, "si_vr_bands",
+      "si_vr_vecs", "si_vr_tombs", 0L)
+    // tombstone-gated probe already equals the clean build
+    assert(rows(Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+        embDelta, "si_vr_bands", "si_vr_vecs", threshold = 0.45,
+        bitsPerTable = bits, tombstonesTable = Some("si_vr_tombs")))
+      === want, "tombstone-gated probe must equal the clean build")
+    // purge with an injected crash in the swap window, then repair —
+    // the compaction two-name protocol applied to deletion
+    intercept[IllegalStateException] {
+      graft.io.Bucketing.purgeBucketed(spark, "si_vr_vecs",
+        spark.table("si_vr_tombs").select(col("corpus_id")), "corpus_id",
+        injectCrashAtSwapStep = 1)
+    }
+    assert(graft.io.Bucketing.repairCompaction(spark, "si_vr_vecs"),
+      "repair must restore the table after a mid-swap crash")
+    assert(Similarity.purgeVectorIndexRetractions(spark, "si_vr_bands",
+      "si_vr_vecs", "si_vr_tombs"))
+    assert(spark.table("si_vr_vecs")
+      .filter(col("corpus_id") >= 10000000L).count() === 0L,
+      "purged payloads must be gone from disk")
+    assert(rows(Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+        embDelta, "si_vr_bands", "si_vr_vecs", threshold = 0.45,
+        bitsPerTable = bits)) === want,
+      "purged index must equal a build that never contained the poison")
+    drop("si_vr_bands", "si_vr_vecs", "si_vr_bands_clean", "si_vr_vecs_clean")
+  }
+
   test("incremental unigram logprob equals the global computation on the delta") {
     drop("si_tok_lp")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
