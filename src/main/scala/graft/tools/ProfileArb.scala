@@ -38,11 +38,38 @@ object ProfileArb {
       samples.sorted.apply(1)
     }
 
+    // the Bench I/O canary (fixed write+fsync workload): the resource
+    // the CPU canary is blind to, and the one the checkpoint-heavy
+    // streaming rows under arbitration are most sensitive to
+    val ioBuf = new Array[Byte](256 * 1024)
+    java.util.Arrays.fill(ioBuf, 0x5a.toByte)
+    def ioCanary(): Double = {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
+      val samples = (1 to 3).map { r =>
+        val f = d.resolve(s"graft_arb_io_canary_$r.bin")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < 8) {
+            ch.write(java.nio.ByteBuffer.wrap(ioBuf)); ch.force(true); i += 1
+          }
+        } finally { ch.close(); java.nio.file.Files.deleteIfExists(f) }
+        (System.nanoTime() - t0) / 1e9
+      }
+      samples.sorted.apply(1)
+    }
+
     val fn = graft.SparkEntry.queries(name)
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val ioCanaries = scala.collection.mutable.ArrayBuffer.empty[Double]
     canaries += canary()
-    println(f"ARB canary0 ${canaries.last}%7.3f s")
+    ioCanaries += ioCanary()
+    println(f"ARB canary0 ${canaries.last}%7.3f s io ${ioCanaries.last}%7.3f s")
     (1 to reps).foreach { i =>
       graft.io.TempPaths.bumpEpoch()
       val t0 = System.nanoTime()
@@ -53,7 +80,8 @@ object ProfileArb {
       spark.catalog.clearCache()
       if (i % 2 == 0 || i == reps) {
         canaries += canary()
-        println(f"ARB canary ${canaries.last}%7.3f s")
+        ioCanaries += ioCanary()
+        println(f"ARB canary ${canaries.last}%7.3f s io ${ioCanaries.last}%7.3f s")
       }
     }
     // steady state excludes rep 1 (fresh-JVM codegen/IO warmup) —
@@ -61,10 +89,12 @@ object ProfileArb {
     val steady = (if (times.size > 1) times.drop(1) else times).sorted
     val med = steady(steady.size / 2)
     val canMed = canaries.sorted.apply(canaries.size / 2)
+    val ioMed = ioCanaries.sorted.apply(ioCanaries.size / 2)
     println(f"ARB SUMMARY $name steady_median=$med%.3f s " +
       f"canary_median=$canMed%.3f s ref_canary=$refCanary%.3f " +
       f"normalized=${med * refCanary / canMed}%.3f s " +
-      f"(canary range ${canaries.min}%.3f-${canaries.max}%.3f)")
+      f"(canary range ${canaries.min}%.3f-${canaries.max}%.3f, " +
+      f"io_canary median=$ioMed%.3f range ${ioCanaries.min}%.3f-${ioCanaries.max}%.3f)")
     spark.stop()
   }
 }
