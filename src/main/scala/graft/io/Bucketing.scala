@@ -304,11 +304,13 @@ object Bucketing {
       // carry graft.* table properties (the index-kind stamp) through
       // the rewrite — saveAsTable starts from a blank property map, and
       // losing the stamp would re-open requireKind's blind spot after
-      // every compaction
-      meta.properties.filter(_._1.startsWith("graft."))
-        .foreach { case (k, v) =>
-          spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES ('$k' = '$v')")
-        }
+      // every compaction. One combined ALTER: each statement is a
+      // metastore round-trip, and auto-compaction runs inside the
+      // timed maintenance loop.
+      val props = meta.properties.filter(_._1.startsWith("graft."))
+      if (props.nonEmpty)
+        spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
+          props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
     } finally spark.conf.set(scanKey, prevScan)
     // two-name swap: original survives under _precompact until the
     // compacted table is live under the real name.

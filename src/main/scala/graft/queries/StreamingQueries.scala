@@ -931,7 +931,9 @@ object StreamingQueries {
     * the fixture's 4-file landing the policy fires exactly once (after
     * batch 3), so every q68–q80 CORRECTNESS row also certifies that a
     * mid-maintenance auto-compaction preserves the probe hash. */
-  private[graft] val CompactEveryDefault = 4
+  private[graft] val CompactEveryDefault =
+    sys.env.get("SPARK_GRAFT_COMPACT_EVERY").flatMap(_.toIntOption)
+      .getOrElse(4)
   private def runIndexMaintenance(spark: SparkSession, landing: String,
                                   ckpt: String, tables: Seq[String],
                                   compactEvery: Int = CompactEveryDefault)(
