@@ -793,6 +793,29 @@ object Dedup {
     }
   }
 
+  /** RETRACTION partial for the window-df family — p113's negated-df
+    * device applied to passage removal: land the REMOVED docs' window
+    * counts NEGATED as their own batch_id partition, after which the
+    * folded index equals a from-scratch rebuild WITHOUT those docs at
+    * O(|removed|) cost, and replay is idempotent (dynamic-partition
+    * overwrite, like every append). Caller contract as in
+    * [[retractShingleDfPartial]]: retract only previously-appended
+    * docs, exactly once — the probe fails loudly on a negative folded
+    * count, and treats a zero fold (every occurrence retracted) as
+    * ABSENT, since for this family row-presence means "window exists
+    * in the corpus". */
+  def retractWindowDfPartial(spark: org.apache.spark.sql.SparkSession,
+                             removed: DataFrame, table: String, batchId: Long,
+                             k: Int = 8, buckets: Int = 8): Unit = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow appends")
+    val partial = windowOccurrences(passageTokens(removed), k)
+      .groupBy("h").agg((-count(lit(1))).cast("long").as("df_corpus"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df")
+  }
+
   /** Incremental passage removal — the daily-ingest shape of
     * [[substringRemove]]: the already-ingested corpus's window counts
     * live in a PERSISTED bucketed index, and only the delta is
@@ -830,11 +853,21 @@ object Dedup {
         idxRaw.columns.mkString("(", ", ", ")"))
     // a streamed (batch_id-partitioned) layout folds its per-batch
     // partials back to global counts first — a groupBy on the bucket
-    // key, so the fold (like the join) has no corpus-side exchange
+    // key, so the fold (like the join) has no corpus-side exchange.
+    // Retraction-aware: a zero fold (every occurrence retracted) means
+    // the window is NOT in the corpus — for this family row-PRESENCE is
+    // the predicate, so folded zeros must become absent, and a negative
+    // fold (double retraction / never-appended doc) fails loudly
+    // instead of silently un-removing passages
     val idx =
       if (idxRaw.columns.contains("batch_id"))
         idxRaw.groupBy("h")
           .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
+          .filter(when(col("df_corpus") < 0,
+              raise_error(concat(lit(s"$indexTable carries a negative folded "),
+                lit("window count — double retraction or retraction of a "),
+                lit("never-appended doc"))))
+            .otherwise(col("df_corpus")) > 0)
       else idxRaw
     val toks = passageTokens(delta)
     val occ = windowOccurrences(toks, k)

@@ -226,7 +226,33 @@ object Similarity {
                     nCentroids: Int = 16, buckets: Int = 8): Unit = {
     val (assign, _) = ivfParts(embeddings, queryStride = 50, nCentroids, nProbe = 1)
     graft.io.Bucketing.writeBucketed(assign, table, "cell", buckets)
+    graft.io.Bucketing.stampKind(embeddings.sparkSession, table, "ivf-assign")
   }
+
+  /** RETRACTION for the IVF family — the tombstone protocol (see
+    * [[graft.io.Tombstones]]) on the assignment table: retired vec_ids
+    * land as an O(|removed|) tombstone batch; probes passing the
+    * tombstone table stop returning those vectors as neighbors
+    * immediately, and [[purgeIvfIndexRetractions]] removes their
+    * assignment rows physically at maintenance cadence. Orphan /
+    * double-retraction guards as in the minhash/vector families. */
+  def retractFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                          removed: DataFrame, table: String,
+                          tombstonesTable: String, batchId: Long): Unit = {
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow an index build")
+    graft.io.Bucketing.requireKind(spark, table, "ivf-assign")
+    graft.io.Tombstones.land(spark, removed.select(col("vec_id")), "vec_id",
+      tombstonesTable, "ivf-tombs", batchId, table)
+  }
+
+  /** Fold pending IVF retractions into the index for real (crash-safe
+    * layout-preserving swap), then drop the tombstone table. */
+  def purgeIvfIndexRetractions(spark: org.apache.spark.sql.SparkSession,
+                               table: String,
+                               tombstonesTable: String): Boolean =
+    graft.io.Tombstones.purge(spark, tombstonesTable, "vec_id",
+      "ivf-tombs", Seq(table))
 
   /** The probe half: identical semantics to [[ivfTopK]] (same centroid
     * geometry — `nCentroids` MUST match the index build; probes are
@@ -238,9 +264,11 @@ object Similarity {
   def ivfTopKAgainstIndex(spark: org.apache.spark.sql.SparkSession,
                           embeddings: DataFrame, table: String, k: Int = 10,
                           queryStride: Int = 50, nCentroids: Int = 16,
-                          nProbe: Int = 4): DataFrame = {
+                          nProbe: Int = 4,
+                          tombstonesTable: Option[String] = None): DataFrame = {
     val (_, probes) = ivfParts(embeddings, queryStride, nCentroids, nProbe)
-    ivfRank(spark.table(table), probes, k)
+    ivfRank(graft.io.Tombstones.filterRetracted(spark, spark.table(table),
+      "vec_id", tombstonesTable, "ivf-tombs"), probes, k)
   }
 
   /** Shared IVF coarse-quantizer stages: `assign` = (vec_id, cell,

@@ -291,8 +291,8 @@ object Sketches {
                             delta: DataFrame, table: String): DataFrame = {
     graft.io.Bucketing.repairCompaction(spark, table)
     graft.io.Bucketing.requireKind(spark, table, "tok-counts")
-    val corpus = spark.table(table).groupBy(col("tok"))
-      .agg(sum(col("cnt")).as("cnt"))
+    // retraction-aware fold (zero folds absent, negative folds loud)
+    val corpus = TextAnalysis.foldTokenCounts(spark.table(table), table)
       .select(lit("corpus").as("source"), col("tok"), col("cnt"))
     val dd = delta
       .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))

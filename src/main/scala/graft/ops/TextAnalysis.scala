@@ -210,6 +210,27 @@ object TextAnalysis {
     }
   }
 
+  /** RETRACTION partial for the line-df family — the negated-df device
+    * (see Dedup.retractShingleDfPartial): land the REMOVED docs'
+    * per-segment dfs NEGATED as their own batch_id partition; the
+    * additive fold then equals a rebuild WITHOUT those docs at
+    * O(|removed|), replay idempotent. A zero fold contributes nothing
+    * to the df gate (identical to an absent segment); a negative fold
+    * fails the probe loudly. */
+  def retractLineDfPartial(spark: org.apache.spark.sql.SparkSession,
+                           removed: DataFrame, table: String, batchId: Long,
+                           segTokens: Int = 12, byLines: Boolean = false,
+                           buckets: Int = 8): Unit = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow appends")
+    val partial = segmented(removed, segTokens, byLines)
+      .select("h", "doc_id").distinct()
+      .groupBy("h").agg((-count(lit(1))).cast("long").as("df_corpus"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df")
+  }
+
   /** Incremental line dedup: rewrite ONLY the freshly-ingested delta
     * docs, gating each segment on its total document frequency = count
     * among delta docs + the persisted corpus df from
@@ -251,9 +272,18 @@ object TextAnalysis {
         idxRaw.groupBy("h")
           .agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
       else idxRaw
+    // retraction-aware fold: a probed segment whose folded corpus df
+    // went negative (double retraction / never-appended doc) fails
+    // loudly instead of silently passing the keep gate; the guard is
+    // inlined into the df expression so column pruning cannot drop it
+    // (the noveltyIncremental device). A zero fold needs no special
+    // case — it gates exactly like an absent segment.
+    val idxDf = when(coalesce(col("df_corpus"), lit(0L)) < 0,
+        raise_error(concat(lit(s"$indexTable carries a negative folded df — "),
+          lit("double retraction or retraction of a never-appended doc"))))
+      .otherwise(coalesce(col("df_corpus"), lit(0L)))
     val totalDf = deltaDf.join(idx, Seq("h"), "left")
-      .select(col("h"),
-        (col("df_delta") + coalesce(col("df_corpus"), lit(0L))).as("df"))
+      .select(col("h"), (col("df_delta") + idxDf).as("df"))
     val kept = segs.join(totalDf, "h").filter(col("df") <= maxDocFreq)
     reassemble(delta, kept, segTokens, byLines)
   }
@@ -558,6 +588,40 @@ object TextAnalysis {
     }
   }
 
+  /** RETRACTION partial for the token-count family — the negated-df
+    * device: land the REMOVED docs' token counts NEGATED as their own
+    * batch_id partition, after which every fold-reading probe (vocab
+    * coverage, drift, LM quality) sees counts equal to a rebuild
+    * WITHOUT those docs, at O(|removed|) cost. Zero folds drop out of
+    * the vocabulary (absent, exactly as a rebuild would have it);
+    * negative folds fail probes loudly. */
+  def retractTokenCountPartial(spark: org.apache.spark.sql.SparkSession,
+                               removed: DataFrame, table: String, batchId: Long,
+                               buckets: Int = 8): Unit = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow appends")
+    val partial = removed
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg((-count(lit(1))).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts")
+  }
+
+  /** Retraction-aware global fold of a token-count index: zero folds
+    * (token fully retracted) are dropped — the token is absent from
+    * the vocabulary exactly as a rebuild-without would have it — and a
+    * negative fold (double retraction / never-appended doc) fails
+    * loudly, inlined so pruning cannot drop the check. Shared by every
+    * probe of the tok-counts family so the policy cannot drift. */
+  private[graft] def foldTokenCounts(idx: DataFrame, table: String): DataFrame =
+    idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt"))
+      .filter(when(col("cnt") < 0,
+          raise_error(concat(lit(s"$table carries a negative folded token "),
+            lit("count — double retraction or retraction of a "),
+            lit("never-appended doc"))))
+        .otherwise(col("cnt")) > 0)
+
   /** [[vocabCoverage]] against a STREAMED ([[appendTokenCountPartial]])
     * token-count index: fold the partials on the bucketed token key
     * (no index-side exchange), take the top-V with the same bounded
@@ -574,8 +638,7 @@ object TextAnalysis {
       s"$table is not a streamed token-count layout (no batch_id partitions)")
     coverageAudit(
       docs.select(col("lang"), explode(tokens(col("text"))).as("tok")),
-      topVocab(idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt")),
-        vocabSize))
+      topVocab(foldTokenCounts(idx, table), vocabSize))
   }
 
   /** [[unigramLogProb]] for a DELTA shard against the PERSISTED
@@ -595,7 +658,8 @@ object TextAnalysis {
     graft.io.Bucketing.repairCompaction(spark, table)
     graft.io.Bucketing.requireKind(spark, table, "tok-counts")
     val idx = spark.table(table)
-    val idxFold = idx.groupBy(col("tok")).agg(sum(col("cnt")).as("cnt_idx"))
+    val idxFold = foldTokenCounts(idx, table)
+      .withColumnRenamed("cnt", "cnt_idx")
     val idxTotal = idx.agg(coalesce(sum(col("cnt")), lit(0L)).as("t_idx"))
     val dTok = delta.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val dCnt = dTok.groupBy(col("tok")).agg(count(lit(1)).as("cnt_delta"))
@@ -874,7 +938,21 @@ object TextAnalysis {
     * rebuild. Distinct-within-batch partials fold to the global
     * distinct set by a distinct over the bucketed gram layout (no
     * corpus-side exchange); replay idempotently overwrites its own
-    * partition. */
+    * partition.
+    *
+    * RETRACTION note (the one family of nine without an incremental
+    * deletion path, by design): the fold is a DISTINCT-set union, not
+    * an additive count, so a removed benchmark's grams cannot be
+    * cancelled by a negated partial — a gram shared with a REMAINING
+    * benchmark must survive, and the distinct layout does not know who
+    * contributed it. Deleting a benchmark therefore means rebuilding
+    * the suite index (suite-sized, tiny relative to the corpus — the
+    * asymmetry that makes this acceptable). The failure direction is
+    * also SAFE: keeping a stale gram only over-filters training data
+    * (discards a clean doc); it can never let contamination through,
+    * which is why this family keeps the cheap distinct layout instead
+    * of paying per-gram refcounts for a fast path deletion does not
+    * need. */
   def appendBenchGramPartial(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, table: String, batchId: Long,
                              n: Int = 8, buckets: Int = 8): Unit = {
@@ -1290,6 +1368,38 @@ object TextAnalysis {
     }
   }
 
+  /** RETRACTION partial for the streamed BM25 df family — the
+    * negated-df device: the REMOVED docs' term dfs AND their sentinel
+    * corpus stats land NEGATED as one batch_id partition (single-table
+    * maintenance: dfs and stats cannot tear apart, exactly like the
+    * append). After the fold the index scores as a rebuild WITHOUT
+    * those docs at O(|removed|); replay idempotent. Zero-folded terms
+    * contribute df 0 (identical to absent in the scorer's
+    * coalesce-merge); negative probed dfs and non-positive folded
+    * stats fail loudly. */
+  def retractBm25DfPartial(spark: org.apache.spark.sql.SparkSession,
+                           removed: DataFrame, table: String, batchId: Long,
+                           buckets: Int = 8): Unit = {
+    graft.io.Bucketing.repairCompaction(spark, table)
+    require(spark.catalog.tableExists(table),
+      s"$table does not exist — a retraction can only follow appends")
+    val df = removed
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .distinct()
+      .groupBy("term").agg((-count(lit(1))).cast("long").as("df_corpus"))
+    val stats = removed
+      .select(size(tokens(col("text"))).cast("long").as("dl"))
+      .agg((-count(lit(1))).cast("long").as("n"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("tot"))
+      .select(explode(array(
+        struct(lit(StatNDocs).as("term"), col("n").as("df_corpus")),
+        struct(lit(StatTotTokens).as("term"), col("tot").as("df_corpus"))))
+        .as("r"))
+      .select(col("r.term"), col("r.df_corpus"))
+    val partial = df.unionByName(stats).withColumn("batch_id", lit(batchId))
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df")
+  }
+
   /** Incremental BM25 screening against a STREAMED
     * ([[appendBm25DfPartial]]) index: per-batch partials fold back to
     * global dfs (a groupBy on the bucket key — no corpus-side
@@ -1312,6 +1422,13 @@ object TextAnalysis {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(st.contains(StatNDocs) && st.contains(StatTotTokens),
       s"$idxTbl carries no sentinel corpus stats — not a complete streamed bm25-df index")
+    // retraction guard: over-retraction drives the folded corpus stats
+    // non-positive — scoring against them would divide by a broken
+    // corpus size, so fail loudly here
+    require(st(StatNDocs) > 0L && st(StatTotTokens) > 0L,
+      s"$idxTbl folded corpus stats are non-positive " +
+        s"(${st(StatNDocs)} docs, ${st(StatTotTokens)} tokens) — " +
+        "over-retraction or a broken maintenance history")
     val folded = idxRaw
       .filter(col("term") =!= StatNDocs && col("term") =!= StatTotTokens)
       .groupBy("term").agg(sum(col("df_corpus")).cast("long").as("df_corpus"))
@@ -1337,10 +1454,17 @@ object TextAnalysis {
     val idxDf = idx.join(broadcast(qTerms), Seq("term"))
     val deltaDf = qMatched.select(col("term"), col("doc_id")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df_delta"))
+    // retraction-aware merge: a zero folded corpus df scores exactly
+    // like an absent term; a NEGATIVE one (double retraction /
+    // never-appended doc) fails loudly on the probed query terms —
+    // inlined so pruning cannot drop the check
+    val idxDfGuarded = when(coalesce(col("df_corpus"), lit(0L)) < 0,
+        raise_error(concat(lit("bm25 index carries a negative folded df — "),
+          lit("double retraction or retraction of a never-appended doc"))))
+      .otherwise(coalesce(col("df_corpus"), lit(0L)))
     val dfq = idxDf.join(deltaDf, Seq("term"), "full_outer")
       .select(col("term"),
-        (coalesce(col("df_corpus"), lit(0L)) +
-          coalesce(col("df_delta"), lit(0L))).as("df"))
+        (idxDfGuarded + coalesce(col("df_delta"), lit(0L))).as("df"))
     bm25ScoreTopK(qMatched, dfq, n, avgdl, k, k1, b)
   }
 

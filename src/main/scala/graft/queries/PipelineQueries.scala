@@ -1293,6 +1293,47 @@ object PipelineQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** p118 — RETRACTION for the line-df family via the negated-df
+    * device (p113's mechanism on a SECOND additive family, under the
+    * driver's hash gate): the corpus lands as an appended partial,
+    * POISON segment-duplicates of every delta doc (doc_id + 10M, text
+    * verbatim) land as a second batch — pushing each delta segment's
+    * df past the keep gate — and a retraction batch
+    * (TextAnalysis.retractLineDfPartial) cancels them exactly. The
+    * probe then shares p63's oracle: any leaked poison df would flip
+    * kept segments to removed, so the hash is a leak detector per
+    * segment. (The minhash/vector posting-list families retract via
+    * tombstones — p116/p117; the additive families all share this
+    * negated-partial path: shingle-df p113, line-df here, window-df /
+    * token-count / bm25-df spec-certified in StreamedIndexSpec.) */
+  def lineDedupRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p118_linedf", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER: a crash between the poison append and the
+    // retraction must rebuild, never probe a poisoned index (the
+    // p116/p117 discipline)
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p118_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.appendLineDfPartial(spark, corpus, idxTbl, 0L, buckets = 8)
+      TextAnalysis.appendLineDfPartial(spark, poison, idxTbl, 1L, buckets = 8)
+      TextAnalysis.retractLineDfPartial(spark, poison, idxTbl, 2L, buckets = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      TextAnalysis.lineDedupIncremental(spark, delta, idxTbl)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** The oracle replays the GLOBAL rewrite (p60's device: segment →
     * corpus-wide df → df<=1 gate → in-order reassembly) and keeps only
     * the delta docs — the equivalence the incremental path must hit. */
@@ -1954,6 +1995,7 @@ object PipelineQueries {
     "p54_dedup_incremental_indexed" -> (dedupIncrementalIndexed _),
     "p58_dedup_index_append" -> (dedupIndexAppend _),
     "p116_dedup_retraction" -> (dedupRetraction _),
+    "p118_line_retraction" -> (lineDedupRetraction _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -2028,5 +2070,9 @@ object PipelineQueries {
     // … and retracting the poison twins must leave the index
     // indistinguishable from the clean corpus build: the p52 truth is
     // the leak detector (any surviving twin posting flips a verdict)
-    "p116_dedup_retraction" -> dedupIncrementalSql)
+    "p116_dedup_retraction" -> dedupIncrementalSql,
+    // appended-then-retracted poison must leave the line-df index
+    // indistinguishable from the clean corpus: p63's truth is the leak
+    // detector (a surviving poison df flips kept segments to removed)
+    "p118_line_retraction" -> lineDedupIncrementalSql)
 }

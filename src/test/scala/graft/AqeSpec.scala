@@ -221,7 +221,11 @@ class AqeSpec extends SparkSpec {
       // decreasing branch-marker columns — same device as ExplainSpec's
       // static q68 probe) and require the fold chain exchange-free
       val lines = plan.linesIterator.toVector
-      val scanIdx = lines.indexWhere(_.contains(tbl))
+      // anchor on the SCAN line specifically: the retraction guard's
+      // raise_error message also carries the table name, so a bare
+      // contains(tbl) would anchor on the Filter line above the join
+      val scanIdx = lines.indexWhere(l => l.contains(tbl) &&
+        (l.contains("FileScan") || l.contains("Scan parquet")))
       assert(scanIdx >= 0, s"expected a scan of $tbl in:\n$plan")
       def markerCol(l: String): Int = {
         val cands = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)

@@ -356,6 +356,143 @@ class StreamedIndexSpec extends SparkSpec {
     drop("si_vr_bands", "si_vr_vecs", "si_vr_bands_clean", "si_vr_vecs_clean")
   }
 
+  test("line-df retraction equals a rebuild without the retired docs; negative fold fails loudly") {
+    drop("si_ldf_ret", "si_ldf_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    TextAnalysis.appendLineDfPartial(spark, corpus, "si_ldf_ret", 0L)
+    TextAnalysis.retractLineDfPartial(spark, retired, "si_ldf_ret", 1L)
+    TextAnalysis.appendLineDfPartial(spark,
+      corpus.filter(col("doc_id") % 7 =!= 1), "si_ldf_reb", 0L)
+    val got = rows(TextAnalysis.lineDedupIncremental(spark, delta, "si_ldf_ret"))
+    val want = rows(TextAnalysis.lineDedupIncremental(spark, delta, "si_ldf_reb"))
+    assert(got === want,
+      "retraction must equal a rebuild without the retired docs")
+    // non-vacuous: the retired docs' dfs changed some delta verdicts
+    drop("si_ldf_full")
+    TextAnalysis.appendLineDfPartial(spark, corpus, "si_ldf_full", 0L)
+    assert(got !== rows(TextAnalysis.lineDedupIncremental(spark, delta, "si_ldf_full")),
+      "fixture retraction changed nothing — vacuous")
+    // double retraction drives folds negative — probe fails loudly
+    TextAnalysis.retractLineDfPartial(spark, retired, "si_ldf_ret", 2L)
+    val e = intercept[Exception] {
+      TextAnalysis.lineDedupIncremental(spark, delta, "si_ldf_ret").collect()
+    }
+    assert(messages(e).exists(_.contains("negative folded df")),
+      s"expected the negative-df guard, got: ${messages(e).mkString(" | ")}")
+    drop("si_ldf_ret", "si_ldf_reb", "si_ldf_full")
+  }
+
+  test("window-df retraction: fully-retracted windows become ABSENT, not present-at-zero") {
+    drop("si_wdf_ret", "si_wdf_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    // the POISON device (p118's): re-keyed delta twins plant every
+    // delta window in the index, so their retraction PROVABLY changes
+    // verdicts — a %7 retired slice shares no 8-token window with the
+    // delta on this fixture and tests nothing
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.appendWindowDfPartial(spark, corpus, "si_wdf_ret", 0L, k = 8)
+    Dedup.appendWindowDfPartial(spark, poison, "si_wdf_ret", 1L, k = 8)
+    Dedup.appendWindowDfPartial(spark, corpus, "si_wdf_reb", 0L, k = 8)
+    val want = rows(Dedup.substringRemoveIncremental(spark, delta, "si_wdf_reb", k = 8))
+    assert(rows(Dedup.substringRemoveIncremental(spark, delta, "si_wdf_ret", k = 8))
+      !== want, "poison changed nothing — vacuous")
+    // retract the poison: windows whose EVERY occurrence was poison
+    // fold to zero and must read as ABSENT (presence is this family's
+    // predicate), restoring the clean-corpus verdicts exactly
+    Dedup.retractWindowDfPartial(spark, poison, "si_wdf_ret", 2L, k = 8)
+    assert(rows(Dedup.substringRemoveIncremental(spark, delta, "si_wdf_ret", k = 8))
+      === want, "retraction must equal the clean-corpus build")
+    // double retraction drives poison-only windows negative — loud
+    Dedup.retractWindowDfPartial(spark, poison, "si_wdf_ret", 3L, k = 8)
+    val e = intercept[Exception] {
+      Dedup.substringRemoveIncremental(spark, delta, "si_wdf_ret", k = 8).collect()
+    }
+    assert(messages(e).exists(_.contains("negative folded window count")),
+      s"expected the negative guard, got: ${messages(e).mkString(" | ")}")
+    drop("si_wdf_ret", "si_wdf_reb")
+  }
+
+  test("token-count retraction ripples through all three probes; bm25 retraction through the scorer") {
+    drop("si_tc_ret", "si_tc_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    TextAnalysis.appendTokenCountPartial(spark, corpus, "si_tc_ret", 0L)
+    TextAnalysis.retractTokenCountPartial(spark, retired, "si_tc_ret", 1L)
+    TextAnalysis.appendTokenCountPartial(spark,
+      corpus.filter(col("doc_id") % 7 =!= 1), "si_tc_reb", 0L)
+    // all three probe types agree with the rebuild-without
+    assert(rows(TextAnalysis.unigramLogProbIncremental(spark, delta, "si_tc_ret"))
+      === rows(TextAnalysis.unigramLogProbIncremental(spark, delta, "si_tc_reb")),
+      "logprob probe must see the rebuild-without counts")
+    assert(rows(TextAnalysis.vocabCoverageFromStreamedIndex(spark, delta, "si_tc_ret", vocabSize = 16))
+      === rows(TextAnalysis.vocabCoverageFromStreamedIndex(spark, delta, "si_tc_reb", vocabSize = 16)),
+      "vocab probe must see the rebuild-without vocabulary")
+    assert(rows(graft.ops.Sketches.driftProbeIncremental(spark, delta, "si_tc_ret"))
+      === rows(graft.ops.Sketches.driftProbeIncremental(spark, delta, "si_tc_reb")),
+      "drift probe must see the rebuild-without distribution")
+    // negative-guard check needs a token NOT shared with survivors: the
+    // fixture's tiny vocabulary is fully shared, so a double retraction
+    // of real docs stays positive everywhere. A synthetic unique-token
+    // doc goes 1 -> 0 (dropped, fine) -> -1 (loud).
+    import spark.implicits._
+    val uniq = Seq((9999999L, "uniqretracttok uniqretracttok"))
+      .toDF("doc_id", "text")
+    TextAnalysis.appendTokenCountPartial(spark, uniq, "si_tc_ret", 5L)
+    TextAnalysis.retractTokenCountPartial(spark, uniq, "si_tc_ret", 6L)
+    TextAnalysis.retractTokenCountPartial(spark, uniq, "si_tc_ret", 7L)
+    val e = intercept[Exception] {
+      TextAnalysis.unigramLogProbIncremental(spark, delta, "si_tc_ret").collect()
+    }
+    assert(messages(e).exists(_.contains("negative folded token count")),
+      s"expected the negative guard, got: ${messages(e).mkString(" | ")}")
+    drop("si_tc_ret", "si_tc_reb")
+    // --- bm25-df: dfs AND sentinel stats retract together ---
+    drop("si_bm_ret", "si_bm_reb")
+    val queries = TextAnalysis.bm25QuerySet(docs)
+    TextAnalysis.appendBm25DfPartial(spark, corpus, "si_bm_ret", 0L)
+    TextAnalysis.retractBm25DfPartial(spark, retired, "si_bm_ret", 1L)
+    TextAnalysis.appendBm25DfPartial(spark,
+      corpus.filter(col("doc_id") % 7 =!= 1), "si_bm_reb", 0L)
+    assert(rows(TextAnalysis.bm25TopKIncrementalStreamed(spark, delta, queries, "si_bm_ret"))
+      === rows(TextAnalysis.bm25TopKIncrementalStreamed(spark, delta, queries, "si_bm_reb")),
+      "bm25 scorer must see the rebuild-without dfs and stats")
+    drop("si_bm_ret", "si_bm_reb")
+  }
+
+  test("IVF tombstone retraction: retired vectors leave the neighbor lists; purge removes them from disk") {
+    drop("si_ivf_ret", "si_ivf_tombs", "si_ivf_clean", "si_ivf_cents")
+    val poison = embDelta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    // centroids PINNED from the clean corpus (the q74 provisioning
+    // doctrine): deriving them from corpus ∪ poison would let poison
+    // ids into the Knuth-scramble sample and diverge the two builds'
+    // geometry — the comparison must differ only in index CONTENT
+    Similarity.buildIvfCentroids(emb, "si_ivf_cents")
+    Similarity.appendIvfAssignPartial(spark, emb, "si_ivf_cents", "si_ivf_ret", 0L)
+    Similarity.appendIvfAssignPartial(spark, poison, "si_ivf_cents", "si_ivf_ret", 1L)
+    Similarity.appendIvfAssignPartial(spark, emb, "si_ivf_cents", "si_ivf_clean", 0L)
+    val want = rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_ivf_clean"))
+    assert(rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_ivf_ret")) !== want,
+      "poison changed nothing — vacuous")
+    Similarity.retractFromIvfIndex(spark, poison, "si_ivf_ret", "si_ivf_tombs", 0L)
+    assert(rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_ivf_ret",
+        tombstonesTable = Some("si_ivf_tombs"))) === want,
+      "tombstone-gated probe must equal the clean build")
+    assert(Similarity.purgeIvfIndexRetractions(spark, "si_ivf_ret", "si_ivf_tombs"))
+    assert(spark.table("si_ivf_ret")
+      .filter(col("vec_id") >= 10000000L).count() === 0L,
+      "purged assignments must be gone from disk")
+    assert(rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_ivf_ret")) === want,
+      "purged index must equal a build that never contained the poison")
+    drop("si_ivf_ret", "si_ivf_clean", "si_ivf_cents")
+  }
+
+  private def messages(t: Throwable): Seq[String] =
+    if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+
   test("incremental unigram logprob equals the global computation on the delta") {
     drop("si_tok_lp")
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
