@@ -551,4 +551,105 @@ class ChaosSpec extends SparkSpec {
     Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
       .foreach(Bucketing.dropTable(spark, _))
   }
+
+  // --- tombstone-retraction lifecycle chaos (minhash family) ---------
+  // near-dup-bearing corpus: three text families shared across docs so
+  // banding produces real candidates; delta docs are near-dups of
+  // family 1, poison docs are EXACT twins of the delta
+  private lazy val mCorpus = (1L to 12L).map { id =>
+    val fam = id % 3
+    (id, s"family $fam shared minhash text alpha beta gamma delta " +
+      s"epsilon zeta eta theta iota kappa doc tail $id")
+  }.toDF("doc_id", "text")
+  private lazy val mDelta = Seq(
+    (100L, "family 1 shared minhash text alpha beta gamma delta " +
+      "epsilon zeta eta theta iota kappa doc tail 7"),
+    (101L, "completely novel delta document nothing shared with corpus " +
+      "words all fresh here truly"))
+    .toDF("doc_id", "text")
+
+  test("12 seeded multi-kill lifecycles: tombstone retraction + purge converge on the clean index") {
+    val refB = "chaos_ref_mh_bands"; val refS = "chaos_ref_mh_sigs"
+    Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
+    Dedup.buildCorpusIndex(mCorpus, refB, refS, bands = 8, rowsPerBand = 4,
+      buckets = 2)
+    val wantProbe = Dedup.incrementalVerdictsAgainstIndex(spark, mDelta,
+      refB, refS, bands = 8, rowsPerBand = 4).collect().map(_.toString).toSet
+    val poison = mDelta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val poisonIds = Vector(10000100L, 10000101L)
+
+    val ids = (1L to 12L).toVector
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(7000 + seed)
+      val tb = s"chaos_mh_b_s$seed"; val ts = s"chaos_mh_s_s$seed"
+      val tt = s"chaos_mh_t_s$seed"
+      Seq(tb, ts, tt).flatMap(t =>
+          Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+
+      def append(docIds: Vector[Long], df: org.apache.spark.sql.DataFrame,
+                 bid: Long): Unit =
+        Dedup.appendCorpusIndexPartial(spark,
+          df.filter(col("doc_id").isin(docIds: _*)), tb, ts, bid,
+          bands = 8, rowsPerBand = 4, buckets = 2)
+
+      // corpus lands as 1-3 torn-and-replayed batches
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 1 + rnd.nextInt(3)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).collect {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, mCorpus, bid.toLong)
+        }
+        append(b, mCorpus, bid.toLong)
+      }
+      // poison batch (sometimes torn first, then the WAL replay)
+      if (rnd.nextDouble() < 0.5)
+        append(Vector(poisonIds(rnd.nextInt(2))), poison, 40L)
+      append(poisonIds, poison, 40L)
+
+      // tombstone retraction — sometimes a torn landing (subset under
+      // the same batch id), healed by the idempotent replay
+      if (rnd.nextDouble() < 0.5)
+        Dedup.retractFromCorpusIndex(spark,
+          poison.filter(col("doc_id") === poisonIds(rnd.nextInt(2))),
+          tb, ts, tt, 50L)
+      Dedup.retractFromCorpusIndex(spark, poison, tb, ts, tt, 50L)
+
+      // sometimes purge — with injected mid-swap kills on either table,
+      // repairs sometimes prompt, sometimes left for the next entry
+      if (rnd.nextDouble() < 0.6) {
+        if (rnd.nextDouble() < 0.5) {
+          val victim = if (rnd.nextBoolean()) tb else ts
+          val key = "doc_id"
+          intercept[IllegalStateException] {
+            Bucketing.purgeBucketed(spark, victim,
+              spark.table(tt).select(col(key)), key,
+              injectCrashAtSwapStep = 1 + rnd.nextInt(2))
+          }
+          if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, victim)
+        }
+        // the real purge (its own repairCompaction heals any torn swap)
+        Dedup.purgeCorpusIndexRetractions(spark, tb, ts, tt)
+      }
+
+      withClue(s"seed=$seed: ") {
+        // tombstone-gated probe: the gate is a no-op when purged
+        val got = Dedup.incrementalVerdictsAgainstIndex(spark, mDelta,
+            tb, ts, bands = 8, rowsPerBand = 4,
+            tombstonesTable = Some(tt))
+          .collect().map(_.toString).toSet
+        assert(got === wantProbe,
+          "probe after retraction chaos must equal the clean-corpus build")
+      }
+      Seq(tb, ts, tt).flatMap(t =>
+          Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
+  }
 }
