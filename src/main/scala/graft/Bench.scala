@@ -126,13 +126,23 @@ object Bench {
     // keep the default to bound total bench runtime.
     val statefulReps = math.max(reps,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_STATEFUL_REPS", "5").toInt)
-    // codec/compute rows with HISTORICAL cv > 0.5 (VERDICT r16 item 4):
-    // at 3 reps a single 40-50 s scheduler/GC excursion lands IN the
-    // median (p87 r16: reps 10.9/17.2/47.9 reported 17.2), making every
-    // cross-round diff on these rows unreadable. They take the stateful
-    // rows' 5 reps so one excursion is outvoted.
-    val highCvRows = Set("p85_video_fingerprint", "p86_video_near_dups",
-      "p87_video_dedup_groups", "p89_classifier_eval", "p90_bm25_topk")
+    // DYNAMIC rep escalation (VERDICT r17 item 3): when a row's
+    // within-run spread says its median is excursion-polluted
+    // (max/min > 3x or cv > 0.5), extend THAT row to `escalatedReps`
+    // on the spot. The r16 static high-cv list (p85-p87, p89, p90) was
+    // always one round behind — r17's actual blowups (p51 reps
+    // 7.5/28.2/22.6, q54 38.4/15.8/7.7) weren't on it; the trigger now
+    // reads this run's own reps instead of last round's postmortem.
+    val escalatedReps = math.max(statefulReps,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ESCALATED_REPS", "7").toInt)
+    val escalated = scala.collection.mutable.LinkedHashSet.empty[String]
+    def spreadTriggered(ts: Seq[Double]): Boolean = ts.size >= 2 && {
+      val mean = ts.sum / ts.size
+      val cv = if (mean > 0)
+        math.sqrt(ts.map(v => (v - mean) * (v - mean)).sum / ts.size) / mean
+      else 0.0
+      (ts.min > 0 && ts.max / ts.min > 3.0) || cv > 0.5
+    }
     // every catalog row whose scratch is epoch-keyed (streaming
     // checkpoints, bucketed warehouse tables, write-then-read dirs)
     val statefulRows = Set("q34_bucketed_join", "q36_partition_pruned_mart",
@@ -148,9 +158,16 @@ object Bench {
       "p65_decontamination_incremental", "p91_bm25_incremental",
       "q62_schema_evolution", "q68_streaming_line_index",
       "q69_streaming_window_index", "q70_streaming_bm25_index",
-      "p71_substring_removal_incr")
+      "p71_substring_removal_incr",
+      // retraction-lifecycle rows (ADVICE r17): epoch-keyed
+      // build+poison+retract scratch, same class as their siblings
+      "p116_dedup_retraction", "p117_vector_retraction",
+      "p118_line_retraction", "p119_window_retraction",
+      "p120_token_retraction", "p121_bm25_retraction",
+      "p122_ivf_retraction", "q81_streaming_retraction",
+      "q82_streaming_ivf_retraction")
     def repsFor(name: String): Int =
-      if (statefulRows(name) || highCvRows(name)) statefulReps else reps
+      if (statefulRows(name)) statefulReps else reps
     // profiling filters: ONLY/SKIP take comma-separated name prefixes
     // ("p53,q04" or full names). This is what makes the fresh-JVM
     // isolated-median protocol (PROFILE_r10/r12) and the
@@ -177,7 +194,7 @@ object Bench {
         canarySamples += idx -> canary()
         ioCanarySamples += idx -> ioCanary()
       }
-      val times = (1 to repsFor(name)).iterator.map { _ =>
+      def runRep(): Option[Double] = {
         if (errors.contains(name)) None
         else {
           // fresh scratch epoch per rep: queries with per-application
@@ -210,7 +227,19 @@ object Bench {
           spark.catalog.clearCache()
           if (ok) Some(elapsed) else None
         }
-      }.takeWhile(_.isDefined).flatten.toSeq
+      }
+      val base = (1 to repsFor(name)).iterator.map(_ => runRep())
+        .takeWhile(_.isDefined).flatten.toSeq
+      // spread-triggered escalation: only rows that completed their base
+      // reps cleanly AND look excursion-polluted take the extra reps, so
+      // a noisy window costs a handful of rows, not the whole catalog
+      val times =
+        if (base.size == repsFor(name) && base.size < escalatedReps &&
+            spreadTriggered(base)) {
+          escalated += name
+          base ++ (base.size until escalatedReps).iterator.map(_ => runRep())
+            .takeWhile(_.isDefined).flatten.toSeq
+        } else base
       // PROFILE_r10: four queries ran ~2x slower inside the 300+-
       // execution bench JVM than in fresh JVMs on identical code
       // (heap/GC pressure, not regressions). A full GC between queries
@@ -222,8 +251,8 @@ object Bench {
     // a query that failed on ANY rep is reported in `errors` only — a
     // time-to-failure must not pass for a fast success in timings
     val results = allReps.collect {
-      case (name, times) if times.size == repsFor(name) =>
-        name -> times.sorted.apply(repsFor(name) / 2)
+      case (name, times) if times.nonEmpty && !errors.contains(name) =>
+        name -> times.sorted.apply(times.size / 2)
     }
     // explicit root locale: under a comma-decimal default locale (de_DE
     // etc.) f"$v%.3f" would print 0,727 — invalid JSON for the driver
@@ -282,7 +311,7 @@ object Bench {
       .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
     val ioCanaryJson = ioCanarySamples
       .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"high_cv_rows":${highCvRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_samples":$ioCanaryJson,"io_canary_median_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"escalated_reps":$escalatedReps,"escalated_rows":${escalated.toSeq.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_samples":$ioCanaryJson,"io_canary_median_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
@@ -317,7 +346,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

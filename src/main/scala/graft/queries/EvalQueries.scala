@@ -684,6 +684,40 @@ object EvalQueries {
       docs.filter(col("doc_id") % 5 === 0), idxTbl)
   }
 
+  /** p120 — RETRACTION for the token-count family via the negated-df
+    * device, promoted from its StreamedIndexSpec certification to the
+    * driver's hash gate (VERDICT r17 item 4): the corpus token counts
+    * land as an appended partial, POISON twins of every delta doc
+    * (doc_id + 10M, text verbatim) land as a second batch — doubling
+    * every delta token's corpus count and shifting every unigram
+    * probability — and a retraction batch
+    * (TextAnalysis.retractTokenCountPartial) cancels them exactly:
+    * counts AND the sentinel total fold back additively. The probe
+    * shares p112's oracle; any leaked poison count would shift a
+    * delta token's probability and move its document's score, so the
+    * hash is a per-document leak detector. */
+  def logprobRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p120_tok", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER: a crash between the poison append and the
+    // retraction must rebuild, never probe a poisoned index
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p120_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.appendTokenCountPartial(spark, corpus, idxTbl, 0L)
+      TextAnalysis.appendTokenCountPartial(spark, poison, idxTbl, 1L)
+      TextAnalysis.retractTokenCountPartial(spark, poison, idxTbl, 2L)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    TextAnalysis.unigramLogProbIncremental(spark, delta, idxTbl)
+  }
+
   val logprobIncrementalSql: String =
     """WITH tok AS (
       |  SELECT doc_id, t.term FROM documents,
@@ -833,7 +867,8 @@ object EvalQueries {
     "p112_logprob_incremental" -> (logprobIncremental _),
     "p113_novelty_retraction" -> (noveltyRetraction _),
     "p114_source_calibrated_gate" -> (sourceCalibratedGate _),
-    "p115_pack_boundaries" -> (packBoundaries _))
+    "p115_pack_boundaries" -> (packBoundaries _),
+    "p120_token_retraction" -> (logprobRetraction _))
 
   val oracles: Map[String, String] = Map(
     "p103_group_split" -> groupAwareSplitSql,
@@ -846,6 +881,9 @@ object EvalQueries {
     "p110_novelty_incremental" -> noveltyIncrementalSql,
     "p111_tokenizer_drift" -> tokenizerDriftSql,
     "p112_logprob_incremental" -> logprobIncrementalSql,
+    // retraction must equal the clean-corpus counts: p112's oracle is
+    // the leak detector for any surviving poison count
+    "p120_token_retraction" -> logprobIncrementalSql,
     "p113_novelty_retraction" -> noveltyRetractionSql,
     "p114_source_calibrated_gate" -> sourceCalibratedGateSql,
     "p115_pack_boundaries" -> packBoundariesSql)

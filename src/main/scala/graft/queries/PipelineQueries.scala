@@ -1662,6 +1662,42 @@ object PipelineQueries {
 
   val bm25TopKIncrSql: String = bm25SqlFor("\n  WHERE tf.doc_id % 5 = 0")
 
+  /** p121 — RETRACTION for the bm25-df family via the negated-df
+    * device, promoted from its StreamedIndexSpec certification to the
+    * driver's hash gate (VERDICT r17 item 4), on the q70 single-table
+    * layout: the corpus (term, df) rows and the sentinel (N, total-dl)
+    * stats row land as one appended partial, POISON twins of every
+    * delta doc (doc_id + 10M, text verbatim) land as a second batch —
+    * inflating every query-term df AND the corpus stats every score
+    * depends on — and a retraction batch
+    * (TextAnalysis.retractBm25DfPartial) cancels both exactly. The
+    * probe shares p91's oracle; a leaked poison df shifts idf, a
+    * leaked stats row shifts the length normalization, either moves
+    * scores and re-ranks, so the hash is a per-(query, rank) leak
+    * detector. */
+  def bm25TopKRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p121_bm25df", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER: a crash between the poison append and the
+    // retraction must rebuild, never probe a poisoned index
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p121_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      TextAnalysis.appendBm25DfPartial(spark, corpus, idxTbl, 0L)
+      TextAnalysis.appendBm25DfPartial(spark, poison, idxTbl, 1L)
+      TextAnalysis.retractBm25DfPartial(spark, poison, idxTbl, 2L)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    TextAnalysis.bm25TopKIncrementalStreamed(spark, delta,
+      TextAnalysis.bm25QuerySet(docs), idxTbl)
+  }
+
   /** p92 — cross-modal HYBRID retrieval: RRF fusion of the p90 lexical
     * (BM25) and p10 vector (brute cosine) top-10 lists over the shared
     * query set — the standard RAG stack; see
@@ -1996,6 +2032,7 @@ object PipelineQueries {
     "p58_dedup_index_append" -> (dedupIndexAppend _),
     "p116_dedup_retraction" -> (dedupRetraction _),
     "p118_line_retraction" -> (lineDedupRetraction _),
+    "p121_bm25_retraction" -> (bm25TopKRetraction _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -2074,5 +2111,9 @@ object PipelineQueries {
     // appended-then-retracted poison must leave the line-df index
     // indistinguishable from the clean corpus: p63's truth is the leak
     // detector (a surviving poison df flips kept segments to removed)
-    "p118_line_retraction" -> lineDedupIncrementalSql)
+    "p118_line_retraction" -> lineDedupIncrementalSql,
+    // appended-then-retracted poison must leave the bm25 dfs AND the
+    // sentinel stats at the clean-corpus values: p91's truth is the
+    // leak detector (a leaked df or stats delta re-ranks)
+    "p121_bm25_retraction" -> bm25TopKIncrSql)
 }

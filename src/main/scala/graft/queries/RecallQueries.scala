@@ -912,7 +912,49 @@ object RecallQueries {
     }
   }
 
+  /** p122 — LIVE-GATE retraction for the IVF family, promoted from its
+    * StreamedIndexSpec certification to the driver's hash gate
+    * (VERDICT r17 item 4): the assignment index is built from the
+    * corpus PLUS poison twins of every stride query (vec_id + 10M,
+    * embedding verbatim — a cosine-1.0 twin of each probe vector,
+    * assigned to the SAME cell by construction), the poison batch is
+    * retracted via the tombstone landing, and the probe runs through
+    * the UNPURGED broadcast anti-join gate — the window every index
+    * lives in between a retraction and its next purge cadence, which
+    * p117 (purged) deliberately does not cover. Centroids are pinned
+    * from the clean corpus so the two layouts differ only in CONTENT.
+    * Oracle: p16's exact IVF truth — any twin assignment leaking
+    * through the gate outranks its query's true neighbors at cosine
+    * 1.0 and flips the row. */
+  def annIvfRetractionGated(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val poison = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val centsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p122_cents", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p122_ivf", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p122_tombs", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER: a crash between the poison append and the
+    // retraction must rebuild, never probe a poisoned index
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p122_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(centsTbl, idxTbl, tombsTbl)
+        .foreach(graft.io.Bucketing.dropTable(spark, _))
+      Similarity.buildIvfCentroids(emb, centsTbl)
+      Similarity.appendIvfAssignPartial(spark, emb, centsTbl, idxTbl, 0L)
+      Similarity.appendIvfAssignPartial(spark, poison, centsTbl, idxTbl, 1L)
+      Similarity.retractFromIvfIndex(spark, poison, idxTbl, tombsTbl, 0L)
+      Seq(centsTbl, idxTbl, tombsTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    Similarity.ivfTopKAgainstIndex(spark, emb, idxTbl,
+      tombstonesTable = Some(tombsTbl))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p122_ivf_retraction" -> (annIvfRetractionGated _),
     "p117_vector_retraction" -> (embDedupRetractionPurge _),
     "p23_dedup_groups_chain" -> (dedupGroupsChain _),
     "p43_dedup_representatives" -> (dedupRepresentatives _),
@@ -954,5 +996,9 @@ object RecallQueries {
     "p57_emb_dedup_incremental" -> embDedupIncrementalSql,
     // the purged index must be bit-equivalent to a build that never
     // contained the poison twins: p57's oracle is the leak detector
-    "p117_vector_retraction" -> embDedupIncrementalSql)
+    "p117_vector_retraction" -> embDedupIncrementalSql,
+    // the tombstone-GATED probe over the still-poisoned index must
+    // return p16's exact neighbors: any twin leaking through the
+    // broadcast anti-join gate flips its query row at cosine 1.0
+    "p122_ivf_retraction" -> annIvfTopKSql)
 }

@@ -193,6 +193,47 @@ object SelectionQueries {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** p119 — RETRACTION for the window-df family via the negated-df
+    * device, promoted from its StreamedIndexSpec certification to the
+    * driver's hash gate (VERDICT r17 item 4; the p118 pattern on the
+    * passage-removal index): the corpus lands as an appended partial,
+    * POISON twins of every delta doc (doc_id + 10M, text verbatim)
+    * land as a second batch — planting every delta 8-token window in
+    * the index — and a retraction batch
+    * (Dedup.retractWindowDfPartial) cancels them exactly; windows
+    * whose EVERY occurrence was poison fold to zero and must read as
+    * ABSENT (presence is this family's predicate), not
+    * present-at-zero. The probe shares p71's oracle: any leaked
+    * poison window would cut a delta span that the clean corpus never
+    * matches, so the hash is a per-span leak detector. */
+  def substringRemovalRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_p119_windf", dir)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    // completion MARKER: a crash between the poison append and the
+    // retraction must rebuild, never probe a poisoned index (the
+    // p116/p117/p118 discipline)
+    val done = graft.io.TempPaths.scratchDir(spark, "graft_p119_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      graft.io.Bucketing.dropTable(spark, idxTbl)
+      Dedup.appendWindowDfPartial(spark, corpus, idxTbl, 0L, k = 8)
+      Dedup.appendWindowDfPartial(spark, poison, idxTbl, 1L, k = 8)
+      Dedup.retractWindowDfPartial(spark, poison, idxTbl, 2L, k = 8)
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${idxTbl.toLowerCase}")
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.substringRemoveIncremental(spark, delta, idxTbl, k = 8)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   val substringRemovalIncrementalSql: String =
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |o AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+7], ' ') AS gram
@@ -270,7 +311,8 @@ object SelectionQueries {
     "p51_substring_overlap" -> (substringOverlap _),
     "p70_substring_removal" -> (substringRemoval _),
     "p83_substring_removal_skewsafe" -> (substringRemovalSkewSafe _),
-    "p71_substring_removal_incr" -> (substringRemovalIncremental _))
+    "p71_substring_removal_incr" -> (substringRemovalIncremental _),
+    "p119_window_retraction" -> (substringRemovalRetraction _))
 
   val oracles: Map[String, String] = Map(
     "p49_source_capped_sample" -> sourceCappedSampleSql,
@@ -279,6 +321,9 @@ object SelectionQueries {
     "p70_substring_removal" -> substringRemovalSql,
     "p83_substring_removal_skewsafe" -> substringRemovalSql,
     "p71_substring_removal_incr" -> substringRemovalIncrementalSql,
+    // retraction must equal the clean-corpus build: p71's oracle is the
+    // leak detector for any surviving poison window
+    "p119_window_retraction" -> substringRemovalIncrementalSql,
     "p72_shard_shuffle" -> shardShuffleSql,
     "p74_uniform_sample_exact" -> uniformSampleSql)
 }

@@ -805,11 +805,17 @@ object StreamingQueries {
       slices.zipWithIndex.foreach { case (slice, i) =>
         val stageDir = staging.resolve(s"part_$i")
         slice.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
-        val part = Option(stageDir.toFile.listFiles()).get
-          .filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(landing, f"docs_$i%05d.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // an EMPTY slice can legally produce zero part files (a scale
+        // factor where a modulo slice selects nothing); skip it rather
+        // than NPE — the downstream foreachBatch loops all guard empty
+        // batches, and batch ordering simply compresses
+        Option(stageDir.toFile.listFiles()).toSeq.flatten
+          .filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { part =>
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(landing, f"docs_$i%05d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
       }
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
       val parts = Option(new java.io.File(landing).listFiles()).get
@@ -934,9 +940,19 @@ object StreamingQueries {
   private[graft] val CompactEveryDefault =
     sys.env.get("SPARK_GRAFT_COMPACT_EVERY").flatMap(_.toIntOption)
       .getOrElse(4)
+  /** PURGE CADENCE (VERDICT r17): families that retract via the
+    * tombstone protocol pass their [[graft.io.Tombstones.PurgeSpec]]s
+    * and every maintenance batch runs
+    * [[graft.io.Tombstones.maybePurge]] next to the compaction
+    * cadence — once enough retraction batches are pending, the fold
+    * runs through the crash-safe swap and the broadcast probe gate is
+    * dropped, so steady right-to-be-forgotten traffic can no longer
+    * grow the gate or the tombstone table without bound. Default-on
+    * for every tombstone-carrying streamed family. */
   private def runIndexMaintenance(spark: SparkSession, landing: String,
                                   ckpt: String, tables: Seq[String],
-                                  compactEvery: Int = CompactEveryDefault)(
+                                  compactEvery: Int = CompactEveryDefault,
+                                  tombstones: Seq[graft.io.Tombstones.PurgeSpec] = Nil)(
       append: (DataFrame, Long) => Unit): Unit = {
     if (!graft.io.TempPaths.isComplete(ckpt)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -955,6 +971,7 @@ object StreamingQueries {
           append(b.toDF(), id)
           tables.foreach(t =>
             graft.io.Bucketing.maybeCompact(spark, t, compactEvery))
+          tombstones.foreach(s => graft.io.Tombstones.maybePurge(spark, s))
         })
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1276,16 +1293,82 @@ object StreamingQueries {
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q81_ckpt", dir)
     val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q81_shdf", dir)
     runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl)) { (b, id) =>
-      val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
-      val docsB = b.drop("retract")
-      if (isRetract) graft.ops.Dedup.retractShingleDfPartial(spark, docsB, idxTbl, id)
-      else graft.ops.Dedup.appendShingleDfPartial(spark, docsB, idxTbl, id)
+      // empty-batch guard (ADVICE r17): max over zero rows is null — a
+      // scale factor whose landed slice is empty must skip the batch
+      // entirely, not NPE on the flag read
+      if (!b.isEmpty) {
+        val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+        val docsB = b.drop("retract")
+        if (isRetract) graft.ops.Dedup.retractShingleDfPartial(spark, docsB, idxTbl, id)
+        else graft.ops.Dedup.appendShingleDfPartial(spark, docsB, idxTbl, id)
+      }
     }
     graft.ops.Dedup.noveltyIncremental(spark,
       docs.filter(deltaSide(col("doc_id"))), idxTbl)
   }
 
+  /** q82 — STREAMED TOMBSTONE RETRACTION + AUTO-PURGE CADENCE: q81's
+    * lifecycle on the POSTING-LIST side of the retraction protocol
+    * (VERDICT r17 item 1 made observable under the driver's hash
+    * gate). The IVF assignment index rides ingest as four ordered
+    * batches: corpus half 0 (append), poison twins of every stride
+    * query — vec_id + 10M, embedding verbatim, a cosine-1.0 twin of
+    * each probe vector (append), a RETRACTION of the poison batch
+    * (graft.io.Tombstones landing through the maintenance loop), then
+    * corpus half 1 (appends continue after the deletion). The
+    * maintenance loop's purge cadence ([[graft.io.Tombstones.maybePurge]],
+    * default-on in runIndexMaintenance) fires MID-STREAM right after
+    * the tombstones land — cadence 1 here so the fixture's single
+    * retraction batch crosses the threshold deterministically
+    * (production keeps [[graft.io.Tombstones.PurgeEveryDefault]]);
+    * the poison rows are physically purged through the crash-safe swap
+    * and the tombstone table is dropped while batch 3 still appends
+    * behind it. The probe then runs with NO tombstone gate: a hash
+    * match against p16's oracle certifies the post-purge streamed
+    * index is bit-equivalent to a build that never contained the
+    * poison — any surviving twin assignment would outrank its query's
+    * true neighbors at cosine 1.0 and flip the row. Centroids are
+    * PINNED from the corpus before the stream (the q74 provisioning
+    * doctrine). */
+  def q82StreamingIvfRetraction(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val poison = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q82_in", dir)
+    landSlices(spark, dir, landing, Seq(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0).withColumn("retract", lit(false)),
+      poison.withColumn("retract", lit(false)),
+      poison.withColumn("retract", lit(true)),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1).withColumn("retract", lit(false))))
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q82_ckpt", dir)
+    val centsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q82_cents", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q82_ivf", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q82_tombs", dir)
+    if (!spark.catalog.tableExists(centsTbl)) {
+      graft.io.Bucketing.dropTable(spark, centsTbl)
+      graft.ops.Similarity.buildIvfCentroids(emb, centsTbl)
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      graft.io.TempPaths.cleanupOnExit(s"$wh/${centsTbl.toLowerCase}")
+    }
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl),
+      tombstones = Seq(graft.io.Tombstones.PurgeSpec(tombsTbl, "vec_id",
+        "ivf-tombs", Seq(idxTbl), everyBatches = 1))) { (b, id) =>
+      if (!b.isEmpty) {
+        val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+        val vecs = b.drop("retract")
+        if (isRetract)
+          graft.ops.Similarity.retractFromIvfIndex(spark, vecs, idxTbl,
+            tombsTbl, id)
+        else
+          graft.ops.Similarity.appendIvfAssignPartial(spark, vecs, centsTbl,
+            idxTbl, id)
+      }
+    }
+    graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, idxTbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_streaming_ivf_retraction" -> (q82StreamingIvfRetraction _),
     "q81_streaming_retraction" -> (q81StreamingRetraction _),
     "q80_streaming_logprob" -> (q80StreamingLogprob _),
     "q79_streaming_novelty_index" -> (q79StreamingNoveltyIndex _),
@@ -1357,5 +1440,9 @@ object StreamingQueries {
     // converge to the rebuild WITHOUT the retired docs (p113's
     // equivalence, streamed): global novelty over documents minus the
     // retired set, restricted to the delta
-    "q81_streaming_retraction" -> EvalQueries.noveltyStreamedRetractionSql)
+    "q81_streaming_retraction" -> EvalQueries.noveltyStreamedRetractionSql,
+    // poison twins appended, tombstoned, and cadence-PURGED mid-stream:
+    // the post-purge index probed with NO gate must be bit-equivalent
+    // to a build that never contained them — p16's oracle verbatim
+    "q82_streaming_ivf_retraction" -> RecallQueries.annIvfTopKSql)
 }

@@ -247,6 +247,27 @@ object ProbeScaling {
         }
         (spark.table(t).count(), () =>
           graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t))
+      }, () => ()),
+      // the LIVE-tombstone window (VERDICT r17 item 5): the index grows
+      // 100x+ under a FIXED unpurged retraction set, and the probe pays
+      // the broadcast anti-join gate on every rep — flat slope proves
+      // the gate is map-side on the scan, off the scaling curve, for
+      // the whole window between a retraction and its purge cadence
+      Family("p122_tombstone_gated_probe", { sf =>
+        val cents = tbl("ps_p122_cents"); val t = tbl("ps_p122_ivf")
+        val tombs = tbl("ps_p122_tombs")
+        Seq(cents, t, tombs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        graft.ops.Similarity.buildIvfCentroids(emb(sf), cents)
+        // fixed-size poison: twins of the fixed sf0.01 query set, so the
+        // gate's broadcast side is CONSTANT while the index scales
+        val poison = queryEmb.withColumn("vec_id",
+          col("vec_id") + lit(10000000L))
+        graft.ops.Similarity.appendIvfAssignPartial(spark, emb(sf), cents, t, 0L)
+        graft.ops.Similarity.appendIvfAssignPartial(spark, poison, cents, t, 1L)
+        graft.ops.Similarity.retractFromIvfIndex(spark, poison, t, tombs, 0L)
+        (spark.table(t).count(), () =>
+          graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t,
+            tombstonesTable = Some(tombs)))
       }, () => ()))
 
     def num(v: Double): String =

@@ -46,7 +46,11 @@ object ProfileArb {
     def ioCanary(): Double = {
       val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"))
       val samples = (1 to 3).map { r =>
-        val f = d.resolve(s"graft_arb_io_canary_$r.bin")
+        // user-scoped name (Bench's ioCanary naming): on a shared box a
+        // leftover file owned by another user would make TRUNCATE_EXISTING
+        // fail with AccessDeniedException and crash the arbitration run
+        val f = d.resolve(
+          s"graft_arb_io_canary_${sys.props("user.name")}_$r.bin")
         val t0 = System.nanoTime()
         val ch = java.nio.channels.FileChannel.open(f,
           java.nio.file.StandardOpenOption.CREATE,

@@ -490,6 +490,79 @@ class StreamedIndexSpec extends SparkSpec {
     drop("si_ivf_ret", "si_ivf_clean", "si_ivf_cents")
   }
 
+  test("purge cadence: pending batches below the threshold keep the gate; the fold drops it and stamps the replay watermark") {
+    drop("si_pc_ivf", "si_pc_tombs", "si_pc_cents", "si_pc_clean")
+    val poisonA = embDelta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val poisonB = embDelta.withColumn("vec_id", col("vec_id") + lit(20000000L))
+    Similarity.buildIvfCentroids(emb, "si_pc_cents")
+    Similarity.appendIvfAssignPartial(spark, emb, "si_pc_cents", "si_pc_ivf", 0L)
+    Similarity.appendIvfAssignPartial(spark, poisonA, "si_pc_cents", "si_pc_ivf", 1L)
+    Similarity.appendIvfAssignPartial(spark, poisonB, "si_pc_cents", "si_pc_ivf", 2L)
+    Similarity.appendIvfAssignPartial(spark, emb, "si_pc_cents", "si_pc_clean", 0L)
+    val want = rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_pc_clean"))
+    val spec = graft.io.Tombstones.PurgeSpec("si_pc_tombs", "vec_id",
+      "ivf-tombs", Seq("si_pc_ivf"), everyBatches = 2)
+    // nothing retracted yet → cadence is a no-op
+    assert(!graft.io.Tombstones.maybePurge(spark, spec))
+    Similarity.retractFromIvfIndex(spark, poisonA, "si_pc_ivf", "si_pc_tombs", 10L)
+    // one pending batch < cadence 2 → the purge waits, the gate stays
+    assert(!graft.io.Tombstones.maybePurge(spark, spec),
+      "cadence must not fire below the pending-batch threshold")
+    assert(spark.catalog.tableExists("si_pc_tombs"))
+    Similarity.retractFromIvfIndex(spark, poisonB, "si_pc_ivf", "si_pc_tombs", 11L)
+    // the second pending batch crosses the cadence → fold + gate drop
+    assert(graft.io.Tombstones.maybePurge(spark, spec),
+      "cadence must fire at the pending-batch threshold")
+    assert(!spark.catalog.tableExists("si_pc_tombs"),
+      "purge must drop the tombstone table")
+    assert(spark.table("si_pc_ivf")
+      .filter(col("vec_id") >= 10000000L).count() === 0L,
+      "purged assignments must be gone from disk")
+    assert(rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_pc_ivf"))
+      === want, "post-purge probe (no gate) must equal the clean build")
+    // post-purge replay of a folded batch no-ops on the watermark — the
+    // at-least-once window does not end at purge (ADVICE r17)
+    assert(!graft.io.Tombstones.land(spark, poisonA.select(col("vec_id")),
+      "vec_id", "si_pc_tombs", "ivf-tombs", 10L, "si_pc_ivf"),
+      "a post-purge replay must be recognized and no-op")
+    assert(!spark.catalog.tableExists("si_pc_tombs"),
+      "a replayed folded batch must not resurrect the tombstone table")
+    assert(rows(Similarity.ivfTopKAgainstIndex(spark, emb, "si_pc_ivf"))
+      === want, "a post-purge replay must change nothing")
+    // a NEW retraction batch above the watermark still lands normally
+    assert(graft.io.Tombstones.land(spark,
+      emb.filter(col("vec_id") % 97 === 3).select(col("vec_id")),
+      "vec_id", "si_pc_tombs", "ivf-tombs", 12L, "si_pc_ivf"),
+      "a fresh batch above the watermark must land")
+    assert(spark.catalog.tableExists("si_pc_tombs"))
+    drop("si_pc_ivf", "si_pc_tombs", "si_pc_cents", "si_pc_clean")
+  }
+
+  test("mid-purge-window replay: ids already purged from the index but still tombstoned pass the orphan guard") {
+    drop("si_pw_ivf", "si_pw_tombs", "si_pw_cents")
+    val poison = embDelta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    Similarity.buildIvfCentroids(emb, "si_pw_cents")
+    Similarity.appendIvfAssignPartial(spark, emb, "si_pw_cents", "si_pw_ivf", 0L)
+    Similarity.appendIvfAssignPartial(spark, poison, "si_pw_cents", "si_pw_ivf", 1L)
+    Similarity.retractFromIvfIndex(spark, poison, "si_pw_ivf", "si_pw_tombs", 0L)
+    // simulate the crash window inside purge(): the index rewrite ran,
+    // the watermark stamp and tombstone drop did not
+    graft.io.Bucketing.purgeBucketed(spark, "si_pw_ivf",
+      spark.table("si_pw_tombs").select(col("vec_id")), "vec_id")
+    // a replay of the same retraction batch must still pass: its ids
+    // are gone from the index (the purge removed them) but present in
+    // the tombstone table — membership there exempts them from the
+    // orphan guard, because this is recovery, not history corruption
+    assert(graft.io.Tombstones.land(spark, poison.select(col("vec_id")),
+      "vec_id", "si_pw_tombs", "ivf-tombs", 0L, "si_pw_ivf"),
+      "a replay landing in the purge crash window must pass")
+    // and the re-run purge completes the fold idempotently
+    assert(graft.io.Tombstones.purge(spark, "si_pw_tombs", "vec_id",
+      "ivf-tombs", Seq("si_pw_ivf")))
+    assert(!spark.catalog.tableExists("si_pw_tombs"))
+    drop("si_pw_ivf", "si_pw_cents")
+  }
+
   private def messages(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
