@@ -31,6 +31,22 @@ object Bench {
     graft.ops.Dedup.simhashPairs(wd).queryExecution.toRdd.count()
     val we = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(200)
     graft.ops.Similarity.bruteForceTopK(we, k = 2).queryExecution.toRdd.count()
+    // state-store warmup (PROFILE_r18 arbitration of q54): the FIRST
+    // stateful streaming query in a JVM pays RocksDB first-touch —
+    // native-lib extraction/load + provider init — measured ~3 s landing
+    // on whichever streaming row runs first (q54 rep1 5.1 s vs 2.0 s
+    // steady in fresh-JVM isolation, elevated rep1 in every bench run).
+    // Pay it here, outside any timed row, through the SAME
+    // runAvailableNow path and state-store confs the catalog rows use.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        "graft_warm_stream").toString
+      graft.io.TempPaths.cleanupOnExit(tmp)
+      spark.read.parquet(s"$sfDir/events.parquet").limit(50)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      graft.streaming.EventsStream.runAvailableNow(spark, s"$tmp/in",
+        s"$tmp/ckpt", s"$tmp/out")
+    }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
     // sweep scratch stranded by prior killed runs (the exit hook only
