@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // retraction lifecycle on the SQL surface: RETRACT FROM ... /
+    // PURGE RETRACTIONS FROM ... (see graft.sql.GraftSqlParser) — the
+    // right-to-be-forgotten path callable without Scala
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+
     ext.injectFunction((FunctionIdentifier("vec_dot"),
       info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))))

@@ -200,6 +200,99 @@ object PipelineQueries {
     }
   }
 
+  /** One extensions-enabled session per JVM — the SQL surface a
+    * production session gets from
+    * `spark.sql.extensions=graft.GraftExtensions`, materialized at
+    * runtime for rows that must route through it (the driver's
+    * Verify/Bench sessions are built plain). The session is CACHED and
+    * the p123 row runs its WHOLE lifecycle through it: a builder-made
+    * sibling does not share the caller's SessionCatalog (each new
+    * session gets its own SharedState/in-memory catalog), so tables
+    * built in one session are invisible to the other — build, RETRACT,
+    * PURGE and probe must share one catalog. The caller's session is
+    * restored as active/default so the surrounding harness is
+    * unaffected. */
+  private object SqlSurface {
+    @volatile private var cached: SparkSession = _
+    def session(spark: SparkSession): SparkSession = synchronized {
+      if (cached == null || cached.sparkContext != spark.sparkContext) {
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        cached = SparkSession.builder()
+          .config("spark.sql.shuffle.partitions",
+            spark.conf.get("spark.sql.shuffle.partitions"))
+          .config("spark.sql.session.timeZone",
+            spark.conf.get("spark.sql.session.timeZone", "UTC"))
+          .config("spark.sql.warehouse.dir",
+            spark.conf.get("spark.sql.warehouse.dir"))
+          .config("spark.sql.legacy.parquet.nanosAsLong",
+            spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "true"))
+          .config("spark.sql.parquet.inferTimestampNTZ.enabled",
+            spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled", "false"))
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+      cached
+    }
+  }
+
+  /** p123 — the retraction lifecycle routed through the SQL SURFACE
+    * (VERDICT r17 item 7): p116's minhash build+poison, but the
+    * retraction lands via `RETRACT FROM minhash INDEX ... TOMBSTONES
+    * ... BATCH ... AS SELECT ...` and the physical fold via `PURGE
+    * RETRACTIONS FROM ...` — the graft.sql.GraftSqlParser statements a
+    * right-to-be-forgotten operator issues without touching Scala.
+    * The probe then runs with NO gate: a hash match against p52's
+    * oracle certifies the SQL-driven retract+purge is bit-equivalent
+    * to a build that never contained the poison — same leak-detector
+    * construction as p116/p117, now exercising the parser, the command
+    * dispatch, AND the underlying protocol in one driver-gated row. */
+  def dedupRetractionSql(spark: SparkSession, dir: String): DataFrame = {
+    // the WHOLE lifecycle rides the extensions-enabled session: its
+    // catalog holds the index tables the SQL statements operate on
+    val s2 = SqlSurface.session(spark)
+    val docs = Tables.documents(s2, dir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poison = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val bandsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p123_bands", dir)
+    val sigsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p123_sigs", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p123_tombs", dir)
+    val wh = s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val done = graft.io.TempPaths.scratchDir(s2, "graft_p123_done", dir)
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(bandsTbl, sigsTbl, tombsTbl)
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+      Dedup.buildCorpusIndex(corpus, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 8)
+      Dedup.appendToCorpusIndex(poison, bandsTbl, sigsTbl,
+        bands = 16, rowsPerBand = 8, shingleN = 3, buckets = 8)
+      s2.sql(
+        s"""RETRACT FROM minhash INDEX $bandsTbl, $sigsTbl
+           |TOMBSTONES $tombsTbl BATCH 0 AS
+           |SELECT doc_id + 10000000 AS doc_id
+           |FROM parquet.`$dir/documents.parquet`
+           |WHERE doc_id % 5 = 0""".stripMargin).collect()
+      s2.sql(s"PURGE RETRACTIONS FROM minhash INDEX $bandsTbl, " +
+        s"$sigsTbl TOMBSTONES $tombsTbl").collect()
+      Seq(bandsTbl, sigsTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    val prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Dedup.incrementalVerdictsAgainstIndex(s2, delta, bandsTbl, sigsTbl,
+          bands = 16, rowsPerBand = 8, shingleN = 3, threshold = 0.7)
+        .localCheckpoint() // materialize under the disabled-broadcast conf
+    } finally {
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   /** p58 — index MAINTENANCE: the persisted corpus index is built from
     * only 60% of the corpus (doc_id % 5 in 2..4), day-one's delta
     * (doc_id % 5 = 1) is APPENDED into it — only the delta is signed
@@ -2033,6 +2126,7 @@ object PipelineQueries {
     "p116_dedup_retraction" -> (dedupRetraction _),
     "p118_line_retraction" -> (lineDedupRetraction _),
     "p121_bm25_retraction" -> (bm25TopKRetraction _),
+    "p123_sql_retraction" -> (dedupRetractionSql _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -2115,5 +2209,9 @@ object PipelineQueries {
     // appended-then-retracted poison must leave the bm25 dfs AND the
     // sentinel stats at the clean-corpus values: p91's truth is the
     // leak detector (a leaked df or stats delta re-ranks)
-    "p121_bm25_retraction" -> bm25TopKIncrSql)
+    "p121_bm25_retraction" -> bm25TopKIncrSql,
+    // RETRACT + PURGE issued through the SQL surface must leave the
+    // index bit-equivalent to a build that never held the poison:
+    // p52's truth gates the parser and command dispatch end to end
+    "p123_sql_retraction" -> dedupIncrementalSql)
 }

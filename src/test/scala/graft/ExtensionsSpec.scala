@@ -59,6 +59,68 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("RETRACT FROM / PURGE RETRACTIONS SQL surface: dispatch, guards, delegate passthrough") {
+    spark.sparkContext // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .appName("graft-ext-retract-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq("ext_tok_ret", "ext_tok_reb")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+      // token-count family end-to-end: corpus + poison appended in
+      // Scala, the retraction issued through SQL, probe must equal the
+      // clean build — the negated-partial path behind the statement
+      val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a c c"))
+        .toDF("doc_id", "text")
+      val poison = Seq((11L, "a b a")).toDF("doc_id", "text")
+      graft.ops.TextAnalysis.appendTokenCountPartial(s2, docs, "ext_tok_ret", 0L)
+      graft.ops.TextAnalysis.appendTokenCountPartial(s2, poison, "ext_tok_ret", 1L)
+      poison.createOrReplaceTempView("ext_poison")
+      val res = s2.sql("RETRACT FROM token_count INDEX ext_tok_ret " +
+        "BATCH 2 AS SELECT * FROM ext_poison").collect()
+      assert(res.length === 1 && res(0).getString(0) === "token_count" &&
+        res(0).getLong(1) === 2L && res(0).getLong(2) === 1L)
+      graft.ops.TextAnalysis.appendTokenCountPartial(s2, docs, "ext_tok_reb", 0L)
+      val probe = Seq((21L, "a b c")).toDF("doc_id", "text")
+      assert(graft.ops.TextAnalysis
+          .unigramLogProbIncremental(s2, probe, "ext_tok_ret")
+          .collect().toSeq ===
+        graft.ops.TextAnalysis
+          .unigramLogProbIncremental(s2, probe, "ext_tok_reb")
+          .collect().toSeq,
+        "SQL-issued retraction must equal the clean-corpus build")
+      // grammar / dispatch guards fire at parse time
+      intercept[IllegalArgumentException] {
+        s2.sql("RETRACT FROM nosuch INDEX t BATCH 0 AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // tombstone family needs TOMBSTONES
+        s2.sql("RETRACT FROM minhash INDEX a, b BATCH 0 AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // additive family has no tombstones
+        s2.sql("RETRACT FROM token_count INDEX t TOMBSTONES tt BATCH 0 AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // nothing to purge on additive
+        s2.sql("PURGE RETRACTIONS FROM token_count INDEX t TOMBSTONES tt")
+      }
+      intercept[IllegalArgumentException] { // wrong INDEX arity
+        s2.sql("RETRACT FROM minhash INDEX onlyone TOMBSTONES tt BATCH 0 AS SELECT 1")
+      }
+      // everything else still parses through the delegate
+      assert(s2.sql("SELECT 1 AS x").collect()(0).getInt(0) === 1)
+      Seq("ext_tok_ret", "ext_tok_reb")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("landing zone: quarantine, archive, clean") {
     val dir = Files.createTempDirectory("lz")
     val landing = dir.resolve("landing").toString
