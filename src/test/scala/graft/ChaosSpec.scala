@@ -652,4 +652,89 @@ class ChaosSpec extends SparkSpec {
     }
     Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
   }
+
+  test("12 seeded lifecycles: purge cadence + replay past purge converge on the clean index") {
+    // the round-18 machinery under chaos: two retraction waves, the
+    // maybePurge CADENCE (fires only at its pending-batch threshold),
+    // replays landing in every window — before purge (idempotent
+    // overwrite), inside the purge crash window (tombstone-membership
+    // exemption), and AFTER purge (watermark no-op) — plus mid-swap
+    // kills. Whatever the schedule, the gated probe must equal the
+    // clean build: a watermark bug that swallowed a LIVE batch, or an
+    // orphan-guard bug that rejected a legal replay, fails a seed.
+    val refB = "chaos_ref2_mh_bands"; val refS = "chaos_ref2_mh_sigs"
+    Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
+    Dedup.buildCorpusIndex(mCorpus, refB, refS, bands = 8, rowsPerBand = 4,
+      buckets = 2)
+    val wantProbe = Dedup.incrementalVerdictsAgainstIndex(spark, mDelta,
+      refB, refS, bands = 8, rowsPerBand = 4).collect().map(_.toString).toSet
+    val poisonA = mDelta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val poisonB = mDelta.withColumn("doc_id", col("doc_id") + lit(20000000L))
+
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(8000 + seed)
+      val tb = s"chaos_pc_b_s$seed"; val ts = s"chaos_pc_s_s$seed"
+      val tt = s"chaos_pc_t_s$seed"
+      Seq(tb, ts, tt).flatMap(t =>
+          Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+      def append(df: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+        Dedup.appendCorpusIndexPartial(spark, df, tb, ts, bid,
+          bands = 8, rowsPerBand = 4, buckets = 2)
+      append(mCorpus, 0L)
+      append(poisonA, 1L)
+      append(poisonB, 2L)
+      val spec = graft.io.Tombstones.PurgeSpec(tt, "doc_id",
+        "minhash-tombs", Seq(tb, ts), everyBatches = 2)
+
+      // wave A retracts; the cadence must HOLD at one pending batch
+      Dedup.retractFromCorpusIndex(spark, poisonA, tb, ts, tt, 10L)
+      assert(!graft.io.Tombstones.maybePurge(spark, spec),
+        s"seed=$seed: cadence fired below its threshold")
+      if (rnd.nextDouble() < 0.5) // pre-purge replay: idempotent
+        Dedup.retractFromCorpusIndex(spark, poisonA, tb, ts, tt, 10L)
+      if (rnd.nextDouble() < 0.4) {
+        // the purge crash window: one table rewritten, kill mid-swap on
+        // the other, watermark/drop never reached — a replay of wave A
+        // must still pass via tombstone membership
+        Bucketing.purgeBucketed(spark, tb,
+          spark.table(tt).select(col("doc_id")), "doc_id")
+        intercept[IllegalStateException] {
+          Bucketing.purgeBucketed(spark, ts,
+            spark.table(tt).select(col("doc_id")), "doc_id",
+            injectCrashAtSwapStep = 1 + rnd.nextInt(2))
+        }
+        Bucketing.repairCompaction(spark, ts)
+        Dedup.retractFromCorpusIndex(spark, poisonA, tb, ts, tt, 10L)
+      }
+
+      // wave B retracts; the cadence threshold is now met
+      Dedup.retractFromCorpusIndex(spark, poisonB, tb, ts, tt, 11L)
+      val purged = graft.io.Tombstones.maybePurge(spark, spec)
+      assert(purged, s"seed=$seed: cadence must fire at 2 pending batches")
+      assert(!spark.catalog.tableExists(tt), s"seed=$seed: gate not dropped")
+      // post-purge replays of BOTH folded waves no-op on the watermark
+      if (rnd.nextDouble() < 0.7) {
+        Dedup.retractFromCorpusIndex(spark,
+          if (rnd.nextBoolean()) poisonA else poisonB, tb, ts, tt,
+          if (rnd.nextBoolean()) 10L else 11L)
+        assert(!spark.catalog.tableExists(tt),
+          s"seed=$seed: a post-purge replay resurrected the tombstone table")
+      }
+      // the cadence stays armed: nothing pending → no-op
+      assert(!graft.io.Tombstones.maybePurge(spark, spec))
+
+      withClue(s"seed=$seed: ") {
+        val got = Dedup.incrementalVerdictsAgainstIndex(spark, mDelta,
+            tb, ts, bands = 8, rowsPerBand = 4)
+          .collect().map(_.toString).toSet
+        assert(got === wantProbe,
+          "post-cadence-purge probe must equal the clean-corpus build")
+      }
+      Seq(tb, ts, tt).flatMap(t =>
+          Seq(t, s"${t}_compacting", s"${t}_precompact"))
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
+  }
 }
