@@ -296,6 +296,41 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("p122 gated probe: the tombstone gate is a broadcast anti-join adding no exchange") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = "graft_p122spec_cents"; val idx = "graft_p122spec_ivf"
+    val tombs = "graft_p122spec_tombs"
+    Seq(cents, idx, tombs).foreach(graft.io.Bucketing.dropTable(spark, _))
+    graft.ops.Similarity.buildIvfCentroids(emb, cents)
+    graft.ops.Similarity.appendIvfAssignPartial(spark, emb, cents, idx, 0L)
+    val poison = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    graft.ops.Similarity.appendIvfAssignPartial(spark, poison, cents, idx, 1L)
+    graft.ops.Similarity.retractFromIvfIndex(spark, poison, idx, tombs, 0L)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ungated = planString(
+        graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, idx))
+      val gated = planString(graft.ops.Similarity.ivfTopKAgainstIndex(
+        spark, emb, idx, tombstonesTable = Some(tombs)))
+      // the gate compiles to a broadcast ANTI join on the scan side …
+      assert(gated.contains("BroadcastHashJoin") && gated.contains("LeftAnti"),
+        s"tombstone gate must be a broadcast anti-join:\n$gated")
+      // … and adds ZERO data-sized exchanges relative to the ungated
+      // probe — the map-side-gate claim the 100 TB design rests on
+      // (PROBE_SCALING's p122 family measures the same property as time)
+      def exchanges(p: String) =
+        "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges(gated) === exchanges(ungated),
+        s"the gate must add no hash exchange:\nGATED\n$gated\nUNGATED\n$ungated")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      Seq(cents, idx, tombs).foreach(graft.io.Bucketing.dropTable(spark, _))
+    }
+  }
+
   test("q73 probe: the STREAMED minhash layout still shuffles only the delta") {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     val docs = Tables.documents(spark, sfDir)
