@@ -349,7 +349,7 @@ object Dedup {
   def retractFromCorpusIndex(spark: org.apache.spark.sql.SparkSession,
                              removed: DataFrame, bandsTable: String,
                              sigsTable: String, tombstonesTable: String,
-                             batchId: Long): Unit = {
+                             batchId: Long): Boolean = {
     require(spark.catalog.tableExists(bandsTable) &&
         spark.catalog.tableExists(sigsTable),
       s"$bandsTable/$sigsTable do not exist — a retraction can only " +

@@ -238,7 +238,7 @@ object Similarity {
     * double-retraction guards as in the minhash/vector families. */
   def retractFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
                           removed: DataFrame, table: String,
-                          tombstonesTable: String, batchId: Long): Unit = {
+                          tombstonesTable: String, batchId: Long): Boolean = {
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow an index build")
     graft.io.Bucketing.requireKind(spark, table, "ivf-assign")
@@ -735,7 +735,7 @@ object Similarity {
   def retractFromVectorIndex(spark: org.apache.spark.sql.SparkSession,
                              removed: DataFrame, bandsTable: String,
                              vecsTable: String, tombstonesTable: String,
-                             batchId: Long): Unit = {
+                             batchId: Long): Boolean = {
     require(spark.catalog.tableExists(bandsTable) &&
         spark.catalog.tableExists(vecsTable),
       s"$bandsTable/$vecsTable do not exist — a retraction can only " +

@@ -417,6 +417,97 @@ class RecoverySpec extends SparkSpec {
     Seq(streamedTbl, batchTbl).foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
+  test("crash AFTER the cadence purge, BEFORE the checkpoint commit: the retraction batch replays past the purge and no-ops") {
+    // the exact window ADVICE r17 flagged: the purge is durable (index
+    // rewritten, watermark stamped, tombstones dropped) but the stream
+    // dies before the micro-batch commit, so on restart the WAL replays
+    // the RETRACTION batch verbatim — its ids are gone from the index
+    // and the tombstone table no longer exists. The watermark must
+    // recognize the replay and no-op; the old orphan guard would have
+    // failed it loudly as 'history corruption' and wedged the stream.
+    val emb = Tables.embeddings(spark, sfDir)
+    val poisonDf = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    val landing = Files.createTempDirectory("graft_rec_q82_in").toString
+    val slices = Seq(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0).withColumn("retract", lit(false)),
+      poisonDf.withColumn("retract", lit(false)),
+      poisonDf.withColumn("retract", lit(true)),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1).withColumn("retract", lit(false)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = s"$landing/stage_$i"
+      s.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Option(new java.io.File(stage).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, f"vecs_$i%05d.parquet"))
+    }
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    val ckpt = tmp("graft_rec_q82_ckpt")
+    val cents = "rec_q82_cents"; val idx = "rec_q82_ivf"
+    val tombs = "rec_q82_tombs"; val clean = "rec_q82_clean"
+    Seq(cents, idx, tombs, clean).foreach(graft.io.Bucketing.dropTable(spark, _))
+    graft.ops.Similarity.buildIvfCentroids(emb, cents)
+    val spec = graft.io.Tombstones.PurgeSpec(tombs, "vec_id", "ivf-tombs",
+      Seq(idx), everyBatches = 1)
+    var crashAfterPurge = true
+    var purgeFiredBeforeCrash = false
+    var retractReplayLanded = true
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => {
+          if (!b.isEmpty) {
+            val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+            val vecs = b.drop("retract")
+            if (isRetract) {
+              retractReplayLanded = graft.ops.Similarity
+                .retractFromIvfIndex(spark, vecs, idx, tombs, id)
+              val fired = graft.io.Tombstones.maybePurge(spark, spec)
+              if (crashAfterPurge) {
+                crashAfterPurge = false
+                purgeFiredBeforeCrash = fired
+                throw new RuntimeException(
+                  "injected crash after purge, before checkpoint commit")
+              }
+            } else {
+              graft.ops.Similarity.appendIvfAssignPartial(spark, vecs,
+                cents, idx, id)
+              graft.io.Tombstones.maybePurge(spark, spec)
+            }
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[StreamingQueryException] { run() }
+    assert(purgeFiredBeforeCrash,
+      "fixture must crash AFTER the cadence purge actually ran")
+    run() // restart: batch 2 replays — must take the watermark no-op path
+    assert(!retractReplayLanded,
+      "the post-purge replay must be recognized as already folded (land() false)")
+    spark.catalog.refreshTable(idx)
+    assert(!spark.catalog.tableExists(tombs),
+      "the replay must not resurrect the tombstone table")
+    graft.ops.Similarity.appendIvfAssignPartial(spark, emb, cents, clean, 0L)
+    val got = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, idx)
+    val want = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, clean)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "recovered stream must converge to a build that never held the poison")
+    Seq(cents, idx, tombs, clean).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
