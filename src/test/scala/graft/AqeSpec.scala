@@ -316,6 +316,46 @@ class AqeSpec extends SparkSpec {
       .foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
+  test("p122 gated probe under AQE: the tombstone gate stays a broadcast anti-join, no added exchange") {
+    // ExplainSpec pins this contract with AQE off; at 100 TB the plan
+    // runs under AQE, where a runtime re-plan demoting the gate to a
+    // shuffled anti-join would put a data-sized exchange on the scan —
+    // exactly the cost the O(|removed|) design forbids
+    val emb = Tables.embeddings(spark, sfDir)
+    val cents = "graft_aqe_p122_cents"; val idx = "graft_aqe_p122_ivf"
+    val tombs = "graft_aqe_p122_tombs"
+    Seq(cents, idx, tombs).foreach(graft.io.Bucketing.dropTable(spark, _))
+    graft.ops.Similarity.buildIvfCentroids(emb, cents)
+    graft.ops.Similarity.appendIvfAssignPartial(spark, emb, cents, idx, 0L)
+    val poison = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .withColumn("vec_id", col("vec_id") + lit(10000000L))
+    graft.ops.Similarity.appendIvfAssignPartial(spark, poison, cents, idx, 1L)
+    graft.ops.Similarity.retractFromIvfIndex(spark, poison, idx, tombs, 0L)
+    try withAqeNoBroadcast {
+      val ungated = finalPlan(
+        graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, idx))
+      val gatedDf = graft.ops.Similarity.ivfTopKAgainstIndex(
+        spark, emb, idx, tombstonesTable = Some(tombs))
+      val gated = finalPlan(gatedDf)
+      assert(gated.contains("BroadcastHashJoin") && gated.contains("LeftAnti"),
+        s"the gate must survive AQE as a broadcast anti-join:\n$gated")
+      def exchanges(p: String) =
+        "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges(gated) === exchanges(ungated),
+        s"AQE re-planning must not add an exchange for the gate:\nGATED\n$gated")
+      // and the gated result over the poisoned index must equal the
+      // clean index's neighbors — under AQE, not just statically
+      val clean = "graft_aqe_p122_clean"
+      graft.io.Bucketing.dropTable(spark, clean)
+      graft.ops.Similarity.appendIvfAssignPartial(spark, emb, cents, clean, 0L)
+      val want = graft.ops.Similarity.ivfTopKAgainstIndex(spark, emb, clean)
+      assert(gatedDf.exceptAll(want).isEmpty && want.exceptAll(gatedDf).isEmpty,
+        "gated probe under AQE must equal the clean-index probe")
+      graft.io.Bucketing.dropTable(spark, clean)
+    } finally Seq(cents, idx, tombs)
+      .foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("p110/q79 probe under AQE: shingle-df index stays a bucketed read, verdicts unchanged") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)
