@@ -146,9 +146,18 @@ object Tombstones {
     if (!spark.catalog.tableExists(tombstonesTable)) return false
     Bucketing.requireKind(spark, tombstonesTable, kind)
     val pending = spark.table(tombstonesTable)
+    val maxBatchRow = pending.agg(
+      org.apache.spark.sql.functions.max(col("batch_id"))).head
+    if (maxBatchRow.isNullAt(0)) {
+      // a zero-row retraction batch can leave an EXISTING but empty
+      // tombstone table (partitionBy of an empty frame writes no
+      // partition): nothing to fold, no watermark to stamp — just
+      // remove the empty gate
+      Bucketing.dropTable(spark, tombstonesTable)
+      return false
+    }
     val ids = pending.select(col(idCol)).distinct().localCheckpoint()
-    val maxBatch = pending.agg(
-      org.apache.spark.sql.functions.max(col("batch_id"))).head.getLong(0)
+    val maxBatch = maxBatchRow.getLong(0)
     tables.foreach(t => Bucketing.purgeBucketed(spark, t, ids, idCol))
     // watermark BEFORE the drop: every crash window is replay-safe —
     // after purgeBucketed but before the stamp, the tombstone table
