@@ -180,7 +180,7 @@ object Bench {
       "p116_dedup_retraction", "p117_vector_retraction",
       "p118_line_retraction", "p119_window_retraction",
       "p120_token_retraction", "p121_bm25_retraction",
-      "p122_ivf_retraction", "p123_sql_retraction",
+      "p122_ivf_retraction", "p123_sql_retraction", "p124_sql_lifecycle",
       "q81_streaming_retraction", "q82_streaming_ivf_retraction")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps

@@ -150,6 +150,45 @@ object Bucketing {
     * maybeCompact re-compacts (idempotent rewrite, never wrong). */
   val CompactedAtProperty = "graft.index.compactedAt"
 
+  /** Table-property key stamped by [[foldBucketed]]: the highest
+    * batch_id whose partial was FOLDED into the index's summed rows —
+    * the replay watermark for the additive-df families (the
+    * [[Tombstones.PurgedThroughProperty]] device applied to partials).
+    * A fold destroys per-batch partition identity (every folded
+    * batch's rows merge into one summed partition), so a replayed
+    * partial at/below this watermark can no longer idempotently
+    * overwrite "its own" partition — landing it would double-count
+    * counts the fold already absorbed. [[appendPartialInto]] therefore
+    * no-ops any batch at/below the watermark. Batch ids are
+    * monotonically increasing per table (stream micro-batch ids or a
+    * 0,1,2… sequence — the [[Tombstones]] contract), so one O(1)
+    * property covers the whole replay history. Stamped on the
+    * REPLACEMENT table before the swap, so the watermark and the
+    * folded content become visible atomically — no crash window shows
+    * folded rows without the watermark that protects them. */
+  val FoldedThroughProperty = "graft.index.foldedThrough"
+
+  /** The five additive-df index kinds whose per-batch partials sum to
+    * the global counts — the families [[foldBucketed]] may rewrite.
+    * (`bench-grams` is additive too but rebuild-only by ADR, SURVEY
+    * §2.25: set semantics, no retraction partials, nothing to fold.) */
+  val AdditiveKinds: Set[String] =
+    Set("shingle-df", "line-df", "window-df", "tok-counts", "bm25-df")
+
+  def foldedThrough(spark: SparkSession, table: String): Long =
+    spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+      .properties.get(FoldedThroughProperty)
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue)
+
+  /** True when `table` exists and is stamped as one of the additive-df
+    * index families — the tables whose maintenance cadence runs
+    * [[maybeFold]] instead of [[maybeCompact]]. */
+  def isAdditiveIndex(spark: SparkSession, table: String): Boolean =
+    spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(table)) &&
+      tableKind(spark, table).exists(AdditiveKinds)
+
   /** AUTO-COMPACTION CADENCE for streamed per-batch index maintenance:
     * once `everyBatches` NEW batch_id partitions have landed since the
     * last fold, run the crash-safe [[compactBucketed]] swap and stamp
@@ -199,12 +238,26 @@ object Bucketing {
     * into a same-column-layout table of a DIFFERENT hash family (e.g. a
     * shingle-df partial into a line-df index — both `(h, df_corpus,
     * batch_id)`) would silently mix families; now the very first append
-    * into a wrong-family table fails loudly. */
+    * into a wrong-family table fails loudly.
+    *
+    * FOLD WATERMARK (VERDICT r18 item 1): a batch at/below the table's
+    * [[FoldedThroughProperty]] already had its partial absorbed by a
+    * [[foldBucketed]] rewrite — its per-batch partition no longer
+    * exists, so the overwrite-own-partition idempotence that makes
+    * replays safe is gone, and landing it would DOUBLE-COUNT. Such a
+    * batch no-ops, and the method returns false so callers (and the
+    * SQL surface's `landed` column) can see the drop. Batch ids are
+    * monotone per table (the [[Tombstones]] contract), so a sub-
+    * watermark id IS a replay; an operator reusing a low id after a
+    * fold sees `landed = false` instead of a silent partial loss. */
   def appendPartialInto(spark: SparkSession, partial: DataFrame,
-                        table: String, kind: String): Unit = {
+                        table: String, kind: String,
+                        batchId: Long): Boolean = {
     spark.catalog.refreshTable(table)
     requireKind(spark, table, kind)
+    if (batchId <= foldedThrough(spark, table)) return false
     overwritePartitions(partial, table)
+    true
   }
 
   /** Compact a BUCKETED table back to one file per bucket, preserving
@@ -258,9 +311,115 @@ object Bucketing {
       injectCrashAtSwapStep)
   }
 
+  /** FOLD-PURGE for the additive-df index families (VERDICT r18 item
+    * 1) — the negated-partial twin of [[Tombstones.purge]]: retraction
+    * lands as a NEGATED partial, so after enough retractions a key
+    * lives on as (h, +df)/(h, −df) row pairs that [[compactBucketed]]
+    * (an identity rewrite) carries forever — under steady
+    * right-to-be-forgotten traffic the index's ROW count grows with
+    * total retraction history even though the folded answer stays
+    * correct. This rewrite performs the fold physically: group by the
+    * bucket key, SUM the count column, DROP keys that fold to zero
+    * (absent, exactly as a rebuild-without would have it — the
+    * documented probe semantics of all five families), FAIL LOUDLY on
+    * a negative fold (double retraction / never-appended doc — baking
+    * corrupted history into the index is worse than aborting the
+    * maintenance window), and land the result as ONE summed partition
+    * under the highest folded batch_id, through the same crash-safe
+    * two-name swap as compaction (RecoverySpec's injected-kill matrix
+    * applies verbatim).
+    *
+    * Replay safety: the [[FoldedThroughProperty]] watermark is stamped
+    * on the replacement table BEFORE the swap, so folded content and
+    * its watermark go live atomically; [[appendPartialInto]] no-ops
+    * any partial at/below it. A crash before the swap leaves the
+    * original table (partials intact, replays idempotent as ever); a
+    * crash after leaves the folded table already stamped.
+    *
+    * Scale shape: the groupBy runs ON the bucketed scan (the scan is
+    * NOT pinned off — with an aggregate caring about the layout the
+    * planner keeps it), so the fold is exchange-free on the index side
+    * and each task drains one bucket into one summed file: O(index)
+    * once per cadence window, O(index/N) amortized per batch — the
+    * same economics as the compaction it replaces, minus the rows that
+    * no longer exist. Returns the data file count after the fold. */
+  def foldBucketed(spark: SparkSession, table: String,
+                   injectCrashAtSwapStep: Int = 0): Int = {
+    import org.apache.spark.sql.functions.{col, concat, lit, raise_error, sum, when}
+    repairCompaction(spark, table)
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
+    require(meta.partitionColumnNames == Seq("batch_id"),
+      s"$table is not a batch_id-partitioned streamed index — " +
+        "foldBucketed folds per-batch partials; nothing to fold here")
+    require(meta.properties.get(KindProperty).exists(AdditiveKinds),
+      s"$table is not an additive-df index family " +
+        s"(${AdditiveKinds.toSeq.sorted.mkString(", ")}) — folding a " +
+        "posting-list table would sum rows that are facts, not counts")
+    val keys = meta.bucketSpec.getOrElse(
+      throw new IllegalArgumentException(s"$table is not bucketed"))
+      .bucketColumnNames
+    val dataCols = meta.schema.fields
+      .filterNot(f => keys.contains(f.name) || f.name == "batch_id")
+    require(dataCols.length == 1,
+      s"$table carries ${dataCols.length} non-key columns — the " +
+        "additive-df layout is (key, count, batch_id); refusing to " +
+        "guess which columns sum")
+    val value = dataCols.head
+    val parts = spark.sessionState.catalog.listPartitionNames(ident)
+      .flatMap(_.stripPrefix("batch_id=").toLongOption)
+    if (parts.isEmpty) return dataFileCount(spark, table)
+    val maxBatch = parts.max
+    rewriteBucketed(spark, table,
+      df => df.groupBy(keys.map(col): _*)
+        .agg(sum(col(value.name)).cast(value.dataType).as(value.name))
+        // zero folds become ABSENT (row-presence is the predicate for
+        // these families); negative folds are history corruption and
+        // must abort the rewrite, not persist
+        .filter(when(col(value.name) < 0,
+            raise_error(concat(
+              lit(s"$table folds a negative ${value.name} — double "),
+              lit("retraction or retraction of a never-appended doc"))))
+          .otherwise(col(value.name)) =!= 0)
+        .withColumn("batch_id", lit(maxBatch)),
+      injectCrashAtSwapStep,
+      // watermark + cadence cursor ride the swap atomically: the fold
+      // subsumes a compaction, so both cursors advance together
+      extraProps = Map(FoldedThroughProperty -> maxBatch.toString,
+        CompactedAtProperty -> maxBatch.toString),
+      pinBucketedScanOff = false)
+  }
+
+  /** AUTO-FOLD CADENCE — [[maybeCompact]]'s shape for the additive-df
+    * families, with [[FoldedThroughProperty]] as the cursor: once
+    * `everyBatches` partials have landed above the watermark, run the
+    * fold. Replaces (subsumes) the compaction cadence for these
+    * tables — a fold IS a compaction plus the zero-sum drop — so
+    * `runIndexMaintenance` branches on [[isAdditiveIndex]] rather than
+    * running both rewrites. Returns true when a fold ran. */
+  def maybeFold(spark: SparkSession, table: String,
+                everyBatches: Int = 4): Boolean = {
+    if (everyBatches <= 0) return false
+    val cat = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    if (!cat.tableExists(ident)) return false
+    val meta = cat.getTableMetadata(ident)
+    if (meta.partitionColumnNames != Seq("batch_id")) return false
+    if (!meta.properties.get(KindProperty).exists(AdditiveKinds)) return false
+    val folded = meta.properties.get(FoldedThroughProperty)
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue)
+    val fresh = cat.listPartitionNames(ident)
+      .flatMap(_.stripPrefix("batch_id=").toLongOption)
+      .count(_ > folded)
+    if (fresh < everyBatches) false
+    else { foldBucketed(spark, table); true }
+  }
+
   private def rewriteBucketed(spark: SparkSession, table: String,
                               transform: DataFrame => DataFrame,
-                              injectCrashAtSwapStep: Int): Int = {
+                              injectCrashAtSwapStep: Int,
+                              extraProps: Map[String, String] = Map.empty,
+                              pinBucketedScanOff: Boolean = true): Int = {
     repairCompaction(spark, table)
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
@@ -278,10 +437,15 @@ object Bucketing {
     // (DisableUnnecessaryBucketedScan sees no join/agg caring), leaving
     // rows bucket-misaligned across tasks — one file per (task, bucket)
     // instead of one per bucket, silently re-fragmenting the table
+    // ...unless the transform itself aggregates on the bucket keys
+    // (pinBucketedScanOff = false, the foldBucketed path): there the
+    // aggregate makes the planner keep the bucketed scan, the agg runs
+    // exchange-free on it, and the pin would FORCE the shuffle it
+    // exists to prevent
     val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     val prevScan = spark.conf.get(scanKey)
     try {
-      spark.conf.set(scanKey, "false")
+      if (pinBucketedScanOff) spark.conf.set(scanKey, "false")
       // preserve a partition layout too (the streamed line-df index is
       // partitionBy(batch_id) + bucketBy(h)): a rewrite that silently
       // dropped the partition columns would not just lose directory
@@ -307,7 +471,7 @@ object Bucketing {
       // every compaction. One combined ALTER: each statement is a
       // metastore round-trip, and auto-compaction runs inside the
       // timed maintenance loop.
-      val props = meta.properties.filter(_._1.startsWith("graft."))
+      val props = meta.properties.filter(_._1.startsWith("graft.")) ++ extraProps
       if (props.nonEmpty)
         spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
           props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")

@@ -71,7 +71,25 @@ object Tombstones {
     // into the index and dropped — its ids are gone from sigsTable by
     // design, so re-running the orphan guard would misread a legal
     // replay as history corruption. No-op; the forget already happened.
-    if (batchId <= purgedThrough(spark, sigsTable)) return false
+    // BUT distinguish a true replay from a REUSED low batch id (ADVICE
+    // r18): a genuinely purged batch's ids are absent from sigsTable by
+    // construction, so any id still LIVE there means this is a fresh
+    // right-to-be-forgotten request wearing an already-purged id —
+    // silently dropping it would leave the operator believing data was
+    // forgotten while it stays indexed. One retraction-sized semi-join
+    // on the (rare) watermark path, fail-loudly like every other
+    // history guard in this file.
+    if (batchId <= purgedThrough(spark, sigsTable)) {
+      val live = ids.select(col(idCol)).distinct()
+        .join(spark.table(sigsTable).select(col(idCol)), Seq(idCol),
+          "left_semi").count()
+      require(live == 0L,
+        s"retraction batch $batchId is at/below $sigsTable's purge " +
+          s"watermark, but $live of its id(s) are still live in the " +
+          "index — a reused batch id would silently drop a live " +
+          "retraction; use a batch id above the watermark")
+      return false
+    }
     val distinctIds = ids.select(col(idCol)).distinct().localCheckpoint()
     // orphan guard: a retraction can only retire documents the index
     // actually contains — a typo'd id list silently "succeeding" would

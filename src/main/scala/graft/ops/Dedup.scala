@@ -286,7 +286,7 @@ object Dedup {
         bandsTable, "batch_id", Seq("band_id", "band_hash"), buckets)
       graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, bandPartial, bandsTable, "minhash-bands")
+      graft.io.Bucketing.appendPartialInto(spark, bandPartial, bandsTable, "minhash-bands", batchId)
     }
     if (!spark.catalog.tableExists(sigsTable)) {
       graft.io.Bucketing.dropTable(spark, sigsTable)
@@ -294,7 +294,7 @@ object Dedup {
         "batch_id", "doc_id", buckets)
       graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, sigPartial, sigsTable, "minhash-sigs")
+      graft.io.Bucketing.appendPartialInto(spark, sigPartial, sigsTable, "minhash-sigs", batchId)
     }
   }
 
@@ -356,8 +356,17 @@ object Dedup {
         "follow an index build")
     graft.io.Bucketing.requireKind(spark, bandsTable, "minhash-bands")
     graft.io.Bucketing.requireKind(spark, sigsTable, "minhash-sigs")
-    graft.io.Tombstones.land(spark, removed.select(col("doc_id")), "doc_id",
+    val landed = graft.io.Tombstones.land(spark,
+      removed.select(col("doc_id")), "doc_id",
       tombstonesTable, "minhash-tombs", batchId, sigsTable)
+    // batch-side purge cadence (VERDICT r18 item 3): the streamed path
+    // purges via runIndexMaintenance, but a batch-only caller issuing
+    // steady retractions would grow the tombstone gate forever unless
+    // they knew to purge — run the same default-on cadence here
+    graft.io.Tombstones.maybePurge(spark, graft.io.Tombstones.PurgeSpec(
+      tombstonesTable, "doc_id", "minhash-tombs",
+      Seq(bandsTable, sigsTable)))
+    landed
   }
 
   /** Fold pending minhash retractions into the index for real: purge
@@ -778,7 +787,7 @@ object Dedup {
     * cost tracks the batch, never the corpus. */
   def appendWindowDfPartial(spark: org.apache.spark.sql.SparkSession,
                             batch: DataFrame, table: String, batchId: Long,
-                            k: Int = 8, buckets: Int = 8): Unit = {
+                            k: Int = 8, buckets: Int = 8): Boolean = {
     val partial = windowOccurrences(passageTokens(batch), k)
       .groupBy("h").agg(count(lit(1)).cast("long").as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
@@ -788,8 +797,9 @@ object Dedup {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
       graft.io.Bucketing.stampKind(spark, table, "window-df")
+      true
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df", batchId)
     }
   }
 
@@ -806,14 +816,14 @@ object Dedup {
     * in the corpus". */
   def retractWindowDfPartial(spark: org.apache.spark.sql.SparkSession,
                              removed: DataFrame, table: String, batchId: Long,
-                             k: Int = 8, buckets: Int = 8): Unit = {
+                             k: Int = 8, buckets: Int = 8): Boolean = {
     graft.io.Bucketing.repairCompaction(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow appends")
     val partial = windowOccurrences(passageTokens(removed), k)
       .groupBy("h").agg((-count(lit(1))).cast("long").as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df")
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "window-df", batchId)
   }
 
   /** Incremental passage removal — the daily-ingest shape of
@@ -967,7 +977,7 @@ object Dedup {
     * batch-shingle-vocabulary-bounded. */
   def appendShingleDfPartial(spark: org.apache.spark.sql.SparkSession,
                              batch: DataFrame, table: String, batchId: Long,
-                             n: Int = 3, buckets: Int = 8): Unit = {
+                             n: Int = 3, buckets: Int = 8): Boolean = {
     val partial = shingleGrams(batch, n)
       .groupBy(col("h")).agg(count(lit(1)).as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
@@ -977,8 +987,9 @@ object Dedup {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
       graft.io.Bucketing.stampKind(spark, table, "shingle-df")
+      true
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "shingle-df")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "shingle-df", batchId)
     }
   }
 
@@ -998,7 +1009,7 @@ object Dedup {
     * silently inflating novelty. */
   def retractShingleDfPartial(spark: org.apache.spark.sql.SparkSession,
                               removed: DataFrame, table: String, batchId: Long,
-                              n: Int = 3, buckets: Int = 8): Unit = {
+                              n: Int = 3, buckets: Int = 8): Boolean = {
     graft.io.Bucketing.repairCompaction(spark, table)
     // existence FIRST: requireKind would throw a raw NoSuchTableException
     // before the designed contract message could fire
@@ -1008,8 +1019,8 @@ object Dedup {
     val partial = shingleGrams(removed, n)
       .groupBy(col("h")).agg((-count(lit(1))).as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
-    spark.catalog.refreshTable(table)
-    graft.io.Bucketing.overwritePartitions(partial, table)
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "shingle-df",
+      batchId)
   }
 
   /** Incremental novelty audit: per-DELTA-doc novelty with shingle dfs

@@ -242,8 +242,14 @@ object Similarity {
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow an index build")
     graft.io.Bucketing.requireKind(spark, table, "ivf-assign")
-    graft.io.Tombstones.land(spark, removed.select(col("vec_id")), "vec_id",
+    val landed = graft.io.Tombstones.land(spark,
+      removed.select(col("vec_id")), "vec_id",
       tombstonesTable, "ivf-tombs", batchId, table)
+    // batch-side purge cadence (VERDICT r18 item 3) — see
+    // Dedup.retractFromCorpusIndex
+    graft.io.Tombstones.maybePurge(spark, graft.io.Tombstones.PurgeSpec(
+      tombstonesTable, "vec_id", "ivf-tombs", Seq(table)))
+    landed
   }
 
   /** Fold pending IVF retractions into the index for real (crash-safe
@@ -366,7 +372,7 @@ object Similarity {
         "batch_id", "cell", buckets)
       graft.io.Bucketing.stampKind(spark, table, "ivf-assign")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "ivf-assign")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "ivf-assign", batchId)
     }
   }
 
@@ -403,7 +409,7 @@ object Similarity {
         "batch_id", Seq("t", "bucket"), buckets)
       graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, bands, bandsTable, "vec-bands")
+      graft.io.Bucketing.appendPartialInto(spark, bands, bandsTable, "vec-bands", batchId)
     }
     if (!spark.catalog.tableExists(vecsTable)) {
       graft.io.Bucketing.dropTable(spark, vecsTable)
@@ -411,7 +417,7 @@ object Similarity {
         "batch_id", "corpus_id", buckets)
       graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, vecs, vecsTable, "vec-payload")
+      graft.io.Bucketing.appendPartialInto(spark, vecs, vecsTable, "vec-payload", batchId)
     }
   }
 
@@ -742,9 +748,15 @@ object Similarity {
         "follow an index build")
     graft.io.Bucketing.requireKind(spark, bandsTable, "vec-bands")
     graft.io.Bucketing.requireKind(spark, vecsTable, "vec-payload")
-    graft.io.Tombstones.land(spark,
+    val landed = graft.io.Tombstones.land(spark,
       removed.select(col("vec_id").as("corpus_id")), "corpus_id",
       tombstonesTable, "vec-tombs", batchId, vecsTable)
+    // batch-side purge cadence (VERDICT r18 item 3) — see
+    // Dedup.retractFromCorpusIndex
+    graft.io.Tombstones.maybePurge(spark, graft.io.Tombstones.PurgeSpec(
+      tombstonesTable, "corpus_id", "vec-tombs",
+      Seq(bandsTable, vecsTable)))
+    landed
   }
 
   /** Fold pending vector retractions into the index for real: purge

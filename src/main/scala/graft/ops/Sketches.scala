@@ -83,7 +83,7 @@ object Sketches {
         "batch_id", "lang", buckets)
       graft.io.Bucketing.stampKind(spark, table, "kmv-profile")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "kmv-profile")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "kmv-profile", batchId)
     }
   }
 
@@ -172,7 +172,7 @@ object Sketches {
         "batch_id", "pos", buckets)
       graft.io.Bucketing.stampKind(spark, table, s"countmin-$depth-$width")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, s"countmin-$depth-$width")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, s"countmin-$depth-$width", batchId)
     }
   }
 
@@ -352,7 +352,7 @@ object Sketches {
         "batch_id", "lang", buckets)
       graft.io.Bucketing.stampKind(spark, table, "log2-hist")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "log2-hist")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "log2-hist", batchId)
     }
   }
 

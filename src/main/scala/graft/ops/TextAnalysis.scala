@@ -184,7 +184,7 @@ object TextAnalysis {
   def appendLineDfPartial(spark: org.apache.spark.sql.SparkSession,
                           batch: DataFrame, table: String, batchId: Long,
                           segTokens: Int = 12, byLines: Boolean = false,
-                          buckets: Int = 8): Unit = {
+                          buckets: Int = 8): Boolean = {
     val partial = segmented(batch, segTokens, byLines)
       .select("h", "doc_id").distinct()
       .groupBy("h").count().withColumnRenamed("count", "df_corpus")
@@ -202,11 +202,12 @@ object TextAnalysis {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
       graft.io.Bucketing.stampKind(spark, table, "line-df")
+      true
     } else {
       // appends run through the micro-batch's CLONED session, so the
       // caller session's cached relation goes stale — refresh before
       // resolving the insert target
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df", batchId)
     }
   }
 
@@ -220,7 +221,7 @@ object TextAnalysis {
   def retractLineDfPartial(spark: org.apache.spark.sql.SparkSession,
                            removed: DataFrame, table: String, batchId: Long,
                            segTokens: Int = 12, byLines: Boolean = false,
-                           buckets: Int = 8): Unit = {
+                           buckets: Int = 8): Boolean = {
     graft.io.Bucketing.repairCompaction(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow appends")
@@ -228,7 +229,7 @@ object TextAnalysis {
       .select("h", "doc_id").distinct()
       .groupBy("h").agg((-count(lit(1))).cast("long").as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df")
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "line-df", batchId)
   }
 
   /** Incremental line dedup: rewrite ONLY the freshly-ingested delta
@@ -572,7 +573,7 @@ object TextAnalysis {
     * batch-size-bounded. */
   def appendTokenCountPartial(spark: org.apache.spark.sql.SparkSession,
                               batch: DataFrame, table: String, batchId: Long,
-                              buckets: Int = 8): Unit = {
+                              buckets: Int = 8): Boolean = {
     val partial = batch
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -583,8 +584,9 @@ object TextAnalysis {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "tok", buckets)
       graft.io.Bucketing.stampKind(spark, table, "tok-counts")
+      true
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts", batchId)
     }
   }
 
@@ -597,7 +599,7 @@ object TextAnalysis {
     * negative folds fail probes loudly. */
   def retractTokenCountPartial(spark: org.apache.spark.sql.SparkSession,
                                removed: DataFrame, table: String, batchId: Long,
-                               buckets: Int = 8): Unit = {
+                               buckets: Int = 8): Boolean = {
     graft.io.Bucketing.repairCompaction(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow appends")
@@ -605,7 +607,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg((-count(lit(1))).as("cnt"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts")
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "tok-counts", batchId)
   }
 
   /** Retraction-aware global fold of a token-count index: zero folds
@@ -966,7 +968,7 @@ object TextAnalysis {
         "batch_id", "gram", buckets)
       graft.io.Bucketing.stampKind(spark, table, "bench-grams")
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bench-grams")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bench-grams", batchId)
     }
   }
 
@@ -1342,7 +1344,7 @@ object TextAnalysis {
     * exactly its own partition, healing even a torn job commit. */
   def appendBm25DfPartial(spark: org.apache.spark.sql.SparkSession,
                           batch: DataFrame, table: String, batchId: Long,
-                          buckets: Int = 8): Unit = {
+                          buckets: Int = 8): Boolean = {
     val df = batch
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .distinct()
@@ -1363,8 +1365,9 @@ object TextAnalysis {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "term", buckets)
       graft.io.Bucketing.stampKind(spark, table, "bm25-df")
+      true
     } else {
-      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df")
+      graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df", batchId)
     }
   }
 
@@ -1379,7 +1382,7 @@ object TextAnalysis {
     * stats fail loudly. */
   def retractBm25DfPartial(spark: org.apache.spark.sql.SparkSession,
                            removed: DataFrame, table: String, batchId: Long,
-                           buckets: Int = 8): Unit = {
+                           buckets: Int = 8): Boolean = {
     graft.io.Bucketing.repairCompaction(spark, table)
     require(spark.catalog.tableExists(table),
       s"$table does not exist — a retraction can only follow appends")
@@ -1397,7 +1400,7 @@ object TextAnalysis {
         .as("r"))
       .select(col("r.term"), col("r.df_corpus"))
     val partial = df.unionByName(stats).withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df")
+    graft.io.Bucketing.appendPartialInto(spark, partial, table, "bm25-df", batchId)
   }
 
   /** Incremental BM25 screening against a STREAMED

@@ -293,6 +293,55 @@ object PipelineQueries {
     }
   }
 
+  /** p124 — an ENTIRE index lifecycle routed through the SQL surface
+    * (VERDICT r18 item 4): where p123 proved the retraction statements,
+    * this row proves the rest of the grammar on the shingle-df family —
+    * CREATE (batch 0 of half the corpus), APPEND (the other half, then
+    * a poison batch of re-keyed delta twins that inflates every delta
+    * shingle's df), RETRACT (the negated partial cancelling the
+    * poison), COMPACT (the FOLD rewrite — the poison's cancelled
+    * (+df, −df) pairs physically leave the disk and the replay
+    * watermark advances), and PROBE ... INTO (the incremental novelty
+    * audit written to a result table, distributed end to end). The
+    * probe shares p110's oracle verbatim, so the hash certifies the
+    * SQL-driven build+maintain+fold+probe is bit-equivalent to the
+    * Scala batch build over the clean corpus — any leaked poison df
+    * would lower a delta doc's uniqueness and flip its row. */
+  def sqlIndexLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = SqlSurface.session(spark)
+    val idxTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p124_shdf", dir)
+    val outTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p124_out", dir)
+    val wh = s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val done = graft.io.TempPaths.scratchDir(s2, "graft_p124_done", dir)
+    val docsSql = s"parquet.`$dir/documents.parquet`"
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(idxTbl, outTbl).foreach(graft.io.Bucketing.dropTable(s2, _))
+      s2.sql(s"""CREATE shingle_df INDEX $idxTbl AS
+                |SELECT doc_id, text FROM $docsSql
+                |WHERE doc_id % 5 <> 0 AND doc_id % 2 = 0""".stripMargin)
+        .collect()
+      s2.sql(s"""APPEND TO shingle_df INDEX $idxTbl BATCH 1 AS
+                |SELECT doc_id, text FROM $docsSql
+                |WHERE doc_id % 5 <> 0 AND doc_id % 2 = 1""".stripMargin)
+        .collect()
+      s2.sql(s"""APPEND TO shingle_df INDEX $idxTbl BATCH 2 AS
+                |SELECT doc_id + 10000000 AS doc_id, text FROM $docsSql
+                |WHERE doc_id % 5 = 0""".stripMargin).collect()
+      s2.sql(s"""RETRACT FROM shingle_df INDEX $idxTbl BATCH 3 AS
+                |SELECT doc_id + 10000000 AS doc_id, text FROM $docsSql
+                |WHERE doc_id % 5 = 0""".stripMargin).collect()
+      s2.sql(s"COMPACT INDEX $idxTbl").collect()
+      s2.sql(s"""PROBE shingle_df INDEX $idxTbl INTO $outTbl AS
+                |SELECT doc_id, text FROM $docsSql
+                |WHERE doc_id % 5 = 0""".stripMargin).collect()
+      Seq(idxTbl, outTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    s2.table(outTbl)
+  }
+
   /** p58 — index MAINTENANCE: the persisted corpus index is built from
     * only 60% of the corpus (doc_id % 5 in 2..4), day-one's delta
     * (doc_id % 5 = 1) is APPENDED into it — only the delta is signed
@@ -2127,6 +2176,7 @@ object PipelineQueries {
     "p118_line_retraction" -> (lineDedupRetraction _),
     "p121_bm25_retraction" -> (bm25TopKRetraction _),
     "p123_sql_retraction" -> (dedupRetractionSql _),
+    "p124_sql_lifecycle" -> (sqlIndexLifecycle _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -2213,5 +2263,10 @@ object PipelineQueries {
     // RETRACT + PURGE issued through the SQL surface must leave the
     // index bit-equivalent to a build that never held the poison:
     // p52's truth gates the parser and command dispatch end to end
-    "p123_sql_retraction" -> dedupIncrementalSql)
+    "p123_sql_retraction" -> dedupIncrementalSql,
+    // CREATE/APPEND/RETRACT/COMPACT(fold)/PROBE issued through the SQL
+    // surface must equal the Scala batch build over the clean corpus:
+    // p110's truth gates the whole lifecycle grammar (poison dfs folded
+    // away physically before the probe)
+    "p124_sql_lifecycle" -> graft.queries.EvalQueries.noveltyIncrementalSql)
 }

@@ -969,8 +969,16 @@ object StreamingQueries {
         .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        id: Long) => {
           append(b.toDF(), id)
-          tables.foreach(t =>
-            graft.io.Bucketing.maybeCompact(spark, t, compactEvery))
+          // FOLD CADENCE (VERDICT r18): additive-df tables run the
+          // zero-sum-dropping fold INSTEAD of the identity compaction —
+          // a fold subsumes a compaction (one file per bucket) and is
+          // the only rewrite that physically removes retracted keys'
+          // (+df, −df) row pairs; running both would rewrite twice
+          tables.foreach { t =>
+            if (graft.io.Bucketing.isAdditiveIndex(spark, t))
+              graft.io.Bucketing.maybeFold(spark, t, compactEvery)
+            else graft.io.Bucketing.maybeCompact(spark, t, compactEvery)
+          }
           tombstones.foreach(s => graft.io.Tombstones.maybePurge(spark, s))
         })
         .option("checkpointLocation", ckpt)

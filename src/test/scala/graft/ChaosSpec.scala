@@ -737,4 +737,102 @@ class ChaosSpec extends SparkSpec {
     }
     Seq(refB, refS).foreach(Bucketing.dropTable(spark, _))
   }
+
+  test("12 seeded lifecycles: fold cadence + retraction + replay past fold converge on the rebuild-without index") {
+    // the round-19 machinery under chaos: random append decompositions
+    // with torn commits, the maybeFold CADENCE (fires only at its
+    // fresh-batch threshold), fold swaps killed at either failpoint
+    // with sometimes-deferred repairs, two retraction waves, and
+    // replays landing in every window — before a fold (idempotent
+    // partition overwrite) and after one (watermark no-op; without the
+    // watermark a replayed retraction would double-negate and a
+    // replayed append double-count). Whatever the schedule, the probe
+    // must equal the clean rebuild WITHOUT the retired docs, and no
+    // cancelled (+df, −df) pair may survive the last fold.
+    val refTbl = "chaos_fold_ref"
+    Bucketing.dropTable(spark, refTbl)
+    val ids = (1L to 20L).toVector
+    val waveA = Vector(1L, 5L)
+    val waveB = Vector(9L, 13L, 17L)
+    val retired = waveA ++ waveB
+    Dedup.appendShingleDfPartial(spark,
+      corpus.filter(!col("doc_id").isin(retired: _*)), refTbl, 0L,
+      buckets = 2)
+    val want = Dedup.noveltyIncremental(spark, delta, refTbl)
+      .collect().map(_.toString).toSet
+
+    for (seed <- 0 until 12) {
+      val rnd = new scala.util.Random(9000 + seed)
+      val tbl = s"chaos_fold_s$seed"
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+      val shuffled = rnd.shuffle(ids)
+      val nBatches = 2 + rnd.nextInt(3)
+      val cuts = Vector.fill(nBatches - 1)(rnd.nextInt(ids.size + 1))
+        .sorted :+ ids.size
+      val batches = (0 +: cuts).sliding(2).map {
+        case Seq(a, b) => shuffled.slice(a, b) }.toVector
+      def append(docIds: Vector[Long], bid: Long): Boolean =
+        Dedup.appendShingleDfPartial(spark,
+          corpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          buckets = 2)
+      def retract(docIds: Vector[Long], bid: Long): Boolean =
+        Dedup.retractShingleDfPartial(spark,
+          corpus.filter(col("doc_id").isin(docIds: _*)), tbl, bid,
+          buckets = 2)
+      def maybeChaosFold(): Unit =
+        if (rnd.nextDouble() < 0.6) {
+          val crashStep = rnd.nextInt(3)
+          if (crashStep == 0) Bucketing.maybeFold(spark, tbl, everyBatches = 2)
+          else if (Bucketing.isAdditiveIndex(spark, tbl) &&
+              spark.sessionState.catalog.listPartitionNames(
+                org.apache.spark.sql.catalyst.TableIdentifier(tbl)).size >= 2) {
+            intercept[IllegalStateException] {
+              Bucketing.foldBucketed(spark, tbl,
+                injectCrashAtSwapStep = crashStep)
+            }
+            if (rnd.nextBoolean()) Bucketing.repairCompaction(spark, tbl)
+          }
+        }
+      // append phase: torn first tries, folds (and fold kills) interleaved
+      for ((b, bid) <- batches.zipWithIndex) {
+        if (b.nonEmpty && rnd.nextDouble() < 0.45) {
+          val torn = rnd.shuffle(b).take(rnd.nextInt(b.size))
+          if (torn.nonEmpty) append(torn, bid.toLong) // torn first try
+        }
+        append(b, bid.toLong)                         // replay heals
+        maybeChaosFold()
+      }
+      // two retraction waves with chaos between and after
+      retract(waveA, nBatches.toLong)
+      maybeChaosFold()
+      retract(waveB, (nBatches + 1).toLong)
+      maybeChaosFold()
+      // replays of random PAST batches: below the watermark they must
+      // no-op; above it they overwrite their own partition — either
+      // way the content cannot change
+      (0 until 2).foreach { _ =>
+        rnd.nextInt(nBatches + 2) match {
+          case b if b < nBatches => append(batches(b), b.toLong)
+          case b if b == nBatches => retract(waveA, b.toLong)
+          case b => retract(waveB, b.toLong)
+        }
+      }
+      // close any deferred repair, then force one final fold so the
+      // physical-shrink claim is checkable
+      Bucketing.repairCompaction(spark, tbl)
+      Bucketing.foldBucketed(spark, tbl)
+      withClue(s"seed=${9000 + seed} batches=${batches.map(_.size)}: ") {
+        val got = Dedup.noveltyIncremental(spark, delta, tbl)
+          .collect().map(_.toString).toSet
+        assert(got === want,
+          "post-chaos probe must equal the rebuild-without reference")
+        assert(spark.table(tbl).count() === spark.table(refTbl).count(),
+          "folded index must be row-for-row the rebuild-without")
+      }
+      Seq(tbl, s"${tbl}_compacting", s"${tbl}_precompact")
+        .foreach(Bucketing.dropTable(spark, _))
+    }
+    Bucketing.dropTable(spark, refTbl)
+  }
 }

@@ -121,6 +121,103 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("CREATE/APPEND/COMPACT/PROBE SQL lifecycle: dispatch, landed flag, guards, near-miss diagnostics") {
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .appName("graft-ext-lifecycle-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s2.implicits._
+      Seq("ext_lc_idx", "ext_lc_out", "ext_lc_reb")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+      val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+        (2L, "beta gamma delta eta theta iota"),
+        (3L, "kappa lambda mu nu xi omicron")).toDF("doc_id", "text")
+      val poison = Seq((11L, "alpha beta gamma delta epsilon zeta"))
+        .toDF("doc_id", "text")
+      val probeDocs = Seq((21L, "alpha beta gamma something else here"))
+        .toDF("doc_id", "text")
+      corpus.createOrReplaceTempView("ext_lc_corpus")
+      poison.createOrReplaceTempView("ext_lc_poison")
+      probeDocs.createOrReplaceTempView("ext_lc_probe")
+      // CREATE = batch 0 of a table that must not exist yet
+      val created = s2.sql("CREATE shingle_df INDEX ext_lc_idx AS " +
+        "SELECT * FROM ext_lc_corpus").collect()
+      assert(created.length === 1 && created(0).getString(0) === "shingle_df"
+        && created(0).getLong(1) === 0L && created(0).getLong(2) === 3L
+        && created(0).getBoolean(3))
+      intercept[IllegalArgumentException] { // never silently extend
+        s2.sql("CREATE shingle_df INDEX ext_lc_idx AS SELECT * FROM ext_lc_corpus")
+      }
+      // APPEND poison, RETRACT it, FOLD it away
+      assert(s2.sql("APPEND TO shingle_df INDEX ext_lc_idx BATCH 1 AS " +
+        "SELECT * FROM ext_lc_poison").collect()(0).getBoolean(3))
+      assert(s2.sql("RETRACT FROM shingle_df INDEX ext_lc_idx BATCH 2 AS " +
+        "SELECT * FROM ext_lc_poison").collect()(0).getBoolean(3))
+      val rowsBefore = s2.table("ext_lc_idx").count()
+      val compacted = s2.sql("COMPACT INDEX ext_lc_idx").collect()
+      assert(compacted(0).getBoolean(1),
+        "an additive-df table must FOLD, not identity-compact")
+      assert(s2.table("ext_lc_idx").count() < rowsBefore,
+        "the fold must drop the poison's cancelled (+df, −df) pairs")
+      // a replayed (folded) batch reports landed = false — the ADVICE
+      // r18 visibility contract — and changes nothing
+      val replay = s2.sql("APPEND TO shingle_df INDEX ext_lc_idx BATCH 1 " +
+        "AS SELECT * FROM ext_lc_poison").collect()
+      assert(!replay(0).getBoolean(3),
+        "a post-fold replay must report landed = false")
+      val replayRet = s2.sql("RETRACT FROM shingle_df INDEX ext_lc_idx " +
+        "BATCH 2 AS SELECT * FROM ext_lc_poison").collect()
+      assert(!replayRet(0).getBoolean(3))
+      // PROBE INTO: distributed result table, count through the command
+      val probed = s2.sql("PROBE shingle_df INDEX ext_lc_idx INTO " +
+        "ext_lc_out AS SELECT * FROM ext_lc_probe").collect()
+      assert(probed(0).getString(1) === "ext_lc_out" &&
+        probed(0).getLong(2) === 1L)
+      // ... and the SQL-routed lifecycle equals the Scala rebuild-without
+      graft.ops.Dedup.appendShingleDfPartial(s2, corpus, "ext_lc_reb", 0L)
+      assert(s2.table("ext_lc_out").collect().map(_.toString).toSet ===
+        graft.ops.Dedup.noveltyIncremental(s2, probeDocs, "ext_lc_reb")
+          .collect().map(_.toString).toSet,
+        "SQL lifecycle probe must equal the Scala rebuild-without probe")
+      // guards: geometry-pinned families are not SQL-buildable/probeable
+      intercept[IllegalArgumentException] {
+        s2.sql("CREATE vector INDEX a, b AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] {
+        s2.sql("PROBE bm25_df INDEX t INTO o AS SELECT 1")
+      }
+      // near-miss diagnostics: unambiguously-graft statements with bad
+      // grammar raise the graft grammar, not a Spark ParseException
+      val miss1 = intercept[IllegalArgumentException] {
+        s2.sql("APPEND TO shingle_df INDEX ext_lc_idx AS SELECT 1") // no BATCH
+      }
+      assert(miss1.getMessage.contains("malformed graft statement"))
+      val miss2 = intercept[IllegalArgumentException] { // qualified name
+        s2.sql("RETRACT FROM minhash INDEX db.t1, t2 TOMBSTONES tt BATCH 0 AS SELECT 1")
+      }
+      assert(miss2.getMessage.contains("unqualified"))
+      val miss3 = intercept[IllegalArgumentException] { // known family, bad tail
+        s2.sql("CREATE shingle_df INDEX ext_lc_x")
+      }
+      assert(miss3.getMessage.contains("malformed graft statement"))
+      // non-graft statements pass through untouched — CREATE included
+      s2.sql("CREATE TEMPORARY VIEW ext_lc_view AS SELECT 1 AS x")
+      assert(s2.sql("SELECT x FROM ext_lc_view").collect()(0).getInt(0) === 1)
+      s2.sql("DROP VIEW ext_lc_view")
+      Seq("ext_lc_idx", "ext_lc_out", "ext_lc_reb")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("landing zone: quarantine, archive, clean") {
     val dir = Files.createTempDirectory("lz")
     val landing = dir.resolve("landing").toString

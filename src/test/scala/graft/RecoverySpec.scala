@@ -242,8 +242,8 @@ class RecoverySpec extends SparkSpec {
         .writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        id: Long) =>
-          graft.ops.TextAnalysis.appendLineDfPartial(spark, b.toDF(),
-            streamedTbl, id))
+          { graft.ops.TextAnalysis.appendLineDfPartial(spark, b.toDF(),
+            streamedTbl, id); () })
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -293,8 +293,8 @@ class RecoverySpec extends SparkSpec {
         .writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        id: Long) =>
-          graft.ops.Dedup.appendWindowDfPartial(spark, b.toDF(),
-            streamedTbl, id, k = 8))
+          { graft.ops.Dedup.appendWindowDfPartial(spark, b.toDF(),
+            streamedTbl, id, k = 8); () })
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
@@ -397,8 +397,8 @@ class RecoverySpec extends SparkSpec {
         .writeStream
         .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        id: Long) =>
-          graft.ops.Dedup.appendShingleDfPartial(spark, b.toDF(),
-            streamedTbl, id))
+          { graft.ops.Dedup.appendShingleDfPartial(spark, b.toDF(),
+            streamedTbl, id); () })
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()

@@ -563,6 +563,37 @@ class StreamedIndexSpec extends SparkSpec {
     drop("si_pw_ivf", "si_pw_cents")
   }
 
+  test("a REUSED batch id at/below the purge watermark with live ids fails loudly, not as a silent no-op") {
+    // ADVICE r18: the watermark short-circuit must distinguish a true
+    // replay (ids gone — purged) from an operator reusing a low batch
+    // id for a FRESH right-to-be-forgotten request; swallowing the
+    // latter leaves the ids indexed while the caller believes them
+    // forgotten.
+    drop("si_ru_ivf", "si_ru_tombs", "si_ru_cents")
+    val poison = embDelta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+    Similarity.buildIvfCentroids(emb, "si_ru_cents")
+    Similarity.appendIvfAssignPartial(spark, emb, "si_ru_cents", "si_ru_ivf", 0L)
+    Similarity.appendIvfAssignPartial(spark, poison, "si_ru_cents", "si_ru_ivf", 1L)
+    Similarity.retractFromIvfIndex(spark, poison, "si_ru_ivf", "si_ru_tombs", 0L)
+    assert(graft.io.Tombstones.purge(spark, "si_ru_tombs", "vec_id",
+      "ivf-tombs", Seq("si_ru_ivf")))
+    // a true replay of the purged batch still no-ops cleanly
+    assert(!graft.io.Tombstones.land(spark, poison.select(col("vec_id")),
+      "vec_id", "si_ru_tombs", "ivf-tombs", 0L, "si_ru_ivf"))
+    // a fresh retraction wearing the purged batch id names LIVE ids —
+    // must fail loudly, and the ids must still be indexed afterwards
+    val live = emb.filter(col("vec_id") % 97 === 3)
+    val e = intercept[Exception] {
+      graft.io.Tombstones.land(spark, live.select(col("vec_id")), "vec_id",
+        "si_ru_tombs", "ivf-tombs", 0L, "si_ru_ivf")
+    }
+    assert(messages(e).exists(_.contains("still live")),
+      s"expected the reused-batch-id guard, got: ${messages(e).mkString(" | ")}")
+    assert(!spark.catalog.tableExists("si_ru_tombs"),
+      "the rejected batch must not land anything")
+    drop("si_ru_ivf", "si_ru_tombs", "si_ru_cents")
+  }
+
   private def messages(t: Throwable): Seq[String] =
     if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
 
@@ -614,5 +645,181 @@ class StreamedIndexSpec extends SparkSpec {
       Dedup.noveltyIncremental(spark, delta, "si_shdf_foreign")
     }
     drop("si_shdf", "si_shdf_b", "si_shdf_foreign")
+  }
+
+  test("fold-purge: a retract-heavy history folds to the rebuild's row count; probes unchanged; replays past the fold no-op") {
+    drop("si_fp", "si_fp_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retiredA = corpus.filter(col("doc_id") % 7 === 1)
+    val retiredB = corpus.filter(col("doc_id") % 7 === 2)
+    (0 until 4).foreach { i =>
+      Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(4)) === i), "si_fp", i.toLong)
+    }
+    Dedup.retractShingleDfPartial(spark, retiredA, "si_fp", 4L)
+    Dedup.retractShingleDfPartial(spark, retiredB, "si_fp", 5L)
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "si_fp"))
+    val rowsBefore = spark.table("si_fp").count()
+    Bucketing.foldBucketed(spark, "si_fp")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_fp")) === want,
+      "fold must not change any probe result")
+    val rowsAfter = spark.table("si_fp").count()
+    assert(rowsAfter < rowsBefore,
+      "fold must physically shrink a retract-heavy index")
+    // THE unbounded-growth claim: the folded index is row-for-row the
+    // rebuild without the retired docs — zero surviving (+df, −df) pairs
+    Dedup.buildShingleDfIndex(
+      corpus.filter(col("doc_id") % 7 =!= 1 && col("doc_id") % 7 =!= 2),
+      "si_fp_reb")
+    assert(rowsAfter === spark.table("si_fp_reb").count(),
+      "folded row count must equal the rebuild-without row count")
+    assert(spark.table("si_fp").filter(col("df_corpus") <= 0).count() === 0L,
+      "no zero/negative rows may survive the fold")
+    assert(Bucketing.foldedThrough(spark, "si_fp") === 5L,
+      "the fold watermark must record the highest folded batch")
+    // replay of a folded APPEND no-ops (landed = false), content unchanged
+    assert(!Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(4)) === 2), "si_fp", 2L),
+      "a folded append batch must report landed = false on replay")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_fp")) === want)
+    // replay of a folded RETRACTION no-ops — without the watermark this
+    // second negated partial would drive folds negative and break probes
+    assert(!Dedup.retractShingleDfPartial(spark, retiredA, "si_fp", 4L),
+      "a folded retraction batch must report landed = false on replay")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_fp")) === want)
+    // a FRESH batch above the watermark lands normally
+    assert(Dedup.appendShingleDfPartial(spark, delta, "si_fp", 6L),
+      "a fresh batch above the watermark must land")
+    assert(spark.table("si_fp").count() > rowsAfter,
+      "the fresh batch's partial must be present")
+    drop("si_fp", "si_fp_reb")
+  }
+
+  test("maybeFold cadence: additive tables fold every 4th batch, advance both cursors, re-arm") {
+    drop("si_mf", "si_mf_reb")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    // the runIndexMaintenance loop shape: 3 appends + 1 retraction batch
+    val fired = (0 until 4).map { i =>
+      if (i < 3)
+        Dedup.appendShingleDfPartial(spark,
+          corpus.filter(pmod(col("doc_id"), lit(3)) === i), "si_mf", i.toLong)
+      else Dedup.retractShingleDfPartial(spark, retired, "si_mf", i.toLong)
+      Bucketing.maybeFold(spark, "si_mf")
+    }
+    assert(fired === Seq(false, false, false, true),
+      s"fold cadence must fire exactly at the 4th accumulated batch, got $fired")
+    assert(!Bucketing.maybeFold(spark, "si_mf"),
+      "the watermark must block an immediate re-fire")
+    assert(!Bucketing.maybeCompact(spark, "si_mf"),
+      "a fold subsumes a compaction — the compaction cursor must have advanced")
+    assert(Bucketing.tableKind(spark, "si_mf").contains("shingle-df"),
+      "the kind stamp must survive the fold rewrite")
+    // probe equals the rebuild without the retired docs
+    Dedup.buildShingleDfIndex(corpus.filter(col("doc_id") % 7 =!= 1),
+      "si_mf_reb")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_mf")) ===
+        rows(Dedup.noveltyIncremental(spark, delta, "si_mf_reb")),
+      "the folded index must probe as the rebuild-without")
+    // fresh batches above the watermark re-arm the cadence
+    val fired2 = (4 until 8).map { i =>
+      Dedup.appendShingleDfPartial(spark,
+        delta.filter(pmod(col("doc_id"), lit(4)) === (i - 4)), "si_mf",
+        i.toLong)
+      Bucketing.maybeFold(spark, "si_mf")
+    }
+    assert(fired2 === Seq(false, false, false, true),
+      s"cadence must re-arm after the fold, got $fired2")
+    drop("si_mf", "si_mf_reb")
+  }
+
+  test("fold swap survives injected crashes at both steps; guards refuse wrong tables and negative folds") {
+    drop("si_fc")
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    Dedup.appendShingleDfPartial(spark, corpus, "si_fc", 0L)
+    Dedup.retractShingleDfPartial(spark, retired, "si_fc", 1L)
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "si_fc"))
+    // crash between the two renames: repair restores the ORIGINAL
+    // (unfolded, unstamped) table — replays stay partition-idempotent
+    intercept[IllegalStateException] {
+      Bucketing.foldBucketed(spark, "si_fc", injectCrashAtSwapStep = 1)
+    }
+    assert(Bucketing.repairCompaction(spark, "si_fc"))
+    assert(Bucketing.foldedThrough(spark, "si_fc") === Long.MinValue,
+      "a crash before the swap must not leave a watermark")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_fc")) === want)
+    // crash after the swap: the folded table is live AND stamped (the
+    // watermark rode the swap); repair only sweeps the backup
+    intercept[IllegalStateException] {
+      Bucketing.foldBucketed(spark, "si_fc", injectCrashAtSwapStep = 2)
+    }
+    assert(Bucketing.repairCompaction(spark, "si_fc"))
+    assert(Bucketing.foldedThrough(spark, "si_fc") === 1L,
+      "the watermark must be visible the instant the folded table is")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "si_fc")) === want)
+    // guard: a posting-list family must be refused
+    drop("si_fc_mh_bands", "si_fc_mh_sigs")
+    Dedup.appendCorpusIndexPartial(spark, corpus.limit(20),
+      "si_fc_mh_bands", "si_fc_mh_sigs", 0L)
+    intercept[IllegalArgumentException] {
+      Bucketing.foldBucketed(spark, "si_fc_mh_bands")
+    }
+    // guard: corrupted history (double retraction) aborts the rewrite
+    // loudly instead of persisting a negative-df index
+    drop("si_fc_neg")
+    Dedup.appendShingleDfPartial(spark, corpus, "si_fc_neg", 0L)
+    Dedup.retractShingleDfPartial(spark, retired, "si_fc_neg", 1L)
+    Dedup.retractShingleDfPartial(spark, retired, "si_fc_neg", 2L)
+    val e = intercept[Exception] { Bucketing.foldBucketed(spark, "si_fc_neg") }
+    assert(messages(e).exists(_.contains("folds a negative")),
+      s"expected the negative-fold guard, got: ${messages(e).mkString(" | ")}")
+    assert(Bucketing.repairCompaction(spark, "si_fc_neg"),
+      "an aborted fold must leave the original table resolvable")
+    drop("si_fc", "si_fc_mh_bands", "si_fc_mh_sigs", "si_fc_neg")
+  }
+
+  test("fold preserves probe results for the other four additive families and drops their cancelled pairs") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val retired = corpus.filter(col("doc_id") % 7 === 1)
+    def foldShrinksKeepingProbe(tbl: String, probe: () => Set[String]): Unit = {
+      val want = probe()
+      val before = spark.table(tbl).count()
+      Bucketing.foldBucketed(spark, tbl)
+      assert(probe() === want, s"$tbl: fold must not change the probe")
+      assert(spark.table(tbl).count() < before,
+        s"$tbl: fold must drop the retracted keys' cancelled row pairs")
+    }
+    // line-df
+    drop("si_f4_line")
+    TextAnalysis.appendLineDfPartial(spark, corpus, "si_f4_line", 0L)
+    TextAnalysis.retractLineDfPartial(spark, retired, "si_f4_line", 1L)
+    foldShrinksKeepingProbe("si_f4_line",
+      () => rows(TextAnalysis.lineDedupIncremental(spark, delta, "si_f4_line")))
+    // window-df
+    drop("si_f4_win")
+    Dedup.appendWindowDfPartial(spark, corpus, "si_f4_win", 0L)
+    Dedup.retractWindowDfPartial(spark, retired, "si_f4_win", 1L)
+    foldShrinksKeepingProbe("si_f4_win",
+      () => rows(Dedup.substringRemoveIncremental(spark, delta, "si_f4_win")))
+    // token-count
+    drop("si_f4_tok")
+    TextAnalysis.appendTokenCountPartial(spark, corpus, "si_f4_tok", 0L)
+    TextAnalysis.retractTokenCountPartial(spark, retired, "si_f4_tok", 1L)
+    foldShrinksKeepingProbe("si_f4_tok",
+      () => rows(TextAnalysis.vocabCoverageFromStreamedIndex(spark, delta,
+        "si_f4_tok")))
+    // bm25-df (sentinel stats terms fold with the dfs — single table)
+    drop("si_f4_bm")
+    TextAnalysis.appendBm25DfPartial(spark, corpus, "si_f4_bm", 0L)
+    TextAnalysis.retractBm25DfPartial(spark, retired, "si_f4_bm", 1L)
+    foldShrinksKeepingProbe("si_f4_bm",
+      () => rows(TextAnalysis.bm25TopKIncrementalStreamed(spark, delta,
+        TextAnalysis.bm25QuerySet(docs), "si_f4_bm")))
+    drop("si_f4_line", "si_f4_win", "si_f4_tok", "si_f4_bm")
   }
 }
