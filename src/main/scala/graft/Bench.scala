@@ -46,6 +46,19 @@ object Bench {
         .write.mode("overwrite").parquet(s"$tmp/in")
       graft.streaming.EventsStream.runAvailableNow(spark, s"$tmp/in",
         s"$tmp/ckpt", s"$tmp/out")
+      // ...then UNLOAD the warmup stream's state-store providers
+      // (PROFILE_r19 arbitration): a terminated query's RocksDB
+      // providers stay registered in the JVM-global loaded-providers
+      // map, and q59 measured 6.7-6.8 s steady with them unloaded or
+      // never created vs 9.6 s with the warmup's left loaded — a
+      // ~2-3 s/rep maintenance-thread tax on every stateful row, and
+      // the r18 streaming-row drift. The native lib + provider-class
+      // init the warmup exists to pay stay warm; unloadAll() is
+      // private[sql], reached reflectively (next get() restarts
+      // maintenance, so unloading between queries is safe).
+      val ss = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
@@ -238,9 +251,17 @@ object Bench {
           // operators that persist intermediates (LSH signatures) or cut
           // lineage (localCheckpoint) must not bleed block-manager memory
           // into the next rep's measurement; clearCache covers the former,
-          // the explicit RDD sweep the latter
+          // the explicit RDD sweep the latter. State-store providers are
+          // the third bleed (PROFILE_r19): fresh-checkpoint-per-rep means
+          // every stateful rep registers NEW provider ids and the dead
+          // ones stay in the JVM-global map taxing the maintenance thread
+          // (~2-3 s/rep measured on q59) — unload them like the RDDs.
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           spark.catalog.clearCache()
+          val ssCls = Class.forName(
+            "org.apache.spark.sql.execution.streaming.state.StateStore$")
+          ssCls.getMethod("unloadAll")
+            .invoke(ssCls.getField("MODULE$").get(null))
           if (ok) Some(elapsed) else None
         }
       }

@@ -63,9 +63,9 @@ object ProbeScaling {
     // the localCheckpoint'd deltas live in the block manager; sweep only
     // RDDs a probe itself persisted, never the fixture deltas
     val baselineRdds = spark.sparkContext.getPersistentRDDs.keySet
-    def timeProbe(mk: () => DataFrame): Seq[Double] = {
+    def timeProbe(mk: () => DataFrame, nReps: Int = reps): Seq[Double] = {
       mk().queryExecution.toRdd.count() // untimed warmup rep (JIT, IO)
-      (1 to reps).map { _ =>
+      (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         mk().queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
@@ -268,6 +268,39 @@ object ProbeScaling {
         (spark.table(t).count(), () =>
           graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t,
             tombstonesTable = Some(tombs)))
+      }, () => ()),
+      // the purge threshold's OTHER axis (VERDICT r18 item 7): p122
+      // scales the index under a fixed gate; this family holds the
+      // index FIXED (the sf0.1 assignment, the largest fixture) and
+      // scales the PENDING tombstone set ~100x — the x value reported
+      // as index_rows is the pending RETRACTED-ID count, so the fitted
+      // slope reads "gated-probe cost vs pending retractions". A
+      // flat-to-mildly-linear curve is what justifies the purge cadence
+      // default: within a cadence window the gate's broadcast side
+      // stays retraction-sized and never touches the probe's exchanges.
+      // Landed as TWO batches at every point (below the cadence of 4,
+      // so the batch-side auto-purge never fires and the gate stays
+      // live — the window under measurement).
+      Family("p125_retraction_rate_stress", { sf =>
+        val cents = tbl("ps_p125_cents"); val t = tbl("ps_p125_ivf")
+        val tombs = tbl("ps_p125_tombs")
+        Seq(cents, t, tombs).foreach(graft.io.Bucketing.dropTable(spark, _))
+        val fixedCorpus = emb("/root/testdata/sf0.1")
+        graft.ops.Similarity.buildIvfCentroids(fixedCorpus, cents)
+        // pending set scales with sf; the index does not
+        val poison = emb(sf).withColumn("vec_id",
+          col("vec_id") + lit(10000000L))
+        graft.ops.Similarity.appendIvfAssignPartial(spark, fixedCorpus,
+          cents, t, 0L)
+        graft.ops.Similarity.appendIvfAssignPartial(spark, poison, cents,
+          t, 1L)
+        graft.ops.Similarity.retractFromIvfIndex(spark,
+          poison.filter(col("vec_id") % 2 === 0), t, tombs, 0L)
+        graft.ops.Similarity.retractFromIvfIndex(spark,
+          poison.filter(col("vec_id") % 2 =!= 0), t, tombs, 1L)
+        (spark.table(tombs).count(), () =>
+          graft.ops.Similarity.ivfTopKAgainstIndex(spark, queryEmb, t,
+            tombstonesTable = Some(tombs)))
       }, () => ()))
 
     def num(v: Double): String =
@@ -281,9 +314,15 @@ object ProbeScaling {
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val rows = try selected.map { fam =>
-      val per = sfs.map { sf =>
+      val per = sfs.zipWithIndex.map { case (sf, sfIdx) =>
         val (idxRows, probe) = fam.setup(sf)
-        val times = timeProbe(probe)
+        // the SMALL points run sub-second, where one JIT/GC excursion in
+        // a 5-rep median moves the fitted slope by ±0.05 (the q71
+        // ambiguity VERDICT r18 item 5 flagged) — give every non-final
+        // point extra reps so the median outvotes the excursion; the
+        // largest point is seconds-scale and already stable
+        val times = timeProbe(probe,
+          if (sfIdx < sfs.size - 1) reps + 4 else reps)
         val med = times.sorted.apply(times.size / 2)
         println(s"PROBE ${fam.name} $sf index_rows=$idxRows median=${num(med)} " +
           times.map(num).mkString("[", ",", "]"))

@@ -26,6 +26,31 @@ object ProfileArb {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_ARB_WARM_STREAM: replicate Bench's state-store warmup
+    // block (a 50-row AvailableNow stream through the same
+    // runAvailableNow path) BEFORE any timed rep — the r19 instrument
+    // for arbitrating whether a lingering warmup RocksDB provider taxes
+    // later streaming rows ("1" = warm and leave loaded, exactly what
+    // Bench does; "unload" = warm then unload every provider, the
+    // candidate fix). Unset = the r17-and-earlier shape (no warmup).
+    sys.env.get("SPARK_GRAFT_ARB_WARM_STREAM").foreach { mode =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_arb_warm").toString
+      graft.io.TempPaths.cleanupOnExit(tmp)
+      spark.read.parquet(s"$dir/events.parquet").limit(50)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      graft.streaming.EventsStream.runAvailableNow(spark, s"$tmp/in",
+        s"$tmp/ckpt", s"$tmp/out")
+      if (mode == "unload") {
+        // StateStore.unloadAll() is private[sql]; this dev-only
+        // instrument reaches it reflectively (next get() re-starts
+        // maintenance, so unloading between queries is safe)
+        val cls = Class.forName(
+          "org.apache.spark.sql.execution.streaming.state.StateStore$")
+        cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
+      }
+      println(s"ARB warm-stream done (mode=$mode)")
+    }
+
     def canary(): Double = {
       val samples = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -82,6 +107,12 @@ object ProfileArb {
       times += sec
       println(f"ARB $name rep$i $sec%8.3f s rows=$n")
       spark.catalog.clearCache()
+      // Bench-parity cleanup (PROFILE_r19): dead state-store providers
+      // from the previous rep's fresh checkpoint tax the maintenance
+      // thread (~2-3 s/rep measured on q59) — unload like Bench does
+      val ssCls = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      ssCls.getMethod("unloadAll").invoke(ssCls.getField("MODULE$").get(null))
       if (i % 2 == 0 || i == reps) {
         canaries += canary()
         ioCanaries += ioCanary()
