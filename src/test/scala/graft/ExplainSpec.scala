@@ -887,6 +887,51 @@ class ExplainSpec extends SparkSpec {
     }
   }
 
+  test("fold-purge preserves the probe's exchange contract and the one-file-per-bucket layout") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_foldspec_shdf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    (0 until 4).foreach { i =>
+      graft.ops.Dedup.appendShingleDfPartial(spark,
+        corpus.filter(pmod(col("doc_id"), lit(4)) === i), tbl, i.toLong,
+        buckets = 4)
+    }
+    graft.ops.Dedup.retractShingleDfPartial(spark,
+      corpus.filter(col("doc_id") % 7 === 1), tbl, 4L, buckets = 4)
+    // the fold's own write must land exactly one file per bucket — the
+    // hash-aggregate on the bucketed scan IS the repartition, so a
+    // misaligned write (scan demoted, repartition not elided) would
+    // show up as more files here
+    val files = graft.io.Bucketing.foldBucketed(spark, tbl)
+    assert(files === 4,
+      s"fold must produce one file per bucket (4), got $files")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val out = graft.ops.Dedup.noveltyIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = planString(out)
+      // the folded table must still read as a bucketed scan with only
+      // the delta-sized exchanges — p110's contract, post-fold
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"the FOLDED index must still be read as a bucketed table:\n$plan")
+      val hashExchanges = plan.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning"))
+        .filter(_.contains("h#")).size
+      assert(hashExchanges <= 2,
+        s"expected at most the two delta-side exchanges on h post-fold, got $hashExchanges:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      graft.io.Bucketing.dropTable(spark, tbl)
+    }
+  }
+
   test("p107 embedding drift: k-bounded centroid broadcast; one aggregate exchange") {
     val plan = planString(
       graft.queries.EvalQueries.embeddingDrift(spark, sfDir))
