@@ -508,6 +508,91 @@ class RecoverySpec extends SparkSpec {
     Seq(cents, idx, tombs, clean).foreach(graft.io.Bucketing.dropTable(spark, _))
   }
 
+  test("crash AFTER the cadence fold, BEFORE the checkpoint commit: the absorbed batch replays past the fold and no-ops") {
+    // the fold-purge twin of the purge-replay window above (VERDICT r18
+    // item 1): the fold is durable (index rewritten as summed rows,
+    // foldedThrough watermark stamped atomically with the swap) but the
+    // stream dies before the micro-batch commit, so on restart the WAL
+    // replays the last batch verbatim — a batch whose per-partition
+    // identity the fold destroyed. The watermark must recognize it
+    // (landed = false); without it the replayed retraction would land a
+    // SECOND negated partial and drive folded dfs negative.
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0)
+    val poisonDf = delta.withColumn("doc_id", col("doc_id") + lit(10000000L))
+    val landing = Files.createTempDirectory("graft_rec_fold_in").toString
+    val slices = Seq(
+      corpus.filter(col("doc_id") % 2 === 0).withColumn("retract", lit(false)),
+      corpus.filter(col("doc_id") % 2 === 1).withColumn("retract", lit(false)),
+      poisonDf.withColumn("retract", lit(false)),
+      poisonDf.withColumn("retract", lit(true)))
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = s"$landing/stage_$i"
+      s.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = Option(new java.io.File(stage).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(landing, f"docs_$i%05d.parquet"))
+    }
+    val parts = Option(new java.io.File(landing).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val base = System.currentTimeMillis() - parts.length * 10000L
+    parts.zipWithIndex.foreach { case (f, i) =>
+      require(f.setLastModified(base + i * 10000L), s"cannot set mtime on $f")
+    }
+    val ckpt = tmp("graft_rec_fold_ckpt")
+    val tbl = "rec_fold_shdf"; val clean = "rec_fold_clean"
+    Seq(tbl, clean).foreach(graft.io.Bucketing.dropTable(spark, _))
+    var crashAfterFold = true
+    var foldFiredBeforeCrash = false
+    var replayLanded = true
+    def run(): Unit = {
+      val schema = spark.read.parquet(landing).schema
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream
+        .foreachBatch((b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       id: Long) => {
+          if (!b.isEmpty) {
+            val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+            val d = b.drop("retract")
+            replayLanded =
+              if (isRetract)
+                graft.ops.Dedup.retractShingleDfPartial(spark, d, tbl, id)
+              else graft.ops.Dedup.appendShingleDfPartial(spark, d, tbl, id)
+            val fired = graft.io.Bucketing.maybeFold(spark, tbl)
+            if (fired && crashAfterFold) {
+              crashAfterFold = false
+              foldFiredBeforeCrash = true
+              throw new RuntimeException(
+                "injected crash after fold, before checkpoint commit")
+            }
+          }
+          ()
+        })
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    intercept[StreamingQueryException] { run() }
+    assert(foldFiredBeforeCrash,
+      "fixture must crash AFTER the cadence fold actually ran")
+    run() // restart: the retraction batch the fold absorbed replays
+    assert(!replayLanded,
+      "the post-fold replay must be recognized as already folded (landed = false)")
+    spark.catalog.refreshTable(tbl)
+    graft.ops.Dedup.appendShingleDfPartial(spark, corpus, clean, 0L)
+    val got = graft.ops.Dedup.noveltyIncremental(spark, delta, tbl)
+    val want = graft.ops.Dedup.noveltyIncremental(spark, delta, clean)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "recovered stream must converge to a build that never held the poison")
+    assert(spark.table(tbl).filter(col("df_corpus") <= 0).count() === 0L,
+      "no cancelled pair may survive — the fold physically removed the poison")
+    Seq(tbl, clean).foreach(graft.io.Bucketing.dropTable(spark, _))
+  }
+
   test("compaction swap killed mid-rename: repair restores the index, re-compact succeeds") {
     import graft.io.Bucketing
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
