@@ -20,7 +20,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   * APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>]
   *   AS <select>
   * COMPACT INDEX <t>
-  * PROBE <family> INDEX <t> [K <k>] INTO <out_table> AS <select>
+  * PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>]
+  *   INTO <out_table> AS <select>
   * RETRACT FROM <family> INDEX <t1>[, <t2>] [TOMBSTONES <tt>]
   *   BATCH <n> [K <k>] AS <select returning the retired rows>
   * PURGE RETRACTIONS FROM <family> INDEX <t1>[, <t2>] TOMBSTONES <tt>
@@ -43,8 +44,11 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   * policy: the zero-sum-dropping FOLD for additive-df tables, the
   * identity compaction otherwise. PROBE runs the family's incremental
   * probe over the source rows and writes the result INTO a table —
-  * results stay distributed; the command returns only the row count
-  * (`bm25_df`'s probe takes a second query-set input and stays Scala).
+  * results stay distributed; the command returns only the row count.
+  * `minhash` probes take an optional `TOMBSTONES <tt>` naming a
+  * pending (unpurged) gate — retired docs stop matching before any
+  * physical purge (`bm25_df`'s probe takes a second query-set input
+  * and stays Scala).
   *
   * Table names are UNQUALIFIED (session default database) by design:
   * the index maintenance machinery addresses warehouse directories by
@@ -104,11 +108,14 @@ object GraftSqlParser {
     Set("minhash", "shingle_df", "line_df", "window_df", "token_count",
       "bm25_df")
 
-  /** Families whose incremental probe takes exactly (source rows,
-    * index) — bm25_df needs a second query-set input, the tombstone
-    * families carry gate/geometry params; those probes stay Scala. */
+  /** Families whose incremental probe takes (source rows, index
+    * tables[, optional live tombstone gate]) — bm25_df needs a second
+    * query-set input and vector/ivf probes pin geometry; those stay
+    * Scala. minhash probes at the default build geometry (the same
+    * defaults CREATE/APPEND use, so a SQL-built index probes
+    * consistently). */
   private val probeable: Set[String] =
-    Set("shingle_df", "line_df", "window_df", "token_count")
+    Set("minhash", "shingle_df", "line_df", "window_df", "token_count")
 
   // unqualified (\w+) table names only — see the class doc
   private val Tbls = """\w+(?:\s*,\s*\w+)*"""
@@ -130,7 +137,8 @@ object GraftSqlParser {
     """(?is)\s*COMPACT\s+INDEX\s+(\w+)\s*;?\s*""".r
   private val ProbeRe =
     (s"""(?is)\\s*PROBE\\s+(\\w+)\\s+INDEX\\s+($Tbls)""" +
-      """(?:\s+K\s+(\d+))?\s+INTO\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""").r
+      """(?:\s+K\s+(\d+))?(?:\s+TOMBSTONES\s+(\w+))?""" +
+      """\s+INTO\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""").r
 
   private def known(family: String): Boolean =
     families.contains(family.toLowerCase(java.util.Locale.ROOT))
@@ -158,16 +166,19 @@ object GraftSqlParser {
           Option(buckets).map(_.toInt), source, create = false))
       case CompactRe(table) =>
         Some(CompactIndexCommand(table))
-      case ProbeRe(family, tables, k, out, source) if known(family) =>
+      case ProbeRe(family, tables, k, tombs, out, source) if known(family) =>
         val f = family.toLowerCase(java.util.Locale.ROOT)
         require(probeable(f),
           s"PROBE is SQL-surfaced for ${probeable.toSeq.sorted.mkString(", ")}; " +
             s"'$f' probes carry extra inputs/geometry — use the Scala " +
             "entry point (see graft.ops)")
-        require(splitTables(tables).size == 1,
-          s"PROBE takes one INDEX table, got '$tables'")
-        Some(ProbeIndexCommand(f, splitTables(tables).head,
-          Option(k).map(_.toInt), out, source))
+        require(splitTables(tables).size == families(f)._1,
+          s"family '$f' takes ${families(f)._1} INDEX table(s), got '$tables'")
+        require(tombs == null || families(f)._2.isDefined,
+          s"family '$f' retracts by negated partial — its probe has no " +
+            "TOMBSTONES gate (retractions are already folded into the dfs)")
+        Some(ProbeIndexCommand(f, splitTables(tables),
+          Option(k).map(_.toInt), Option(tombs), out, source))
       case _ => None
     }
     // near-miss diagnostics (ADVICE r18): a statement that is
@@ -195,7 +206,7 @@ object GraftSqlParser {
         "  CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>] AS <select>\n" +
         "  APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>] AS <select>\n" +
         "  COMPACT INDEX <t>\n" +
-        "  PROBE <family> INDEX <t> [K <k>] INTO <out_table> AS <select>\n" +
+        "  PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>] INTO <out_table> AS <select>\n" +
         "  RETRACT FROM <family> INDEX <t1>[, <t2>] [TOMBSTONES <tt>] BATCH <n> [K <k>] AS <select>\n" +
         "  PURGE RETRACTIONS FROM <family> INDEX <t1>[, <t2>] TOMBSTONES <tt>\n" +
         "(table names must be unqualified — statements run against the " +
@@ -327,7 +338,8 @@ case class CompactIndexCommand(table: String) extends LeafRunnableCommand {
   * distributed table; only its row count returns through the command.
   * Every probe-side guard (kind stamp, layout, negative-fold) fires
   * unchanged. */
-case class ProbeIndexCommand(family: String, table: String, k: Option[Int],
+case class ProbeIndexCommand(family: String, tables: Seq[String],
+                             k: Option[Int], tombstones: Option[String],
                              outTable: String, sourceSql: String)
     extends LeafRunnableCommand {
 
@@ -339,16 +351,22 @@ case class ProbeIndexCommand(family: String, table: String, k: Option[Int],
   override def run(spark: SparkSession): Seq[Row] = {
     val source = spark.sql(sourceSql)
     val result = family match {
+      case "minhash" =>
+        // probes through the LIVE tombstone gate when TOMBSTONES names
+        // a pending (unpurged) table — retired docs stop matching the
+        // instant their retraction lands, before any physical purge
+        graft.ops.Dedup.incrementalVerdictsAgainstIndex(spark, source,
+          tables(0), tables(1), tombstonesTable = tombstones)
       case "shingle_df" =>
-        graft.ops.Dedup.noveltyIncremental(spark, source, table)
+        graft.ops.Dedup.noveltyIncremental(spark, source, tables(0))
       case "line_df" =>
-        graft.ops.TextAnalysis.lineDedupIncremental(spark, source, table)
+        graft.ops.TextAnalysis.lineDedupIncremental(spark, source, tables(0))
       case "window_df" =>
-        graft.ops.Dedup.substringRemoveIncremental(spark, source, table,
+        graft.ops.Dedup.substringRemoveIncremental(spark, source, tables(0),
           k = k.getOrElse(8))
       case "token_count" =>
         graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(spark, source,
-          table)
+          tables(0))
     }
     graft.io.Bucketing.dropTable(spark, outTable)
     result.write.format("parquet").saveAsTable(outTable)

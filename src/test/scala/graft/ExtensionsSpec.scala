@@ -185,12 +185,63 @@ class ExtensionsSpec extends SparkSpec {
         graft.ops.Dedup.noveltyIncremental(s2, probeDocs, "ext_lc_reb")
           .collect().map(_.toString).toSet,
         "SQL lifecycle probe must equal the Scala rebuild-without probe")
+      // minhash: the tombstone family's WHOLE lifecycle through SQL,
+      // probe included — build, poison, retract (gate up), PROBE
+      // through the LIVE gate, purge, PROBE ungated; both probes must
+      // equal the Scala probe of a clean build
+      Seq("ext_mh_bands", "ext_mh_sigs", "ext_mh_tombs", "ext_mh_out",
+        "ext_mh_bands_c", "ext_mh_sigs_c")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+      val mhCorpus = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "beta gamma delta eta theta iota kappa lambda"),
+        (3L, "kappa lambda mu nu xi omicron pi rho")).toDF("doc_id", "text")
+      val mhDelta = Seq(
+        (21L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      import org.apache.spark.sql.functions.{col, lit}
+      val mhPoison = mhDelta.withColumn("doc_id",
+        col("doc_id") + lit(10000000L))
+      mhCorpus.createOrReplaceTempView("ext_mh_corpus")
+      mhPoison.createOrReplaceTempView("ext_mh_poison")
+      mhDelta.createOrReplaceTempView("ext_mh_delta")
+      s2.sql("CREATE minhash INDEX ext_mh_bands, ext_mh_sigs AS " +
+        "SELECT * FROM ext_mh_corpus").collect()
+      s2.sql("APPEND TO minhash INDEX ext_mh_bands, ext_mh_sigs BATCH 1 " +
+        "AS SELECT * FROM ext_mh_poison").collect()
+      s2.sql("RETRACT FROM minhash INDEX ext_mh_bands, ext_mh_sigs " +
+        "TOMBSTONES ext_mh_tombs BATCH 0 AS " +
+        "SELECT doc_id FROM ext_mh_poison").collect()
+      graft.ops.Dedup.appendCorpusIndexPartial(s2, mhCorpus,
+        "ext_mh_bands_c", "ext_mh_sigs_c", 0L)
+      val mhWant = graft.ops.Dedup.incrementalVerdictsAgainstIndex(s2,
+        mhDelta, "ext_mh_bands_c", "ext_mh_sigs_c")
+        .collect().map(_.toString).toSet
+      // through the LIVE gate: the poison twin must not match
+      s2.sql("PROBE minhash INDEX ext_mh_bands, ext_mh_sigs " +
+        "TOMBSTONES ext_mh_tombs INTO ext_mh_out AS " +
+        "SELECT * FROM ext_mh_delta").collect()
+      assert(s2.table("ext_mh_out").collect().map(_.toString).toSet ===
+        mhWant, "SQL probe through the live gate must equal the clean build")
+      // purge, then ungated: identical again
+      s2.sql("PURGE RETRACTIONS FROM minhash INDEX ext_mh_bands, " +
+        "ext_mh_sigs TOMBSTONES ext_mh_tombs").collect()
+      s2.sql("PROBE minhash INDEX ext_mh_bands, ext_mh_sigs INTO " +
+        "ext_mh_out AS SELECT * FROM ext_mh_delta").collect()
+      assert(s2.table("ext_mh_out").collect().map(_.toString).toSet ===
+        mhWant, "post-purge ungated SQL probe must equal the clean build")
+      Seq("ext_mh_bands", "ext_mh_sigs", "ext_mh_tombs", "ext_mh_out",
+        "ext_mh_bands_c", "ext_mh_sigs_c")
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
       // guards: geometry-pinned families are not SQL-buildable/probeable
       intercept[IllegalArgumentException] {
         s2.sql("CREATE vector INDEX a, b AS SELECT 1")
       }
       intercept[IllegalArgumentException] {
         s2.sql("PROBE bm25_df INDEX t INTO o AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // gate on an additive probe
+        s2.sql("PROBE shingle_df INDEX t TOMBSTONES tt INTO o AS SELECT 1")
       }
       // near-miss diagnostics: unambiguously-graft statements with bad
       // grammar raise the graft grammar, not a Spark ParseException
