@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   *   AS <select>
   * COMPACT INDEX <t>
   * PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>]
-  *   INTO <out_table> AS <select>
+  *   [QUERIES <query_table>] INTO <out_table> AS <select>
   * RETRACT FROM <family> INDEX <t1>[, <t2>] [TOMBSTONES <tt>]
   *   BATCH <n> [K <k>] AS <select returning the retired rows>
   * PURGE RETRACTIONS FROM <family> INDEX <t1>[, <t2>] TOMBSTONES <tt>
@@ -47,8 +47,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   * results stay distributed; the command returns only the row count.
   * `minhash` probes take an optional `TOMBSTONES <tt>` naming a
   * pending (unpurged) gate — retired docs stop matching before any
-  * physical purge (`bm25_df`'s probe takes a second query-set input
-  * and stays Scala).
+  * physical purge; `bm25_df` probes name their fixed query set with
+  * `QUERIES <table-or-view>` (resolved in the command's session).
   *
   * Table names are UNQUALIFIED (session default database) by design:
   * the index maintenance machinery addresses warehouse directories by
@@ -108,14 +108,16 @@ object GraftSqlParser {
     Set("minhash", "shingle_df", "line_df", "window_df", "token_count",
       "bm25_df")
 
-  /** Families whose incremental probe takes (source rows, index
-    * tables[, optional live tombstone gate]) — bm25_df needs a second
-    * query-set input and vector/ivf probes pin geometry; those stay
-    * Scala. minhash probes at the default build geometry (the same
-    * defaults CREATE/APPEND use, so a SQL-built index probes
-    * consistently). */
+  /** Families whose incremental probe is SQL-surfaced — all but
+    * vector/ivf, whose probes pin banding/centroid geometry a grammar
+    * cannot carry. minhash probes at the default build geometry (the
+    * same defaults CREATE/APPEND use, so a SQL-built index probes
+    * consistently) and takes the optional live TOMBSTONES gate;
+    * bm25_df's second input (the fixed query set) arrives as
+    * `QUERIES <table-or-view>` resolved in the command's session. */
   private val probeable: Set[String] =
-    Set("minhash", "shingle_df", "line_df", "window_df", "token_count")
+    Set("minhash", "shingle_df", "line_df", "window_df", "token_count",
+      "bm25_df")
 
   // unqualified (\w+) table names only — see the class doc
   private val Tbls = """\w+(?:\s*,\s*\w+)*"""
@@ -137,7 +139,7 @@ object GraftSqlParser {
     """(?is)\s*COMPACT\s+INDEX\s+(\w+)\s*;?\s*""".r
   private val ProbeRe =
     (s"""(?is)\\s*PROBE\\s+(\\w+)\\s+INDEX\\s+($Tbls)""" +
-      """(?:\s+K\s+(\d+))?(?:\s+TOMBSTONES\s+(\w+))?""" +
+      """(?:\s+K\s+(\d+))?(?:\s+TOMBSTONES\s+(\w+))?(?:\s+QUERIES\s+(\w+))?""" +
       """\s+INTO\s+(\w+)\s+AS\s+(.+?)\s*;?\s*""").r
 
   private def known(family: String): Boolean =
@@ -166,19 +168,29 @@ object GraftSqlParser {
           Option(buckets).map(_.toInt), source, create = false))
       case CompactRe(table) =>
         Some(CompactIndexCommand(table))
-      case ProbeRe(family, tables, k, tombs, out, source) if known(family) =>
+      case ProbeRe(family, tables, k, tombs, queries, out, source)
+          if known(family) =>
         val f = family.toLowerCase(java.util.Locale.ROOT)
         require(probeable(f),
           s"PROBE is SQL-surfaced for ${probeable.toSeq.sorted.mkString(", ")}; " +
-            s"'$f' probes carry extra inputs/geometry — use the Scala " +
-            "entry point (see graft.ops)")
+            s"'$f' probes pin geometry — use the Scala entry point " +
+            "(see graft.ops)")
         require(splitTables(tables).size == families(f)._1,
           s"family '$f' takes ${families(f)._1} INDEX table(s), got '$tables'")
         require(tombs == null || families(f)._2.isDefined,
           s"family '$f' retracts by negated partial — its probe has no " +
             "TOMBSTONES gate (retractions are already folded into the dfs)")
+        if (f == "bm25_df")
+          require(queries != null,
+            "the bm25_df probe scores a fixed query set — name it with " +
+              "QUERIES <table-or-view>")
+        else
+          require(queries == null,
+            s"QUERIES applies to the bm25_df probe only; '$f' probes " +
+              "take one source")
         Some(ProbeIndexCommand(f, splitTables(tables),
-          Option(k).map(_.toInt), Option(tombs), out, source))
+          Option(k).map(_.toInt), Option(tombs), Option(queries), out,
+          source))
       case _ => None
     }
     // near-miss diagnostics (ADVICE r18): a statement that is
@@ -206,7 +218,7 @@ object GraftSqlParser {
         "  CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>] AS <select>\n" +
         "  APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>] AS <select>\n" +
         "  COMPACT INDEX <t>\n" +
-        "  PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>] INTO <out_table> AS <select>\n" +
+        "  PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>] [QUERIES <q>] INTO <out_table> AS <select>\n" +
         "  RETRACT FROM <family> INDEX <t1>[, <t2>] [TOMBSTONES <tt>] BATCH <n> [K <k>] AS <select>\n" +
         "  PURGE RETRACTIONS FROM <family> INDEX <t1>[, <t2>] TOMBSTONES <tt>\n" +
         "(table names must be unqualified — statements run against the " +
@@ -340,6 +352,7 @@ case class CompactIndexCommand(table: String) extends LeafRunnableCommand {
   * unchanged. */
 case class ProbeIndexCommand(family: String, tables: Seq[String],
                              k: Option[Int], tombstones: Option[String],
+                             queriesTable: Option[String],
                              outTable: String, sourceSql: String)
     extends LeafRunnableCommand {
 
@@ -367,6 +380,9 @@ case class ProbeIndexCommand(family: String, tables: Seq[String],
       case "token_count" =>
         graft.ops.TextAnalysis.vocabCoverageFromStreamedIndex(spark, source,
           tables(0))
+      case "bm25_df" =>
+        graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(spark, source,
+          spark.table(queriesTable.get), tables(0))
     }
     graft.io.Bucketing.dropTable(spark, outTable)
     result.write.format("parquet").saveAsTable(outTable)

@@ -233,15 +233,38 @@ class ExtensionsSpec extends SparkSpec {
       Seq("ext_mh_bands", "ext_mh_sigs", "ext_mh_tombs", "ext_mh_out",
         "ext_mh_bands_c", "ext_mh_sigs_c")
         .foreach(graft.io.Bucketing.dropTable(s2, _))
+      // bm25_df: the two-input probe rides a QUERIES clause — SQL
+      // lifecycle (create + probe) must equal the Scala streamed probe
+      Seq("ext_bm_idx", "ext_bm_out").foreach(graft.io.Bucketing.dropTable(s2, _))
+      s2.sql("CREATE bm25_df INDEX ext_bm_idx AS SELECT * FROM ext_mh_corpus")
+        .collect()
+      // the (query_id, term) long form bm25QuerySet produces
+      val bmQueries = Seq((0L, "beta"), (0L, "gamma"), (1L, "mu"),
+        (1L, "nu")).toDF("query_id", "term")
+      bmQueries.createOrReplaceTempView("ext_bm_q")
+      s2.sql("PROBE bm25_df INDEX ext_bm_idx QUERIES ext_bm_q INTO " +
+        "ext_bm_out AS SELECT * FROM ext_mh_delta").collect()
+      assert(s2.table("ext_bm_out").collect().map(_.toString).toSet ===
+        graft.ops.TextAnalysis.bm25TopKIncrementalStreamed(s2, mhDelta,
+            bmQueries, "ext_bm_idx")
+          .collect().map(_.toString).toSet,
+        "SQL bm25 probe must equal the Scala streamed probe")
+      intercept[IllegalArgumentException] { // bm25 probe NEEDS its query set
+        s2.sql("PROBE bm25_df INDEX ext_bm_idx INTO o AS SELECT 1")
+      }
+      Seq("ext_bm_idx", "ext_bm_out").foreach(graft.io.Bucketing.dropTable(s2, _))
       // guards: geometry-pinned families are not SQL-buildable/probeable
       intercept[IllegalArgumentException] {
         s2.sql("CREATE vector INDEX a, b AS SELECT 1")
       }
       intercept[IllegalArgumentException] {
-        s2.sql("PROBE bm25_df INDEX t INTO o AS SELECT 1")
+        s2.sql("PROBE vector INDEX a, b INTO o AS SELECT 1")
       }
       intercept[IllegalArgumentException] { // gate on an additive probe
         s2.sql("PROBE shingle_df INDEX t TOMBSTONES tt INTO o AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // QUERIES is bm25-only
+        s2.sql("PROBE shingle_df INDEX t QUERIES q INTO o AS SELECT 1")
       }
       // near-miss diagnostics: unambiguously-graft statements with bad
       // grammar raise the graft grammar, not a Spark ParseException
