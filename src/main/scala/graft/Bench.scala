@@ -54,11 +54,10 @@ object Bench {
       // ~2-3 s/rep maintenance-thread tax on every stateful row, and
       // the r18 streaming-row drift. The native lib + provider-class
       // init the warmup exists to pay stay warm; unloadAll() is
-      // private[sql], reached reflectively (next get() restarts
-      // maintenance, so unloading between queries is safe).
-      val ss = Class.forName(
-        "org.apache.spark.sql.execution.streaming.state.StateStore$")
-      ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
+      // private[sql], reached reflectively via the Try-wrapped helper
+      // (ADVICE r19: a renamed method degrades to a noisier
+      // measurement, never a hard bench failure).
+      graft.io.StateStores.unloadAllQuietly()
     }
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
@@ -135,12 +134,6 @@ object Bench {
     }
     val canaryEvery = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_CANARY_EVERY", "20").toInt)
-    // (catalog row index the sample precedes, median-of-3 canary seconds)
-    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    val ioCanarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
-    canarySamples += 0 -> canary()
-    ioCanarySamples += 0 -> ioCanary()
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // median-of-N timing: a single rep cannot tell a regression from a
     // GC/scheduler hiccup on a shared box (round 8 reported a 4x phantom
     // on code unchanged since round 1). The median of 3 is noise-proof
@@ -164,7 +157,6 @@ object Bench {
     // reads this run's own reps instead of last round's postmortem.
     val escalatedReps = math.max(statefulReps,
       sys.env.getOrElse("SPARK_GRAFT_BENCH_ESCALATED_REPS", "7").toInt)
-    val escalated = scala.collection.mutable.LinkedHashSet.empty[String]
     def spreadTriggered(ts: Seq[Double]): Boolean = ts.size >= 2 && {
       val mean = ts.sum / ts.size
       val cv = if (mean > 0)
@@ -194,6 +186,7 @@ object Bench {
       "p118_line_retraction", "p119_window_retraction",
       "p120_token_retraction", "p121_bm25_retraction",
       "p122_ivf_retraction", "p123_sql_retraction", "p124_sql_lifecycle",
+      "p126_sql_vector_lifecycle",
       "q81_streaming_retraction", "q82_streaming_ivf_retraction")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
@@ -218,6 +211,33 @@ object Bench {
     // the first-heavy-query JIT cost onto a different victim each round)
     val sortedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => selected(kv._1))
+    def medianCv(vals: Seq[Double]): (Double, Double) = {
+      val median = vals.sorted.apply(vals.size / 2)
+      val mean = vals.sum / vals.size
+      val cv = if (mean > 0)
+        math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size) / mean
+      else 0.0
+      (median, cv)
+    }
+    // one full catalog measurement pass — factored out so a run whose
+    // measurement window fails the canary-quality gate below can be
+    // re-taken once (VERDICT r19 item 4)
+    case class Sweep(allReps: Seq[(String, Seq[Double])],
+                     canarySamples: Seq[(Int, Double)],
+                     ioCanarySamples: Seq[(Int, Double)],
+                     errors: scala.collection.mutable.LinkedHashMap[String, String],
+                     escalated: Seq[String]) {
+      def canaryCv: Double = medianCv(canarySamples.map(_._2))._2
+      def ioCanaryMedian: Double = medianCv(ioCanarySamples.map(_._2))._1
+    }
+    def runSweep(): Sweep = {
+    // (catalog row index the sample precedes, median-of-3 canary seconds)
+    val canarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val ioCanarySamples = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    canarySamples += 0 -> canary()
+    ioCanarySamples += 0 -> ioCanary()
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val escalated = scala.collection.mutable.LinkedHashSet.empty[String]
     val allReps = sortedQueries.zipWithIndex.map { case ((name, fn), idx) =>
       if (idx > 0 && idx % canaryEvery == 0) {
         canarySamples += idx -> canary()
@@ -258,10 +278,7 @@ object Bench {
           // (~2-3 s/rep measured on q59) — unload them like the RDDs.
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           spark.catalog.clearCache()
-          val ssCls = Class.forName(
-            "org.apache.spark.sql.execution.streaming.state.StateStore$")
-          ssCls.getMethod("unloadAll")
-            .invoke(ssCls.getField("MODULE$").get(null))
+          graft.io.StateStores.unloadAllQuietly()
           if (ok) Some(elapsed) else None
         }
       }
@@ -285,6 +302,50 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_GC").forall(_ != "0")) System.gc()
       name -> times
     }
+    canarySamples += sortedQueries.size -> canary()
+    ioCanarySamples += sortedQueries.size -> ioCanary()
+    Sweep(allReps, canarySamples.toSeq, ioCanarySamples.toSeq, errors,
+      escalated.toSeq)
+    }
+    // CANARY-QUALITY GATE (VERDICT r19 item 4): a round-stamped bench
+    // from a contended window is uninterpretable — r19's driver window
+    // ran at canary cv 0.235 and its 380 s "total" needed the builder's
+    // kept run to read at all. The gate: a full-catalog run whose CPU
+    // canary cv exceeds the threshold, or whose io-canary median leaves
+    // the box's quiet band, is re-taken ONCE and the better window is
+    // kept; the rejected window's canary stats are recorded in the
+    // detail JSON so the rejection is auditable. Both JSON lines carry
+    // `window_ok` so a reader (and the judge) can see at a glance
+    // whether the kept number comes from a qualifying window. Filtered
+    // runs skip the rerun (their totals are not round artifacts).
+    val cvGate = sys.env.get("SPARK_GRAFT_CANARY_CV_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(0.15)
+    // quiet band measured on this box: io-canary median 0.009-0.016 s
+    // (PROFILE_r19); 2x the band's top = contention, not jitter
+    val ioGate = sys.env.get("SPARK_GRAFT_IO_CANARY_GATE")
+      .flatMap(_.toDoubleOption).getOrElse(0.032)
+    def windowOk(s: Sweep): Boolean =
+      s.canaryCv <= cvGate && s.ioCanaryMedian <= ioGate
+    val autoRerun = !filtered &&
+      sys.env.get("SPARK_GRAFT_BENCH_AUTORERUN").forall(_ != "0")
+    val first = runSweep()
+    val (sweep, rejectedSweep) =
+      if (windowOk(first) || !autoRerun) (first, None)
+      else {
+        System.err.println(f"[bench] window REJECTED (canary cv " +
+          f"${first.canaryCv}%.3f > $cvGate%.3f or io median " +
+          f"${first.ioCanaryMedian}%.3f > $ioGate%.3f) — re-running the " +
+          "catalog once in the hope of a quieter window")
+        val second = runSweep()
+        if (second.canaryCv <= first.canaryCv) (second, Some(first))
+        else (first, Some(second))
+      }
+    val allReps = sweep.allReps
+    val canarySamples = sweep.canarySamples
+    val ioCanarySamples = sweep.ioCanarySamples
+    val errors = sweep.errors
+    val escalated = sweep.escalated
+    val windowOkKept = windowOk(sweep)
     // a query that failed on ANY rep is reported in `errors` only — a
     // time-to-failure must not pass for a fast success in timings
     val results = allReps.collect {
@@ -300,8 +361,6 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    canarySamples += sortedQueries.size -> canary()
-    ioCanarySamples += sortedQueries.size -> ioCanary()
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // canary-normalized total: each row scaled by (reference canary /
     // its SEGMENT's machine speed), where a segment's speed is the mean
@@ -315,14 +374,6 @@ object Bench {
     // machine; canary_cv is its error bar.
     val refCanary = sys.env.get("SPARK_GRAFT_REF_CANARY")
       .flatMap(_.toDoubleOption).getOrElse(0.277)
-    def medianCv(vals: Seq[Double]): (Double, Double) = {
-      val median = vals.sorted.apply(vals.size / 2)
-      val mean = vals.sum / vals.size
-      val cv = if (mean > 0)
-        math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size) / mean
-      else 0.0
-      (median, cv)
-    }
     val canaryVals = canarySamples.map(_._2).toSeq
     val (canaryMedian, canaryCv) = medianCv(canaryVals)
     val (ioCanaryMedian, ioCanaryCv) = medianCv(ioCanarySamples.map(_._2).toSeq)
@@ -348,7 +399,15 @@ object Bench {
       .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
     val ioCanaryJson = ioCanarySamples
       .map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")
-    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"escalated_reps":$escalatedReps,"escalated_rows":${escalated.toSeq.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_samples":$ioCanaryJson,"io_canary_median_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},"queries":$qsFull,"errors":$errFull}"""
+    // window verdict + any rejected window's canary stats (audit trail
+    // for the gate; the rejected window's per-query times are NOT kept —
+    // two full rep sets would double the artifact and invite averaging
+    // across windows, exactly what the gate exists to prevent)
+    val rejectedJson = rejectedSweep.map { r =>
+      s"""{"canary_cv":${num3(r.canaryCv)},"io_canary_median_sec":${num3(r.ioCanaryMedian)},"canary_samples":${r.canarySamples.map { case (i, v) => s"[$i,${num3(v)}]" }.mkString("[", ",", "]")}}"""
+    }.getOrElse("null")
+    val windowJson = s""""window_ok":$windowOkKept,"window_cv_gate":${num3(cvGate)},"window_io_gate":${num3(ioGate)},"window_rejected":$rejectedJson"""
+    val detail = s"""{"reps":$reps,"stateful_reps":$statefulReps,"stateful_rows":${statefulRows.toSeq.sorted.map(jstr).mkString("[", ",", "]")},"escalated_reps":$escalatedReps,"escalated_rows":${escalated.toSeq.map(jstr).mkString("[", ",", "]")},"scratch":"fresh-per-rep","sf":${jstr(sfDir)},$filterJson,"canary_every":$canaryEvery,"canary_samples":$canaryJson,"canary_median_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_samples":$ioCanaryJson,"io_canary_median_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"ref_canary_sec":${num3(refCanary)},"total_canary_norm":${num3(totalNorm)},$windowJson,"queries":$qsFull,"errors":$errFull}"""
     println(s"BENCH_DETAIL $detail")
     // The driver's stdout window keeps only the last 2000 chars, which
     // truncated round 9's detail line before the p-rows — exactly the
@@ -383,7 +442,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"window_ok":$windowOkKept,"reran":${rejectedSweep.isDefined},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val line = { val full = compactLine(short = false)
       if (full.length <= 1850) full else compactLine(short = true) }

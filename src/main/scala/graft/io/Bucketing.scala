@@ -57,9 +57,32 @@ object Bucketing {
     spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$KindProperty' = '$kind')")
 
   def tableKind(spark: SparkSession, table: String): Option[String] =
+    tableProperty(spark, table, KindProperty)
+
+  /** Read one table property (None when unset). */
+  def tableProperty(spark: SparkSession, table: String,
+                    key: String): Option[String] =
     spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .properties.get(KindProperty)
+      .properties.get(key)
+
+  /** GEOMETRY STAMPS (VERDICT r19 item 3): the banding / quantizer
+    * parameters an index is provisioned with, persisted as table
+    * properties at build time so the SQL surface can re-read them at
+    * APPEND/PROBE instead of trusting an operator to repeat them — the
+    * q71 pinning doctrine moved into metadata. All `graft.*`-prefixed,
+    * so every compaction/purge swap carries them automatically. */
+  val LshTablesProperty = "graft.index.lshTables"
+  val LshBitsProperty = "graft.index.lshBits"
+  val CentroidsProperty = "graft.index.centroids"
+  val CentroidsTableProperty = "graft.index.centroidsTable"
+
+  /** Stamp a set of graft.* properties in ONE metastore round-trip. */
+  def stampProperties(spark: SparkSession, table: String,
+                      props: Map[String, String]): Unit =
+    if (props.nonEmpty)
+      spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES (" +
+        props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
 
   /** Fail loudly when `table` is stamped as a DIFFERENT index family.
     * An unstamped table (foreign, or predating the stamp) falls through
@@ -255,6 +278,19 @@ object Bucketing {
                         batchId: Long): Boolean = {
     spark.catalog.refreshTable(table)
     requireKind(spark, table, kind)
+    // layout guard: the dynamic-partition overwrite below is only
+    // idempotent against a batch_id-PARTITIONED table — against an
+    // unpartitioned (batch-built) layout, insertInto-overwrite would
+    // TRUNCATE the whole index and land one batch in its place. The
+    // SQL surface makes this reachable (APPEND TO ... naming a
+    // batch-built table), so fail loudly instead.
+    require(spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .partitionColumnNames == Seq("batch_id"),
+      s"$table is not batch_id-partitioned — it is a batch-built index " +
+        "layout; per-batch APPEND maintains only the streamed " +
+        "(partitioned) layout. Rebuild it with the streamed create " +
+        "path, or extend it with the family's batch append")
     if (batchId <= foldedThrough(spark, table)) return false
     overwritePartitions(partial, table)
     true

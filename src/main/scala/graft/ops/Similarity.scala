@@ -227,6 +227,10 @@ object Similarity {
     val (assign, _) = ivfParts(embeddings, queryStride = 50, nCentroids, nProbe = 1)
     graft.io.Bucketing.writeBucketed(assign, table, "cell", buckets)
     graft.io.Bucketing.stampKind(embeddings.sparkSession, table, "ivf-assign")
+    // persist the quantizer geometry (VERDICT r19 item 3): a probe must
+    // score against the SAME centroid count the build pinned
+    graft.io.Bucketing.stampProperties(embeddings.sparkSession, table,
+      Map(graft.io.Bucketing.CentroidsProperty -> nCentroids.toString))
   }
 
   /** RETRACTION for the IVF family — the tombstone protocol (see
@@ -371,6 +375,12 @@ object Similarity {
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "cell", buckets)
       graft.io.Bucketing.stampKind(spark, table, "ivf-assign")
+      // geometry stamp: centroid count + the pinned artifact's name, so
+      // SQL APPEND/PROBE re-read the provisioning instead of guessing
+      graft.io.Bucketing.stampProperties(spark, table, Map(
+        graft.io.Bucketing.CentroidsProperty ->
+          spark.table(centroidsTable).count().toString,
+        graft.io.Bucketing.CentroidsTableProperty -> centroidsTable))
     } else {
       graft.io.Bucketing.appendPartialInto(spark, partial, table, "ivf-assign", batchId)
     }
@@ -403,11 +413,14 @@ object Similarity {
       .withColumn("batch_id", lit(batchId))
     graft.io.Bucketing.repairCompaction(spark, bandsTable)
     graft.io.Bucketing.repairCompaction(spark, vecsTable)
+    val geom = Map(graft.io.Bucketing.LshTablesProperty -> tables.toString,
+      graft.io.Bucketing.LshBitsProperty -> bitsPerTable.toString)
     if (!spark.catalog.tableExists(bandsTable)) {
       graft.io.Bucketing.dropTable(spark, bandsTable)
       graft.io.Bucketing.writePartitionedBucketedMulti(bands, bandsTable,
         "batch_id", Seq("t", "bucket"), buckets)
       graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
+      graft.io.Bucketing.stampProperties(spark, bandsTable, geom)
     } else {
       graft.io.Bucketing.appendPartialInto(spark, bands, bandsTable, "vec-bands", batchId)
     }
@@ -416,6 +429,7 @@ object Similarity {
       graft.io.Bucketing.writePartitionedBucketed(vecs, vecsTable,
         "batch_id", "corpus_id", buckets)
       graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
+      graft.io.Bucketing.stampProperties(spark, vecsTable, geom)
     } else {
       graft.io.Bucketing.appendPartialInto(spark, vecs, vecsTable, "vec-payload", batchId)
     }
@@ -693,6 +707,14 @@ object Similarity {
     val spark = corpus.sparkSession
     graft.io.Bucketing.stampKind(spark, bandsTable, "vec-bands")
     graft.io.Bucketing.stampKind(spark, vecsTable, "vec-payload")
+    // persist the banding geometry as metadata (VERDICT r19 item 3) —
+    // the q71 pinning doctrine: probes and appends re-read the exact
+    // provisioned (tables, bits) instead of trusting a caller to
+    // repeat them; carried through every compaction/purge swap
+    val geom = Map(graft.io.Bucketing.LshTablesProperty -> tables.toString,
+      graft.io.Bucketing.LshBitsProperty -> b.toString)
+    graft.io.Bucketing.stampProperties(spark, bandsTable, geom)
+    graft.io.Bucketing.stampProperties(spark, vecsTable, geom)
     b
   }
 

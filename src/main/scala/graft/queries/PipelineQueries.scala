@@ -342,6 +342,67 @@ object PipelineQueries {
     s2.table(outTbl)
   }
 
+  /** p126 — the VECTOR-index lifecycle routed through the SQL surface
+    * (VERDICT r19 item 3): p124's pattern on the TOMBSTONE layout.
+    * `CREATE vector INDEX ... TABLES 8 BITS <b>` states the banding
+    * geometry explicitly (the q71 pinning doctrine as grammar — bits
+    * are computed ONCE from the build input's scale and persisted as
+    * table properties at CREATE), APPEND lands a poison batch of
+    * re-keyed delta twins (cosine-1.0 neighbors of every probe
+    * vector), RETRACT tombstones them, PURGE rewrites both tables
+    * through the crash-safe swap, and PROBE ... INTO runs the
+    * incremental cosine audit — re-reading the pinned geometry from
+    * metadata, so the post-purge probe CANNOT re-derive different bits
+    * from the shrunken store (the drift p117 pins by hand). The probe
+    * shares p57's oracle verbatim: any surviving twin posting flips
+    * its probe vector's verdict to the cosine-1.0 twin, so the hash
+    * certifies the SQL-provisioned, SQL-retracted index is
+    * bit-equivalent to a Scala batch build over the clean corpus. */
+  def sqlVectorLifecycle(spark: SparkSession, dir: String): DataFrame = {
+    val s2 = SqlSurface.session(spark)
+    val bandsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p126_vbands", dir)
+    val vecsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p126_vecs", dir)
+    val tombsTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p126_tombs", dir)
+    val outTbl = graft.io.TempPaths.scratchTableName(s2, "graft_p126_out", dir)
+    val wh = s2.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val done = graft.io.TempPaths.scratchDir(s2, "graft_p126_done", dir)
+    val embSql = s"parquet.`$dir/embeddings.parquet`"
+    if (!graft.io.TempPaths.isComplete(done)) {
+      Seq(bandsTbl, vecsTbl, tombsTbl, outTbl)
+        .foreach(graft.io.Bucketing.dropTable(s2, _))
+      // the provisioning decision the CREATE clause states: bits sized
+      // from the full build input (corpus + poison), exactly p117's pin
+      val emb = Tables.embeddings(s2, dir)
+      val bits = Similarity.adaptiveBitsPerTable(emb.count())
+      s2.sql(s"""CREATE vector INDEX $bandsTbl, $vecsTbl
+                |TABLES 8 BITS $bits AS
+                |SELECT vec_id, embedding FROM $embSql
+                |WHERE vec_id % 5 <> 0""".stripMargin).collect()
+      s2.sql(s"""APPEND TO vector INDEX $bandsTbl, $vecsTbl BATCH 1 AS
+                |SELECT vec_id + 10000000 AS vec_id, embedding
+                |FROM $embSql WHERE vec_id % 5 = 0""".stripMargin).collect()
+      s2.sql(s"""RETRACT FROM vector INDEX $bandsTbl, $vecsTbl
+                |TOMBSTONES $tombsTbl BATCH 0 AS
+                |SELECT vec_id + 10000000 AS vec_id
+                |FROM $embSql WHERE vec_id % 5 = 0""".stripMargin).collect()
+      s2.sql(s"PURGE RETRACTIONS FROM vector INDEX $bandsTbl, " +
+        s"$vecsTbl TOMBSTONES $tombsTbl").collect()
+      val prev = s2.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        // the p57 plan discipline: the probe shuffles only the delta
+        s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        s2.sql(s"""PROBE vector INDEX $bandsTbl, $vecsTbl INTO $outTbl AS
+                  |SELECT vec_id, embedding FROM $embSql
+                  |WHERE vec_id % 5 = 0""".stripMargin).collect()
+      } finally s2.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq(bandsTbl, vecsTbl, outTbl).foreach(t =>
+        graft.io.TempPaths.cleanupOnExit(s"$wh/${t.toLowerCase}"))
+      new java.io.File(done).mkdirs()
+      graft.io.TempPaths.markComplete(done)
+    }
+    s2.table(outTbl)
+  }
+
   /** p58 — index MAINTENANCE: the persisted corpus index is built from
     * only 60% of the corpus (doc_id % 5 in 2..4), day-one's delta
     * (doc_id % 5 = 1) is APPENDED into it — only the delta is signed
@@ -2177,6 +2238,7 @@ object PipelineQueries {
     "p121_bm25_retraction" -> (bm25TopKRetraction _),
     "p123_sql_retraction" -> (dedupRetractionSql _),
     "p124_sql_lifecycle" -> (sqlIndexLifecycle _),
+    "p126_sql_vector_lifecycle" -> (sqlVectorLifecycle _),
     "p59_dedup_index_compact" -> (dedupIndexCompact _),
     "p60_line_dedup" -> (lineDedup _),
     "p61_quality_classifier" -> (qualityClassifier _),
@@ -2268,5 +2330,11 @@ object PipelineQueries {
     // surface must equal the Scala batch build over the clean corpus:
     // p110's truth gates the whole lifecycle grammar (poison dfs folded
     // away physically before the probe)
-    "p124_sql_lifecycle" -> graft.queries.EvalQueries.noveltyIncrementalSql)
+    "p124_sql_lifecycle" -> graft.queries.EvalQueries.noveltyIncrementalSql,
+    // the vector lifecycle (CREATE TABLES/BITS, APPEND, RETRACT, PURGE,
+    // PROBE) through SQL must equal the Scala batch build over the
+    // clean corpus: p57's truth — any surviving cosine-1.0 twin flips
+    // its probe vector's verdict
+    "p126_sql_vector_lifecycle" ->
+      graft.queries.RecallQueries.embDedupIncrementalSql)
 }

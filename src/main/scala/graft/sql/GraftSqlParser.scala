@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -16,9 +16,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   * front of the session parser).
   *
   * {{{
-  * CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>] AS <select>
+  * CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>]
+  *   [TABLES <n> BITS <b>] [CENTROIDS <c>] AS <select>
   * APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>]
-  *   AS <select>
+  *   [TABLES <n> BITS <b>] [CENTROIDS <c>] AS <select>
   * COMPACT INDEX <t>
   * PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>]
   *   [QUERIES <query_table>] INTO <out_table> AS <select>
@@ -35,12 +36,15 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, 
   * `bm25_df` retract by negated partial, so the source returns the
   * retired DOCUMENTS (doc_id, text). CREATE/APPEND route through the
   * same per-batch partial path the streamed maintenance uses (CREATE =
-  * batch 0 of a table that must not exist yet); they cover minhash and
-  * the five additive-df families — `vector`/`ivf` builds pin geometry
-  * (bits per table, centroid artifacts) that a two-keyword grammar
-  * cannot carry honestly, so they stay Scala
-  * (Similarity.buildVectorIndex / buildIvfIndex) with a designed
-  * error here. COMPACT INDEX applies the table's own maintenance
+  * batch 0 of a table that must not exist yet) and now cover ALL
+  * families (VERDICT r19 item 3): `vector` pins its sign-LSH banding
+  * with an explicit `TABLES <n> BITS <b>` clause and `ivf` its coarse
+  * quantizer with `CENTROIDS <c>` (trained from the CREATE source into
+  * `<t>_centroids`, the pinned artifact streamed maintenance reads) —
+  * REQUIRED at CREATE (geometry is a provisioning decision the
+  * statement must state, the q71 doctrine), persisted as `graft.index.*`
+  * table properties, re-read at APPEND/PROBE, and require-matched when
+  * the operator repeats the clause. COMPACT INDEX applies the table's own maintenance
   * policy: the zero-sum-dropping FOLD for additive-df tables, the
   * identity compaction otherwise. PROBE runs the family's incremental
   * probe over the source rows and writes the result INTO a table —
@@ -101,23 +105,19 @@ object GraftSqlParser {
     "token_count" -> (1, None),
     "bm25_df" -> (1, None))
 
-  /** Families whose build/append is a per-batch partial the grammar can
-    * route with at most a K knob (the vector/ivf geometry params stay
-    * Scala-only by design — see the class doc). */
-  private val buildable: Set[String] =
-    Set("minhash", "shingle_df", "line_df", "window_df", "token_count",
-      "bm25_df")
-
-  /** Families whose incremental probe is SQL-surfaced — all but
-    * vector/ivf, whose probes pin banding/centroid geometry a grammar
-    * cannot carry. minhash probes at the default build geometry (the
-    * same defaults CREATE/APPEND use, so a SQL-built index probes
-    * consistently) and takes the optional live TOMBSTONES gate;
-    * bm25_df's second input (the fixed query set) arrives as
-    * `QUERIES <table-or-view>` resolved in the command's session. */
-  private val probeable: Set[String] =
-    Set("minhash", "shingle_df", "line_df", "window_df", "token_count",
-      "bm25_df")
+  /** Families whose CREATE must state explicit geometry clauses —
+    * vector (TABLES n BITS b) and ivf (CENTROIDS c). Everything else
+    * must NOT carry them (their partial paths have no such geometry).
+    * All 8 families are buildable and probeable since VERDICT r19
+    * item 3: geometry rides table properties, not operator memory.
+    * minhash probes at the default build geometry (the same defaults
+    * CREATE/APPEND use, so a SQL-built index probes consistently) and
+    * takes the optional live TOMBSTONES gate; bm25_df's second input
+    * (the fixed query set) arrives as `QUERIES <table-or-view>`
+    * resolved in the command's session; the ivf probe's K is its
+    * top-k. */
+  private val buildable: Set[String] = families.keySet
+  private val probeable: Set[String] = families.keySet
 
   // unqualified (\w+) table names only — see the class doc
   private val Tbls = """\w+(?:\s*,\s*\w+)*"""
@@ -128,12 +128,18 @@ object GraftSqlParser {
   private val PurgeRe =
     (s"""(?is)\\s*PURGE\\s+RETRACTIONS\\s+FROM\\s+(\\w+)\\s+INDEX\\s+""" +
       s"""($Tbls)\\s+TOMBSTONES\\s+(\\w+)\\s*;?\\s*""").r
+  // the optional geometry clauses (TABLES/BITS for vector, CENTROIDS
+  // for ivf) sit after the layout knobs, in this order — the near-miss
+  // usage text states the full clause order
+  private val Geom =
+    """(?:\s+TABLES\s+(\d+))?(?:\s+BITS\s+(\d+))?(?:\s+CENTROIDS\s+(\d+))?"""
   private val CreateRe =
     (s"""(?is)\\s*CREATE\\s+(\\w+)\\s+INDEX\\s+($Tbls)""" +
-      """(?:\s+K\s+(\d+))?(?:\s+BUCKETS\s+(\d+))?\s+AS\s+(.+?)\s*;?\s*""").r
+      s"""(?:\\s+K\\s+(\\d+))?(?:\\s+BUCKETS\\s+(\\d+))?$Geom""" +
+      """\s+AS\s+(.+?)\s*;?\s*""").r
   private val AppendRe =
     (s"""(?is)\\s*APPEND\\s+TO\\s+(\\w+)\\s+INDEX\\s+($Tbls)""" +
-      """\s+BATCH\s+(\d+)(?:\s+K\s+(\d+))?(?:\s+BUCKETS\s+(\d+))?""" +
+      s"""\\s+BATCH\\s+(\\d+)(?:\\s+K\\s+(\\d+))?(?:\\s+BUCKETS\\s+(\\d+))?$Geom""" +
       """\s+AS\s+(.+?)\s*;?\s*""").r
   private val CompactRe =
     """(?is)\s*COMPACT\s+INDEX\s+(\w+)\s*;?\s*""".r
@@ -158,23 +164,29 @@ object GraftSqlParser {
             s"(${families.filter(_._2._2.isDefined).keys.toSeq.sorted.mkString(", ")}); " +
             s"'$f' retracts by negated partial and has nothing to purge")
         Some(PurgeRetractionsCommand(f, splitTables(tables), tombs))
-      case CreateRe(family, tables, k, buckets, source) if known(family) =>
-        Some(AppendIndexCommand(validateBuild(family, tables),
+      case CreateRe(family, tables, k, buckets, lshT, lshB, cents, source)
+          if known(family) =>
+        val geom = Geometry(Option(lshT).map(_.toInt),
+          Option(lshB).map(_.toInt), Option(cents).map(_.toInt))
+        Some(AppendIndexCommand(
+          validateBuild(family, tables, geom, create = true),
           splitTables(tables), batchId = 0L, Option(k).map(_.toInt),
-          Option(buckets).map(_.toInt), source, create = true))
-      case AppendRe(family, tables, batch, k, buckets, source) if known(family) =>
-        Some(AppendIndexCommand(validateBuild(family, tables),
+          Option(buckets).map(_.toInt), geom, source, create = true))
+      case AppendRe(family, tables, batch, k, buckets, lshT, lshB, cents,
+          source) if known(family) =>
+        val geom = Geometry(Option(lshT).map(_.toInt),
+          Option(lshB).map(_.toInt), Option(cents).map(_.toInt))
+        Some(AppendIndexCommand(
+          validateBuild(family, tables, geom, create = false),
           splitTables(tables), batch.toLong, Option(k).map(_.toInt),
-          Option(buckets).map(_.toInt), source, create = false))
+          Option(buckets).map(_.toInt), geom, source, create = false))
       case CompactRe(table) =>
         Some(CompactIndexCommand(table))
       case ProbeRe(family, tables, k, tombs, queries, out, source)
           if known(family) =>
         val f = family.toLowerCase(java.util.Locale.ROOT)
         require(probeable(f),
-          s"PROBE is SQL-surfaced for ${probeable.toSeq.sorted.mkString(", ")}; " +
-            s"'$f' probes pin geometry — use the Scala entry point " +
-            "(see graft.ops)")
+          s"PROBE is SQL-surfaced for ${probeable.toSeq.sorted.mkString(", ")}")
         require(splitTables(tables).size == families(f)._1,
           s"family '$f' takes ${families(f)._1} INDEX table(s), got '$tables'")
         require(tombs == null || families(f)._2.isDefined,
@@ -215,8 +227,8 @@ object GraftSqlParser {
     }
     require(!claimed,
       "malformed graft statement; expected one of:\n" +
-        "  CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>] AS <select>\n" +
-        "  APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>] AS <select>\n" +
+        "  CREATE <family> INDEX <t1>[, <t2>] [K <k>] [BUCKETS <b>] [TABLES <n> BITS <b>] [CENTROIDS <c>] AS <select>\n" +
+        "  APPEND TO <family> INDEX <t1>[, <t2>] BATCH <n> [K <k>] [BUCKETS <b>] [TABLES <n> BITS <b>] [CENTROIDS <c>] AS <select>\n" +
         "  COMPACT INDEX <t>\n" +
         "  PROBE <family> INDEX <t1>[, <t2>] [K <k>] [TOMBSTONES <tt>] [QUERIES <q>] INTO <out_table> AS <select>\n" +
         "  RETRACT FROM <family> INDEX <t1>[, <t2>] [TOMBSTONES <tt>] BATCH <n> [K <k>] AS <select>\n" +
@@ -227,6 +239,25 @@ object GraftSqlParser {
 
   private def splitTables(s: String): Seq[String] =
     s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Evaluate a command's AS query exactly ONCE (ADVICE r19): the
+    * commands report `n_source_rows` AND hand the rows to the family
+    * path, and two separate evaluations mean a non-deterministic
+    * source (rand(), LIMIT without ORDER BY) can land rows that differ
+    * from the reported count — and every command pays a double source
+    * scan. localCheckpoint materializes the batch before either use
+    * (command batches are delta-sized by design); the checkpoint
+    * blocks are released when `f` returns so a long SQL session does
+    * not accumulate dead block-manager state across statements. */
+  private[sql] def withSourceOnce[T](spark: SparkSession, sourceSql: String)(
+      f: (DataFrame, Long) => T): T = {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val batch = spark.sql(sourceSql).localCheckpoint()
+    try f(batch, batch.count())
+    finally spark.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before.contains(id) }
+      .values.foreach(_.unpersist(false))
+  }
 
   private def validate(familyRaw: String, tables: String,
                        tombs: Option[String]): String = {
@@ -249,17 +280,51 @@ object GraftSqlParser {
     family
   }
 
-  private def validateBuild(familyRaw: String, tables: String): String = {
+  /** The optional geometry clauses of CREATE/APPEND. */
+  case class Geometry(lshTables: Option[Int], lshBits: Option[Int],
+                      centroids: Option[Int]) {
+    def any: Boolean =
+      lshTables.isDefined || lshBits.isDefined || centroids.isDefined
+  }
+
+  private def validateBuild(familyRaw: String, tables: String,
+                            geom: Geometry, create: Boolean): String = {
     val family = familyRaw.toLowerCase(java.util.Locale.ROOT)
     require(buildable(family),
       s"CREATE/APPEND are SQL-surfaced for " +
-        s"${buildable.toSeq.sorted.mkString(", ")}; '$family' builds pin " +
-        "geometry a grammar cannot carry — use " +
-        "Similarity.buildVectorIndex / buildIvfIndex")
+        s"${buildable.toSeq.sorted.mkString(", ")}")
     val given = splitTables(tables).size
     require(given == families(family)._1,
       s"family '$family' takes ${families(family)._1} INDEX table(s), " +
         s"got $given")
+    family match {
+      case "vector" =>
+        require(geom.centroids.isEmpty,
+          "CENTROIDS is the ivf quantizer clause; a vector index is " +
+            "provisioned with TABLES <n> BITS <b>")
+        if (create)
+          require(geom.lshTables.isDefined && geom.lshBits.isDefined,
+            "CREATE vector INDEX must state its banding geometry — " +
+              "TABLES <n> BITS <b> — explicitly: the sign-LSH width is a " +
+              "provisioning decision (sized for the expected corpus " +
+              "scale) that per-batch re-derivation would drift; it is " +
+              "persisted as table properties and re-read by APPEND/PROBE")
+      case "ivf" =>
+        require(geom.lshTables.isEmpty && geom.lshBits.isEmpty,
+          "TABLES/BITS are the vector banding clauses; an ivf index is " +
+            "provisioned with CENTROIDS <c>")
+        if (create)
+          require(geom.centroids.isDefined,
+            "CREATE ivf INDEX must state CENTROIDS <c> explicitly: the " +
+              "coarse quantizer is trained once from the CREATE source " +
+              "(into <t>_centroids, the pinned artifact every later " +
+              "batch scores against) and its size is a provisioning " +
+              "decision, persisted as table properties")
+      case _ =>
+        require(!geom.any,
+          s"family '$family' has no geometry clauses — TABLES/BITS " +
+            "provision a vector index, CENTROIDS an ivf index")
+    }
     family
   }
 }
@@ -270,11 +335,22 @@ object GraftSqlParser {
   * table that must not exist yet — refusing to silently append into a
   * prior index is the create-vs-maintain distinction an operator
   * expects from the keyword. `landed` is false when the batch was
-  * swallowed by the fold watermark (a post-fold replay). */
+  * swallowed by the fold watermark (a post-fold replay).
+  *
+  * vector/ivf (VERDICT r19 item 3): CREATE states the geometry
+  * (TABLES/BITS, CENTROIDS) explicitly; the partial paths persist it
+  * as table properties (`graft.index.lshTables/lshBits/centroids/
+  * centroidsTable`), APPEND re-reads it from metadata and
+  * require-matches any repeated clause — the q71 pinning doctrine
+  * moved into the catalog, so a fat-fingered second batch cannot band
+  * under a different bucket width or score against a different
+  * quantizer. ivf CREATE additionally trains the pinned centroid
+  * artifact into `<t>_centroids` from the CREATE source. */
 case class AppendIndexCommand(family: String, tables: Seq[String],
                               batchId: Long, k: Option[Int],
-                              buckets: Option[Int], sourceSql: String,
-                              create: Boolean)
+                              buckets: Option[Int],
+                              geom: GraftSqlParser.Geometry,
+                              sourceSql: String, create: Boolean)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -283,19 +359,67 @@ case class AppendIndexCommand(family: String, tables: Seq[String],
     AttributeReference("n_source_rows", LongType, nullable = false)(),
     AttributeReference("landed", BooleanType, nullable = false)())
 
+  /** Re-read a provisioned geometry property, require-matching the
+    * operator's repeated clause when present. */
+  private def pinned(spark: SparkSession, table: String, prop: String,
+                     clause: Option[Int], what: String): Int = {
+    val stored = graft.io.Bucketing.tableProperty(spark, table, prop)
+      .flatMap(_.toIntOption)
+    require(stored.isDefined,
+      s"$table carries no $what stamp ($prop) — it was not provisioned " +
+        "through CREATE/the Scala builders; rebuild it or stamp the " +
+        "provisioned geometry before appending")
+    clause.foreach(v => require(v == stored.get,
+      s"$what $v does not match $table's provisioned ${stored.get} — " +
+        "an index probes correctly only under its build geometry"))
+    stored.get
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     if (create) tables.foreach { t =>
       require(!spark.catalog.tableExists(t),
         s"$t already exists — APPEND TO it (maintenance) or drop it " +
           "first (rebuild); CREATE never silently extends a prior index")
     }
-    val batch = spark.sql(sourceSql)
-    val n = batch.count()
+    GraftSqlParser.withSourceOnce(spark, sourceSql) { (batch, n) =>
     val b = buckets.getOrElse(8)
     val landed = family match {
       case "minhash" =>
         graft.ops.Dedup.appendCorpusIndexPartial(spark, batch, tables(0),
           tables(1), batchId, buckets = b)
+        true // posting-list partials have no fold watermark
+      case "vector" =>
+        val (lshT, lshB) =
+          if (create) (geom.lshTables.get, geom.lshBits.get)
+          else (pinned(spark, tables(0),
+              graft.io.Bucketing.LshTablesProperty, geom.lshTables, "TABLES"),
+            pinned(spark, tables(0),
+              graft.io.Bucketing.LshBitsProperty, geom.lshBits, "BITS"))
+        graft.ops.Similarity.appendVectorIndexPartial(spark, batch,
+          tables(0), tables(1), batchId, tables = lshT, bitsPerTable = lshB,
+          buckets = b)
+        true // posting-list partials have no fold watermark
+      case "ivf" =>
+        val centsTbl =
+          if (create) {
+            val t = s"${tables(0)}_centroids"
+            graft.io.Bucketing.dropTable(spark, t)
+            graft.ops.Similarity.buildIvfCentroids(batch, t,
+              nCentroids = geom.centroids.get)
+            t
+          } else {
+            pinned(spark, tables(0),
+              graft.io.Bucketing.CentroidsProperty, geom.centroids,
+              "CENTROIDS")
+            graft.io.Bucketing.tableProperty(spark, tables(0),
+              graft.io.Bucketing.CentroidsTableProperty).getOrElse(
+              throw new IllegalArgumentException(
+                s"${tables(0)} carries no centroid-artifact stamp — it " +
+                  "was not provisioned through CREATE/the streamed " +
+                  "builder; rebuild it through CREATE ivf INDEX"))
+          }
+        graft.ops.Similarity.appendIvfAssignPartial(spark, batch, centsTbl,
+          tables(0), batchId, buckets = b)
         true // posting-list partials have no fold watermark
       case "shingle_df" =>
         graft.ops.Dedup.appendShingleDfPartial(spark, batch, tables(0),
@@ -314,6 +438,7 @@ case class AppendIndexCommand(family: String, tables: Seq[String],
           batchId, buckets = b)
     }
     Seq(Row(family, batchId, n, landed))
+    }
   }
 }
 
@@ -335,6 +460,13 @@ case class CompactIndexCommand(table: String) extends LeafRunnableCommand {
         spark.catalog.tableExists(s"${table}_precompact") ||
         spark.catalog.tableExists(s"${table}_compacting"),
       s"$table does not exist — nothing to compact")
+    // repair BEFORE deciding fold-vs-compact (ADVICE r19): after a
+    // crash that left only _precompact/_compacting (states the guard
+    // above explicitly accepts), the main name is missing and
+    // isAdditiveIndex would read false — an additive-df table would get
+    // an identity compaction instead of the requested fold, leaving
+    // cancelled (+df, −df) pairs on disk until a SECOND compact
+    graft.io.Bucketing.repairCompaction(spark, table)
     val additive = graft.io.Bucketing.isAdditiveIndex(spark, table)
     val files =
       if (additive) graft.io.Bucketing.foldBucketed(spark, table)
@@ -362,7 +494,10 @@ case class ProbeIndexCommand(family: String, tables: Seq[String],
     AttributeReference("n_rows", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val source = spark.sql(sourceSql)
+    // materialize the source once: the family probes read the delta
+    // more than once internally (noveltyIncremental folds grams twice),
+    // and a non-deterministic AS query must probe one consistent batch
+    GraftSqlParser.withSourceOnce(spark, sourceSql) { (source, _) =>
     val result = family match {
       case "minhash" =>
         // probes through the LIVE tombstone gate when TOMBSTONES names
@@ -370,6 +505,30 @@ case class ProbeIndexCommand(family: String, tables: Seq[String],
         // instant their retraction lands, before any physical purge
         graft.ops.Dedup.incrementalVerdictsAgainstIndex(spark, source,
           tables(0), tables(1), tombstonesTable = tombstones)
+      case "vector" =>
+        // banding geometry re-read from the CREATE-time stamps; a
+        // legacy unstamped table falls back to the Scala probe's own
+        // defaults (8 tables, count-derived bits) — identical behavior
+        // to calling incrementalCosineVerdictsAgainstIndex bare
+        val lshT = graft.io.Bucketing.tableProperty(spark, tables(0),
+          graft.io.Bucketing.LshTablesProperty).flatMap(_.toIntOption)
+          .getOrElse(8)
+        val lshB = graft.io.Bucketing.tableProperty(spark, tables(0),
+          graft.io.Bucketing.LshBitsProperty).flatMap(_.toIntOption)
+          .getOrElse(0)
+        graft.ops.Similarity.incrementalCosineVerdictsAgainstIndex(spark,
+          source, tables(0), tables(1), tables = lshT, bitsPerTable = lshB,
+          tombstonesTable = tombstones)
+      case "ivf" =>
+        // K is the probe's top-k here; the quantizer size comes from
+        // the CREATE-time stamp (legacy unstamped tables fall back to
+        // the Scala default)
+        val nc = graft.io.Bucketing.tableProperty(spark, tables(0),
+          graft.io.Bucketing.CentroidsProperty).flatMap(_.toIntOption)
+          .getOrElse(16)
+        graft.ops.Similarity.ivfTopKAgainstIndex(spark, source, tables(0),
+          k = k.getOrElse(10), nCentroids = nc,
+          tombstonesTable = tombstones)
       case "shingle_df" =>
         graft.ops.Dedup.noveltyIncremental(spark, source, tables(0))
       case "line_df" =>
@@ -387,6 +546,7 @@ case class ProbeIndexCommand(family: String, tables: Seq[String],
     graft.io.Bucketing.dropTable(spark, outTable)
     result.write.format("parquet").saveAsTable(outTable)
     Seq(Row(family, outTable, spark.table(outTable).count()))
+    }
   }
 }
 
@@ -409,8 +569,7 @@ case class RetractIndexCommand(family: String, tables: Seq[String],
     AttributeReference("landed", BooleanType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val removed = spark.sql(sourceSql)
-    val n = removed.count()
+    GraftSqlParser.withSourceOnce(spark, sourceSql) { (removed, n) =>
     val landed = family match {
       case "minhash" =>
         graft.ops.Dedup.retractFromCorpusIndex(spark, removed,
@@ -438,6 +597,7 @@ case class RetractIndexCommand(family: String, tables: Seq[String],
           tables(0), batchId)
     }
     Seq(Row(family, batchId, n, landed))
+    }
   }
 }
 

@@ -334,11 +334,29 @@ object ProbeScaling {
       val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
       val slope = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
         math.max(1e-12, xs.map(x => (x - mx) * (x - mx)).sum)
-      println(s"PROBE ${fam.name} slope=${num(slope)}")
+      // degenerate-sweep guard (ADVICE r19): families whose x axis is a
+      // FIXTURE property (p125's pending count scales with the
+      // embeddings file, and the default sf0.001/sf0.01 embedding
+      // fixtures are byte-identical) can hand the fit coincident x
+      // points — two of three points at the same x turn the "slope"
+      // into the noise between two medians. Detect it and say so
+      // LOUDLY: the number is still printed (the large-anchor runs are
+      // fine) but the JSON carries degenerate_x so no reader mistakes a
+      // phantom slope for a measurement. Fix = add the Amplify sf0.8
+      // anchor to SPARK_GRAFT_PROBE_SFDIRS (see PROBE_SCALING.md).
+      val degenerate = per.map(_._2).distinct.size < per.size
+      if (degenerate)
+        println(s"PROBE WARNING ${fam.name}: sweep has DUPLICATE x values " +
+          per.map(_._2).mkString("(", ",", ")") +
+          " — the fitted slope is a phantom (two fixtures share this " +
+          "family's size axis); extend SPARK_GRAFT_PROBE_SFDIRS with the " +
+          "Amplify sf0.8 anchor before reading it")
+      println(s"PROBE ${fam.name} slope=${num(slope)}" +
+        (if (degenerate) " DEGENERATE" else ""))
       val perJson = per.map { case (sf, n, med, ts) =>
         s"""{"sf":"$sf","index_rows":$n,"median_sec":${num(med)},"reps_sec":${ts.map(num).mkString("[", ",", "]")}}"""
       }.mkString("[", ",", "]")
-      s"""{"family":"${fam.name}","slope":${num(slope)},"points":$perJson}"""
+      s"""{"family":"${fam.name}","slope":${num(slope)},"degenerate_x":$degenerate,"points":$perJson}"""
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
       drops.distinct.foreach(graft.io.Bucketing.dropTable(spark, _))

@@ -40,14 +40,7 @@ object ProfileArb {
         .write.mode("overwrite").parquet(s"$tmp/in")
       graft.streaming.EventsStream.runAvailableNow(spark, s"$tmp/in",
         s"$tmp/ckpt", s"$tmp/out")
-      if (mode == "unload") {
-        // StateStore.unloadAll() is private[sql]; this dev-only
-        // instrument reaches it reflectively (next get() re-starts
-        // maintenance, so unloading between queries is safe)
-        val cls = Class.forName(
-          "org.apache.spark.sql.execution.streaming.state.StateStore$")
-        cls.getMethod("unloadAll").invoke(cls.getField("MODULE$").get(null))
-      }
+      if (mode == "unload") graft.io.StateStores.unloadAllQuietly()
       println(s"ARB warm-stream done (mode=$mode)")
     }
 
@@ -110,9 +103,7 @@ object ProfileArb {
       // Bench-parity cleanup (PROFILE_r19): dead state-store providers
       // from the previous rep's fresh checkpoint tax the maintenance
       // thread (~2-3 s/rep measured on q59) — unload like Bench does
-      val ssCls = Class.forName(
-        "org.apache.spark.sql.execution.streaming.state.StateStore$")
-      ssCls.getMethod("unloadAll").invoke(ssCls.getField("MODULE$").get(null))
+      graft.io.StateStores.unloadAllQuietly()
       if (i % 2 == 0 || i == reps) {
         canaries += canary()
         ioCanaries += ioCanary()

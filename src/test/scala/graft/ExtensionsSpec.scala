@@ -253,12 +253,26 @@ class ExtensionsSpec extends SparkSpec {
         s2.sql("PROBE bm25_df INDEX ext_bm_idx INTO o AS SELECT 1")
       }
       Seq("ext_bm_idx", "ext_bm_out").foreach(graft.io.Bucketing.dropTable(s2, _))
-      // guards: geometry-pinned families are not SQL-buildable/probeable
-      intercept[IllegalArgumentException] {
+      // guards: geometry clauses are REQUIRED at vector/ivf CREATE
+      // (VERDICT r19 item 3: the provisioning decision must be stated,
+      // then it rides table properties) and rejected for families that
+      // have none
+      val gv = intercept[IllegalArgumentException] {
         s2.sql("CREATE vector INDEX a, b AS SELECT 1")
       }
-      intercept[IllegalArgumentException] {
-        s2.sql("PROBE vector INDEX a, b INTO o AS SELECT 1")
+      assert(gv.getMessage.contains("TABLES"))
+      val gi = intercept[IllegalArgumentException] {
+        s2.sql("CREATE ivf INDEX a AS SELECT 1")
+      }
+      assert(gi.getMessage.contains("CENTROIDS"))
+      intercept[IllegalArgumentException] { // clauses are vector/ivf-only
+        s2.sql("CREATE shingle_df INDEX x TABLES 4 BITS 2 AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // CENTROIDS belongs to ivf
+        s2.sql("CREATE vector INDEX a, b TABLES 4 BITS 2 CENTROIDS 3 AS SELECT 1")
+      }
+      intercept[IllegalArgumentException] { // TABLES/BITS belong to vector
+        s2.sql("CREATE ivf INDEX a TABLES 4 BITS 2 CENTROIDS 3 AS SELECT 1")
       }
       intercept[IllegalArgumentException] { // gate on an additive probe
         s2.sql("PROBE shingle_df INDEX t TOMBSTONES tt INTO o AS SELECT 1")
@@ -286,6 +300,125 @@ class ExtensionsSpec extends SparkSpec {
       s2.sql("DROP VIEW ext_lc_view")
       Seq("ext_lc_idx", "ext_lc_out", "ext_lc_reb")
         .foreach(graft.io.Bucketing.dropTable(s2, _))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
+  test("vector/ivf SQL lifecycle: CREATE pins geometry in metadata, APPEND/PROBE re-read it, retract+purge equals the clean Scala build") {
+    spark.sparkContext // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .appName("graft-ext-vector-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.{col, lit}
+      val emb = Tables.embeddings(s2, sfDir)
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      val delta = emb.filter(col("vec_id") % 5 === 0)
+      val poison = delta.withColumn("vec_id", col("vec_id") + lit(10000000L))
+      emb.createOrReplaceTempView("ext_v_all")
+      corpus.createOrReplaceTempView("ext_v_corpus")
+      delta.createOrReplaceTempView("ext_v_delta")
+      poison.createOrReplaceTempView("ext_v_poison")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+
+      // ---- vector: CREATE(TABLES/BITS) -> APPEND -> RETRACT -> PURGE
+      //      -> PROBE, vs the clean Scala batch build ----
+      val vTbls = Seq("ext_v_bands", "ext_v_vecs", "ext_v_tombs",
+        "ext_v_out", "ext_v_bands_c", "ext_v_vecs_c")
+      vTbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+      val bits = graft.ops.Similarity.adaptiveBitsPerTable(emb.count())
+      s2.sql(s"CREATE vector INDEX ext_v_bands, ext_v_vecs TABLES 8 " +
+        s"BITS $bits AS SELECT vec_id, embedding FROM ext_v_corpus").collect()
+      // geometry persisted at CREATE (the q71 pin, now metadata)
+      assert(graft.io.Bucketing.tableProperty(s2, "ext_v_bands",
+        graft.io.Bucketing.LshTablesProperty) === Some("8"))
+      assert(graft.io.Bucketing.tableProperty(s2, "ext_v_bands",
+        graft.io.Bucketing.LshBitsProperty) === Some(bits.toString))
+      // a repeated clause that CONTRADICTS the provisioning fails loudly
+      val mm = intercept[IllegalArgumentException] {
+        s2.sql(s"APPEND TO vector INDEX ext_v_bands, ext_v_vecs BATCH 1 " +
+          s"BITS ${bits + 1} AS SELECT vec_id, embedding FROM ext_v_poison")
+      }
+      assert(mm.getMessage.contains("provisioned"))
+      // clause-free APPEND re-reads the pinned geometry
+      s2.sql("APPEND TO vector INDEX ext_v_bands, ext_v_vecs BATCH 1 AS " +
+        "SELECT vec_id, embedding FROM ext_v_poison").collect()
+      s2.sql("RETRACT FROM vector INDEX ext_v_bands, ext_v_vecs " +
+        "TOMBSTONES ext_v_tombs BATCH 0 AS " +
+        "SELECT vec_id FROM ext_v_poison").collect()
+      graft.ops.Similarity.buildVectorIndex(corpus, "ext_v_bands_c",
+        "ext_v_vecs_c", bitsPerTable = bits)
+      val vWant = rows(graft.ops.Similarity
+        .incrementalCosineVerdictsAgainstIndex(s2, delta, "ext_v_bands_c",
+          "ext_v_vecs_c", bitsPerTable = bits))
+      // through the LIVE gate: the cosine-1.0 twins must not match
+      s2.sql("PROBE vector INDEX ext_v_bands, ext_v_vecs " +
+        "TOMBSTONES ext_v_tombs INTO ext_v_out AS " +
+        "SELECT vec_id, embedding FROM ext_v_delta").collect()
+      assert(rows(s2.table("ext_v_out")) === vWant,
+        "gated SQL vector probe must equal the clean Scala build")
+      // purge, then ungated — and the pinned bits survive the shrink
+      s2.sql("PURGE RETRACTIONS FROM vector INDEX ext_v_bands, " +
+        "ext_v_vecs TOMBSTONES ext_v_tombs").collect()
+      s2.sql("PROBE vector INDEX ext_v_bands, ext_v_vecs INTO ext_v_out " +
+        "AS SELECT vec_id, embedding FROM ext_v_delta").collect()
+      assert(rows(s2.table("ext_v_out")) === vWant,
+        "post-purge SQL vector probe must equal the clean Scala build")
+      vTbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+
+      // ---- ivf: CREATE(CENTROIDS) trains the pinned artifact ->
+      //      APPEND -> RETRACT -> gated PROBE (K = top-k), vs the
+      //      clean Scala streamed build ----
+      val iTbls = Seq("ext_i_idx", "ext_i_idx_centroids", "ext_i_tombs",
+        "ext_i_out", "ext_i_cents_c", "ext_i_idx_c")
+      iTbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+      s2.sql("CREATE ivf INDEX ext_i_idx CENTROIDS 16 AS " +
+        "SELECT vec_id, embedding FROM ext_v_all").collect()
+      assert(graft.io.Bucketing.tableProperty(s2, "ext_i_idx",
+        graft.io.Bucketing.CentroidsProperty) === Some("16"))
+      assert(graft.io.Bucketing.tableProperty(s2, "ext_i_idx",
+        graft.io.Bucketing.CentroidsTableProperty)
+        === Some("ext_i_idx_centroids"))
+      val im = intercept[IllegalArgumentException] {
+        s2.sql("APPEND TO ivf INDEX ext_i_idx BATCH 1 CENTROIDS 8 AS " +
+          "SELECT vec_id, embedding FROM ext_v_poison")
+      }
+      assert(im.getMessage.contains("provisioned"))
+      s2.sql("APPEND TO ivf INDEX ext_i_idx BATCH 1 AS " +
+        "SELECT vec_id, embedding FROM ext_v_poison").collect()
+      s2.sql("RETRACT FROM ivf INDEX ext_i_idx TOMBSTONES ext_i_tombs " +
+        "BATCH 0 AS SELECT vec_id FROM ext_v_poison").collect()
+      graft.ops.Similarity.buildIvfCentroids(emb, "ext_i_cents_c")
+      graft.ops.Similarity.appendIvfAssignPartial(s2, emb, "ext_i_cents_c",
+        "ext_i_idx_c", 0L)
+      val iWant = rows(graft.ops.Similarity.ivfTopKAgainstIndex(s2, emb,
+        "ext_i_idx_c", k = 5))
+      s2.sql("PROBE ivf INDEX ext_i_idx K 5 TOMBSTONES ext_i_tombs " +
+        "INTO ext_i_out AS SELECT vec_id, embedding FROM ext_v_all").collect()
+      assert(rows(s2.table("ext_i_out")) === iWant,
+        "gated SQL ivf probe must equal the clean Scala build")
+      iTbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+
+      // APPEND into a batch-built (unpartitioned) layout fails loudly
+      // instead of truncating the index to one batch
+      graft.io.Bucketing.dropTable(s2, "ext_v_batch")
+      graft.ops.Dedup.buildShingleDfIndex(
+        Tables.documents(s2, sfDir).limit(20), "ext_v_batch")
+      val lay = intercept[IllegalArgumentException] {
+        s2.sql("APPEND TO shingle_df INDEX ext_v_batch BATCH 1 AS " +
+          "SELECT doc_id, text FROM parquet.`" + sfDir +
+          "/documents.parquet` WHERE doc_id % 50 = 0")
+      }
+      assert(lay.getMessage.contains("batch_id-partitioned"))
+      graft.io.Bucketing.dropTable(s2, "ext_v_batch")
     } finally {
       SparkSession.setDefaultSession(spark)
       SparkSession.setActiveSession(spark)
