@@ -315,7 +315,15 @@ object ProbeScaling {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val rows = try selected.map { fam =>
       val per = sfs.zipWithIndex.map { case (sf, sfIdx) =>
+        val dropsBefore = drops.size
         val (idxRows, probe) = fam.setup(sf)
+        // the bytes axis (VERDICT r19 item 5): total on-disk bytes of
+        // THIS family's index tables at this point — the probes scan
+        // the whole index side, so sec-per-GB over this denominator is
+        // the scan-coefficient defense as a measurement
+        val idxBytes = drops.slice(dropsBefore, drops.size).distinct
+          .filter(t => spark.catalog.tableExists(t))
+          .map(graft.io.Bucketing.dataFileBytes(spark, _)).sum
         // the SMALL points run sub-second, where one JIT/GC excursion in
         // a 5-rep median moves the fitted slope by ±0.05 (the q71
         // ambiguity VERDICT r18 item 5 flagged) — give every non-final
@@ -324,9 +332,11 @@ object ProbeScaling {
         val times = timeProbe(probe,
           if (sfIdx < sfs.size - 1) reps + 4 else reps)
         val med = times.sorted.apply(times.size / 2)
-        println(s"PROBE ${fam.name} $sf index_rows=$idxRows median=${num(med)} " +
-          times.map(num).mkString("[", ",", "]"))
-        (sf, idxRows, med, times)
+        val secPerGb = if (idxBytes > 0) med / (idxBytes / 1e9) else 0.0
+        println(s"PROBE ${fam.name} $sf index_rows=$idxRows " +
+          s"index_bytes=$idxBytes sec_per_gb=${num(secPerGb)} " +
+          s"median=${num(med)} " + times.map(num).mkString("[", ",", "]"))
+        (sf, idxRows, med, times, idxBytes)
       }
       // least-squares slope of log(t) vs log(indexRows)
       val xs = per.map(p => math.log(math.max(1L, p._2).toDouble))
@@ -353,8 +363,8 @@ object ProbeScaling {
           "Amplify sf0.8 anchor before reading it")
       println(s"PROBE ${fam.name} slope=${num(slope)}" +
         (if (degenerate) " DEGENERATE" else ""))
-      val perJson = per.map { case (sf, n, med, ts) =>
-        s"""{"sf":"$sf","index_rows":$n,"median_sec":${num(med)},"reps_sec":${ts.map(num).mkString("[", ",", "]")}}"""
+      val perJson = per.map { case (sf, n, med, ts, bytes) =>
+        s"""{"sf":"$sf","index_rows":$n,"index_bytes":$bytes,"sec_per_gb":${num(if (bytes > 0) med / (bytes / 1e9) else 0.0)},"median_sec":${num(med)},"reps_sec":${ts.map(num).mkString("[", ",", "]")}}"""
       }.mkString("[", ",", "]")
       s"""{"family":"${fam.name}","slope":${num(slope)},"degenerate_x":$degenerate,"points":$perJson}"""
     } finally {

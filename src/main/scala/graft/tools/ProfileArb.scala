@@ -94,11 +94,16 @@ object ProfileArb {
     println(f"ARB canary0 ${canaries.last}%7.3f s io ${ioCanaries.last}%7.3f s")
     (1 to reps).foreach { i =>
       graft.io.TempPaths.bumpEpoch()
+      val foldsBefore = graft.io.FoldEvents.count
       val t0 = System.nanoTime()
       val n = fn(spark, dir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       times += sec
-      println(f"ARB $name rep$i $sec%8.3f s rows=$n")
+      // per-rep fold-event delta (VERDICT r19 item 1): a slow rep that
+      // ran MORE maintenance rewrites than its siblings is a fold
+      // misfire; an equal count is ambient contention
+      println(f"ARB $name rep$i $sec%8.3f s rows=$n " +
+        f"folds=${graft.io.FoldEvents.count - foldsBefore}")
       spark.catalog.clearCache()
       // Bench-parity cleanup (PROFILE_r19): dead state-store providers
       // from the previous rep's fresh checkpoint tax the maintenance

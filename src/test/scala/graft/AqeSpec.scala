@@ -247,6 +247,58 @@ class AqeSpec extends SparkSpec {
     } finally graft.io.Bucketing.dropTable(spark, tbl)
   }
 
+  test("post-fold probe under AQE: the folded (base + run) layout keeps its bucketed scan") {
+    // VERDICT r19 item 6: ExplainSpec pins the post-fold plan
+    // statically; the r18 lesson is that AQE can silently undo a
+    // layout the static plan shows. Fold a shingle-df table through
+    // BOTH tiered levels (base merge, then a run-level fold with a
+    // pending negative), probe under AQE, and require the bucketed
+    // scan and the exchange-free fold chain survived re-planning.
+    val docs = Tables.documents(spark, sfDir)
+    val tbl = "graft_aqe_fold_shdf"
+    graft.io.Bucketing.dropTable(spark, tbl)
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    graft.ops.Dedup.appendShingleDfPartial(spark,
+      corpus.filter(col("doc_id") % 2 === 0), tbl, 0L)
+    graft.ops.Dedup.appendShingleDfPartial(spark,
+      corpus.filter(col("doc_id") % 2 === 1), tbl, 1L)
+    graft.io.Bucketing.tieredFold(spark, tbl) // base merge
+    graft.ops.Dedup.retractShingleDfPartial(spark,
+      corpus.filter(col("doc_id") % 7 === 1), tbl, 2L)
+    graft.io.Bucketing.tieredFold(spark, tbl, mergeFraction = 1e9) // run fold
+    assert(graft.io.Bucketing.tableProperty(spark, tbl,
+      graft.io.Bucketing.RunAtProperty).isDefined,
+      "fixture must be in the base + run layout")
+    try withAqeNoBroadcast {
+      val verdicts = graft.ops.Dedup.noveltyIncremental(spark,
+        docs.filter(col("doc_id") % 5 === 0), tbl)
+      val plan = finalPlan(verdicts)
+      assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+        s"AQE must keep the bucketed read of the folded index:\n$plan")
+      val lines = plan.linesIterator.toVector
+      val scanIdx = lines.indexWhere(l => l.contains(tbl) &&
+        (l.contains("FileScan") || l.contains("Scan parquet")))
+      assert(scanIdx >= 0, s"expected a scan of $tbl in:\n$plan")
+      def markerCol(l: String): Int = {
+        val cands = Seq(l.indexOf("+- "), l.indexOf(":- ")).filter(_ >= 0)
+        if (cands.isEmpty) -1 else cands.min
+      }
+      val ancestors = scala.collection.mutable.Buffer[String]()
+      var colm = markerCol(lines(scanIdx))
+      var k = scanIdx - 1
+      while (k >= 0 && colm != 0) {
+        val mc = markerCol(lines(k))
+        if (mc >= 0 && (colm < 0 || mc < colm)) { ancestors += lines(k); colm = mc }
+        k -= 1
+      }
+      val foldChain = ancestors.takeWhile(l => !l.contains("Join"))
+      assert(!foldChain.exists(_.contains("Exchange")),
+        s"AQE must not slip an exchange between the folded scan and its fold:\n$plan")
+      assert(foldChain.exists(_.contains("HashAggregate")),
+        s"expected the partial-df fold above the folded index scan:\n$plan")
+    } finally graft.io.Bucketing.dropTable(spark, tbl)
+  }
+
   test("q73 probe under AQE: the STREAMED minhash layout keeps its bucket economics") {
     val docs = Tables.documents(spark, sfDir)
     val corpus = docs.filter(col("doc_id") % 5 =!= 0)

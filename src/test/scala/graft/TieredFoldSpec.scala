@@ -1,0 +1,131 @@
+package graft
+
+import graft.io.Bucketing
+import graft.ops.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The tiered (two-level) fold — VERDICT r19 item 2. The run-level
+  * fold must (a) leave the base partition physically untouched (the
+  * whole point: maintenance cost bounded by run+delta, not index
+  * size), (b) keep every probe bit-identical to a rebuild-without
+  * (negative pending sums in the run cancel against the base at
+  * probe time), (c) advance the replay watermark so consumed batches
+  * no-op, and (d) heal from a kill at every failpoint of the
+  * side-table + journal swap. The base merge must then resolve the
+  * pending negatives physically.
+  */
+class TieredFoldSpec extends SparkSpec {
+
+  private def drop(tbls: String*): Unit =
+    tbls.foreach(Bucketing.dropTable(spark, _))
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+  private def parts(tbl: String): Set[String] =
+    spark.sql(s"SHOW PARTITIONS $tbl").collect().map(_.getString(0)).toSet
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+  private lazy val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+  private lazy val delta = docs.filter(col("doc_id") % 5 === 0)
+  private def quarter(i: Int) =
+    corpus.filter(pmod(col("doc_id"), lit(4)) === i)
+  // retraction of docs already folded into the BASE — the case that
+  // forces pending negatives through the run level
+  private lazy val retired =
+    corpus.filter(pmod(col("doc_id"), lit(4)) < 2 && col("doc_id") % 7 === 1)
+
+  /** quarters 0..maxQ minus the retired docs, built fresh. */
+  private def rebuildWithout(tbl: String, maxQ: Int): Unit = {
+    drop(tbl)
+    Dedup.appendShingleDfPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(4)) <= maxQ)
+        .exceptAll(retired.filter(pmod(col("doc_id"), lit(4)) <= maxQ)),
+      tbl, 0L)
+  }
+
+  test("run-level fold leaves base untouched, keeps probes exact, advances the watermark; base merge resolves pending negatives") {
+    drop("tf_idx", "tf_reb2", "tf_reb3")
+    // ---- base: two batches, first tiered fold = base merge ----
+    Dedup.appendShingleDfPartial(spark, quarter(0), "tf_idx", 0L)
+    Dedup.appendShingleDfPartial(spark, quarter(1), "tf_idx", 1L)
+    assert(Bucketing.tieredFold(spark, "tf_idx"),
+      "the FIRST fold has no base and must take the merge path")
+    assert(Bucketing.tableProperty(spark, "tf_idx",
+      Bucketing.BaseAtProperty) === Some("1"))
+    assert(parts("tf_idx") === Set("batch_id=1"))
+    // ---- fresh: one append + one retraction of base-resident docs ----
+    Dedup.appendShingleDfPartial(spark, quarter(2), "tf_idx", 2L)
+    Dedup.retractShingleDfPartial(spark, retired, "tf_idx", 3L)
+    val baseBefore = rows(spark.table("tf_idx").filter(col("batch_id") === 1))
+    // mergeFraction huge => the run path is forced
+    assert(!Bucketing.tieredFold(spark, "tf_idx", mergeFraction = 1e9),
+      "with a base present and a small run the fold must stay run-level")
+    assert(parts("tf_idx") === Set("batch_id=1", "batch_id=3"),
+      "layout after a run fold is exactly base + run")
+    assert(Bucketing.tableProperty(spark, "tf_idx",
+      Bucketing.RunAtProperty) === Some("3"))
+    assert(Bucketing.foldedThrough(spark, "tf_idx") === 3L)
+    assert(rows(spark.table("tf_idx").filter(col("batch_id") === 1))
+      === baseBefore, "the base partition must be physically untouched")
+    // the retraction of base-resident keys is PENDING in the run as
+    // negative sums — legal, and invisible to probes (they sum first)
+    assert(spark.table("tf_idx")
+      .filter(col("batch_id") === 3 && col("df_corpus") < 0).count() > 0,
+      "fixture must exercise the pending-negative case")
+    rebuildWithout("tf_reb2", maxQ = 2)
+    val want2 = rows(Dedup.noveltyIncremental(spark, delta, "tf_reb2"))
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "tf_idx")) === want2,
+      "probe through base+run must equal the rebuild-without")
+    // consumed batches no-op on replay (landed = false)
+    assert(!Dedup.retractShingleDfPartial(spark, retired, "tf_idx", 3L),
+      "a replay of a run-folded batch must report landed = false")
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "tf_idx")) === want2)
+    // ---- base merge: resolves the pending negatives physically ----
+    Dedup.appendShingleDfPartial(spark, quarter(3), "tf_idx", 4L)
+    assert(Bucketing.tieredFold(spark, "tf_idx", mergeFraction = 0.0),
+      "mergeFraction 0 must force the base merge")
+    assert(parts("tf_idx") === Set("batch_id=4"))
+    assert(Bucketing.tableProperty(spark, "tf_idx",
+      Bucketing.BaseAtProperty) === Some("4"))
+    assert(Bucketing.tableProperty(spark, "tf_idx",
+      Bucketing.RunAtProperty) === None,
+      "the merge consumes the run level — its marker must clear")
+    assert(spark.table("tf_idx").filter(col("df_corpus") <= 0).count() === 0,
+      "after the merge no pending negative or zero row may survive")
+    rebuildWithout("tf_reb3", maxQ = 3)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "tf_idx"))
+      === rows(Dedup.noveltyIncremental(spark, delta, "tf_reb3")))
+    drop("tf_idx", "tf_reb2", "tf_reb3")
+  }
+
+  test("run-fold crash windows: a kill at every failpoint heals through the probe-side repair") {
+    rebuildWithout("tfc_reb", maxQ = 2)
+    val want = rows(Dedup.noveltyIncremental(spark, delta, "tfc_reb"))
+    for (step <- 1 to 3) {
+      val tbl = s"tfc_idx_$step"
+      drop(tbl)
+      Dedup.appendShingleDfPartial(spark, quarter(0), tbl, 0L)
+      Dedup.appendShingleDfPartial(spark, quarter(1), tbl, 1L)
+      assert(Bucketing.tieredFold(spark, tbl)) // base
+      Dedup.appendShingleDfPartial(spark, quarter(2), tbl, 2L)
+      Dedup.retractShingleDfPartial(spark, retired, tbl, 3L)
+      intercept[IllegalStateException] {
+        Bucketing.tieredFold(spark, tbl, mergeFraction = 1e9,
+          injectCrashAtStep = step)
+      }
+      // the probe's own repair path must see a consistent partition
+      // set at EVERY crash point: pre-journal (stale side table),
+      // journal-stamped-nothing-moved, and mid-swap (sources dropped,
+      // run not yet landed)
+      assert(rows(Dedup.noveltyIncremental(spark, delta, tbl)) === want,
+        s"probe after a kill at failpoint $step must equal the rebuild")
+      // and the next maintenance entry converges the layout
+      Bucketing.tieredFold(spark, tbl, mergeFraction = 1e9)
+      assert(parts(tbl) === Set("batch_id=1", "batch_id=3"),
+        s"layout after repair + re-fold (failpoint $step)")
+      assert(rows(Dedup.noveltyIncremental(spark, delta, tbl)) === want)
+      drop(tbl)
+    }
+    drop("tfc_reb")
+  }
+}
