@@ -348,13 +348,15 @@ object ProbeScaling {
       // FIXTURE property (p125's pending count scales with the
       // embeddings file, and the default sf0.001/sf0.01 embedding
       // fixtures are byte-identical) can hand the fit coincident x
-      // points — two of three points at the same x turn the "slope"
-      // into the noise between two medians. Detect it and say so
-      // LOUDLY: the number is still printed (the large-anchor runs are
-      // fine) but the JSON carries degenerate_x so no reader mistakes a
-      // phantom slope for a measurement. Fix = add the Amplify sf0.8
-      // anchor to SPARK_GRAFT_PROBE_SFDIRS (see PROBE_SCALING.md).
-      val degenerate = per.map(_._2).distinct.size < per.size
+      // points. With fewer than THREE distinct sizes the "slope" is
+      // the noise between two medians — detect it and say so LOUDLY:
+      // the number is still printed but the JSON carries degenerate_x
+      // so no reader mistakes a phantom slope for a measurement. (One
+      // duplicate pair inside a 4-point anchored sweep is fine — three
+      // distinct sizes still span the fit; that is the r19 protocol.)
+      // Fix = add the Amplify sf0.8 anchor to SPARK_GRAFT_PROBE_SFDIRS
+      // (see PROBE_SCALING.md).
+      val degenerate = per.map(_._2).distinct.size < 3
       if (degenerate)
         println(s"PROBE WARNING ${fam.name}: sweep has DUPLICATE x values " +
           per.map(_._2).mkString("(", ",", ")") +
