@@ -59,6 +59,14 @@ object Bench {
       // measurement, never a hard bench failure).
       graft.io.StateStores.unloadAllQuietly()
     }
+    // shared media fixtures (VERDICT r20 item 7): land the two GIF
+    // corpora in this untimed prep so no timed row's rep1 pays another
+    // row's one-time encode — p85's rep1 used to carry the 65-frame
+    // variant corpus writer for p86/p87 (43 s vs 5 s steady at sf0.1),
+    // and the sf0.8 spot-bench read that one-time cost as a phantom
+    // 40x on p86. Pure hoist: landOnce is eager + idempotent, the rows
+    // keep their own guards, total bench wall-clock is unchanged.
+    graft.queries.PipelineQueries.landSharedMediaFixtures(spark, sfDir)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     spark.catalog.clearCache()
     // sweep scratch stranded by prior killed runs (the exit hook only
@@ -328,18 +336,31 @@ object Bench {
       s.canaryCv <= cvGate && s.ioCanaryMedian <= ioGate
     val autoRerun = !filtered &&
       sys.env.get("SPARK_GRAFT_BENCH_AUTORERUN").forall(_ != "0")
-    val first = runSweep()
-    val (sweep, rejectedSweep) =
-      if (windowOk(first) || !autoRerun) (first, None)
-      else {
-        System.err.println(f"[bench] window REJECTED (canary cv " +
-          f"${first.canaryCv}%.3f > $cvGate%.3f or io median " +
-          f"${first.ioCanaryMedian}%.3f > $ioGate%.3f) — re-running the " +
-          "catalog once in the hope of a quieter window")
-        val second = runSweep()
-        if (second.canaryCv <= first.canaryCv) (second, Some(first))
-        else (first, Some(second))
-      }
+    // wall-clock budget for the gate's auto-rerun (VERDICT r20 item 1):
+    // round 20's driver lane returned rc 124 / parsed:null because a
+    // rejected ~70-minute sf0.1 window triggered a SECOND full sweep
+    // with no cap — the rerun doubled the runtime in exactly the
+    // contended windows that trigger it. The rerun is now taken only
+    // when (first sweep elapsed x 2) fits the budget; the default is
+    // sized so smoke sweeps (sf<=0.01, seconds-to-minutes) still rerun
+    // and a full sf0.1 catalog sweep never doubles past the driver
+    // lane's timeout.
+    val timeBudget = sys.env.get("SPARK_GRAFT_BENCH_TIME_BUDGET")
+      .flatMap(_.toDoubleOption).getOrElse(5400.0)
+    // explicit root locale: under a comma-decimal default locale (de_DE
+    // etc.) f"$v%.3f" would print 0,727 — invalid JSON for the driver
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    // Full detail + compact summary for ONE sweep. Factored out of the
+    // tail (VERDICT r20 item 1b) so the compact line can be emitted
+    // after EACH sweep: a driver timeout mid-rerun now leaves the first
+    // sweep's parseable result in stdout instead of nothing.
+    def emit(sweep: Sweep, rejectedSweep: Option[Sweep]): String = {
     val allReps = sweep.allReps
     val canarySamples = sweep.canarySamples
     val ioCanarySamples = sweep.ioCanarySamples
@@ -352,15 +373,6 @@ object Bench {
       case (name, times) if times.nonEmpty && !errors.contains(name) =>
         name -> times.sorted.apply(times.size / 2)
     }
-    // explicit root locale: under a comma-decimal default locale (de_DE
-    // etc.) f"$v%.3f" would print 0,727 — invalid JSON for the driver
-    def num3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // canary-normalized total: each row scaled by (reference canary /
     // its SEGMENT's machine speed), where a segment's speed is the mean
@@ -432,20 +444,60 @@ object Bench {
     // The driver keeps only the LAST 2000 characters of stdout and parses
     // the JSON out of that tail — rounds 1-3 produced a ~2300-char line
     // that arrived truncated and never parsed. The final line must stay
-    // under the window: 3-decimal timings, and if the full-name form
-    // still doesn't fit, per-query keys fall back to their unique
-    // qNN/pNN prefix (the detail line above always carries full names).
-    def compactLine(short: Boolean): String = {
-      val qs = results.map { case (k, v) =>
+    // under the window: 3-decimal timings; if the full-name form doesn't
+    // fit, per-query keys fall back to their unique qNN/pNN prefix; and
+    // when even THAT outgrows the window (the 206-row catalog's short
+    // form is ~3 KB — why BENCH_r18/r19 arrived parsed:null, VERDICT r20
+    // item 1a), the line drops the per-query map entirely ("queries":{},
+    // "queries_in_detail":true) and the full map lives only in the
+    // committed BENCH_DETAIL artifact. A truncated-but-parseable summary
+    // beats a complete-but-unparseable one.
+    def compactLine(short: Boolean, withMap: Boolean): String = {
+      val qs = if (!withMap) "{}" else results.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + num3(v)
       }.mkString("{", ",", "}")
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"window_ok":$windowOkKept,"reran":${rejectedSweep.isDefined},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"queries_in_detail":${!withMap},"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"window_ok":$windowOkKept,"reran":${rejectedSweep.isDefined},"filtered":$filtered,"sf":"$sfDir"}"""
     }
-    val line = { val full = compactLine(short = false)
-      if (full.length <= 1850) full else compactLine(short = true) }
+    val full = compactLine(short = false, withMap = true)
+    if (full.length <= 1850) full
+    else { val shortLine = compactLine(short = true, withMap = true)
+      if (shortLine.length <= 1850) shortLine
+      else compactLine(short = false, withMap = false) }
+    }
+    val sweepT0 = System.nanoTime()
+    val first = runSweep()
+    val firstElapsed = (System.nanoTime() - sweepT0) / 1e9
+    val rerunFits = firstElapsed * 2.0 <= timeBudget
+    val line =
+      if (windowOk(first) || !autoRerun || !rerunFits) {
+        if (!windowOk(first) && autoRerun && !rerunFits)
+          System.err.println(f"[bench] window REJECTED (canary cv " +
+            f"${first.canaryCv}%.3f / io median ${first.ioCanaryMedian}%.3f)" +
+            f" but rerun SKIPPED: first sweep took $firstElapsed%.0f s and " +
+            f"2x exceeds SPARK_GRAFT_BENCH_TIME_BUDGET=$timeBudget%.0f s")
+        emit(first, None)
+      } else {
+        System.err.println(f"[bench] window REJECTED (canary cv " +
+          f"${first.canaryCv}%.3f > $cvGate%.3f or io median " +
+          f"${first.ioCanaryMedian}%.3f > $ioGate%.3f) — re-running the " +
+          "catalog once in the hope of a quieter window")
+        // leave the first sweep's parseable result in stdout and in the
+        // detail files BEFORE starting the second sweep: a kill
+        // mid-rerun now strands a usable (if window_ok:false) artifact
+        // instead of nothing (VERDICT r20 item 1b)
+        println(emit(first, None))
+        val second = runSweep()
+        // keep the sweep that PASSES the full gate when one does
+        // (ADVICE r20: comparing canary cv alone could keep a window
+        // rejected for io contention over a qualifying one); fall back
+        // to the lower CPU-canary cv when both fail
+        if (windowOk(second) || second.canaryCv <= first.canaryCv)
+          emit(second, Some(first))
+        else emit(first, Some(second))
+      }
     // stop BEFORE the final println: round 16's driver tail shows a
     // thread-pool stack trace printed AFTER the compact line (late
     // executor/shutdown output), pushing the JSON out of the driver's

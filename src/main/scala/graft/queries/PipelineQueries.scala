@@ -1020,6 +1020,23 @@ object PipelineQueries {
     graft.io.TempPaths.landOnce(spark, "graft_p85_gif", dir)(
       Multimodal.syntheticVideoVariants(spark, Tables.documents(spark, dir)))
 
+  /** Untimed shared-fixture prep for the bench warmup (VERDICT r20
+    * item 7): land both GIF corpora once per application OUTSIDE any
+    * timed row, so no catalog row's rep1 carries another row's
+    * one-time encode — the GIF *writer* is the costliest codec in the
+    * catalog, and whichever of p85/p86/p87 (or p68) ran first used to
+    * pay it inside its first timed rep (p85 rep1 ~43 s vs ~5 s steady
+    * at sf0.1; the sf0.8 spot-bench read the same one-time cost as a
+    * phantom 40x on p86). landOnce is eager and idempotent, so this is
+    * a pure hoist: same work, same per-application scratch, paid
+    * before timing starts; the rows keep their own guards. */
+  def landSharedMediaFixtures(spark: SparkSession, dir: String): Unit = {
+    landedVideoVariants(spark, dir)
+    graft.io.TempPaths.landOnce(spark, "graft_p68_gif", dir)(
+      Multimodal.syntheticVideos(spark, Tables.documents(spark, dir)))
+    ()
+  }
+
   /** p85 — VIDEO perceptual fingerprint from the DECODED frames: the
     * temporal brightness-delta sign device (65 real GIF frames, per-
     * frame gray sums from the decoded rasters, bit f = S(f+1) > S(f))
