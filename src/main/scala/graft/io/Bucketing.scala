@@ -220,6 +220,19 @@ object Bucketing {
   val BaseAtProperty = "graft.index.baseAt"
   val RunAtProperty = "graft.index.runAt"
 
+  /** Row count of the base partition, stamped by [[foldBucketed]] at
+    * base-merge time — the only event that changes it (VERDICT r20
+    * item 3). [[tieredFold]]'s run-vs-merge decision reads this stamp
+    * instead of counting the base partition: `count()` is footer-only
+    * in bytes but still lists and opens every base data file's footer,
+    * an O(base files) filesystem pass per cadence window — the very
+    * dependence on index size the tiered fold exists to remove. The
+    * merge UNSETs the stamp atomically with its swap and re-stamps the
+    * fresh value after, so a crash in between leaves the property
+    * absent (never stale) and the next decision falls back to
+    * counting. */
+  val BaseMassProperty = "graft.index.baseMass"
+
   /** Crash journal for the run-level fold: `<newRunId>|<id,id,...>`
     * (the partition the folded run lands in, and the source partitions
     * — old run + fresh — it replaces). Stamped on the MAIN table in one
@@ -443,7 +456,19 @@ object Bucketing {
         CompactedAtProperty -> maxBatch.toString,
         BaseAtProperty -> maxBatch.toString),
       pinBucketedScanOff = false,
-      dropProps = Set(RunAtProperty))
+      // the old base's mass stamp dies with the swap (atomically); the
+      // fresh value is stamped below, AFTER the swap — a crash between
+      // the two leaves the property absent, and tieredFold falls back
+      // to counting (see BaseMassProperty)
+      dropProps = Set(RunAtProperty, BaseMassProperty))
+    // one footer-only count of the just-merged base, paid once per
+    // merge (amortized O(delta) like the merge itself), so every
+    // subsequent cadence decision is metadata-only
+    val baseMass = spark.table(table)
+      .filter(col("batch_id") === maxBatch).count()
+    stampProperties(spark, table,
+      Map(BaseMassProperty -> baseMass.toString))
+    dataFileCount(spark, table)
   }
 
   /** Shared layout guard of the fold paths: `table` must be a
@@ -525,7 +550,14 @@ object Bucketing {
       if (ids.isEmpty) 0L
       else spark.table(table)
         .filter(col("batch_id").isin(ids: _*)).count() // footer-only scan
-    val baseMass = mass(baseAt.toSeq)
+    // base mass from the merge-time stamp (VERDICT r20 item 3): the
+    // base only changes at a merge, so the stamp is authoritative;
+    // counting it here would list/open every base file's footer once
+    // per cadence window — O(base) filesystem work the tiered fold
+    // exists to avoid. Fallback to counting covers pre-stamp tables
+    // and the crash window between a merge's swap and its re-stamp.
+    val baseMass = props.get(BaseMassProperty).flatMap(_.toLongOption)
+      .getOrElse(mass(baseAt.toSeq))
     // no base yet (first fold), or the run would outgrow its bound:
     // merge everything into a new base
     if (baseAt.isEmpty ||
@@ -615,24 +647,39 @@ object Bucketing {
       s"$table carries a run-fold journal but $side is missing — the " +
         "journal is only ever stamped after the side table committed; " +
         "this table was tampered with outside the maintenance protocol")
-    // 1. drop the consumed partitions (old run + fresh), data included
+    // 1. drop the consumed partitions (old run + fresh), data included;
+    //    ONE partition listing up front (ADVICE r20: listing inside the
+    //    filter was O(n^2) metastore calls on a wide journal)
+    val existing = cat.listPartitions(ident).map(_.spec).toSet
     val specs = dropIds.toSeq.map(id => Map("batch_id" -> id.toString))
-      .filter(s => cat.listPartitions(ident).map(_.spec).contains(s))
+      .filter(existing)
     if (specs.nonEmpty)
       cat.dropPartitions(ident, specs, ignoreIfNotExists = true,
         purge = false, retainData = false)
     if (injectCrashAtStep == 3)
       throw new IllegalStateException("injected crash at run-fold step 3")
-    // 2. land the folded run as its own partition (idempotent replay)
-    overwritePartitions(spark.table(side), table)
+    // 2. land the folded run as its own partition (idempotent replay).
+    //    When run + fresh fully cancelled, the fold's output is EMPTY:
+    //    a dynamic-partition overwrite of an empty frame writes no
+    //    partition, so stamping RunAtProperty would leave a run marker
+    //    pointing at a partition that does not exist — violating the
+    //    documented "RUN: one bounded partition at batch_id = runAt"
+    //    invariant (ADVICE r20). The watermark/cadence cursors still
+    //    advance; the run marker is UNSET instead of stamped.
+    val sideEmpty = spark.table(side).isEmpty
+    if (!sideEmpty) overwritePartitions(spark.table(side), table)
     // 3. advance the level markers + watermark, then clear the journal;
     //    a crash between the two replays this method harmlessly
     stampProperties(spark, table, Map(
-      RunAtProperty -> newRunId.toString,
       FoldedThroughProperty -> newRunId.toString,
-      CompactedAtProperty -> newRunId.toString))
+      CompactedAtProperty -> newRunId.toString) ++
+      (if (sideEmpty) Map.empty[String, String]
+       else Map(RunAtProperty -> newRunId.toString)))
+    val unsetProps =
+      if (sideEmpty) s"'$FoldJournalProperty', '$RunAtProperty'"
+      else s"'$FoldJournalProperty'"
     spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
-      s"('$FoldJournalProperty')")
+      s"($unsetProps)")
     dropTable(spark, side)
     spark.catalog.refreshTable(table)
   }

@@ -128,4 +128,76 @@ class TieredFoldSpec extends SparkSpec {
     }
     drop("tfc_reb")
   }
+
+  test("tieredFold's run-vs-merge decision reads the merge-stamped base mass, not a base-partition count (VERDICT r20 item 3)") {
+    drop("tfm_idx", "tfm_reb")
+    Dedup.appendShingleDfPartial(spark, quarter(0), "tfm_idx", 0L)
+    Dedup.appendShingleDfPartial(spark, quarter(1), "tfm_idx", 1L)
+    assert(Bucketing.tieredFold(spark, "tfm_idx")) // first fold = merge
+    assert(Bucketing.tableProperty(spark, "tfm_idx",
+        Bucketing.BaseMassProperty).flatMap(_.toLongOption)
+      === Some(spark.table("tfm_idx").count()),
+      "the base merge must stamp the new base's row count")
+    // prove the decision is METADATA-ONLY by poisoning the stamp in
+    // both directions and observing tieredFold honor the poisoned value
+    // over what a count of the base would say. Stamp 0 => threshold 0,
+    // so even mergeFraction 1e9 must take the merge path (a real count
+    // of the non-empty base would have kept the run path):
+    Dedup.appendShingleDfPartial(spark, quarter(2), "tfm_idx", 2L)
+    Bucketing.stampProperties(spark, "tfm_idx",
+      Map(Bucketing.BaseMassProperty -> "0"))
+    assert(Bucketing.tieredFold(spark, "tfm_idx", mergeFraction = 1e9),
+      "a zero stamp must force the merge — the decision read the stamp")
+    // ...and the merge re-stamped the true mass
+    assert(Bucketing.tableProperty(spark, "tfm_idx",
+        Bucketing.BaseMassProperty).flatMap(_.toLongOption)
+      === Some(spark.table("tfm_idx").count()))
+    // stamp huge => threshold huge even at mergeFraction 1e-9, so the
+    // run path must hold (a real count would have forced the merge):
+    Dedup.appendShingleDfPartial(spark, quarter(3), "tfm_idx", 3L)
+    Bucketing.stampProperties(spark, "tfm_idx",
+      Map(Bucketing.BaseMassProperty -> Long.MaxValue.toString))
+    assert(!Bucketing.tieredFold(spark, "tfm_idx", mergeFraction = 1e-9),
+      "a huge stamp must keep the run path — the decision read the stamp")
+    // migration fallback: with the stamp ABSENT (pre-stamp table, or a
+    // crash between a merge's swap and its re-stamp) the decision falls
+    // back to counting the base
+    spark.sql("ALTER TABLE tfm_idx UNSET TBLPROPERTIES IF EXISTS " +
+      s"('${Bucketing.BaseMassProperty}')")
+    Dedup.appendShingleDfPartial(spark, delta, "tfm_idx", 4L)
+    assert(Bucketing.tieredFold(spark, "tfm_idx", mergeFraction = 1e-9),
+      "stamp absent: the decision must fall back to counting the base")
+    // data stayed probe-exact through stamped, poisoned and fallback
+    // decisions (folds only moved rows, never changed their sums)
+    Dedup.appendShingleDfPartial(spark, docs, "tfm_reb", 0L)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "tfm_idx"))
+      === rows(Dedup.noveltyIncremental(spark, delta, "tfm_reb")))
+    drop("tfm_idx", "tfm_reb")
+  }
+
+  test("a fully-cancelled run fold advances the watermark without a run marker at a nonexistent partition (ADVICE r20)") {
+    drop("tfe_idx", "tfe_reb")
+    Dedup.appendShingleDfPartial(spark, quarter(0), "tfe_idx", 0L)
+    Dedup.appendShingleDfPartial(spark, quarter(1), "tfe_idx", 1L)
+    assert(Bucketing.tieredFold(spark, "tfe_idx")) // base at 1
+    // fresh batches that cancel EXACTLY: append quarter(2), retract it
+    Dedup.appendShingleDfPartial(spark, quarter(2), "tfe_idx", 2L)
+    Dedup.retractShingleDfPartial(spark, quarter(2), "tfe_idx", 3L)
+    assert(!Bucketing.tieredFold(spark, "tfe_idx", mergeFraction = 1e9))
+    assert(parts("tfe_idx") === Set("batch_id=1"),
+      "the cancelled run writes no partition — layout stays base-only")
+    assert(Bucketing.tableProperty(spark, "tfe_idx",
+        Bucketing.RunAtProperty) === None,
+      "no run marker may point at a partition that was never written")
+    assert(Bucketing.foldedThrough(spark, "tfe_idx") === 3L,
+      "the watermark still advances past the cancelled batches")
+    // consumed batches still no-op on replay
+    assert(!Dedup.retractShingleDfPartial(spark, quarter(2), "tfe_idx", 3L))
+    // and probes see exactly the base
+    Dedup.appendShingleDfPartial(spark,
+      corpus.filter(pmod(col("doc_id"), lit(4)) <= 1), "tfe_reb", 0L)
+    assert(rows(Dedup.noveltyIncremental(spark, delta, "tfe_idx"))
+      === rows(Dedup.noveltyIncremental(spark, delta, "tfe_reb")))
+    drop("tfe_idx", "tfe_reb")
+  }
 }
