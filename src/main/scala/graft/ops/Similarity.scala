@@ -281,6 +281,29 @@ object Similarity {
       "vec_id", tombstonesTable, "ivf-tombs"), probes, k)
   }
 
+  /** [[ivfTopKAgainstIndex]] with probes derived against an EXPLICIT
+    * pinned centroid artifact ([[buildIvfCentroids]]) instead of
+    * re-deriving the quantizer from the probe source (ADVICE r20,
+    * high). The stored index's cell ids are meaningful only under the
+    * quantizer that assigned them: a probe whose AS source differs from
+    * the CREATE source — a delta batch, or the corpus after APPENDs,
+    * the natural incremental usage — would derive a DIFFERENT centroid
+    * set and its probed cells would silently miss the index's. The SQL
+    * `PROBE ivf` path routes here; identical output to
+    * [[ivfTopKAgainstIndex]] whenever the probe source happens to equal
+    * the artifact's training source. */
+  def ivfTopKAgainstIndexWithCentroids(
+      spark: org.apache.spark.sql.SparkSession, embeddings: DataFrame,
+      table: String, centroidsTable: String, k: Int = 10,
+      queryStride: Int = 50, nProbe: Int = 4,
+      tombstonesTable: Option[String] = None): DataFrame = {
+    graft.io.Bucketing.requireKind(spark, centroidsTable, "ivf-centroids")
+    val probes = ivfProbes(embeddings, spark.table(centroidsTable),
+      queryStride, nProbe)
+    ivfRank(graft.io.Tombstones.filterRetracted(spark, spark.table(table),
+      "vec_id", tombstonesTable, "ivf-tombs"), probes, k)
+  }
+
   /** Shared IVF coarse-quantizer stages: `assign` = (vec_id, cell,
     * embedding, nrm) — every vector in its argmax-cosine centroid cell;
     * `probes` = (q_id, q_emb, q_norm, cell) — each stride-query paired

@@ -520,14 +520,25 @@ case class ProbeIndexCommand(family: String, tables: Seq[String],
           source, tables(0), tables(1), tables = lshT, bitsPerTable = lshB,
           tombstonesTable = tombstones)
       case "ivf" =>
-        // K is the probe's top-k here; the quantizer size comes from
-        // the CREATE-time stamp (legacy unstamped tables fall back to
-        // the Scala default)
-        val nc = graft.io.Bucketing.tableProperty(spark, tables(0),
-          graft.io.Bucketing.CentroidsProperty).flatMap(_.toIntOption)
-          .getOrElse(16)
-        graft.ops.Similarity.ivfTopKAgainstIndex(spark, source, tables(0),
-          k = k.getOrElse(10), nCentroids = nc,
+        // K is the probe's top-k. Probes score against the CREATE-time
+        // PINNED quantizer artifact (ADVICE r20, high): the previous
+        // path re-trained the quantizer from the AS source, which
+        // derives a different centroid set whenever the probe source
+        // differs from the CREATE source (a delta, or the corpus after
+        // APPENDs — the natural incremental usage every other family
+        // supports), making the probed cells silently miss the index's
+        // stored cells. An unstamped table is an error, not a fallback:
+        // an index cannot be scored against a different quantizer.
+        val centsTbl = graft.io.Bucketing.tableProperty(spark, tables(0),
+          graft.io.Bucketing.CentroidsTableProperty).getOrElse(
+          throw new IllegalArgumentException(
+            s"${tables(0)} carries no centroid-artifact stamp " +
+              s"(${graft.io.Bucketing.CentroidsTableProperty}) — it was " +
+              "not provisioned through CREATE ivf INDEX/the streamed " +
+              "builder; a probe cannot score against a different " +
+              "quantizer"))
+        graft.ops.Similarity.ivfTopKAgainstIndexWithCentroids(spark,
+          source, tables(0), centsTbl, k = k.getOrElse(10),
           tombstonesTable = tombstones)
       case "shingle_df" =>
         graft.ops.Dedup.noveltyIncremental(spark, source, tables(0))

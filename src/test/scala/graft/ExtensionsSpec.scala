@@ -425,6 +425,60 @@ class ExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("PROBE ivf scores a delta source against the pinned CREATE-time quantizer artifact, never a probe-source re-derivation (ADVICE r20)") {
+    spark.sparkContext // ensure the shared context exists first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[4]")
+      .appName("graft-ext-ivf-pinned-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s2, sfDir)
+      val corpus = emb.filter(col("vec_id") % 5 =!= 0)
+      // the natural incremental usage: the probe source is a DELTA the
+      // CREATE never saw — a quantizer re-derived from it is a
+      // different centroid set, so its cells miss the index's
+      val probeSrc = emb.filter(col("vec_id") % 5 === 0)
+      corpus.createOrReplaceTempView("ivfp_corpus")
+      probeSrc.createOrReplaceTempView("ivfp_delta")
+      def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+        df.collect().map(_.toString).toSet
+      val tbls = Seq("ivfp_idx", "ivfp_idx_centroids", "ivfp_out",
+        "ivfp_batch")
+      tbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+      s2.sql("CREATE ivf INDEX ivfp_idx CENTROIDS 16 AS " +
+        "SELECT vec_id, embedding FROM ivfp_corpus").collect()
+      s2.sql("PROBE ivf INDEX ivfp_idx K 5 INTO ivfp_out AS " +
+        "SELECT vec_id, embedding FROM ivfp_delta").collect()
+      val want = rows(graft.ops.Similarity.ivfTopKAgainstIndexWithCentroids(
+        s2, probeSrc, "ivfp_idx", "ivfp_idx_centroids", k = 5))
+      assert(rows(s2.table("ivfp_out")) === want,
+        "SQL delta probe must score against the pinned artifact")
+      // the fixture must actually discriminate: the old re-derive-from-
+      // the-AS-source behavior answers DIFFERENTLY here, so this test
+      // fails on a regression to it
+      assert(rows(graft.ops.Similarity.ivfTopKAgainstIndex(
+          s2, probeSrc, "ivfp_idx", k = 5)) !== want,
+        "fixture degenerate: delta-derived centroids equal the pinned set")
+      // an unstamped table (batch-built outside CREATE/the streamed
+      // builder) errors loudly instead of silently re-deriving
+      graft.ops.Similarity.buildIvfIndex(corpus, "ivfp_batch")
+      val e = intercept[IllegalArgumentException] {
+        s2.sql("PROBE ivf INDEX ivfp_batch K 5 INTO ivfp_out AS " +
+          "SELECT vec_id, embedding FROM ivfp_delta").collect()
+      }
+      assert(e.getMessage.contains("centroid-artifact"))
+      tbls.foreach(graft.io.Bucketing.dropTable(s2, _))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("landing zone: quarantine, archive, clean") {
     val dir = Files.createTempDirectory("lz")
     val landing = dir.resolve("landing").toString
