@@ -195,7 +195,8 @@ object Bench {
       "p120_token_retraction", "p121_bm25_retraction",
       "p122_ivf_retraction", "p123_sql_retraction", "p124_sql_lifecycle",
       "p126_sql_vector_lifecycle",
-      "q81_streaming_retraction", "q82_streaming_ivf_retraction")
+      "q81_streaming_retraction", "q82_streaming_ivf_retraction",
+      "q83_streaming_run_fold")
     def repsFor(name: String): Int =
       if (statefulRows(name)) statefulReps else reps
     // profiling filters: ONLY/SKIP take comma-separated name prefixes

@@ -694,7 +694,8 @@ object Bucketing {
     * [[isAdditiveIndex]] rather than running both rewrites. Returns
     * true when a fold ran. */
   def maybeFold(spark: SparkSession, table: String,
-                everyBatches: Int = 4): Boolean = {
+                everyBatches: Int = 4,
+                mergeFraction: Double = 0.25): Boolean = {
     if (everyBatches <= 0) return false
     val cat = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
@@ -708,7 +709,7 @@ object Bucketing {
       .flatMap(_.stripPrefix("batch_id=").toLongOption)
       .count(_ > folded)
     if (fresh < everyBatches) false
-    else { tieredFold(spark, table); true }
+    else { tieredFold(spark, table, mergeFraction); true }
   }
 
   private def rewriteBucketed(spark: SparkSession, table: String,

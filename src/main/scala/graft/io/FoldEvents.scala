@@ -13,12 +13,22 @@ package graft.io
 object FoldEvents {
 
   private val counter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val byKind =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
 
   /** Total fold rewrites since JVM start (base merges + run folds). */
   def count: Long = counter.get()
 
+  /** Rewrites of one kind ("base-merge" | "run-fold") since JVM start —
+    * the q83 gate's assertion surface: a row claiming to exercise the
+    * run-level path must move THIS counter, not just the total. */
+  def countOf(kind: String): Long =
+    Option(byKind.get(kind)).map(_.get()).getOrElse(0L)
+
   def record(table: String, kind: String, partitions: Int): Unit = {
     counter.incrementAndGet()
+    byKind.computeIfAbsent(kind,
+      _ => new java.util.concurrent.atomic.AtomicLong(0L)).incrementAndGet()
     System.err.println(
       s"[graft.fold] table=$table kind=$kind partitions=$partitions")
   }

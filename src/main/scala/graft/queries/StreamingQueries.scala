@@ -952,7 +952,8 @@ object StreamingQueries {
   private def runIndexMaintenance(spark: SparkSession, landing: String,
                                   ckpt: String, tables: Seq[String],
                                   compactEvery: Int = CompactEveryDefault,
-                                  tombstones: Seq[graft.io.Tombstones.PurgeSpec] = Nil)(
+                                  tombstones: Seq[graft.io.Tombstones.PurgeSpec] = Nil,
+                                  mergeFraction: Double = 0.25)(
       append: (DataFrame, Long) => Unit): Unit = {
     if (!graft.io.TempPaths.isComplete(ckpt)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
@@ -976,7 +977,7 @@ object StreamingQueries {
           // (+df, −df) row pairs; running both would rewrite twice
           tables.foreach { t =>
             if (graft.io.Bucketing.isAdditiveIndex(spark, t))
-              graft.io.Bucketing.maybeFold(spark, t, compactEvery)
+              graft.io.Bucketing.maybeFold(spark, t, compactEvery, mergeFraction)
             else graft.io.Bucketing.maybeCompact(spark, t, compactEvery)
           }
           tombstones.foreach(s => graft.io.Tombstones.maybePurge(spark, s))
@@ -1315,6 +1316,54 @@ object StreamingQueries {
       docs.filter(deltaSide(col("doc_id"))), idxTbl)
   }
 
+  /** q83 — the RUN-LEVEL FOLD under the driver's hash gate, in a
+    * streamed row (VERDICT r20 item 5): q81's exact data and oracle,
+    * with the cadence arranged so a mid-stream fold takes
+    * [[graft.io.Bucketing.tieredFold]]'s O(run + delta) run-level path
+    * instead of the base merge. q81's fixture fires one fold and a
+    * fresh table's first fold has no base to tier against, so until
+    * this row the run-level path's correctness rested on
+    * TieredFoldSpec/AqeSpec alone — every other lifecycle stage got a
+    * driver-gated row when it shipped. Cadence 2 fires TWICE: after
+    * batch 1 (quarters 0+1 → the BASE, no base existed yet), and after
+    * batch 3 (the retraction batch + quarter 2 → a RUN fold, forced
+    * down the run path by a mergeFraction the run mass can never
+    * exceed). The retraction batch cancels keys resident in the BASE,
+    * so the folded run carries exactly the pending-negative rows the
+    * run-level contract says probes must sum before any sign check.
+    * Batches carry disjoint docs and partial dfs are additive, so the
+    * final index content is IDENTICAL to q81's whatever the batching —
+    * the row shares q81's oracle verbatim, and a hash match certifies
+    * the run-level fold (pending negatives included) is invisible to
+    * the probe. */
+  def q83StreamingRunFold(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpus = docs.filter(corpusSide(col("doc_id")))
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q83_in", dir)
+    val quarter = (i: Int) => corpus.filter(pmod(col("doc_id"), lit(4)) === i)
+    landSlices(spark, dir, landing, Seq(
+      quarter(0).withColumn("retract", lit(false)),
+      quarter(1).withColumn("retract", lit(false)),
+      corpus.filter(pmod(col("doc_id"), lit(4)) < 2 &&
+          col("doc_id") % 7 === 1)
+        .withColumn("retract", lit(true)),
+      quarter(2).withColumn("retract", lit(false)),
+      quarter(3).withColumn("retract", lit(false))))
+    val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q83_ckpt", dir)
+    val idxTbl = graft.io.TempPaths.scratchTableName(spark, "graft_q83_shdf", dir)
+    runIndexMaintenance(spark, landing, ckpt, Seq(idxTbl),
+      compactEvery = 2, mergeFraction = 1e9) { (b, id) =>
+      if (!b.isEmpty) {
+        val isRetract = b.select(max(col("retract"))).head.getBoolean(0)
+        val docsB = b.drop("retract")
+        if (isRetract) graft.ops.Dedup.retractShingleDfPartial(spark, docsB, idxTbl, id)
+        else graft.ops.Dedup.appendShingleDfPartial(spark, docsB, idxTbl, id)
+      }
+    }
+    graft.ops.Dedup.noveltyIncremental(spark,
+      docs.filter(deltaSide(col("doc_id"))), idxTbl)
+  }
+
   /** q82 — STREAMED TOMBSTONE RETRACTION + AUTO-PURGE CADENCE: q81's
     * lifecycle on the POSTING-LIST side of the retraction protocol
     * (VERDICT r17 item 1 made observable under the driver's hash
@@ -1376,6 +1425,7 @@ object StreamingQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_streaming_run_fold" -> (q83StreamingRunFold _),
     "q82_streaming_ivf_retraction" -> (q82StreamingIvfRetraction _),
     "q81_streaming_retraction" -> (q81StreamingRetraction _),
     "q80_streaming_logprob" -> (q80StreamingLogprob _),
@@ -1452,5 +1502,10 @@ object StreamingQueries {
     // poison twins appended, tombstoned, and cadence-PURGED mid-stream:
     // the post-purge index probed with NO gate must be bit-equivalent
     // to a build that never contained them — p16's oracle verbatim
-    "q82_streaming_ivf_retraction" -> RecallQueries.annIvfTopKSql)
+    "q82_streaming_ivf_retraction" -> RecallQueries.annIvfTopKSql,
+    // q81's data and oracle VERBATIM: batches carry disjoint docs and
+    // partial dfs are additive, so the run-level fold's layout (base +
+    // run with pending negatives + fresh tail) must probe identically
+    // to q81's base-merge layout — the run-level path's driver gate
+    "q83_streaming_run_fold" -> EvalQueries.noveltyStreamedRetractionSql)
 }

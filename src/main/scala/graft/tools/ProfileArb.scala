@@ -85,6 +85,27 @@ object ProfileArb {
       samples.sorted.apply(1)
     }
 
+    // IN-CATALOG-ORDER mode (VERDICT r20 item 3 / the q81 experiment):
+    // SPARK_GRAFT_ARB_CHAIN="q75,q76,..." runs each named catalog row
+    // ONCE, in order, BEFORE the timed reps — same JVM, same session,
+    // Bench-parity hygiene between rows (epoch bump, cache clear,
+    // provider unload, GC) — so the arbitrated row runs behind exactly
+    // the scratch/state its usual catalog predecessors leave, the one
+    // environment the isolated protocol cannot observe.
+    sys.env.get("SPARK_GRAFT_ARB_CHAIN").foreach { chain =>
+      chain.split(",").map(_.trim).filter(_.nonEmpty).foreach { pre =>
+        graft.io.TempPaths.bumpEpoch()
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(pre)(spark, dir)
+          .queryExecution.toRdd.count()
+        println(f"ARB chain $pre ${(System.nanoTime() - t0) / 1e9}%8.3f s rows=$n")
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.catalog.clearCache()
+        graft.io.StateStores.unloadAllQuietly()
+        System.gc()
+      }
+    }
+
     val fn = graft.SparkEntry.queries(name)
     val times = scala.collection.mutable.ArrayBuffer.empty[Double]
     val canaries = scala.collection.mutable.ArrayBuffer.empty[Double]

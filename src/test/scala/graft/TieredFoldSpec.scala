@@ -200,4 +200,26 @@ class TieredFoldSpec extends SparkSpec {
       === rows(Dedup.noveltyIncremental(spark, delta, "tfe_reb")))
     drop("tfe_idx", "tfe_reb")
   }
+
+  test("q83 drives the run-level fold inside a STREAMED maintenance loop and probes identically to q81 (VERDICT r20 item 5)") {
+    // the catalog row itself, at the spec fixture: its cadence (every 2
+    // batches, mergeFraction the run can never exceed) must take the
+    // run-level path mid-stream — observable on the per-kind fold
+    // counter — and its probe must match q81's batch-merge layout
+    // row for row (same data, same oracle, different fold path)
+    graft.io.TempPaths.bumpEpoch()
+    val runFoldsBefore = graft.io.FoldEvents.countOf("run-fold")
+    val basesBefore = graft.io.FoldEvents.countOf("base-merge")
+    val q83 = rows(graft.queries.StreamingQueries
+      .q83StreamingRunFold(spark, sfDir))
+    assert(graft.io.FoldEvents.countOf("run-fold") === runFoldsBefore + 1,
+      "q83's second cadence firing must take the run-level path")
+    assert(graft.io.FoldEvents.countOf("base-merge") === basesBefore + 1,
+      "q83's first cadence firing (no base yet) must take the merge path")
+    val q81 = rows(graft.queries.StreamingQueries
+      .q81StreamingRetraction(spark, sfDir))
+    assert(q83 === q81,
+      "run-fold layout (base + pending-negative run + fresh tail) must " +
+        "probe bit-identically to q81's base-merge layout")
+  }
 }
