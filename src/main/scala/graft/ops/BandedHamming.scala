@@ -38,7 +38,16 @@ object BandedHamming {
   def pairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 x 16-bit bands only guarantee recall for hamming <= 3")
-    val banded = bandedFrame(sigs.select("doc_id", "lo", "hi"))
+    // `sigs` is typically the output of a codec decode pass (PNG/WAV/
+    // GIF mapPartitions) — the costliest per-row work in the media
+    // families — and the self-join below references it on BOTH sides,
+    // so without materialization the whole decode ran TWICE per action
+    // (guide §1.2 step 1: don't recompute; measured ~2x on p86, whose
+    // 65-frame GIF decode is the catalog's heaviest). The projection is
+    // 24 bytes/row, so an eager localCheckpoint pays one decode pass
+    // plus a negligible block-manager write to serve both branches.
+    val banded = bandedFrame(
+      sigs.select("doc_id", "lo", "hi").localCheckpoint(true))
     val l = banded.select(col("band"), col("v"), col("doc_id").as("left_id"),
       col("lo").as("llo"), col("hi").as("lhi"))
     val r = banded.select(col("band"), col("v"), col("doc_id").as("right_id"),
@@ -73,9 +82,15 @@ object BandedHamming {
   def distinctPairs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4 x 16-bit bands only guarantee recall for hamming <= 3")
+    // distinct-signature representatives: aggregated (so decode-once is
+    // already paid by the shuffle) but referenced on both sides of the
+    // self-join below — materialize the tiny distinct frame instead of
+    // re-running decode + aggregate per branch (same rationale as
+    // [[pairs]])
     val reps = sigs.groupBy(col("lo"), col("hi"))
       .agg(min(col("doc_id")).as("rep_id"),
         count(lit(1)).cast("long").as("n_docs"))
+      .localCheckpoint(true)
     val banded = bandedFrame(reps)
     val l = banded.select(col("band"), col("v"), col("rep_id").as("left_id"),
       col("n_docs").as("ln"), col("lo").as("llo"), col("hi").as("lhi"))

@@ -223,10 +223,31 @@ object Dedup {
                        rowsPerBand: Int = 8, shingleN: Int = 3,
                        buckets: Int = 8): Unit = {
     val sig = sigFrame(corpus, bands * rowsPerBand, shingleN)
-    graft.io.Bucketing.writeBucketedMulti(bandFrame(sig, bands, rowsPerBand),
-      bandsTable, Seq("band_id", "band_hash"), buckets)
+    // SIGN THE CORPUS ONCE (optimization guide §1.2 step 1 — don't
+    // recompute what a prior action already produced): the two writes
+    // both derive from `sig`, and as two independent actions they used
+    // to run the k-minhash pass over the whole corpus TWICE. The
+    // signature table is itself the materialization the band projection
+    // needs, so write it FIRST and derive the band postings from the
+    // STORED rows — zero extra signature passes, no block-manager
+    // checkpoint to size or release (the device the streamed twin
+    // appendCorpusIndexPartial needs localCheckpoint for, because its
+    // per-batch partials land under dynamic-partition overwrite and
+    // cannot be read back mid-append). Bands read only (doc_id, sig) —
+    // column pruning keeps the stored text out of the second pass.
     graft.io.Bucketing.writeBucketed(sig, sigsTable, "doc_id", buckets)
     val spark = corpus.sparkSession
+    // repartition on the band keys before the write: the stored-sigs
+    // scan arrives as `buckets` tasks (vs the raw corpus scan's 1-2 at
+    // fixture scale), and a bucketed write emits one file per (task,
+    // bucket) — without this the bands table fragmented ~8x and every
+    // probe and purge rewrite paid the extra file opens (measured
+    // +25% on p54, +60% on the purge-heavy p116/p123). The exchange
+    // carries only (doc_id, band_id, band_hash).
+    graft.io.Bucketing.writeBucketedMulti(
+      bandFrame(spark.table(sigsTable), bands, rowsPerBand)
+        .repartition(buckets, col("band_id"), col("band_hash")),
+      bandsTable, Seq("band_id", "band_hash"), buckets)
     graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
     graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
   }
@@ -245,7 +266,15 @@ object Dedup {
                           sigsTable: String, bands: Int = 16,
                           rowsPerBand: Int = 8, shingleN: Int = 3,
                           buckets: Int = 8): Unit = {
+    // sign the delta ONCE (guide §1.2 step 1): the band and signature
+    // appends are two actions over this frame, which used to run the
+    // k-minhash pass twice per append. Unlike the build, the appended
+    // rows cannot be isolated by reading the table back (they land as
+    // bucket-interleaved files, not a partition), so this path uses the
+    // streamed twin's device: an eager localCheckpoint, delta-sized by
+    // contract (the whole point of the append is |delta| << |corpus|).
     val sig = sigFrame(delta, bands * rowsPerBand, shingleN)
+      .localCheckpoint(true)
     graft.io.Bucketing.writeBucketedMulti(bandFrame(sig, bands, rowsPerBand),
       bandsTable, Seq("band_id", "band_hash"), buckets,
       org.apache.spark.sql.SaveMode.Append)

@@ -341,13 +341,19 @@ object StreamingQueries {
       val staging = java.nio.file.Paths.get(
         graft.io.TempPaths.uniqueScratchDir(spark, "graft_q60_stage", landing))
       java.nio.file.Files.createDirectories(staging)
+      // ONE write job for all slices (the landSlices device, r21): the
+      // per-slice filter+coalesce loop paid one scan + job round-trip
+      // per slice inside the timed row. The modulo tag routes each
+      // slice to one task, so each __slice=i directory holds exactly
+      // one part file and the partition column never enters the files.
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("__slice", col("event_id") % nFiles)
+        .repartition(nFiles, col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice")
+        .parquet(staging.toString)
       (0 until nFiles).foreach { i =>
-        val stageDir = staging.resolve(s"part_$i")
-        spark.read.parquet(s"$dir/events.parquet")
-          .filter(col("event_id") % nFiles === i)
-          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
-        val part = Option(stageDir.toFile.listFiles()).get
-          .filter(_.getName.endsWith(".parquet")).head
+        val part = Option(staging.resolve(s"__slice=$i").toFile.listFiles())
+          .get.filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -536,13 +542,24 @@ object StreamingQueries {
       val staging = java.nio.file.Paths.get(
         graft.io.TempPaths.uniqueScratchDir(spark, "graft_quarters_stage", landing))
       java.nio.file.Files.createDirectories(staging)
+      // ONE write job for all slices (the landSlices device, r21): the
+      // per-slice filter+coalesce loop paid one scan + job round-trip
+      // per quartile. The slice tag mirrors the bound() windows
+      // EXACTLY — derived by comparing against the same integer-
+      // division boundary literals, NOT by re-deriving floor((ts-mn)*
+      // n/span), whose integer rounding disagrees with bound() at
+      // boundary microseconds.
+      val sliceCol = (1 until nFiles).foldRight(lit(nFiles - 1): org.apache.spark.sql.Column) {
+        (i, rest) => when(tsUs < bound(i), i - 1).otherwise(rest)
+      }
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("__slice", sliceCol)
+        .repartition(nFiles, col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice")
+        .parquet(staging.toString)
       (0 until nFiles).foreach { i =>
-        val stageDir = staging.resolve(s"part_$i")
-        spark.read.parquet(s"$dir/events.parquet")
-          .filter(tsUs >= bound(i) && tsUs < bound(i + 1))
-          .coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
-        val part = Option(stageDir.toFile.listFiles()).get
-          .filter(_.getName.endsWith(".parquet")).head
+        val part = Option(staging.resolve(s"__slice=$i").toFile.listFiles())
+          .get.filter(_.getName.endsWith(".parquet")).head
         java.nio.file.Files.move(part.toPath,
           java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -802,15 +819,27 @@ object StreamingQueries {
       val staging = java.nio.file.Paths.get(
         graft.io.TempPaths.uniqueScratchDir(spark, "graft_land_stage", dir))
       java.nio.file.Files.createDirectories(staging)
-      slices.zipWithIndex.foreach { case (slice, i) =>
-        val stageDir = staging.resolve(s"part_$i")
-        slice.coalesce(1).write.mode("overwrite").parquet(stageDir.toString)
-        // an EMPTY slice can legally produce zero part files (a scale
-        // factor where a modulo slice selects nothing); skip it rather
-        // than NPE — the downstream foreachBatch loops all guard empty
-        // batches, and batch ordering simply compresses
-        Option(stageDir.toFile.listFiles()).toSeq.flatten
-          .filter(_.getName.endsWith(".parquet")).headOption
+      // ONE write job for all slices (optimization r21, guide §1.2
+      // step 1): the per-slice `coalesce(1).write` loop paid one full
+      // scan + job round-trip PER slice inside the timed row — 4-5
+      // sequential jobs for what is one pass of data. Tag each slice
+      // with its index, union, and dynamic-partition the single write:
+      // repartition on the tag routes every slice to exactly one task,
+      // so each __slice=i directory holds exactly one part file (the
+      // coalesce(1) guarantee, kept), and the partition column is
+      // directory-encoded so the landed files keep the original schema.
+      val tagged = slices.zipWithIndex.map { case (s, i) =>
+        s.withColumn("__slice", lit(i)) }.reduce(_.unionByName(_))
+      tagged.repartition(slices.size, col("__slice"))
+        .write.mode("overwrite").partitionBy("__slice")
+        .parquet(staging.toString)
+      slices.indices.foreach { i =>
+        // an EMPTY slice can legally produce no partition directory (a
+        // scale factor where a modulo slice selects nothing); skip it
+        // rather than NPE — the downstream foreachBatch loops all guard
+        // empty batches, and batch ordering simply compresses
+        Option(staging.resolve(s"__slice=$i").toFile.listFiles()).toSeq
+          .flatten.filter(_.getName.endsWith(".parquet")).headOption
           .foreach { part =>
             java.nio.file.Files.move(part.toPath,
               java.nio.file.Paths.get(landing, f"docs_$i%05d.parquet"),
