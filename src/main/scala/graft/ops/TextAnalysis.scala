@@ -193,8 +193,7 @@ object TextAnalysis {
     // only under its backup name; repair BEFORE the existence check, or
     // the create branch would start a fresh index and the eventual
     // repair would drop the backup holding every earlier batch
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       // a crash during the CREATE leaves staged files but no catalog
       // entry; sweep the orphaned location so the retry's saveAsTable
       // cannot die on LOCATION_ALREADY_EXISTS
@@ -222,8 +221,7 @@ object TextAnalysis {
                            removed: DataFrame, table: String, batchId: Long,
                            segTokens: Int = 12, byLines: Boolean = false,
                            buckets: Int = 8): Boolean = {
-    graft.io.Bucketing.repairCompaction(spark, table)
-    require(spark.catalog.tableExists(table),
+    require(graft.io.Bucketing.repairCompaction(spark, table),
       s"$table does not exist — a retraction can only follow appends")
     val partial = segmented(removed, segTokens, byLines)
       .select("h", "doc_id").distinct()
@@ -578,8 +576,7 @@ object TextAnalysis {
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "tok", buckets)
@@ -600,8 +597,7 @@ object TextAnalysis {
   def retractTokenCountPartial(spark: org.apache.spark.sql.SparkSession,
                                removed: DataFrame, table: String, batchId: Long,
                                buckets: Int = 8): Boolean = {
-    graft.io.Bucketing.repairCompaction(spark, table)
-    require(spark.catalog.tableExists(table),
+    require(graft.io.Bucketing.repairCompaction(spark, table),
       s"$table does not exist — a retraction can only follow appends")
     val partial = removed
       .select(explode(tokens(col("text"))).as("tok"))
@@ -961,8 +957,7 @@ object TextAnalysis {
     val partial = batch
       .select(explode(Dedup.shingles(col("text"), n)).as("gram")).distinct()
       .withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "gram", buckets)
@@ -1359,8 +1354,7 @@ object TextAnalysis {
         .as("r"))
       .select(col("r.term"), col("r.df_corpus"))
     val partial = df.unionByName(stats).withColumn("batch_id", lit(batchId))
-    graft.io.Bucketing.repairCompaction(spark, table)
-    if (!spark.catalog.tableExists(table)) {
+    if (!graft.io.Bucketing.repairCompaction(spark, table)) {
       graft.io.Bucketing.dropTable(spark, table)
       graft.io.Bucketing.writePartitionedBucketed(partial, table,
         "batch_id", "term", buckets)
@@ -1383,8 +1377,7 @@ object TextAnalysis {
   def retractBm25DfPartial(spark: org.apache.spark.sql.SparkSession,
                            removed: DataFrame, table: String, batchId: Long,
                            buckets: Int = 8): Boolean = {
-    graft.io.Bucketing.repairCompaction(spark, table)
-    require(spark.catalog.tableExists(table),
+    require(graft.io.Bucketing.repairCompaction(spark, table),
       s"$table does not exist — a retraction can only follow appends")
     val df = removed
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))

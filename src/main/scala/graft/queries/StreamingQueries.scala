@@ -307,10 +307,9 @@ object StreamingQueries {
     * windowed agg (q54), keyed dedup (q56), sessionization (q57/q58),
     * stream-stream join (q59). */
   def q59StreamingIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q59_in", dir)
+    val landing = sharedEventsModuloLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q59_ckpt", dir)
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q59_out", dir)
-    landFixtureSplit(spark, dir, landing, nFiles = 4)
     val joined = EventsStream.clickToViewJoin(
       EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1)),
       windowMinutes = 10, delay = "90 days")
@@ -352,14 +351,21 @@ object StreamingQueries {
         .write.mode("overwrite").partitionBy("__slice")
         .parquet(staging.toString)
       (0 until nFiles).foreach { i =>
-        val part = Option(staging.resolve(s"__slice=$i").toFile.listFiles())
-          .get.filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // an EMPTY slice legally produces no __slice=i directory under
+        // the dynamic-partition write (a skewed or tiny scale factor
+        // where a modulo slice selects nothing — ADVICE r21); skip it
+        // instead of NPE-ing on .get/.head. Batch ordering compresses,
+        // which the downstream stream handles like any absent file.
+        Option(staging.resolve(s"__slice=$i").toFile.listFiles()).toSeq
+          .flatten.filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { part =>
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
       }
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      val parts = Option(new java.io.File(landing).listFiles()).get
+      val parts = Option(new java.io.File(landing).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val base = System.currentTimeMillis() - parts.length * 10000L
       parts.zipWithIndex.foreach { case (f, i) =>
@@ -368,6 +374,30 @@ object StreamingQueries {
       }
       graft.io.TempPaths.markComplete(landing)
     }
+  }
+
+  /** The SHARED events modulo landing (optimization r22, VERDICT r21
+    * item 4 — the q68/q70/q73 shared-landing device applied to the
+    * events fixture): q59, q60, q61 and q65 all consume the SAME
+    * deterministic `event_id % 4` split of one fixture, so they land it
+    * under ONE path — any epoch-0 context running several of these rows
+    * (Verify, tests, ad-hoc sessions) pays one landing instead of four.
+    * q59 previously landed a ts-range split; its output is
+    * split-independent (the 90-day horizon exceeds the fixture span, so
+    * the inner interval join emits exactly the batch join whatever the
+    * batching — q65 already runs the identical operator over this
+    * modulo landing and hash-pins its state accounting). Scratch
+    * lifecycles stay isolated: only the LANDING is shared; each row
+    * keeps its own checkpoint/sink/metrics dirs. Locked like every
+    * shared landing — concurrent callers must not interleave part-file
+    * moves / mtime stamping. */
+  private def sharedEventsModuloLanding(spark: SparkSession,
+                                        dir: String): String = {
+    val landing = graft.io.TempPaths.scratchDir(spark, "graft_evmod_in", dir)
+    graft.io.TempPaths.withLandingLock(landing) {
+      landFixtureModulo(spark, dir, landing, nFiles = 4)
+    }
+    landing
   }
 
   /** q60 — the STREAMING ENGINE'S OWN METRICS as a hash-checked row:
@@ -386,11 +416,10 @@ object StreamingQueries {
     * so a checkpoint-resumed re-run (no new files → no new batches →
     * empty progress) stays idempotent like every other streaming row. */
   def q60StreamingMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q60_in", dir)
+    val landing = sharedEventsModuloLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q60_ckpt", dir)
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q60_out", dir)
     val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q60_metrics", dir)
-    landFixtureModulo(spark, dir, landing, nFiles = 4)
     if (!graft.io.TempPaths.isComplete(metricsDir)) {
       val keyed = EventsStream
         .readEventsStream(spark, landing, maxFilesPerTrigger = Some(1))
@@ -442,10 +471,9 @@ object StreamingQueries {
     * RecoverySpec, and by replaying a committed batch in
     * StreamingSpec). */
   def q61StreamingUpsert(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q61_in", dir)
+    val landing = sharedEventsModuloLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q61_ckpt", dir)
     val target = graft.io.TempPaths.scratchDir(spark, "graft_q61_tbl", dir)
-    landFixtureModulo(spark, dir, landing, nFiles = 4)
     graft.streaming.UpsertSink.runUpsertLatest(
       EventsStream.readEventsStream(spark, landing,
         maxFilesPerTrigger = Some(1)),
@@ -477,11 +505,10 @@ object StreamingQueries {
     * operator reading this metric on a self-join stream must know that,
     * which is exactly why the row pins it. */
   def q65StreamingJoinMetrics(spark: SparkSession, dir: String): DataFrame = {
-    val landing = graft.io.TempPaths.scratchDir(spark, "graft_q65_in", dir)
+    val landing = sharedEventsModuloLanding(spark, dir)
     val ckpt = graft.io.TempPaths.scratchDir(spark, "graft_q65_ckpt", dir)
     val out = graft.io.TempPaths.scratchDir(spark, "graft_q65_out", dir)
     val metricsDir = graft.io.TempPaths.scratchDir(spark, "graft_q65_metrics", dir)
-    landFixtureModulo(spark, dir, landing, nFiles = 4)
     if (!graft.io.TempPaths.isComplete(metricsDir)) {
       val joined = EventsStream.clickToViewJoin(
         EventsStream.readEventsStream(spark, landing, maxFilesPerTrigger = Some(1)),
@@ -558,14 +585,18 @@ object StreamingQueries {
         .write.mode("overwrite").partitionBy("__slice")
         .parquet(staging.toString)
       (0 until nFiles).foreach { i =>
-        val part = Option(staging.resolve(s"__slice=$i").toFile.listFiles())
-          .get.filter(_.getName.endsWith(".parquet")).head
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // empty quartile ⇒ no __slice=i directory (ADVICE r21): skip,
+        // don't NPE — see landFixtureModulo
+        Option(staging.resolve(s"__slice=$i").toFile.listFiles()).toSeq
+          .flatten.filter(_.getName.endsWith(".parquet")).headOption
+          .foreach { part =>
+            java.nio.file.Files.move(part.toPath,
+              java.nio.file.Paths.get(landing, f"events_$i%05d.parquet"),
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
       }
       org.apache.commons.io.FileUtils.deleteDirectory(staging.toFile)
-      val parts = Option(new java.io.File(landing).listFiles()).get
+      val parts = Option(new java.io.File(landing).listFiles()).toSeq.flatten
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
       val base = System.currentTimeMillis() - parts.length * 10000L
       parts.zipWithIndex.foreach { case (f, i) =>
@@ -808,10 +839,20 @@ object StreamingQueries {
     * ordered part file (ascending mtimes pin batch ids). The general
     * form [[landSlicedModulo]] delegates to — q81 needs it because its
     * batch sequence is not a modulo split (a RETRACTION batch rides
-    * between append batches). Same lock + completion discipline. */
+    * between append batches). Same lock + completion discipline.
+    *
+    * Contract (ADVICE r21, inherited from the one-job landing): all
+    * slices must share ONE schema (they are unioned by name into the
+    * single tagged write), `slices` must be non-empty, and row order
+    * WITHIN a landed file is not defined (the repartition's exchange
+    * replaces the old coalesce(1)'s scan order) — fine for the
+    * order-insensitive streamed consumers here; a future row-hashing
+    * consumer must sort. */
   private def landSlices(spark: SparkSession, dir: String,
                          landing: String, slices: Seq[DataFrame]): Unit =
     graft.io.TempPaths.withLandingLock(landing) {
+    require(slices.nonEmpty, "landSlices needs at least one slice — an " +
+      "empty landing would mark itself complete and starve the stream")
     if (!graft.io.TempPaths.isComplete(landing)) {
       new java.io.File(landing).mkdirs()
       // staging through TempPaths: owned by this app (sweepStale can
@@ -1003,12 +1044,14 @@ object StreamingQueries {
           // zero-sum-dropping fold INSTEAD of the identity compaction —
           // a fold subsumes a compaction (one file per bucket) and is
           // the only rewrite that physically removes retracted keys'
-          // (+df, −df) row pairs; running both would rewrite twice
-          tables.foreach { t =>
-            if (graft.io.Bucketing.isAdditiveIndex(spark, t))
-              graft.io.Bucketing.maybeFold(spark, t, compactEvery, mergeFraction)
-            else graft.io.Bucketing.maybeCompact(spark, t, compactEvery)
-          }
+          // (+df, −df) row pairs; running both would rewrite twice.
+          // maintainIndex makes the dispatch with ONE metadata fetch
+          // per table per batch (optimization r22) — the old
+          // isAdditiveIndex + maybeFold/maybeCompact pair re-fetched
+          // existence and metadata three times for the same decision
+          tables.foreach(t =>
+            graft.io.Bucketing.maintainIndex(spark, t, compactEvery,
+              mergeFraction))
           tombstones.foreach(s => graft.io.Tombstones.maybePurge(spark, s))
         })
         .option("checkpointLocation", ckpt)
