@@ -35,11 +35,15 @@ object Dedup {
     graft.functions.TextFunctions.word_shingles(TextAnalysis.tokens(text), n)
 
   // MinHash parameters: k = bands * rows hash functions h_i(x) = (a_i*x + b_i) mod P
-  // over 31-bit base hashes; constants from a fixed seed for determinism.
+  // over FULL-FIELD 61-bit base hashes (r22 estimator fix — see
+  // MinHashSig's scaladoc: 31-bit bases made the affine family largely
+  // order-preserving, so the k permutations elected the same argmin and
+  // the agreement estimator deviated by many sigma on real pairs);
+  // constants from a fixed seed for determinism.
   private val MinhashP = (1L << 61) - 1
   private def coeffs(k: Int, seed: Long): (Seq[Long], Seq[Long]) = {
     val rnd = new java.util.Random(seed)
-    def draw() = math.abs(rnd.nextLong()) % ((1L << 31) - 1)
+    def draw() = math.abs(rnd.nextLong()) % (MinhashP - 1)
     (Seq.fill(k)(draw() + 1), Seq.fill(k)(draw()))
   }
 
